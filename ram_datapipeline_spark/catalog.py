@@ -1,0 +1,61 @@
+"""Table registry over the synthetic parquet fixtures.
+
+The reference acquires inputs per-job from Postgres + S3
+(ram-analysis/app/index.js:200-231, 282-294, 308-339); here the same role is
+played by a parquet catalog: one ``spark.read.parquet`` per table, registered
+as temp views so both the DataFrame and SQL APIs see the same relations.
+Parquet scans give Catalyst predicate pushdown + column pruning for free —
+the reference hand-codes both as SQL select-lists/WHERE clauses (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# TIMESTAMP(NANOS) parquet columns, read as long nanos under
+# spark.sql.legacy.parquet.nanosAsLong and converted here to microsecond
+# timestamps (`div 1000` truncation — byte-identical to DuckDB's ns→µs read).
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load every fixture table from ``sf_dir`` and (optionally) register
+    each as a temp view under its bare name."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+        for col in _NANO_TS_COLS.get(name, ()):
+            if dict(df.dtypes).get(col) == "bigint":
+                df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        tables[name] = df
+        if register:
+            df.createOrReplaceTempView(name)
+    return tables

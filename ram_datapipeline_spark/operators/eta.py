@@ -1,0 +1,201 @@
+"""Nearest-POI ETA — the analytics core of the reference, Spark-first.
+
+Reference semantics (ram-analysis/app/calculate-eta/tasks.js):
+- For every origin inside a work area, compute the duration to every
+  candidate POI of each type via one vectorized ``osrm.table`` call per
+  (grid square × POI type) (tasks.js:246-283).
+- Reduce per origin/type to the minimum, with ``null`` (unreachable) mapped
+  to +Infinity before the min so unreachable never wins as 0
+  (tasks.js:276-279).
+- Add a walking penalty from the origin to its snapped road point:
+  ``eta = table_min + nearest_m / walk_speed`` (tasks.js:136-151).
+- Candidate pruning: only POIs within an (adaptively enlarged) travel-time
+  buffer enter the matrix (tasks.js:57-91, min 4 candidates per type).
+
+Spark shape: the duration matrix is a *long-format* DataFrame
+(origin_id, poi_id, poi_type, duration_s) produced by a join, not a 2-D
+array — index-positional alignment (tasks.js:143-151) is replaced by keys
+carried end-to-end (SURVEY §7 hard-point 2). The min-reduce is a
+``groupBy().agg(F.min)``; pruning is a grid-neighborhood equi-join that
+Catalyst turns into a shuffle-free broadcast plan when the POI side is small.
+
+Scale strategy (100 TB): POI/dimension sides are broadcast (they are small
+relative to origins by construction — hospitals, banks). Origins-side
+parallelism comes from whatever partitioning the scan yields; the grid path
+(``nearest_poi_eta_grid``) shuffles both sides once on the cell key and joins
+each origin cell against its 3×3 cell neighborhood, bounding the candidate
+set per origin regardless of total POI count — the scalable analog of the
+reference's buffer pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.functions import geo
+
+
+def duration_matrix(
+    origins: DataFrame,
+    pois: DataFrame,
+    speed_kmh: float = geo.MAX_SPEED_KMH,
+    broadcast_pois: bool = True,
+) -> DataFrame:
+    """Long-format many-to-many duration matrix (SURVEY J4/U1).
+
+    ``origins``: (origin_id, lon, lat, ...); ``pois``: (poi_id, poi_type,
+    lon, lat). Output: origin columns + (poi_id, poi_type, duration_s).
+
+    The analog of ``osrm.table`` under the pluggable straight-line cost
+    backend; a road-network backend drops in via ``mapInPandas`` over the
+    same long format (see ``routed_duration_matrix``).
+    """
+    p = pois.select(
+        F.col("poi_id"),
+        F.col("poi_type"),
+        F.col("lon").alias("_poi_lon"),
+        F.col("lat").alias("_poi_lat"),
+    )
+    if broadcast_pois:
+        p = F.broadcast(p)
+    pairs = origins.crossJoin(p)
+    dur = geo.eta_seconds(
+        F.col("lon"), F.col("lat"), F.col("_poi_lon"), F.col("_poi_lat"), speed_kmh
+    )
+    return pairs.withColumn("duration_s", dur).drop("_poi_lon", "_poi_lat")
+
+
+def min_duration(
+    matrix: DataFrame,
+    origin_keys: list[str],
+    unreachable_over_s: float | None = None,
+) -> DataFrame:
+    """Per-origin/type min-reduce (SURVEY A1).
+
+    Replicates the reference's null→Infinity→min semantics
+    (tasks.js:276-279): null durations never win; if every candidate is
+    null/over-limit the ETA is null (unreachable). ``unreachable_over_s``
+    optionally nulls out durations beyond a cutoff first (maxTime analog).
+    """
+    dur: Column = F.col("duration_s")
+    if unreachable_over_s is not None:
+        dur = F.when(dur <= unreachable_over_s, dur)  # else NULL
+    return matrix.groupBy(*origin_keys, "poi_type").agg(F.min(dur).alias("eta_s"))
+
+
+def nearest_poi_eta(
+    origins: DataFrame,
+    pois: DataFrame,
+    origin_keys: list[str] | None = None,
+    speed_kmh: float = geo.MAX_SPEED_KMH,
+    unreachable_over_s: float | None = None,
+) -> DataFrame:
+    """Flagship: per origin, ETA (s) to the nearest POI of each type.
+
+    scan → crossJoin(broadcast POIs) → cost → groupBy.min. One shuffle
+    (the groupBy), and with AQE the partial (map-side) min makes the shuffle
+    carry only one row per (origin, type) per task.
+    """
+    origin_keys = origin_keys or ["origin_id"]
+    m = duration_matrix(origins, pois, speed_kmh=speed_kmh)
+    return min_duration(m, origin_keys, unreachable_over_s)
+
+
+def nearest_poi_eta_grid(
+    origins: DataFrame,
+    pois: DataFrame,
+    origin_keys: list[str] | None = None,
+    speed_kmh: float = geo.MAX_SPEED_KMH,
+    cell_deg: float = geo.GRID_SIZE_DEG * 30,
+) -> DataFrame:
+    """Grid-pruned variant for large POI sides (SURVEY J7 + buffer pruning J3).
+
+    POIs are replicated into each of the 3×3 neighboring cells (explode of a
+    9-element offset array — cheap, POIs are the small side), then
+    equi-joined on the packed cell id. Each origin only meets POIs within
+    one cell radius — the scalable analog of the reference's travel-time
+    buffer (tasks.js:57-91). Origins in cells whose neighborhood has no POI
+    of a type fall back to NULL eta via the left join (unreachable), matching
+    the reference's null semantics rather than scanning the world.
+
+    Note: unlike the adaptive buffer loop, a fixed neighborhood can miss a
+    nearest POI that lies farther than one cell away; choose ``cell_deg`` ≥
+    the max service radius (maxSpeed*maxTime) as the reference does via
+    maxTime (index.js:79-80). For oracle-exact nearest-anywhere semantics use
+    ``nearest_poi_eta``.
+    """
+    origin_keys = origin_keys or ["origin_id"]
+    o = origins.withColumn("_cx", geo.grid_cell_x(F.col("lon"), cell_deg)).withColumn(
+        "_cy", geo.grid_cell_y(F.col("lat"), cell_deg)
+    )
+    offsets = F.expr("explode(flatten(transform(sequence(-1,1), dx -> transform(sequence(-1,1), dy -> struct(dx, dy)))))")
+    p = (
+        pois.withColumn("_cx0", geo.grid_cell_x(F.col("lon"), cell_deg))
+        .withColumn("_cy0", geo.grid_cell_y(F.col("lat"), cell_deg))
+        .select(
+            "poi_id",
+            "poi_type",
+            F.col("lon").alias("_poi_lon"),
+            F.col("lat").alias("_poi_lat"),
+            "_cx0",
+            "_cy0",
+            offsets.alias("_off"),
+        )
+        .select(
+            "poi_id",
+            "poi_type",
+            "_poi_lon",
+            "_poi_lat",
+            (F.col("_cx0") + F.col("_off.dx")).alias("_cx"),
+            (F.col("_cy0") + F.col("_off.dy")).alias("_cy"),
+        )
+    )
+    joined = o.join(F.broadcast(p), on=["_cx", "_cy"], how="left")
+    dur = F.when(
+        F.col("poi_id").isNotNull(),
+        geo.eta_seconds(
+            F.col("lon"), F.col("lat"), F.col("_poi_lon"), F.col("_poi_lat"), speed_kmh
+        ),
+    )
+    return (
+        joined.withColumn("duration_s", dur)
+        .groupBy(*origin_keys, "poi_type")
+        .agg(F.min("duration_s").alias("eta_s"))
+    )
+
+
+def nearest_snap_distance(
+    origins: DataFrame,
+    vertices: DataFrame,
+    origin_keys: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-neighbor snap distance in km (SURVEY J5/U2).
+
+    Reference: ``osrm.nearest`` per origin in series (tasks.js:181-213).
+    Here: broadcast cross join against road vertices + min — one pass, no
+    per-row call. Output: origin_keys + snap_km.
+    """
+    origin_keys = origin_keys or ["origin_id"]
+    v = F.broadcast(
+        vertices.select(F.col("lon").alias("_v_lon"), F.col("lat").alias("_v_lat"))
+    )
+    d = geo.dist_km(F.col("lon"), F.col("lat"), F.col("_v_lon"), F.col("_v_lat"))
+    return (
+        origins.crossJoin(v)
+        .withColumn("_d", d)
+        .groupBy(*origin_keys)
+        .agg(F.min("_d").alias("snap_km"))
+    )
+
+
+def eta_with_walk_penalty(eta: DataFrame, snap: DataFrame, origin_keys: list[str] | None = None) -> DataFrame:
+    """Final ETA formula (SURVEY F4, tasks.js:136-151):
+    eta_total = table_eta + walk_time(snap distance), null-preserving."""
+    origin_keys = origin_keys or ["origin_id"]
+    joined = eta.join(snap, on=origin_keys, how="left")
+    total = F.when(
+        F.col("eta_s").isNotNull(),
+        F.col("eta_s") + geo.walk_penalty_seconds(F.col("snap_km")),
+    )
+    return joined.withColumn("eta_total_s", total)

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Replaces the reference's hand-rolled process scheduling
+(ram-analysis/app/index.js:89-96 `async.parallelLimit(tasks, config.cpus)`,
+config.cpus = floor(os.cpus()*1.5) at ram-analysis/app/config.js:6) with the
+Spark scheduler. Tuning choices:
+
+- AQE on: runtime coalescing of the empty grid-cell partitions the reference
+  prunes by hand (calculate-eta/tasks.js:35-49), plus skew-join splitting.
+- shuffle.partitions sized to the local core count (the driver runs
+  local[32]); on a real cluster this would be ~2-3x total executor cores.
+- Arrow enabled: every pandas-UDF boundary (the routing kernel analog of
+  osrm.table, tasks.js:260) moves batches, not rows.
+- Session timezone pinned UTC so timestamp semantics are stable and
+  comparable against external oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "ram-datapipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when the env var is
+    set, else ``local[*]``. An existing active session is reused (Spark
+    semantics); config applies on first creation.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Fixture parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long nanos and convert in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
