@@ -1,0 +1,112 @@
+"""Relational operator compositions (SURVEY §2.2-2.6).
+
+The reference implements these as knex/SQL calls plus imperative JS row
+munging; here each is a reusable DataFrame combinator. Notable semantics:
+
+- ``pivot_eav``: the dynamic indicator pivot (ram-analysis/app/index.js:
+  233-246 — `hold[o.key] = o.value`): EAV rows become per-key columns at
+  runtime. Spark's ``groupBy().pivot()`` is the native analog; pass explicit
+  key values when known to skip the extra distinct-collect job.
+- ``unpivot``: the inverse (index.js:111-118 — per-origin poi map exploded
+  into `results_poi` rows) via ``stack``.
+- ``latest_per_key``: newest-row-per-group (operation.js:45-59) as a
+  window + row_number, with an explicit total tie-break so results are
+  deterministic under shuffles.
+- ``exact_money_sum``: SUM over doubles is order-dependent in the last ulp;
+  for bit-reproducible aggregates we sum fixed-point cents (exact integer
+  arithmetic) and divide once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cents(col: Column) -> Column:
+    """Fixed-point representation: round-half-up to integer cents (exact)."""
+    return F.floor(col * 100.0 + 0.5).cast("long")
+
+
+def exact_money_sum(col: Column) -> Column:
+    """Order-independent SUM for 2-decimal money doubles."""
+    return F.sum(cents(col)).cast("double") / 100.0
+
+
+def pivot_eav(
+    df: DataFrame,
+    group_keys: list[str],
+    key_col: str,
+    value_agg: Column,
+    key_values: list[str] | None = None,
+) -> DataFrame:
+    """EAV → wide pivot (SURVEY A2). ``value_agg`` is the aggregate applied
+    per (group, key) cell."""
+    g = df.groupBy(*group_keys)
+    p = g.pivot(key_col, key_values) if key_values is not None else g.pivot(key_col)
+    return p.agg(value_agg)
+
+
+def unpivot(
+    df: DataFrame,
+    id_cols: list[str],
+    measures: dict[str, str],
+    key_name: str = "measure",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long (SURVEY A3) via ``stack`` — one output row per measure."""
+    pairs = ", ".join(f"'{label}', {col}" for label, col in measures.items())
+    stack_expr = f"stack({len(measures)}, {pairs}) AS ({key_name}, {value_name})"
+    return df.selectExpr(*id_cols, stack_expr)
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_desc: list[str],
+) -> DataFrame:
+    """Newest row per key (SURVEY W1). ``order_desc`` must end in a unique
+    column so the result is deterministic (SURVEY §7 hard-point 2)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_desc])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_desc: list[str],
+    k: int,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Top-K per group with explicit tie-break, rank retained."""
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_desc])
+    return df.withColumn(rank_name, F.row_number().over(w)).filter(
+        F.col(rank_name) <= k
+    )
+
+
+def grouped_collect_sorted(
+    df: DataFrame,
+    keys: list[str],
+    collect_col: str,
+    out_name: str = "items",
+) -> DataFrame:
+    """Group-to-nested (SURVEY A4, index.js:550-558) in a deterministic,
+    engine-portable form: the collected list is sorted and serialized to a
+    comma-joined string (collect_list order under shuffles is otherwise
+    nondeterministic)."""
+    return df.groupBy(*keys).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.col(collect_col))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias(out_name),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,10 @@
+"""Query suite — importing this package registers every query.
+
+Modules group the SURVEY §2 inventory by family; each module's import
+populates ``ram_datapipeline_spark.registry.REGISTRY``.
+"""
+
+from ram_datapipeline_spark.suite import (  # noqa: F401
+    eta_queries,
+    relational_queries,
+)
