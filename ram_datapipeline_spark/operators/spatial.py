@@ -1,0 +1,256 @@
+"""Spatial operators (SURVEY §2.3 J2/J3/J7, §2.7 F11-F18).
+
+The reference's spatial layer is turf.js driver-side geometry:
+- 30 km square grid over each admin area's bbox (calculate-eta/index.js:61-62)
+- grid square ∩ admin polygon clip, null ⇒ pruned (index.js:66-70)
+- origins point-in-polygon inside the clipped work area (tasks.js:43,
+  utils.js:28-31)
+- POI candidate pruning by an adaptively enlarged travel-time buffer
+  (tasks.js:57-91, ≥ min(4,total) candidates per type)
+
+Here each becomes a declarative join over plain (lon, lat) / rectangle
+columns, so Catalyst prunes, pushes, and broadcasts them like any other
+relation. Axis-aligned geometry (the fixtures' admin areas) runs entirely
+JVM-side with exact arithmetic; general GeoJSON polygons drop to a
+vectorized ray-casting kernel (``point_in_polygon_udf``) — pandas-batched,
+the same shape as the reference's per-square turf calls but over Arrow
+batches instead of single features.
+
+The adaptive buffer loop is replaced by a bounded K-nearest join
+(``knn_candidates``): the reference enlarges the buffer until ≥4 POIs are in
+range (tasks.js:71-87); ranking by distance with K=4 yields the same
+candidate set without data-dependent iteration (SURVEY §7 hard-point 1).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ram_datapipeline_spark.functions import geo
+
+
+def points_in_rect_areas(points: DataFrame, areas: DataFrame) -> DataFrame:
+    """Point-in-polygon join for axis-aligned areas (SURVEY J2, exact).
+
+    ``points``: (..., lon, lat); ``areas``: (aa_id, xmin, ymin, xmax, ymax).
+    Broadcast inner join on the containment predicate — the area side is
+    small (admin areas), so this is a broadcast nested-loop with an exact
+    JVM predicate, no shuffle of the point side.
+    """
+    a = F.broadcast(areas)
+    pred = geo.point_in_rect(
+        points["lon"], points["lat"], a["xmin"], a["ymin"], a["xmax"], a["ymax"]
+    )
+    return points.join(a, pred, "inner")
+
+
+def buffer_semi_join(
+    pois: DataFrame,
+    areas: DataFrame,
+    buffer_deg: Column | float,
+) -> DataFrame:
+    """POIs within ``buffer_deg`` of an area rectangle (SURVEY J3/F14).
+
+    The reference buffers the polygon by time/3600*speed km and keeps POIs
+    within (utils.js:47-58); for rectangles, buffering = edge expansion —
+    exact arithmetic, no curve approximation. Returns (area cols + poi cols).
+    """
+    if not isinstance(buffer_deg, Column):
+        buffer_deg = F.lit(float(buffer_deg))
+    a = F.broadcast(areas)
+    pred = geo.point_in_rect(
+        pois["lon"],
+        pois["lat"],
+        a["xmin"] - buffer_deg,
+        a["ymin"] - buffer_deg,
+        a["xmax"] + buffer_deg,
+        a["ymax"] + buffer_deg,
+    )
+    return pois.join(a, pred, "inner")
+
+
+def square_grid(areas: DataFrame, cell_deg: float) -> DataFrame:
+    """Square grid covering each area's bbox, clipped to the area
+    (SURVEY J7/F12/F13: squareGrid + intersect, null ⇒ pruned).
+
+    One row per (aa_id, cell) whose intersection with the area is non-empty;
+    clip bounds are exact max/min. The generator is `sequence`+`explode` —
+    pure Catalyst, executors materialize cells in parallel.
+    """
+    cx = F.explode(
+        F.sequence(
+            F.floor(F.col("xmin") / cell_deg).cast("long"),
+            F.floor(F.col("xmax") / cell_deg).cast("long"),
+        )
+    ).alias("cell_x")
+    g = areas.select("*", cx)
+    cy = F.explode(
+        F.sequence(
+            F.floor(F.col("ymin") / cell_deg).cast("long"),
+            F.floor(F.col("ymax") / cell_deg).cast("long"),
+        )
+    ).alias("cell_y")
+    g = g.select("*", cy)
+    # cell rect
+    cxmin = F.col("cell_x").cast("double") * cell_deg
+    cymin = F.col("cell_y").cast("double") * cell_deg
+    g = (
+        g.withColumn("clip_xmin", F.greatest(cxmin, F.col("xmin")))
+        .withColumn("clip_ymin", F.greatest(cymin, F.col("ymin")))
+        .withColumn("clip_xmax", F.least(cxmin + cell_deg, F.col("xmax")))
+        .withColumn("clip_ymax", F.least(cymin + cell_deg, F.col("ymax")))
+    )
+    return g.filter(
+        (F.col("clip_xmin") < F.col("clip_xmax")) & (F.col("clip_ymin") < F.col("clip_ymax"))
+    )
+
+
+def knn_candidates(
+    origins: DataFrame,
+    pois: DataFrame,
+    k: int = 4,
+    per_type: bool = True,
+) -> DataFrame:
+    """Bounded K-nearest POI candidates per origin (SURVEY J3 replacement).
+
+    Matches the *intent* of the reference's adaptive buffer loop — keep at
+    least min(4, total) candidates per type (tasks.js:71) — as a single
+    rank-over-distance pass: no driver-side iteration, deterministic
+    tie-break on poi_id. POI side broadcast; the window partitions by
+    origin so the shuffle is one exchange of the pruned pair set.
+    """
+    p = pois.select(
+        F.col("poi_id"),
+        F.col("poi_type"),
+        F.col("lon").alias("_p_lon"),
+        F.col("lat").alias("_p_lat"),
+    )
+    pairs = origins.crossJoin(F.broadcast(p)).withColumn(
+        "dist_deg",
+        geo.dist_deg(F.col("lon"), F.col("lat"), F.col("_p_lon"), F.col("_p_lat")),
+    )
+    part = ["origin_id", "poi_type"] if per_type else ["origin_id"]
+    w = Window.partitionBy(*part).orderBy(F.asc("dist_deg"), F.asc("poi_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("_p_lon", "_p_lat")
+    )
+
+
+def world_buffer_guard(areas: DataFrame, buffer_deg: float) -> DataFrame:
+    """Validation guard (SURVEY F18): reject buffers spanning the whole
+    world (utils.js:50-58's projection-hint error). Returns offending rows;
+    callers raise if non-empty."""
+    return areas.filter(
+        (F.col("xmin") - buffer_deg <= -180.0)
+        & (F.col("xmax") + buffer_deg >= 180.0)
+        & (F.col("ymin") - buffer_deg <= -85.0)
+        & (F.col("ymax") + buffer_deg >= 85.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# General-polygon kernel (non-rectangular geometries): vectorized ray casting
+# ---------------------------------------------------------------------------
+
+def _ring_contains(ring: list[list[float]], x: float, y: float) -> bool:
+    """Even-odd ray casting for one linear ring (pure python, called on
+    numpy scalars inside the Arrow batch loop)."""
+    inside = False
+    n = len(ring)
+    j = n - 1
+    for i in range(n):
+        xi, yi = ring[i][0], ring[i][1]
+        xj, yj = ring[j][0], ring[j][1]
+        if (yi > y) != (yj > y) and x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+            inside = not inside
+        j = i
+    return inside
+
+
+def geojson_contains(geometry: str, x: float, y: float) -> bool:
+    """Point-in-GeoJSON-geometry (Polygon or MultiPolygon) with hole
+    support — the general analog of turf `within` (utils.js:28-31)."""
+    g = json.loads(geometry) if isinstance(geometry, str) else geometry
+    coords = g["coordinates"] if isinstance(g, dict) else g
+    polys = coords if g.get("type") == "MultiPolygon" else [coords]
+    for rings in polys:
+        if _ring_contains(rings[0], x, y):
+            if all(not _ring_contains(hole, x, y) for hole in rings[1:]):
+                return True
+    return False
+
+
+def infer_geometry_type(geometry: str) -> str:
+    """Geometry-type inference by coordinate nesting depth (SURVEY F17,
+    index.js:296-306): 3 ⇒ Polygon, 4 ⇒ MultiPolygon, else error."""
+    coords = json.loads(geometry)
+    depth = 0
+    node = coords
+    while isinstance(node, list):
+        depth += 1
+        node = node[0] if node else None
+    if depth == 3:
+        return "Polygon"
+    if depth == 4:
+        return "MultiPolygon"
+    raise ValueError(f"unsupported coordinate nesting depth {depth}")
+
+
+def points_in_geojson_areas(points: DataFrame, areas: DataFrame) -> DataFrame:
+    """Point-in-polygon join for general GeoJSON areas (SURVEY J2/U3).
+
+    ``areas``: (aa_id, geometry) with geometry = GeoJSON string. Plan:
+    bbox prefilter (exact, JVM-side, computed from the geometry once) then
+    the exact ray-cast test via a pandas-batched kernel — the Arrow analog
+    of the reference's per-feature turf.within. The areas side is collected
+    to a broadcast variable (admin areas are small by definition —
+    the reference holds them all in driver memory too, index.js:308-339).
+    """
+    spark = points.sparkSession
+    area_rows = [(r["aa_id"], r["geometry"]) for r in areas.select("aa_id", "geometry").collect()]
+    parsed = [
+        (aa_id, json.loads(geom)["coordinates"], json.loads(geom))
+        for aa_id, geom in area_rows
+    ]
+    bboxes = []
+    for aa_id, coords, g in parsed:
+        flat = coords if g["type"] == "MultiPolygon" else [coords]
+        xs = [pt[0] for poly in flat for ring in poly for pt in ring]
+        ys = [pt[1] for poly in flat for ring in poly for pt in ring]
+        bboxes.append((aa_id, min(xs), min(ys), max(xs), max(ys)))
+    bc = spark.sparkContext.broadcast([(a, g) for a, g in area_rows])
+    bbox_df = F.broadcast(
+        spark.createDataFrame(bboxes, "aa_id long, xmin double, ymin double, xmax double, ymax double")
+    )
+    cand = points.join(
+        bbox_df,
+        geo.point_in_rect(
+            points["lon"], points["lat"], bbox_df["xmin"], bbox_df["ymin"],
+            bbox_df["xmax"], bbox_df["ymax"],
+        ),
+        "inner",
+    ).drop("xmin", "ymin", "xmax", "ymax")
+
+    out_schema = cand.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geoms = {aa_id: json.loads(g) for aa_id, g in bc.value}
+        for pdf in batches:
+            if len(pdf):
+                mask = [
+                    geojson_contains(geoms[aa], x, y)
+                    for aa, x, y in zip(pdf["aa_id"], pdf["lon"], pdf["lat"])
+                ]
+                pdf = pdf[pd.Series(mask, index=pdf.index)]
+            yield pdf
+
+    return cand.mapInPandas(kernel, out_schema)

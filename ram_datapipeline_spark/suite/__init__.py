@@ -7,4 +7,5 @@ populates ``ram_datapipeline_spark.registry.REGISTRY``.
 from ram_datapipeline_spark.suite import (  # noqa: F401
     eta_queries,
     relational_queries,
+    spatial_queries,
 )
