@@ -1,0 +1,191 @@
+"""Deduplication operators for training-data pipelines (beyond-reference).
+
+Four tiers, each a declarative Spark plan:
+
+- **exact**: md5(content) group — one shuffle on the hash.
+- **n-gram Jaccard**: distinct-shingle inverted index self-joined on the
+  shingle, intersection counts vs set sizes — the exact pairwise similarity
+  restricted to pairs sharing ≥1 shingle (no O(n²) cross join).
+- **MinHash + LSH**: per-doc minhash signatures (md5-based permutations),
+  banded into buckets; candidate pairs = bucket self-join. Scales to
+  billions of docs: cost is O(docs × perms) + bucket-local joins, never
+  pairwise.
+- **SimHash**: 16-bit sign-aggregated fingerprint from token md5 digits;
+  near-dups = small Hamming distance.
+
+All hashing is md5-hex (engine-portable, deterministic); signature
+minima/maxima operate on fixed-width lower-hex strings where lexicographic
+order ≡ numeric order.
+
+At 100 TB: the shingle explode multiplies rows ~token-count×, so every
+downstream agg uses map-side partial aggregation (groupBy on (doc, perm));
+the bucket join shuffles only (band, sig) keys — skew (a hot bucket) is
+handled by AQE skew-join splitting. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.operators.text_ops import shingles
+
+N_PERMS = 16
+BAND_ROWS = 2  # perms per band → 8 bands
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (text_hash, keep_id, dup_count); keep the min id
+    per group (deterministic survivor policy)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perms: int = N_PERMS
+) -> DataFrame:
+    """MinHash signatures: (id, p, h) — h = min over shingles of the p-th
+    permutation hash (md5 prefix, 64-bit-equivalent hex)."""
+    sh = shingles(df, id_col, text_col)
+    perms = sh.select(
+        F.col(id_col), F.col("shingle"), F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("p")
+    )
+    h = F.substring(F.md5(F.concat(F.col("p").cast("string"), F.lit("|"), F.col("shingle"))), 1, 16)
+    return perms.withColumn("_h", h).groupBy(id_col, "p").agg(F.min("_h").alias("h"))
+
+
+def minhash_bands(sigs: DataFrame, id_col: str = "doc_id", band_rows: int = BAND_ROWS) -> DataFrame:
+    """Band signatures: (id, band, sig) — concatenation of the band's
+    minhashes via conditional aggregation (fixed slot order)."""
+    banded = sigs.withColumn("band", F.expr(f"p div {band_rows}"))
+    slots = [
+        F.max(F.when(F.col("p") % band_rows == r, F.col("h"))).alias(f"_s{r}")
+        for r in range(band_rows)
+    ]
+    g = banded.groupBy(id_col, "band").agg(*slots)
+    return g.select(
+        F.col(id_col),
+        F.col("band"),
+        F.concat(*[F.col(f"_s{r}") for r in range(band_rows)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_perms: int = N_PERMS, band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """LSH candidate pairs: (doc_a, doc_b) distinct, doc_a < doc_b —
+    documents sharing at least one band bucket."""
+    bands = minhash_bands(minhash_signatures(df, id_col, text_col, n_perms), id_col, band_rows)
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])  # bucket-local join
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
+    (doc_a, doc_b, inter, union_n, jaccard ≥ threshold).
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) — all-integer until one final
+    division, so the comparison is engine-exact."""
+    sh = shingles(df, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("_nb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_n", F.col("_na") + F.col("_nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("union_n"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "union_n", "jaccard")
+
+
+def near_dedup_survivors(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.8
+) -> DataFrame:
+    """Greedy near-dedup: drop any document that duplicates (jaccard ≥
+    threshold) a lower-id document — one anti-join against the pair list.
+    (A transitive-closure dedup would iterate connected components; the
+    greedy lower-id policy is the standard single-pass choice.)"""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, threshold)
+    return df.join(
+        pairs.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "left_anti"
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: per token, each md5 hex digit's high bit votes ±1 on
+    one of 16 bit positions; the sign of the per-position sum is the
+    fingerprint bit. Output: (id, simhash) as a 16-char '0'/'1' string
+    (portable; numeric packing is engine-specific).
+
+    Token multiplicity is preserved (explode, not distinct) — repeated
+    tokens weigh more, the standard SimHash weighting."""
+    tok = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    tok = tok.withColumn("_h", F.md5(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("89abcdef"), F.substring(F.col("_h"), i + 1, 1)) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(16)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"_v{i}") > 0, "1").otherwise("0") for i in range(16)]
+    )
+    return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pair generation is blocked on the simhash's 4-bit nibbles (a pair within
+    Hamming ≤ 3 of 16 bits must agree on ≥1 of 4 nibbles — pigeonhole), so
+    the join is bucket-local like LSH rather than O(n²)."""
+    s = simhash(df, id_col, text_col)
+    nib = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(str(q)), F.lit(":"), F.substring("simhash", q * 4 + 1, 4))
+                for q in range(4)
+            ])
+        ).alias("block"),
+    )
+    a = nib.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"), "block")
+    b = nib.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"), "block")
+    hamming = sum(
+        (F.substring("_ha", i + 1, 1) != F.substring("_hb", i + 1, 1)).cast("int")
+        for i in range(16)
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_ha", "_hb")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference,
+BASELINE.json north star: language-ID, quality scoring, token counting,
+fingerprinting).
+
+Everything here is built-in column expressions (split / transform / filter /
+regexp lambdas) — JVM-side, codegen'd, zero Python in the hot path — so the
+operators stay cheap at 100 TB document scale and remain oracle-expressible.
+
+Hashing note: cross-engine-portable hashes use md5 hex (lowercase, identical
+in every engine); lexicographic order on fixed-width lower-hex equals
+numeric order, so min/rank over hex prefixes behaves like a 64-bit hash
+without any engine-specific conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, " ")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token proxy: alpha runs + digit runs (portable regex)."""
+    return F.size(F.regexp_extract_all(text, F.lit("[a-z]+|[0-9]+"), 0))
+
+
+def stopword_hits(text: Column, stopwords: tuple[str, ...]) -> Column:
+    """Count of tokens in ``stopwords`` (lambda filter — JVM-side)."""
+    quoted = ", ".join(f"'{w}'" for w in stopwords)
+    return F.expr(f"size(filter(split(text, ' '), t -> t IN ({quoted})))")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: char/token counts, mean token length,
+    stopword ratio, and a composite score. All divisions are single ops on
+    exact integers → bit-reproducible."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(t, " "))
+    n_spaces = n_chars - F.length(F.regexp_replace(t, " ", ""))
+    stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            (n_chars - n_spaces).cast("double") / n_tokens,
+        )
+        .withColumn("stopword_ratio", stop.cast("double") / n_tokens)
+        .withColumn(
+            "quality_score",
+            stop.cast("double") / n_tokens
+            + F.when((n_tokens >= 20) & (n_tokens <= 1000), 0.5).otherwise(0.0),
+        )
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-anchor language ID with a fixed tie-break order (en > fr >
+    de) so classification is deterministic."""
+    s = lang_scores(F.col(text_col))
+    pred = (
+        F.when((s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    out = df
+    for lang, col in s.items():
+        out = out.withColumn(f"score_{lang}", col)
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: exact content hash + order-insensitive
+    bag-of-words hash (sorted distinct tokens re-joined then hashed) — the
+    normalization step of near-dup detection."""
+    t = F.col(text_col)
+    bag = F.array_join(F.array_sort(F.array_distinct(F.split(t, " "))), " ")
+    return df.withColumn("content_hash", F.md5(t)).withColumn(
+        "bag_hash", F.md5(bag)
+    ).withColumn("fingerprint64", F.substring(F.md5(t), 1, 16))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id_col, shingle).
+
+    Built as transform-over-sequence + explode — generated JVM-side, then
+    deduplicated by the explode of array_distinct (no shuffle needed for
+    the dedup; distinctness is per-row)."""
+    arr = f"split({text_col}, ' ')"
+    # Guard: Spark's sequence(1, 0) is DESCENDING, so short docs must yield
+    # an explicit empty array (explode then drops the row).
+    sh = (
+        f"explode(array_distinct(CASE WHEN size({arr}) >= {n} THEN "
+        f"transform(sequence(1, size({arr}) - {n - 1}), "
+        f"i -> array_join(slice({arr}, i, {n}), ' ')) "
+        f"ELSE array() END))"
+    )
+    return df.select(F.col(id_col), F.expr(sh).alias("shingle"))

@@ -8,4 +8,5 @@ from ram_datapipeline_spark.suite import (  # noqa: F401
     eta_queries,
     relational_queries,
     spatial_queries,
+    text_queries,
 )

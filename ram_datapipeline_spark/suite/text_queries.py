@@ -1,0 +1,347 @@
+"""Training-data pipeline query family (beyond-reference; BASELINE.json
+north star): deduplication, text analysis, similarity search over the
+``documents`` / ``embeddings`` fixtures.
+
+Every query here — including MinHash LSH and brute-force cosine — carries a
+full DuckDB oracle: hashing is md5-hex (engine-portable), similarity sums
+are strict left folds (deterministic order), thresholds compare exact
+doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.operators import dedup as D
+from ram_datapipeline_spark.operators import similarity as SIM
+from ram_datapipeline_spark.operators import text_ops as T
+from ram_datapipeline_spark.registry import query
+
+# Shared oracle CTE: distinct word-3-gram shingles per document.
+_SHINGLES_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(arr) - 2)) AS i) u
+)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    survey="dedup tier 1 (north star)",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: one shuffle on the content hash; survivor = min
+    id (deterministic)."""
+    t = load_tables(spark, sf_dir)
+    return D.exact_duplicates(t["documents"])
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, p, min(substr(md5(CAST(p AS VARCHAR) || '|' || shingle), 1, 16)) AS h
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS p) pp
+      GROUP BY doc_id, p
+    ),
+    bands AS (
+      SELECT doc_id, p // 2 AS band,
+             max(CASE WHEN p % 2 = 0 THEN h END) || max(CASE WHEN p % 2 = 1 THEN h END) AS sig
+      FROM mh GROUP BY doc_id, p // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+    survey="dedup tier 3: MinHash(16) + LSH(8 bands × 2) (north star)",
+    tags=("dedup",),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → 16 md5 permutations → min →
+    8 banded buckets → bucket-local self-join. Cost is linear in corpus
+    size + bucket joins; never pairwise."""
+    t = load_tables(spark, sf_dir)
+    return D.minhash_lsh_pairs(t["documents"])
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_n,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    """,
+    survey="dedup tier 2: exact n-gram Jaccard via inverted index (north star)",
+    tags=("dedup",),
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs (threshold 0.5) over the shingle
+    inverted index — integer set algebra, one final division."""
+    t = load_tables(spark, sf_dir)
+    return D.ngram_jaccard_pairs(t["documents"], threshold=0.5)
+
+
+@query(
+    "dedup_near_survivors",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dups AS (
+      SELECT DISTINCT doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM dups)
+    """,
+    survey="dedup survivor policy: greedy lower-id anti-join (north star)",
+    tags=("dedup",),
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy near-dedup: documents surviving Jaccard-0.8 dedup against
+    lower-id docs (single anti-join pass)."""
+    t = load_tables(spark, sf_dir)
+    out = D.near_dedup_survivors(t["documents"], threshold=0.8)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n      ".join(
+        f"sum(CASE WHEN strpos('89abcdef', substr(hh, {i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    bits = " || ".join(f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(16))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS hh FROM tok),
+    agg AS (
+      SELECT doc_id,
+      {votes}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {bits} AS simhash FROM agg
+    """
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    survey="dedup tier 4: 16-bit SimHash fingerprints (north star)",
+    tags=("dedup",),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: md5-digit high bits vote ±1 per position,
+    weighted by token multiplicity; sign of the sum is the bit."""
+    t = load_tables(spark, sf_dir)
+    return D.simhash(t["documents"])
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS mean_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+             / len(string_split(text, ' '))
+             + (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                     THEN 0.5 ELSE 0.0 END) AS quality_score
+    FROM documents
+    """,
+    survey="text quality scoring (north star)",
+    tags=("text",),
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: length/token stats, stopword ratio, composite
+    score — all single-division exact arithmetic."""
+    t = load_tables(spark, sf_dir)
+    out = T.quality_features(t["documents"])
+    return out.select(
+        "doc_id",
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang, score_en, score_fr, score_de,
+           CASE WHEN score_en >= score_fr AND score_en >= score_de THEN 'en'
+                WHEN score_fr >= score_de THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS score_en,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('le', 'la', 'et'))) AS BIGINT) AS score_fr,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('der', 'die', 'und'))) AS BIGINT) AS score_de
+      FROM documents
+    )
+    """,
+    survey="language-ID heuristic (north star)",
+    tags=("text",),
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-anchor language ID with fixed tie-break order."""
+    t = load_tables(spark, sf_dir)
+    out = T.lang_id(t["documents"])
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("score_en").cast("long").alias("score_en"),
+        F.col("score_fr").cast("long").alias("score_fr"),
+        F.col("score_de").cast("long").alias("score_de"),
+        "pred_lang",
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc
+    FROM documents
+    """,
+    survey="token counting: whitespace + regex tokenizer (north star)",
+    tags=("text",),
+)
+def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts under two tokenizers (whitespace; alpha/digit-run
+    regex as the BPE-ish proxy)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        T.word_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        T.regex_token_count(F.col("text")).cast("long").alias("n_re_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_hash,
+           substr(md5(text), 1, 16) AS fingerprint64
+    FROM documents
+    """,
+    survey="document fingerprinting (north star)",
+    tags=("text",),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + bag-of-words fingerprints (md5; 64-bit hex prefix)."""
+    t = load_tables(spark, sf_dir)
+    out = T.fingerprint(t["documents"])
+    return out.select("doc_id", "content_hash", "bag_hash", "fingerprint64")
+
+
+_COSINE_CTE = """
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+n AS (SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM v)
+"""
+
+
+@query(
+    "sim_cosine_pairs",
+    oracle=f"""
+    WITH {_COSINE_CTE}
+    SELECT vec_a, vec_b, cos FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_reduce(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]),
+                         (p, q) -> p + q) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ) WHERE cos >= 0.4
+    """,
+    survey="similarity search: brute-force cosine baseline (north star)",
+    tags=("similarity",),
+)
+def q_cos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine ≥ 0.4 — exact brute force, strict
+    left-fold summation (bit-reproducible)."""
+    t = load_tables(spark, sf_dir)
+    return SIM.cosine_pairs(t["embeddings"], threshold=0.4)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH {_COSINE_CTE}
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2]),
+                           (p, q2) -> p + q2) / (q.nrm * c.nrm) AS cos
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+      )
+    ) WHERE rk <= 5
+    """,
+    survey="similarity search: exact top-k ANN baseline (north star)",
+    tags=("similarity",),
+)
+def q_cos_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors for each query vector (vec_id < 20): broadcast
+    queries × corpus, rank with id tie-break."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return SIM.cosine_topk(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+@query(
+    "sim_cosine_topk_lsh",
+    oracle=None,  # bucket membership is engine-internal; recall checked in tests
+    survey="similarity search: LSH-bucketed ANN scale path (north star)",
+    tags=("similarity", "rows-only"),
+)
+def q_cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets; per-query cost
+    is bucket size, not corpus size. Recall vs the exact path is asserted
+    in tests/test_similarity.py."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return SIM.cosine_topk_lsh(e.filter(F.col("vec_id") < 20), e, k=5)
