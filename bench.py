@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop-format write (full plan
+execution, no driver-side collect — the same shape a cluster job has).
+Per-query time excludes session startup; a warmup pass primes the JVM,
+parquet footers, and whole-stage codegen before the timed run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ram_datapipeline_spark import queries as Q  # noqa: E402
+from ram_datapipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# One representative per operator family (SURVEY §2 + north-star ops);
+# scale-sensitive choices on purpose: big-table aggs, multi-joins, window,
+# pivot, spatial join, ETA kernel, dedup, text featurization, ANN.
+HEADLINE = [
+    "q1_pricing_summary",    # 600k-row scan + groupBy agg (A1/A6 family)
+    "q3_revenue_topk",       # customer⋈orders⋈lineitem + top-k (J1/W2)
+    "q5_region_revenue",     # 5-way join + agg (J1)
+    "a2_pivot_eav",          # EAV pivot (A2)
+    "w3_topk_per_group",     # window rank per group (W1)
+    "j2_point_in_admin",     # spatial point-in-polygon join (J2)
+    "eta_nearest_poi",       # flagship: grid + buffer prune + min-reduce (J4/A1)
+    "dedup_exact",           # content-hash dedup (north star)
+    "dedup_minhash_lsh",     # MinHash+LSH candidate pairs (north star)
+    "text_quality_score",    # text featurization (north star)
+    "sim_cosine_topk",       # exact ANN top-k (north star)
+    "sim_cosine_topk_lsh",   # LSH-bucketed ANN (north star)
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = None
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    spark = get_spark(app_name="ram-datapipeline-bench")
+
+    # Warmup: prime codegen + parquet footer cache with the cheapest query.
+    _run(Q.REGISTRY["q1_pricing_summary"].builder(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = Q.REGISTRY[name].builder(spark, SF_DIR)
+        t0 = time.perf_counter()
+        _run(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
