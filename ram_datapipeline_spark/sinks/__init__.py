@@ -1,0 +1,200 @@
+"""Result sinks (SURVEY §2.1 K1-K7).
+
+The reference fans results out to four sinks per run — Postgres normalized
+tables (transactional, DB-returned keys, `app/index.js:122-135`), CSV
+(`:565-604`), grouped JSON (`:550-558`), GeoJSON (`:519-543`) — plus scalar
+metadata updates (`:153-156,506-511`) and prefix cleanup
+(`ram-vt/app/s3/utils.js:32-72`). Spark-first restatement:
+
+- K1's transaction + RETURNING-id dependency becomes two *independent*
+  appends linked by pre-generated surrogate keys (SURVEY §7 hard point 3) —
+  no DB round-trip on the write path, so 1000 executors append in parallel.
+- K2's dynamic CSV columns (poi.<type> dotted paths derived from the first
+  row, `index.js:596-601`) become an explicit distinct-then-pivot: the
+  column set is computed from the DATA (one tiny distinct over poi types),
+  then the flatten is a static projection Catalyst can prune.
+- K4's single GeoJSON document becomes newline-delimited features
+  (GeoJSONSeq) — the only FeatureCollection form that writes in parallel;
+  a wrapper for the one-file form exists for small results.
+- K7's list+delete prefix cleanup is simply `mode("overwrite")`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_surrogate_keys(results: DataFrame, key_col: str = "result_id") -> DataFrame:
+    """Pre-generate parent keys (K1 replacement for `RETURNING id`).
+
+    `monotonically_increasing_id` is unique per job (partition-id high bits,
+    per-partition counter low bits) and never leaves the executors —
+    unlike the reference's transactional round-trip (`index.js:122-135`)
+    which serializes every batch through one Postgres connection.
+    """
+    return results.withColumn(key_col, F.monotonically_increasing_id())
+
+
+def split_results_normalized(
+    results: DataFrame,
+    poi_map_col: str = "poi",
+    key_col: str = "result_id",
+) -> tuple[DataFrame, DataFrame]:
+    """One nested frame → (parent, child) pair mirroring the reference's
+    `results` / `results_poi` tables (`index.js:104-120`).
+
+    Parent: every non-map column + the surrogate key. Child: the per-origin
+    `poi` map exploded to (result_id, poi_type, eta_s) rows (SURVEY A3).
+    Null map entries (unreachable) survive the explode as null eta — same
+    semantics as `o.poi[k] === null` handling at `index.js:111-114`.
+    """
+    keyed = with_surrogate_keys(results, key_col)
+    parent = keyed.drop(poi_map_col)
+    child = keyed.select(
+        key_col, F.explode_outer(poi_map_col).alias("poi_type", "eta_s")
+    )
+    return parent, child
+
+
+def write_results_normalized(
+    results: DataFrame,
+    parent_path: str,
+    child_path: str,
+    poi_map_col: str = "poi",
+    mode: str = "append",
+) -> None:
+    """K1: two independent appends (parquet here; `.write.jdbc` drop-in on a
+    cluster with a database — the plan is identical either way)."""
+    parent, child = split_results_normalized(results, poi_map_col)
+    parent.write.mode(mode).parquet(parent_path)
+    child.write.mode(mode).parquet(child_path)
+
+
+def poi_types_of(results: DataFrame, poi_map_col: str = "poi") -> list[str]:
+    """The dynamic column set (K2/F9): distinct POI types present in the
+    data. One tiny aggregate over exploded keys — the plan-time collect the
+    dynamic-schema sinks need (SURVEY §7 hard point 4); its input is the
+    map keys only, never the rows."""
+    rows = (
+        results.select(F.explode(F.map_keys(F.col(poi_map_col))).alias("t"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["t"] for r in rows)
+
+
+def flatten_poi_map(
+    results: DataFrame,
+    poi_types: list[str] | None = None,
+    poi_map_col: str = "poi",
+    prefix: str = "eta_",
+) -> DataFrame:
+    """Map column → one `eta_<type>` column per POI type (reference CSV
+    shape, `index.js:582-603`; GeoJSON props `index.js:537-539`). Static
+    projection once the type list is known — prunable, codegen-friendly."""
+    if poi_types is None:
+        poi_types = poi_types_of(results, poi_map_col)
+    cols = [c for c in results.columns if c != poi_map_col]
+    etas: list[Column] = [
+        F.col(poi_map_col).getItem(t).alias(f"{prefix}{t}") for t in poi_types
+    ]
+    return results.select(*cols, *etas)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K2: header CSV. Flatten any map column first (`flatten_poi_map`)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def grouped_json(
+    results: DataFrame, group_keys: list[str], payload_cols: list[str]
+) -> DataFrame:
+    """K3 shape: one row per group with a `results` array of structs —
+    the reference's per-admin-area JSON document (`index.js:550-558`)."""
+    payload = F.collect_list(F.struct(*payload_cols)).alias("results")
+    return results.groupBy(*group_keys).agg(payload)
+
+
+def write_json_grouped(
+    results: DataFrame,
+    path: str,
+    group_keys: list[str],
+    payload_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    grouped_json(results, group_keys, payload_cols).write.mode(mode).json(path)
+
+
+def geojson_point_features(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    prop_cols: list[str] | None = None,
+) -> DataFrame:
+    """K4: per-row GeoJSON Point Feature strings (`index.js:519-543`).
+
+    Property names keep their column names (the reference emits
+    `eta-<type>`; our flattened columns are `eta_<type>` — same content,
+    SQL-safe naming)."""
+    props = prop_cols if prop_cols is not None else [
+        c for c in df.columns if c not in (lon_col, lat_col)
+    ]
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(F.col(lon_col), F.col(lat_col)).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(*[F.col(c) for c in props]).alias("properties"),
+        )
+    )
+    return df.select(feature.alias("feature_json"))
+
+
+def write_geojson_seq(
+    df: DataFrame,
+    path: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    prop_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """K4, scalable form: newline-delimited Features (RFC 8142 GeoJSONSeq).
+    Every partition writes its own shard; readers (incl. our S5 source with
+    multiline=False) stream it back."""
+    geojson_point_features(df, lon_col, lat_col, prop_cols).write.mode(
+        mode
+    ).text(path)
+
+
+def geojson_feature_collection(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    prop_cols: list[str] | None = None,
+) -> str:
+    """K4, reference-exact form: ONE FeatureCollection document. Collects —
+    only for bounded result sets (the reference's own output is one
+    in-memory JSON doc, `index.js:519-543`, so parity here is inherently
+    driver-sized); use `write_geojson_seq` at scale."""
+    feats = geojson_point_features(df, lon_col, lat_col, prop_cols).collect()
+    body = ",".join(r["feature_json"] for r in feats)
+    return '{"type":"FeatureCollection","features":[' + body + "]}"
+
+
+def append_metadata_event(
+    spark: SparkSession,
+    path: str,
+    payload: dict[str, str],
+) -> None:
+    """K5: scalar metadata updates (`res_gen_at`, `updated_at`,
+    `scenarios_files` row) as an append-only event row — last-write-wins by
+    timestamp replaces in-place UPDATE, which object stores don't do."""
+    row = [tuple(payload.values())]
+    cols = list(payload.keys())
+    df = spark.createDataFrame(row, cols).withColumn(
+        "updated_at", F.current_timestamp()
+    )
+    df.write.mode("append").parquet(path)

@@ -1,0 +1,191 @@
+"""Round-trip tests for the source connectors (S5-S8) and sinks (K1-K5).
+
+Each sink writes to a tmp dir and is read back with the matching source /
+plain Spark reader; assertions are on exact content, mirroring the
+reference's write-then-serve contract.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark import sinks
+from ram_datapipeline_spark.sources import (
+    osm_ways_to_geojson,
+    read_geojson_features,
+    read_geojson_points,
+    read_osm_nodes,
+    read_osm_ways,
+)
+
+GEOJSON_DOC = {
+    "type": "FeatureCollection",
+    "features": [
+        {
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [20.5, -1.25]},
+            "properties": {"id": 1, "name": "village-a", "pop": 120},
+        },
+        {
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [21.0, -1.5]},
+            "properties": {"id": 2, "name": "village-b", "pop": 80},
+        },
+        {
+            "type": "Feature",
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+            },
+            "properties": {"id": 3, "name": "area"},
+        },
+    ],
+}
+
+OSM_XML = """<osm version="0.6">
+ <node id="1" lat="-1.25" lon="20.5"><tag k="amenity" v="hospital"/></node>
+ <node id="2" lat="-1.50" lon="21.0"/>
+ <node id="3" lat="-1.75" lon="21.5"/>
+ <way id="7">
+   <nd ref="1"/><nd ref="2"/><nd ref="3"/>
+   <tag k="highway" v="primary"/><tag k="name" v="main road"/>
+ </way>
+</osm>"""
+
+
+@pytest.fixture()
+def geojson_path(tmp_path):
+    p = tmp_path / "fc.geojson"
+    p.write_text(json.dumps(GEOJSON_DOC))
+    return str(p)
+
+
+@pytest.fixture()
+def osm_path(tmp_path):
+    p = tmp_path / "net.osm"
+    p.write_text(OSM_XML)
+    return str(p)
+
+
+@pytest.fixture()
+def results_df(spark):
+    """ETA-result-shaped frame: origin props + poi map with a null
+    (unreachable) entry."""
+    return spark.createDataFrame(
+        [
+            (1, "village-a", 20.5, -1.25, {"hospital": 600.0, "bank": None}),
+            (2, "village-b", 21.0, -1.50, {"hospital": 1200.0, "bank": 90.0}),
+        ],
+        "origin_id long, name string, lon double, lat double, poi map<string,double>",
+    )
+
+
+def test_read_geojson_features(spark, geojson_path):
+    df = read_geojson_features(spark, geojson_path)
+    rows = {r["geometry_type"] for r in df.collect()}
+    assert rows == {"Point", "Polygon"}
+    assert df.count() == 3
+
+
+def test_read_geojson_points(spark, geojson_path):
+    df = read_geojson_points(spark, geojson_path)
+    rows = sorted(df.collect(), key=lambda r: r["lon"])
+    assert len(rows) == 2  # polygon filtered out
+    assert rows[0]["lon"] == 20.5 and rows[0]["lat"] == -1.25
+    assert json.loads(rows[0]["properties_json"])["name"] == "village-a"
+
+
+def test_read_osm_nodes_and_ways(spark, osm_path):
+    nodes = read_osm_nodes(spark, osm_path)
+    ways = read_osm_ways(spark, osm_path)
+    n = {r["node_id"]: r for r in nodes.collect()}
+    assert set(n) == {1, 2, 3}
+    assert n[1]["tags"] == {"amenity": "hospital"}
+    assert n[2]["tags"] == {}
+    w = ways.collect()[0]
+    assert w["node_refs"] == [1, 2, 3]  # document order preserved
+    assert w["tags"]["highway"] == "primary"
+
+
+def test_osm_to_geojson(spark, osm_path):
+    nodes = read_osm_nodes(spark, osm_path)
+    ways = read_osm_ways(spark, osm_path)
+    feats = osm_ways_to_geojson(nodes, ways).collect()
+    assert len(feats) == 1
+    f = json.loads(feats[0]["feature_json"])
+    assert f["geometry"]["type"] == "LineString"
+    assert f["geometry"]["coordinates"] == [[20.5, -1.25], [21.0, -1.5], [21.5, -1.75]]
+    assert f["properties"]["name"] == "main road"
+
+
+def test_k1_normalized_write(spark, results_df, tmp_path):
+    parent_p = str(tmp_path / "results")
+    child_p = str(tmp_path / "results_poi")
+    sinks.write_results_normalized(results_df, parent_p, child_p)
+    parent = spark.read.parquet(parent_p)
+    child = spark.read.parquet(child_p)
+    assert parent.count() == 2 and "result_id" in parent.columns
+    assert "poi" not in parent.columns
+    # child rows: 2 origins x 2 poi types; FK joins back losslessly
+    assert child.count() == 4
+    joined = child.join(parent, "result_id")
+    assert joined.count() == 4
+    bank_a = joined.filter(
+        (F.col("origin_id") == 1) & (F.col("poi_type") == "bank")
+    ).collect()[0]
+    assert bank_a["eta_s"] is None  # unreachable survives as null
+
+
+def test_k2_dynamic_csv_flatten(spark, results_df, tmp_path):
+    types = sinks.poi_types_of(results_df)
+    assert types == ["bank", "hospital"]
+    flat = sinks.flatten_poi_map(results_df, types)
+    assert "eta_bank" in flat.columns and "eta_hospital" in flat.columns
+    path = str(tmp_path / "csv")
+    sinks.write_csv(flat, path)
+    back = spark.read.option("header", "true").csv(path)
+    assert back.count() == 2
+    assert set(back.columns) >= {"origin_id", "eta_bank", "eta_hospital"}
+
+
+def test_k3_grouped_json(spark, results_df, tmp_path):
+    grouped = sinks.grouped_json(
+        results_df.withColumn("aa_id", F.lit(10)),
+        ["aa_id"],
+        ["origin_id", "name"],
+    )
+    row = grouped.collect()[0]
+    assert row["aa_id"] == 10 and len(row["results"]) == 2
+    path = str(tmp_path / "json")
+    sinks.write_json_grouped(
+        results_df.withColumn("aa_id", F.lit(10)), path, ["aa_id"], ["origin_id"]
+    )
+    back = spark.read.json(path)
+    assert back.count() == 1
+
+
+def test_k4_geojson_roundtrip(spark, results_df, tmp_path):
+    flat = sinks.flatten_poi_map(results_df)
+    path = str(tmp_path / "geojsonseq")
+    sinks.write_geojson_seq(flat, path)
+    # our own S5 source reads the seq form back (multiline=False)
+    back = spark.read.json(str(path) + "/*.txt")
+    assert back.count() == 2
+    props = {r["properties"]["name"]: r for r in back.collect()}
+    assert props["village-a"]["geometry"]["coordinates"] == [20.5, -1.25]
+    assert props["village-b"]["properties"]["eta_bank"] == 90.0
+    # reference-exact single document form
+    doc = json.loads(sinks.geojson_feature_collection(flat))
+    assert doc["type"] == "FeatureCollection" and len(doc["features"]) == 2
+
+
+def test_k5_metadata_append(spark, tmp_path):
+    path = str(tmp_path / "meta")
+    sinks.append_metadata_event(spark, path, {"key": "res_gen_at", "scope": "s1"})
+    sinks.append_metadata_event(spark, path, {"key": "res_gen_at", "scope": "s1"})
+    back = spark.read.parquet(path)
+    assert back.count() == 2  # append-only, last-write-wins by updated_at
+    assert "updated_at" in back.columns
