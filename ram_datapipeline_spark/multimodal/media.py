@@ -1,0 +1,132 @@
+"""Media column operators: synthesize → decode → featurize → frame-sample.
+
+Design rules for 100 TB:
+- Payload bytes move through Arrow batches only (``mapInPandas``); no
+  row-at-a-time Python, no driver collect of binary.
+- Metadata lives in a struct column so filters like ``meta.width > 512``
+  prune at the parquet scan WITHOUT reading payload pages (columnar stores
+  keep struct fields in separate column chunks).
+- Frame sampling is an ``explode`` of an index sequence — pure JVM,
+  one output row per sampled frame, payload carried by reference not copy.
+
+The decode boundary is stubbed: ``_decode_image_batch`` computes
+deterministic stats from the raw bytes instead of invoking a codec. The
+function is the single drop-in point for PIL/libvips; its signature,
+batching, and output schema are exactly what the real kernel uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FAKE_DECODE_NOTE = (
+    "deterministic byte-level stand-in for a codec decode; swap "
+    "_decode_image_batch's body for PIL/libvips in a full container"
+)
+
+# Typed metadata carried beside every payload. Width/height for images,
+# duration/n_frames for video, sample_rate for audio — unused fields null.
+MEDIA_META_SCHEMA = (
+    "struct<width:int,height:int,duration_s:double,n_frames:int,"
+    "sample_rate:int,codec:string>"
+)
+
+_KINDS = ("image", "audio", "video")
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media catalog from the ``documents`` fixture:
+    (media_id, kind, payload binary, meta struct).
+
+    Every field is a pure function of doc_id/text (md5-hex arithmetic), so
+    a SQL oracle can reproduce the catalog exactly — the plumbing under
+    test is real binary columns + struct metadata, not the pixels.
+    """
+    h = F.md5(F.col("text"))
+    # first md5 hex digit picks the modality; payload is the utf-8 text
+    kind_idx = F.conv(F.substring(h, 1, 1), 16, 10).cast("int") % 3
+    kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]), kind_idx + 1)
+    w = (F.conv(F.substring(h, 2, 2), 16, 10).cast("int") % 8 + 1) * 64
+    n_frames = F.conv(F.substring(h, 4, 2), 16, 10).cast("int") % 240 + 1
+    meta = F.struct(
+        F.when(kind != "audio", w).cast("int").alias("width"),
+        F.when(kind != "audio", w).cast("int").alias("height"),
+        F.when(kind != "image", n_frames / F.lit(24.0)).alias("duration_s"),
+        F.when(kind == "video", n_frames).cast("int").alias("n_frames"),
+        F.when(kind == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.concat(F.lit("fake/"), kind).alias("codec"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def _decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STUB decode kernel (see FAKE_DECODE_NOTE). Real signature: one Arrow
+    batch in, one out; payload column is bytes. The fake computes exact
+    byte statistics — deterministic, cross-engine reproducible."""
+    payloads = pdf["payload"]
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "n_bytes": payloads.map(len).astype("int64"),
+            "byte_sum": payloads.map(lambda b: sum(b)).astype("int64"),
+            "first_byte": payloads.map(lambda b: b[0] if b else None).astype("Int32"),
+        }
+    )
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """Image 'decode' over mapInPandas: only image rows enter the Python
+    stage (filter pushed to the scan), batches are Arrow, output schema is
+    fixed. Output: (media_id, n_bytes, byte_sum, first_byte)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_image_batch(pdf)
+
+    images = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return images.mapInPandas(
+        gen, schema="media_id long, n_bytes long, byte_sum long, first_byte int"
+    )
+
+
+def sample_frames(media: DataFrame, stride: int = 24) -> DataFrame:
+    """Video frame sampling: one row per sampled frame index
+    (media_id, frame_idx, ts_s). Pure JVM explode of a sequence — the
+    payload is NOT duplicated per frame; a real frame extractor would join
+    back to payload per media_id inside a downstream mapInPandas."""
+    v = media.filter(F.col("kind") == "video")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(stride))
+    ).alias("frame_idx")
+    return v.select("media_id", idx).withColumn(
+        "ts_s", F.col("frame_idx") / F.lit(24.0)
+    )
+
+
+def payload_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Byte-level feature vector per payload: (media_id, embedding
+    array<double>). Position-bucketed byte sums — a deterministic stand-in
+    for a real encoder, built from JVM expressions (no Python): the payload
+    is cast to a byte array once and folded per bucket."""
+    # unsigned byte value at 1-based position p
+    arr = F.expr(
+        "transform(sequence(1, length(payload)), "
+        "p -> struct(p as p, (ascii(substring(cast(payload as string), p, 1))) as v))"
+    )
+    buckets = F.expr(
+        f"transform(sequence(0, {dim - 1}), b -> aggregate("
+        f"filter(_bytes, x -> (x.p - 1) % {dim} = b), 0.0D, (acc, x) -> acc + x.v))"
+    )
+    return (
+        media.withColumn("_bytes", arr)
+        .select("media_id", buckets.alias("embedding"))
+    )

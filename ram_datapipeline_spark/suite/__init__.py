@@ -6,6 +6,7 @@ populates ``ram_datapipeline_spark.registry.REGISTRY``.
 
 from ram_datapipeline_spark.suite import (  # noqa: F401
     eta_queries,
+    multimodal_queries,
     relational_queries,
     spatial_queries,
     text_queries,

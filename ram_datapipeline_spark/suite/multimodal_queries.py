@@ -1,0 +1,140 @@
+"""Multimodal-column query family (beyond-reference north star).
+
+The media catalog is synthesized deterministically from ``documents``
+(md5-hex arithmetic — reproducible in any engine), so even the binary
+plumbing gets full DuckDB oracles: the oracle recomputes byte statistics
+from the source text, the Spark side recomputes them from the actual
+``binary`` payload through the real mapInPandas decode path. Matching
+hashes prove the bytes survived encode → Arrow batch → Python → result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.multimodal import (
+    decode_image_stats,
+    payload_embedding,
+    sample_frames,
+    synthesize_media,
+)
+from ram_datapipeline_spark.registry import query
+
+# hex digit d<i> (1-based position i in md5(text)) as an integer, DuckDB-side
+def _hexd(i: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5(text), {i}, 1)) - 1)"
+
+
+# Shared oracle CTE: the media catalog derivation (mirrors
+# multimodal.media.synthesize_media exactly).
+_MEDIA_CTE = f"""
+m AS (
+  SELECT doc_id AS media_id, text,
+         ['image','audio','video'][({_hexd(1)} % 3) + 1] AS kind,
+         ((({_hexd(2)} * 16 + {_hexd(3)}) % 8) + 1) * 64 AS dim_px,
+         (({_hexd(4)} * 16 + {_hexd(5)}) % 240) + 1 AS n_frames
+  FROM documents
+)
+"""
+
+
+@query(
+    "mm_media_catalog",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id, kind,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CASE WHEN kind <> 'audio' THEN dim_px END AS width,
+           CASE WHEN kind <> 'image' THEN n_frames / 24.0 END AS duration_s,
+           CASE WHEN kind = 'video' THEN n_frames END AS n_frames,
+           CASE WHEN kind = 'audio' THEN 16000 END AS sample_rate,
+           'fake/' || kind AS codec
+    FROM m
+    """,
+    survey="multimodal: binary payload + typed metadata catalog (north star)",
+    tags=("multimodal",),
+)
+def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog projection: payload length + metadata struct fields. The
+    struct unpacks without touching payload bytes (column pruning)."""
+    t = load_tables(spark, sf_dir)
+    m = synthesize_media(t["documents"])
+    return m.select(
+        "media_id",
+        "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.width").cast("int").alias("width"),
+        F.col("meta.duration_s").alias("duration_s"),
+        F.col("meta.n_frames").cast("int").alias("n_frames"),
+        F.col("meta.sample_rate").cast("int").alias("sample_rate"),
+        F.col("meta.codec").alias("codec"),
+    )
+
+
+@query(
+    "mm_decode_image_stats",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                        p -> ascii(substr(text, p, 1)))) AS BIGINT)
+             AS byte_sum,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+    FROM m WHERE kind = 'image'
+    """,
+    survey="multimodal: mapInPandas decode kernel, stubbed codec (north star)",
+    tags=("multimodal", "pandas-udf"),
+)
+def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads through the Arrow/mapInPandas decode path; the
+    oracle recomputes the same statistics from source text (ASCII fixture:
+    utf-8 bytes == code points)."""
+    t = load_tables(spark, sf_dir)
+    return decode_image_stats(synthesize_media(t["documents"]))
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id, CAST(f AS BIGINT) AS frame_idx, f / 24.0 AS ts_s
+    FROM m, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 24)) AS f) u
+    WHERE kind = 'video'
+    """,
+    survey="multimodal: video frame sampling via sequence explode (north star)",
+    tags=("multimodal",),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame index fan-out (stride 24): JVM-only explode, payload never
+    copied per frame."""
+    t = load_tables(spark, sf_dir)
+    out = sample_frames(synthesize_media(t["documents"]), stride=24)
+    return out.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "ts_s"
+    )
+
+
+@query(
+    "mm_payload_embedding",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id, CAST(b AS INT) AS bucket,
+           COALESCE(list_sum(list_transform(
+               list_filter(generate_series(1, length(text)), p -> (p - 1) % 16 = b),
+               p -> CAST(ascii(substr(text, p, 1)) AS DOUBLE))), 0.0) AS val
+    FROM m, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) u
+    """,
+    survey="multimodal: byte-level feature extraction (encoder stand-in, north star)",
+    tags=("multimodal",),
+)
+def q_payload_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature vector per payload, exploded long-format for the oracle
+    compare (array columns don't sort in the hash normalizer)."""
+    t = load_tables(spark, sf_dir)
+    emb = payload_embedding(synthesize_media(t["documents"]), dim=16)
+    return emb.select(
+        "media_id", F.posexplode("embedding").alias("bucket", "val")
+    )

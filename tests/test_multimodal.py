@@ -1,0 +1,67 @@
+"""Multimodal plumbing tests: binary columns survive Arrow round-trips,
+metadata prunes without payload access, frame sampling never copies bytes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.multimodal import (
+    decode_image_stats,
+    sample_frames,
+    synthesize_media,
+)
+from tests.conftest import SF_DIR
+
+
+def test_media_schema(spark):
+    m = synthesize_media(load_tables(spark, SF_DIR)["documents"])
+    dtypes = dict(m.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["kind"] == "string"
+    assert dtypes["meta"].startswith("struct<width:int,height:int")
+
+
+def test_payload_bytes_survive_arrow(spark):
+    """The binary payload crosses the Arrow/mapInPandas boundary intact:
+    Python-side byte stats equal JVM-side expressions on the same column."""
+    docs = load_tables(spark, SF_DIR)["documents"]
+    m = synthesize_media(docs)
+    got = decode_image_stats(m)
+    jvm = (
+        m.filter(F.col("kind") == "image")
+        .select(
+            "media_id",
+            F.length("payload").cast("long").alias("n_bytes_jvm"),
+        )
+    )
+    diff = got.join(jvm, "media_id").filter(
+        F.col("n_bytes") != F.col("n_bytes_jvm")
+    )
+    assert got.count() == jvm.count() > 0
+    assert diff.count() == 0
+
+
+def test_metadata_only_scan_prunes_payload(spark):
+    """Filtering/projecting metadata must not read payload bytes: the
+    optimized plan's ReadSchema excludes the payload column."""
+    docs = load_tables(spark, SF_DIR)["documents"]
+    m = synthesize_media(docs)
+    q = m.filter(F.col("meta.width") > 256).select("media_id", "meta.width")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan
+
+
+def test_frame_sample_counts(spark):
+    """ceil(n_frames / stride) rows per video; no payload column in the
+    output at all."""
+    m = synthesize_media(load_tables(spark, SF_DIR)["documents"])
+    out = sample_frames(m, stride=24)
+    assert "payload" not in out.columns
+    per = out.groupBy("media_id").count()
+    expect = m.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.ceil(F.col("meta.n_frames") / F.lit(24.0)).alias("expect"),
+    )
+    bad = per.join(expect, "media_id").filter(F.col("count") != F.col("expect"))
+    assert bad.count() == 0
