@@ -1,0 +1,19 @@
+"""Streaming layer.
+
+The reference is strictly batch (SURVEY §2.8); its stream-shaped surfaces
+are the IPC progress events and the append-only operation log
+(`ram-analysis/app/utils/operation.js:201-230`). Parity lives in
+``oplog.OperationLog``. Beyond parity, the ``events`` fixture gets real
+Structured-Streaming-ready transformations: every function here takes a
+DataFrame and works identically on ``spark.read`` (batch, oracle-checked)
+and ``spark.readStream`` (incremental) inputs — Spark's unified API is the
+design point, batch correctness certifies the streaming plan.
+"""
+
+from ram_datapipeline_spark.streaming.events import (  # noqa: F401
+    read_events_stream,
+    session_window_agg,
+    sessionize,
+    tumbling_window_agg,
+)
+from ram_datapipeline_spark.streaming.oplog import OperationLog  # noqa: F401

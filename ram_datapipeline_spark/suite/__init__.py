@@ -9,5 +9,6 @@ from ram_datapipeline_spark.suite import (  # noqa: F401
     multimodal_queries,
     relational_queries,
     spatial_queries,
+    streaming_queries,
     text_queries,
 )

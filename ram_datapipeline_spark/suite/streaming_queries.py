@@ -1,0 +1,66 @@
+"""Event-stream query family: batch forms of the streaming transformations,
+fully oracle-backed. The identical functions run unchanged on
+``readStream`` inputs (tests/test_streaming.py proves batch/stream result
+equivalence); the DuckDB oracle certifies the windowing arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.registry import query
+from ram_datapipeline_spark.streaming import sessionize, tumbling_window_agg
+
+
+@query(
+    "st_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    survey="streaming: tumbling-window aggregation (events surface, §2.8)",
+    tags=("streaming",),
+)
+def q_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type. Watermarked identically in
+    the streaming path; epoch-aligned buckets match time_bucket."""
+    t = load_tables(spark, sf_dir)
+    return tumbling_window_agg(t["events"], "1 hour")
+
+
+@query(
+    "st_sessionize",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM x
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+    survey="streaming: gap-based sessionization (stateful-op batch twin, §2.8)",
+    tags=("streaming",),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user; `session_window_agg` is the
+    incremental twin (equivalence asserted in tests)."""
+    t = load_tables(spark, sf_dir)
+    return sessionize(t["events"], gap_minutes=30)

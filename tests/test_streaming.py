@@ -1,0 +1,97 @@
+"""Streaming tests: batch/stream equivalence of the unified
+transformations, native session windows vs the lag-based batch twin, and
+operation-log semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.streaming import (
+    OperationLog,
+    read_events_stream,
+    session_window_agg,
+    sessionize,
+    tumbling_window_agg,
+)
+from tests.conftest import SF_DIR
+
+
+def test_stream_batch_equivalence(spark, tmp_path):
+    """The SAME tumbling-window function on readStream input (complete
+    mode, all files) produces exactly the batch result."""
+    import shutil
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "part-0.parquet")
+    batch = tumbling_window_agg(load_tables(spark, SF_DIR)["events"], "1 hour")
+    stream = tumbling_window_agg(
+        read_events_stream(spark, str(events_dir)), "1 hour", watermark="2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_counts")
+    assert got.count() == batch.count()
+    diff = got.exceptAll(batch)
+    assert diff.count() == 0
+
+
+def test_session_window_matches_lag_sessionize(spark):
+    """Native session windows and the lag/cumsum batch form agree on
+    session count and event totals per user (same 30-min gap)."""
+    events = load_tables(spark, SF_DIR)["events"]
+    a = (
+        sessionize(events, 30)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    b = (
+        session_window_agg(events, "30 minutes")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_operation_log_lifecycle(spark, tmp_path):
+    ol = OperationLog(spark, str(tmp_path))
+    op = ol.start("generate-analysis", project_id=1, scenario_id=1)
+    assert op == 0
+    # uniqueness guard: same name+project+scenario while running
+    with pytest.raises(RuntimeError, match="already running"):
+        ol.start("generate-analysis", 1, 1)
+    # a different scenario may run concurrently
+    other = ol.start("generate-analysis", 1, 2)
+    assert other == 1
+
+    ol.log(op, "start", {"message": "Analysis started"})
+    ol.log(op, "process:area", {"index": 1, "total": 4})
+    last = ol.last_log(op)
+    assert last["code"] == "process:area"
+
+    ol.finish(op)
+    status = {
+        r["op_id"]: r["status"] for r in ol.current_status().collect()
+    }
+    assert status[op] == "complete" and status[other] == "running"
+    # restartable now, and double-finish rejected
+    with pytest.raises(RuntimeError, match="already complete"):
+        ol.finish(op)
+    again = ol.start("generate-analysis", 1, 1)
+    assert again == 2
+    assert ol.last_log(op)["code"] == "success"
