@@ -46,6 +46,12 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = pdf[c].astype("Int64")
         elif pd.api.types.is_float_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            # Spark returns ns resolution, DuckDB µs; unify (and drop tz)
+            s = pdf[c]
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            pdf[c] = s.astype("datetime64[us]")
     if len(pdf):
         pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
             drop=True
