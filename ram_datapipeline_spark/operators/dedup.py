@@ -6,10 +6,13 @@ Four tiers, each a declarative Spark plan:
 - **n-gram Jaccard**: distinct-shingle inverted index self-joined on the
   shingle, intersection counts vs set sizes — the exact pairwise similarity
   restricted to pairs sharing ≥1 shingle (no O(n²) cross join).
-- **MinHash + LSH**: per-doc minhash signatures (md5-based permutations),
-  banded into buckets; candidate pairs = bucket self-join. Scales to
-  billions of docs: cost is O(docs × perms) + bucket-local joins, never
-  pairwise.
+- **MinHash + LSH**: per-doc minhash signatures — ONE md5 per shingle split
+  into two 40-bit halves, then a Carter-Wegman permutation family
+  ``(h1 + p*h2) mod 2^40`` evaluated as 16 conditional-min aggregates in a
+  single groupBy (no per-permutation row explosion, no per-permutation
+  hashing) — banded into buckets; candidate pairs = bucket self-join.
+  Scales to billions of docs: cost is O(shingles) hashing + bucket-local
+  joins, never pairwise.
 - **SimHash**: 16-bit sign-aggregated fingerprint from token md5 digits;
   near-dups = small Hamming distance.
 
@@ -32,6 +35,7 @@ from ram_datapipeline_spark.operators.text_ops import shingles
 
 N_PERMS = 16
 BAND_ROWS = 2  # perms per band → 8 bands
+PERM_MOD = 1 << 40  # 40-bit hash space: p*h2 + h1 < 2^45, no bigint overflow
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -46,29 +50,44 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perms: int = N_PERMS
 ) -> DataFrame:
-    """MinHash signatures: (id, p, h) — h = min over shingles of the p-th
-    permutation hash (md5 prefix, 64-bit-equivalent hex)."""
+    """Wide MinHash signatures: (id, h0..h{n-1}) in ONE aggregation.
+
+    Per distinct shingle: one md5, split into two 40-bit integer halves
+    (h1, h2); permutation p's hash is ``(h1 + p*h2) mod 2^40`` (universal
+    family), minimized per doc with n_perms conditional-min aggregate
+    expressions — a single shuffle carrying one row per doc, zero row
+    multiplication, one hash invocation per shingle."""
     sh = shingles(df, id_col, text_col)
-    perms = sh.select(
-        F.col(id_col), F.col("shingle"), F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("p")
+    h = F.md5(F.col("shingle"))
+    v = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 10), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(h, 11, 10), 16, 10).cast("long").alias("_h2"),
     )
-    h = F.substring(F.md5(F.concat(F.col("p").cast("string"), F.lit("|"), F.col("shingle"))), 1, 16)
-    return perms.withColumn("_h", h).groupBy(id_col, "p").agg(F.min("_h").alias("h"))
+    mins = [
+        F.min((F.col("_h1") + p * F.col("_h2")) % PERM_MOD).alias(f"h{p}")
+        for p in range(n_perms)
+    ]
+    return v.groupBy(id_col).agg(*mins)
 
 
 def minhash_bands(sigs: DataFrame, id_col: str = "doc_id", band_rows: int = BAND_ROWS) -> DataFrame:
-    """Band signatures: (id, band, sig) — concatenation of the band's
-    minhashes via conditional aggregation (fixed slot order)."""
-    banded = sigs.withColumn("band", F.expr(f"p div {band_rows}"))
-    slots = [
-        F.max(F.when(F.col("p") % band_rows == r, F.col("h"))).alias(f"_s{r}")
-        for r in range(band_rows)
-    ]
-    g = banded.groupBy(id_col, "band").agg(*slots)
-    return g.select(
-        F.col(id_col),
-        F.col("band"),
-        F.concat(*[F.col(f"_s{r}") for r in range(band_rows)]).alias("sig"),
+    """Band signatures: (id, band, sig) — one stacked row per band, sig =
+    dash-joined minhash values (fixed slot order). The stack is a cheap
+    JVM-side explode of n_bands precomputed structs."""
+    n_perms = sum(1 for c in sigs.columns if c != id_col)
+    n_bands = n_perms // band_rows
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+            ).alias("sig"),
+        )
+        for b in range(n_bands)
+    ])
+    return sigs.select(F.col(id_col), F.explode(bands_arr).alias("_b")).select(
+        F.col(id_col), F.col("_b.band").alias("band"), F.col("_b.sig").alias("sig")
     )
 
 

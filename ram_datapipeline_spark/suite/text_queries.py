@@ -49,20 +49,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    hx AS (
+      SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, 10),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) AS h1,
+             list_reduce(list_transform(generate_series(11, 20),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) AS h2
+      FROM sh
+    ),
     mh AS (
-      SELECT doc_id, p, min(substr(md5(CAST(p AS VARCHAR) || '|' || shingle), 1, 16)) AS h
-      FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS p) pp
+      SELECT doc_id, p, min((h1 + p * h2) % 1099511627776) AS h
+      FROM hx, LATERAL (SELECT unnest(generate_series(0, 15)) AS p) pp
       GROUP BY doc_id, p
     ),
     bands AS (
       SELECT doc_id, p // 2 AS band,
-             max(CASE WHEN p % 2 = 0 THEN h END) || max(CASE WHEN p % 2 = 1 THEN h END) AS sig
+             max(CASE WHEN p % 2 = 0 THEN h END) || '-' ||
+             max(CASE WHEN p % 2 = 1 THEN h END) AS sig
       FROM mh GROUP BY doc_id, p // 2
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     """,
-    survey="dedup tier 3: MinHash(16) + LSH(8 bands × 2) (north star)",
+    survey="dedup tier 3: MinHash(16, Carter-Wegman) + LSH(8 bands × 2) (north star)",
     tags=("dedup",),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
