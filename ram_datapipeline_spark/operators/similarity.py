@@ -86,6 +86,75 @@ def cosine_topk(
     )
 
 
+def assign_ivf_cells(
+    vectors: DataFrame, seeds: DataFrame, n_probe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each (already norm-annotated) vector to its ``n_probe``
+    nearest seed cells by cosine: (id, cell, cell_rk). Seeds are broadcast
+    (n_cells is small by construction); ties break on seed id."""
+    s = seeds.select(
+        F.col(id_col).alias("cell"),
+        F.col("_e").alias("_es"),
+        F.col("_nrm").alias("_ns"),
+    )
+    cos = _dot(F.col("_e"), F.col("_es")) / (F.col("_nrm") * F.col("_ns"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cell_cos"), F.asc("cell"))
+    return (
+        vectors.crossJoin(F.broadcast(s))
+        .withColumn("_cell_cos", cos)
+        .withColumn("cell_rk", F.row_number().over(w))
+        .filter(F.col("cell_rk") <= n_probe)
+        .drop("_es", "_ns", "_cell_cos")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 8, n_probe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning: corpus
+    vectors live in their single nearest cell, queries probe their
+    ``n_probe`` nearest cells, exact cosine ranks within the probed cells.
+
+    Seeds are the first ``n_cells`` corpus vectors by id — deterministic
+    (no RNG, no trained centroids), so the whole index is reproducible in
+    ANSI SQL. At scale the corpus assignment is one broadcast pass +
+    shuffle on cell; per-query cost is the probed cells' sizes. Recall
+    rises with n_probe — the standard IVF dial."""
+    c = with_norm(corpus, vec_col)
+    q = with_norm(queries, vec_col)
+    seeds = c.filter(F.col(id_col) < n_cells)
+    c_cells = assign_ivf_cells(c, seeds, 1, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_e").alias("_ec"),
+        F.col("_nrm").alias("_nc"),
+        "cell",
+    )
+    q_cells = assign_ivf_cells(q, seeds, n_probe, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_e").alias("_eq"),
+        F.col("_nrm").alias("_nq"),
+        "cell",
+    )
+    cos = _dot(F.col("_eq"), F.col("_ec")) / (F.col("_nq") * F.col("_nc"))
+    pairs = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        # a corpus vector can appear via several probed cells of one query
+        .select("query_id", "neighbor_id", "cos")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
 def lsh_bucket_signature(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature: sign pattern of ``n_planes`` fixed
     pseudo-random hyperplanes. Plane weights are deterministic ±1 derived

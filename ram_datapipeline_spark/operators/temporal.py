@@ -1,0 +1,72 @@
+"""Temporal join operators (beyond-reference).
+
+The reference has no time-series joins (SURVEY §2.3 "not present"); a
+training-data/events pipeline needs them. The as-of join is implemented as
+a union + running-last window — one shuffle on (key, time), no range
+explosion: a Spark-native restatement of the sort-merge as-of algorithm
+(DuckDB/kdb ASOF JOIN, pandas merge_asof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the newest right row with
+    ``right.ts <= left.ts`` and the same ``on`` key (backward as-of join).
+
+    Shape: tag both inputs, union, then per key in time order carry the
+    last-seen right payload forward (``last(..., ignorenulls)`` over an
+    unbounded-preceding window). Ties (equal ts) resolve to the right row —
+    matching ``ts <= ts`` inclusive semantics. One shuffle, linear state,
+    no per-row range scan — survives arbitrarily large inputs because the
+    window never looks back more than the running partition.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, ts_col)
+    ]
+    payload = F.struct(
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        *[F.col(c) for c in right_cols],
+    )
+    l_tag = left.withColumn("_payload", F.lit(None).cast(
+        right.select(payload.alias("p")).schema["p"].dataType
+    )).withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts_col),
+        payload.alias("_payload"),
+        F.lit(0).alias("_side"),
+    )
+    # align schemas: right rows carry nulls for left-only columns
+    for c in left.columns:
+        if c not in (on, ts_col):
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r_tag = r_tag.select(*[c for c in l_tag.columns])
+
+    u = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal ts (_side 0 < 1) → inclusive
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_payload", "_side")
+    flat = [F.col(c) for c in left.columns] + [
+        F.col(f"_match.{f}").alias(f)
+        for f in [f"{ts_col}{suffix}", *right_cols]
+    ]
+    return out.select(*flat)

@@ -1,0 +1,193 @@
+"""Analytic surface the reference lacks but Spark exposes natively
+(SURVEY §2.4/§2.6 "not present ... available for free"): grouping sets,
+set operations, distinct/approximate aggregates, and the as-of temporal
+join. Everything oracle-backed except the HLL sketch (approximate by
+definition; its accuracy contract is asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.operators import relational as R
+from ram_datapipeline_spark.operators.temporal import asof_join
+from ram_datapipeline_spark.registry import query
+
+
+@query(
+    "agg_rollup_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    survey="grouping sets: rollup (§2.4 'not present', exposed natively)",
+    tags=("analytic",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation → grand-total rollup; exact cent arithmetic so
+    subtotal rows hash-match."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            R.exact_money_sum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "agg_cube_orders",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+    """,
+    survey="grouping sets: cube (§2.4 'not present', exposed natively)",
+    tags=("analytic",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    return j.cube(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        R.exact_money_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01'),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+    UNION ALL
+    SELECT o_custkey, 'only_96' AS bucket FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+    """,
+    survey="set ops: intersect + except (§2.6 'not present', exposed natively)",
+    tags=("analytic",),
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in both 1996 and 1997 vs only-1996 — intersect
+    and except as first-class ops."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+
+    def year(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= f"{y}-01-01")
+                & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = year(1996), year(1997)
+    both = y96.intersect(y97).withColumn("bucket", F.lit("both"))
+    only96 = y96.exceptAll(y97).withColumn("bucket", F.lit("only_96"))
+    return both.unionByName(only96)
+
+
+@query(
+    "agg_distinct_count",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(DISTINCT c.c_mktsegment) AS n_segments,
+           count(DISTINCT o.o_orderpriority) AS n_priorities,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    survey="distinct aggregation (§2.4 'not present', exposed natively)",
+    tags=("analytic",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketch — approximate by definition; accuracy bound
+    # asserted against the exact count in tests/test_analytic.py
+    survey="approximate aggregation: HLL distinct sketch (scale path)",
+    tags=("analytic", "rows-only"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct of customers per nation — the shuffle carries
+    one HLL sketch per group instead of the distinct key set; the 100 TB
+    path when exact cardinality isn't required."""
+    t = load_tables(spark, sf_dir)
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    return j.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "j_asof_click_view",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS ts_right, r.event_id AS view_event_id, r.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    survey="as-of join (temporal; §2.3 'not present', custom operator)",
+    tags=("analytic",),
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's most recent prior (or simultaneous)
+    view — the union + running-last formulation vs DuckDB's native ASOF."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        clicks, views, on="user_id", ts_col="ts",
+        right_cols=["view_event_id", "view_value"],
+    )

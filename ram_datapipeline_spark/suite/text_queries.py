@@ -172,6 +172,53 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(t["documents"])
 
 
+def _simhash_pairs_oracle() -> str:
+    votes = ",\n      ".join(
+        f"sum(CASE WHEN strpos('89abcdef', substr(hh, {i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    bits = " || ".join(f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(16))
+    hamming = " + ".join(
+        f"(CASE WHEN substr(ha, {i + 1}, 1) <> substr(hb, {i + 1}, 1) THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS hh FROM tok),
+    agg AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, {bits} AS simhash FROM agg),
+    blocks AS (
+      SELECT doc_id, simhash,
+             CAST(q AS VARCHAR) || ':' || substr(simhash, q * 4 + 1, 4) AS block
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 3)) AS q) u
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM blocks a JOIN blocks b ON a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b, CAST({hamming} AS BIGINT) AS hamming FROM cand
+    ) WHERE hamming <= 3
+    """
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    survey="dedup tier 4b: SimHash near-dup pairs, nibble-blocked (north star)",
+    tags=("dedup",),
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming ≤ 3 pairs via pigeonhole nibble blocking — bucket-local
+    join, never O(n²)."""
+    t = load_tables(spark, sf_dir)
+    out = D.simhash_pairs(t["documents"], max_hamming=3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 @query(
     "text_quality_score",
     oracle="""
@@ -341,6 +388,97 @@ def q_cos_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     return SIM.cosine_topk(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    pairs AS (
+      SELECT a.vec_id AS dup_id, b.vec_id AS kept_id,
+             list_reduce(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]),
+                         (p, q) -> p + q) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id > b.vec_id
+    ),
+    dups AS (SELECT DISTINCT dup_id FROM pairs WHERE cos >= 0.95)
+    SELECT v.vec_id, CAST(len(v.e) AS BIGINT) AS dim
+    FROM v WHERE v.vec_id NOT IN (SELECT dup_id FROM dups)
+    """,
+    survey="dedup tier 5: embedding-cosine near-dup survivors (north star)",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dedup: drop vectors with cosine ≥ 0.95 against any
+    lower-id vector (greedy survivor policy, one anti-join). The candidate
+    pass is the pairwise kernel; at scale the LSH/IVF bucketing above
+    bounds it."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    pairs = SIM.cosine_pairs(e, threshold=0.95)
+    survivors = e.join(
+        pairs.select(F.col("vec_b").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
+    )
+    return survivors.select(
+        "vec_id", F.size("embedding").cast("long").alias("dim")
+    )
+
+
+@query(
+    "sim_cosine_topk_ivf",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    seeds AS (SELECT vec_id AS cell, e AS es, nrm AS ns FROM n WHERE vec_id < 8),
+    c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_reduce(list_transform(list_zip(c.e, s.es), x -> x[1] * x[2]),
+                                      (p, q) -> p + q) / (c.nrm * s.ns) DESC,
+                          s.cell) AS rk
+        FROM n c, seeds s
+      ) WHERE rk = 1
+    ),
+    q_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY qv.vec_id
+                 ORDER BY list_reduce(list_transform(list_zip(qv.e, s.es), x -> x[1] * x[2]),
+                                      (p, q) -> p + q) / (qv.nrm * s.ns) DESC,
+                          s.cell) AS rk
+        FROM n qv, seeds s WHERE qv.vec_id < 20
+      ) WHERE rk <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             list_reduce(list_transform(list_zip(q2.e, c2.e), x -> x[1] * x[2]),
+                         (p, q) -> p + q) / (q2.nrm * c2.nrm) AS cos
+      FROM q_assign qa
+      JOIN c_assign ca ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+      JOIN n q2 ON q2.vec_id = qa.vec_id
+      JOIN n c2 ON c2.vec_id = ca.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand
+    ) WHERE rk <= 5
+    """,
+    survey="similarity search: IVF-partitioned ANN scale path (north star)",
+    tags=("similarity",),
+)
+def q_cos_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: corpus in 8 deterministic cells, queries probe their 2
+    nearest cells — the entire index is reproducible in the SQL oracle."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return SIM.cosine_topk_ivf(
+        e.filter(F.col("vec_id") < 20), e, k=5, n_cells=8, n_probe=2
+    )
 
 
 @query(

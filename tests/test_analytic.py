@@ -1,0 +1,67 @@
+"""Accuracy contracts for the approximate operators (no SQL oracle by
+nature) and edge-case checks for the temporal join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+from ram_datapipeline_spark.operators.temporal import asof_join
+from tests.conftest import SF_DIR
+
+
+def test_approx_distinct_accuracy(spark):
+    """HLL estimate within 5% of the exact distinct count per group."""
+    t = load_tables(spark, SF_DIR)
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    both = j.groupBy("c_nationkey").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    bad = both.filter(
+        F.abs(F.col("approx") - F.col("exact"))
+        > F.greatest(F.lit(1.0), F.col("exact") * 0.05)
+    )
+    assert bad.count() == 0
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF(8 cells, 2 probes) recall ≥ 0.6 against the exact top-5 on the
+    fixture embeddings — the approximate path must stay in the same
+    neighborhood, not be perfect."""
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, e, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(q, e, k=5, n_cells=8, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+
+def test_asof_join_edges(spark):
+    """No prior right row → null match; inclusive tie; latest-not-first."""
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 30, 200.0), (1, 5, 300.0)],
+        "id long, ts long, v double",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 29, "c")],
+        "id long, ts long, tag string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+    rows = asof_join(
+        left.withColumnRenamed("id", "k"),
+        right.withColumnRenamed("id", "k"),
+        on="k",
+        ts_col="ts",
+        right_cols=["tag"],
+    ).collect()
+    by_v = {r["v"]: r for r in rows}
+    assert by_v[100.0]["tag"] == "a"  # tie at ts=10 → inclusive
+    assert by_v[200.0]["tag"] == "c"  # newest ≤ 30, not first
+    assert by_v[300.0]["tag"] is None  # nothing at/before ts=5
