@@ -165,6 +165,115 @@ def nearest_poi_eta_grid(
     )
 
 
+def routed_duration_matrix(
+    origins: DataFrame,
+    pois: DataFrame,
+    cell_deg: float,
+    kernel=None,
+    speed_kmh: float = geo.MAX_SPEED_KMH,
+) -> DataFrame:
+    """Routing-kernel duration matrix over ``mapInPandas`` — the exact
+    execution shape of the reference's ``osrm.table`` (U1/J4,
+    tasks.js:246-283): ONE vectorized kernel invocation per grid-cell
+    batch, sources × destinations inside the cell's 3×3 neighborhood.
+
+    ``kernel(o_lon, o_lat, p_lon, p_lat) -> seconds`` is the pluggable cost
+    backend taking numpy arrays (a real OSRM/contraction-hierarchy backend
+    drops in here unchanged — it receives the same per-cell coordinate
+    batches the reference hands to ``table()``). Default: the planar
+    straight-line ETA, IEEE-exact (sqrt only), so results are
+    oracle-reproducible.
+
+    Scale shape: POIs are replicated to neighbor cells (small side),
+    origins shuffle once on the cell key; each Arrow batch holds whole
+    cells (``groupBy(cell).applyInPandas``-style locality via
+    repartition + mapInPandas), so kernel calls amortize like the
+    reference's per-square batching.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if kernel is None:
+
+        def kernel(olon, olat, plon, plat):  # planar ETA, IEEE-exact
+            dx = olon - plon
+            dy = olat - plat
+            km = np.sqrt(dx * dx + dy * dy) * geo.KM_PER_DEGREE
+            return km / speed_kmh * 3600.0
+
+    o = origins.withColumn("_cx", geo.grid_cell_x(F.col("lon"), cell_deg)).withColumn(
+        "_cy", geo.grid_cell_y(F.col("lat"), cell_deg)
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1,1),"
+        " dx -> transform(sequence(-1,1), dy -> struct(dx, dy)))))"
+    )
+    p = (
+        pois.withColumn("_cx0", geo.grid_cell_x(F.col("lon"), cell_deg))
+        .withColumn("_cy0", geo.grid_cell_y(F.col("lat"), cell_deg))
+        .select(
+            "poi_id",
+            "poi_type",
+            F.col("lon").alias("_poi_lon"),
+            F.col("lat").alias("_poi_lat"),
+            "_cx0",
+            "_cy0",
+            offsets.alias("_off"),
+        )
+        .select(
+            "poi_id",
+            "poi_type",
+            "_poi_lon",
+            "_poi_lat",
+            (F.col("_cx0") + F.col("_off.dx")).alias("_cx"),
+            (F.col("_cy0") + F.col("_off.dy")).alias("_cy"),
+        )
+    )
+    pairs = o.join(F.broadcast(p), on=["_cx", "_cy"]).repartition("_cx", "_cy")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dur = kernel(
+                pdf["lon"].to_numpy(),
+                pdf["lat"].to_numpy(),
+                pdf["_poi_lon"].to_numpy(),
+                pdf["_poi_lat"].to_numpy(),
+            )
+            yield pd.DataFrame(
+                {
+                    "origin_id": pdf["origin_id"],
+                    "poi_id": pdf["poi_id"],
+                    "poi_type": pdf["poi_type"],
+                    "duration_s": dur,
+                }
+            )
+
+    return pairs.mapInPandas(
+        run,
+        schema="origin_id long, poi_id long, poi_type string, duration_s double",
+    )
+
+
+def nearest_poi_eta_routed(
+    origins: DataFrame,
+    pois: DataFrame,
+    cell_deg: float,
+    kernel=None,
+    speed_kmh: float = geo.MAX_SPEED_KMH,
+) -> DataFrame:
+    """Grid-pruned nearest-POI ETA through the Python routing kernel:
+    matrix (3×3 neighborhood candidates) → per-origin/type min. Origins in
+    cells with no candidate POI of a type produce no row (unreachable) —
+    reference semantics when the buffer never captures a POI."""
+    m = routed_duration_matrix(origins, pois, cell_deg, kernel, speed_kmh)
+    return m.groupBy("origin_id", "poi_type").agg(
+        F.min("duration_s").alias("eta_s")
+    )
+
+
 def nearest_snap_distance(
     origins: DataFrame,
     vertices: DataFrame,

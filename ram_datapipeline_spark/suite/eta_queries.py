@@ -44,6 +44,38 @@ def q_eta_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eta_routed_kernel_grid",
+    oracle=f"""
+    WITH o AS ({ram_domain.ORIGINS_SQL}), p AS ({ram_domain.POIS_SQL}),
+    oc AS (SELECT *, CAST(floor(lon / 4.0) AS BIGINT) AS cx,
+                     CAST(floor(lat / 4.0) AS BIGINT) AS cy FROM o),
+    pc AS (SELECT *, CAST(floor(lon / 4.0) AS BIGINT) AS cx,
+                     CAST(floor(lat / 4.0) AS BIGINT) AS cy FROM p)
+    SELECT oc.origin_id, pc.poi_type,
+           min(sqrt((oc.lon - pc.lon) * (oc.lon - pc.lon)
+                    + (oc.lat - pc.lat) * (oc.lat - pc.lat))
+               * 111.0 / 120.0 * 3600.0) AS eta_s
+    FROM oc JOIN pc
+      ON pc.cx BETWEEN oc.cx - 1 AND oc.cx + 1
+     AND pc.cy BETWEEN oc.cy - 1 AND oc.cy + 1
+    GROUP BY oc.origin_id, pc.poi_type
+    """,
+    survey="U1/J4 routing kernel: mapInPandas per grid cell (tasks.js:246-283)",
+    tags=("eta", "pandas-udf"),
+)
+def q_eta_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's batched-kernel execution shape: candidates from the
+    3×3 grid neighborhood (4° cells), durations computed by a vectorized
+    Python kernel per Arrow batch (osrm.table stand-in), min-reduced. The
+    oracle replays the same neighborhood join + planar cost in SQL —
+    proving the Python-kernel path bit-exact."""
+    t = load_tables(spark, sf_dir)
+    o = ram_domain.origins(t["customer"])
+    p = ram_domain.pois(t["supplier"])
+    return eta_ops.nearest_poi_eta_routed(o, p, cell_deg=4.0)
+
+
+@query(
     "eta_with_walk_penalty",
     oracle=f"""
     WITH o AS ({ram_domain.ORIGINS_SQL}), p AS ({ram_domain.POIS_SQL}),
