@@ -35,13 +35,19 @@ HEADLINE = [
     "q5_region_revenue",     # 5-way join + agg (J1)
     "a2_pivot_eav",          # EAV pivot (A2)
     "w3_topk_per_group",     # window rank per group (W1)
+    "agg_rollup_revenue",    # grouping sets over 4-way join
     "j2_point_in_admin",     # spatial point-in-polygon join (J2)
-    "eta_nearest_poi",       # flagship: grid + buffer prune + min-reduce (J4/A1)
+    "eta_nearest_poi",       # flagship: duration matrix + min-reduce (J4/A1)
+    "eta_routed_kernel_grid",  # mapInPandas routing kernel, grid-pruned (U1)
+    "j_asof_click_view",     # as-of temporal join over events
+    "st_sessionize",         # gap sessionization (stateful twin)
     "dedup_exact",           # content-hash dedup (north star)
     "dedup_minhash_lsh",     # MinHash+LSH candidate pairs (north star)
     "text_quality_score",    # text featurization (north star)
     "sim_cosine_topk",       # exact ANN top-k (north star)
     "sim_cosine_topk_lsh",   # LSH-bucketed ANN (north star)
+    "sim_cosine_topk_ivf",   # IVF-partitioned ANN (north star)
+    "mm_decode_image_stats",  # multimodal decode through Arrow (north star)
 ]
 
 
