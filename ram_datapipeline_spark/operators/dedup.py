@@ -159,7 +159,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     Token multiplicity is preserved (explode, not distinct) — repeated
     tokens weigh more, the standard SimHash weighting."""
-    tok = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    from ram_datapipeline_spark.session import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    tok = src.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     tok = tok.withColumn("_h", F.md5(F.col("tok")))
     votes = [
         F.sum(

@@ -59,7 +59,11 @@ def duration_matrix(
     )
     if broadcast_pois:
         p = F.broadcast(p)
-    pairs = origins.crossJoin(p)
+    from ram_datapipeline_spark.session import ensure_parallelism
+
+    # the crossJoin multiplies each origin row |pois|×; a single-partition
+    # origins scan would serialize the whole cost evaluation
+    pairs = ensure_parallelism(origins).crossJoin(p)
     dur = geo.eta_seconds(
         F.col("lon"), F.col("lat"), F.col("_poi_lon"), F.col("_poi_lat"), speed_kmh
     )

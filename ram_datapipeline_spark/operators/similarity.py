@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ram_datapipeline_spark.session import ensure_parallelism
+
 
 def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -46,7 +48,7 @@ def cosine_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold: (vec_a, vec_b, cos). Exact
     brute force — quadratic; the correctness baseline for ANN variants."""
-    v = with_norm(df, vec_col).select(F.col(id_col), "_e", "_nrm")
+    v = with_norm(ensure_parallelism(df), vec_col).select(F.col(id_col), "_e", "_nrm")
     a = v.select(F.col(id_col).alias("vec_a"), F.col("_e").alias("_ea"), F.col("_nrm").alias("_na"))
     b = v.select(F.col(id_col).alias("vec_b"), F.col("_e").alias("_eb"), F.col("_nrm").alias("_nb"))
     cos = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
@@ -69,7 +71,7 @@ def cosine_topk(
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_e").alias("_eq"), F.col("_nrm").alias("_nq")
     )
-    c = with_norm(corpus, vec_col).select(
+    c = with_norm(ensure_parallelism(corpus), vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_e").alias("_ec"), F.col("_nrm").alias("_nc")
     )
     cos = _dot(F.col("_eq"), F.col("_ec")) / (F.col("_nq") * F.col("_nc"))
@@ -123,7 +125,7 @@ def cosine_topk_ivf(
     ANSI SQL. At scale the corpus assignment is one broadcast pass +
     shuffle on cell; per-query cost is the probed cells' sizes. Recall
     rises with n_probe — the standard IVF dial."""
-    c = with_norm(corpus, vec_col)
+    c = with_norm(ensure_parallelism(corpus), vec_col)
     q = with_norm(queries, vec_col)
     seeds = c.filter(F.col(id_col) < n_cells)
     c_cells = assign_ivf_cells(c, seeds, 1, id_col).select(
@@ -184,7 +186,7 @@ def cosine_topk_lsh(
     bucket-local (equi-join on the signature), so per-query work is bucket
     size, not corpus size. Recall is tunable via n_planes / multi-probe."""
     q = with_norm(queries, vec_col)
-    c = with_norm(corpus, vec_col)
+    c = with_norm(ensure_parallelism(corpus), vec_col)
     q = q.withColumn("_sig", lsh_bucket_signature(F.col("_e"), n_planes)).select(
         F.col(id_col).alias("query_id"), F.col("_e").alias("_eq"),
         F.col("_nrm").alias("_nq"), "_sig",

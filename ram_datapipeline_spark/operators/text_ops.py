@@ -106,6 +106,8 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     Built as transform-over-sequence + explode — generated JVM-side, then
     deduplicated by the explode of array_distinct (no shuffle needed for
     the dedup; distinctness is per-row)."""
+    from ram_datapipeline_spark.session import ensure_parallelism
+
     arr = f"split({text_col}, ' ')"
     # Guard: Spark's sequence(1, 0) is DESCENDING, so short docs must yield
     # an explicit empty array (explode then drops the row).
@@ -115,4 +117,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
         f"i -> array_join(slice({arr}, i, {n}), ' ')) "
         f"ELSE array() END))"
     )
-    return df.select(F.col(id_col), F.expr(sh).alias("shingle"))
+    # the explode multiplies rows ~token-count×; spread the source first so
+    # the fan-out (and the md5 work downstream) uses every core
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    return src.select(F.col(id_col), F.expr(sh).alias("shingle"))

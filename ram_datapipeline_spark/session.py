@@ -19,9 +19,27 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has too few partitions to
+    feed the cluster.
+
+    Small dimension files arrive as ONE scan partition; any fan-out stage
+    downstream (crossJoin cost kernel, shingle explode, permutation aggs)
+    then runs on one core — Catalyst/AQE cannot fix this because there is
+    no shuffle upstream of the fan-out to re-balance. At 100 TB the big
+    fact side never needs this; it exists for the "small input, explosive
+    operator" shape (the reference's per-square parallelism problem,
+    calculate-eta/index.js:60-73, solved there by hand-forking).
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
 
 
 def get_spark(
