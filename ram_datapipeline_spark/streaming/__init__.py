@@ -17,3 +17,6 @@ from ram_datapipeline_spark.streaming.events import (  # noqa: F401
     tumbling_window_agg,
 )
 from ram_datapipeline_spark.streaming.oplog import OperationLog  # noqa: F401
+from ram_datapipeline_spark.streaming.stateful import (  # noqa: F401
+    running_user_totals,
+)

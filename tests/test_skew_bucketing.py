@@ -1,0 +1,57 @@
+"""Scale-discipline tests: salted joins are result-identical; bucketed
+joins eliminate both exchanges from the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.operators.skew import salted_join, write_bucketed
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_matches_plain(spark):
+    t = load_tables(spark, SF_DIR)
+    big = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    small = t["customer"].select("o_custkey", "c_name") if False else (
+        t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    plain = big.join(small, ["o_custkey"]).groupBy().agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+    ).collect()[0]
+    salted = salted_join(big, small, ["o_custkey"], n_salts=8).groupBy().agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+    ).collect()[0]
+    assert plain["n"] == salted["n"]
+    assert abs(plain["s"] - salted["s"]) < 1e-6 * abs(plain["s"])
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    t = load_tables(spark, SF_DIR)
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", str(tmp_path / "b_orders"), ["o_custkey"], 8,
+    )
+    write_bucketed(
+        t["customer"].select("c_custkey", "c_name"),
+        "b_customer", str(tmp_path / "b_customer"), ["c_custkey"], 8,
+    )
+    j = spark.table("b_orders").join(
+        spark.table("b_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    # force a sort-merge join so the exchange question is real (a broadcast
+    # join would trivially have no shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and the result is right
+        assert j.count() == spark.table("b_orders").count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -68,6 +68,57 @@ def test_session_window_matches_lag_sessionize(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: state accumulated across micro-batches; the
+    last update per user equals the batch groupBy totals. Two files +
+    maxFilesPerTrigger=1 forces ≥2 micro-batches, so state must actually
+    carry over."""
+    import shutil
+
+    from ram_datapipeline_spark.streaming import running_user_totals
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+    batch_events = load_tables(spark, SF_DIR)["events"]
+    # split fixture into two files → two micro-batches
+    half1 = batch_events.filter(F.col("event_id") % 2 == 0)
+    half2 = batch_events.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(str(events_dir / "b1"))
+    half2.coalesce(1).write.parquet(str(events_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(events_dir) + "/*/")
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends every update row; take the last
+    # emission per user (max n_events is monotone)
+    got = (
+        spark.sql("SELECT * FROM user_totals")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    want = batch_events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert g == w
+
+
 def test_operation_log_lifecycle(spark, tmp_path):
     ol = OperationLog(spark, str(tmp_path))
     op = ol.start("generate-analysis", project_id=1, scenario_id=1)
