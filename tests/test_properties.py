@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+semantics have clean invariants: as-of join vs pandas merge_asof,
+sessionization partitioning laws, MinHash/LSH containment, and the exact
+money-sum's associativity-independence.
+
+Spark session startup dominates per-example cost, so examples are
+moderate (deadline disabled); each property still covers the edge space
+(empty groups, ties, single rows) far better than fixed fixtures.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+from ram_datapipeline_spark.operators.relational import exact_money_sum
+from ram_datapipeline_spark.operators.temporal import asof_join
+from ram_datapipeline_spark.streaming import sessionize
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # key
+        st.integers(min_value=0, max_value=5000),  # ts seconds
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(left=events_strategy, right=events_strategy)
+@SETTINGS
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    """asof_join ≡ pandas.merge_asof(direction='backward') for unique
+    (key, ts) rows on both sides."""
+    # dedupe (key, ts) — both engines break exact duplicates arbitrarily
+    left = list({(k, t): (k, t, v) for k, t, v in left}.values())
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+
+    ldf = spark.createDataFrame(left, "k long, ts_s long, v double").withColumn(
+        "ts", F.timestamp_micros(F.col("ts_s") * 1_000_000)
+    ).drop("ts_s")
+    rdf = spark.createDataFrame(right, "k long, ts_s long, rv double").withColumn(
+        "ts", F.timestamp_micros(F.col("ts_s") * 1_000_000)
+    ).drop("ts_s")
+    got = asof_join(ldf, rdf, on="k", ts_col="ts", right_cols=["rv"]).toPandas()
+
+    lp = pd.DataFrame(left, columns=["k", "ts", "v"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["k", "ts", "rv"]).sort_values("ts")
+    want = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+
+    g = {
+        (r["k"], r["ts"].timestamp()): (
+            None if pd.isna(r["rv"]) else round(r["rv"], 9)
+        )
+        for _, r in got.iterrows()
+    }
+    w = {
+        (r["k"], float(r["ts"])): (
+            None if pd.isna(r["rv"]) else round(r["rv"], 9)
+        )
+        for _, r in want.iterrows()
+    }
+    assert g == w
+
+
+@given(events=events_strategy)
+@SETTINGS
+def test_sessionize_partitions_events(spark, events):
+    """Sessions form a partition of the input rows; within a session every
+    gap ≤ 30 min; across consecutive sessions the gap > 30 min."""
+    rows = [
+        (i, k, t) for i, (k, t, _) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_s long").withColumn(
+        "ts", F.timestamp_micros(F.col("ts_s") * 1_000_000)
+    ).drop("ts_s")
+    out = sessionize(df, gap_minutes=30).collect()
+    # partition law: event counts add up per user
+    per_user_out = {}
+    for r in out:
+        per_user_out[r["user_id"]] = per_user_out.get(r["user_id"], 0) + r["n_events"]
+    per_user_in = {}
+    for _, k, _t in rows:
+        per_user_in[k] = per_user_in.get(k, 0) + 1
+    assert per_user_out == per_user_in
+    # boundary law per user: sessions ordered by start don't overlap and
+    # consecutive sessions are > 30 min apart
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sess, sess[1:]):
+            gap = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap > 1800, (a, b)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=12, max_size=60), min_size=2, max_size=8
+    )
+)
+@SETTINGS
+def test_minhash_identical_docs_always_pair(spark, texts):
+    """Identical documents collide in every band → always candidates;
+    pairs are canonical (a < b) and unique."""
+    docs = [(i, t) for i, t in enumerate(texts + [texts[0]])]  # duplicate doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df).collect()
+    seen = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert len(seen) == len(pairs)  # no duplicate pairs
+    assert all(a < b for a, b in seen)
+    # the planted exact duplicate must be found iff it has ≥1 shingle
+    if len(texts[0].split(" ")) >= 3 and any(
+        s for s in [" ".join(texts[0].split(" ")[i : i + 3]) for i in range(len(texts[0].split(" ")) - 2)]
+    ):
+        assert (0, len(docs) - 1) in seen
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=200,
+    ),
+    parts=st.integers(min_value=1, max_value=8),
+)
+@SETTINGS
+def test_exact_money_sum_partition_invariant(spark, vals, parts):
+    """The cent-integer money sum gives the same answer under any
+    partitioning (the property plain double-sum lacks) — this is what
+    makes revenue aggregates hash-stable under shuffles."""
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    a = df.coalesce(1).agg(exact_money_sum(F.col("x")).alias("s")).collect()[0]["s"]
+    b = df.repartition(parts).agg(exact_money_sum(F.col("x")).alias("s")).collect()[0]["s"]
+    assert a == b
