@@ -100,6 +100,26 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("fingerprint64", F.substring(F.md5(t), 1, 16))
 
 
+ROLL_BASE = 257
+ROLL_MOD = 1 << 40  # h*257 + t < 2^49: no bigint overflow before the mod
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash over tokens:
+    ``h = (h * 257 + tok_h) mod 2^40`` left-folded in token order, with
+    ``tok_h`` = first 10 md5 hex digits of the token as an integer.
+
+    Order-SENSITIVE by construction (unlike the bag hash): permuted
+    documents get different fingerprints. Integer-only arithmetic →
+    engine-exact; the streaming form updates in O(1) per appended token."""
+    tok_h = lambda t: F.conv(F.substring(F.md5(t), 1, 10), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        F.split(text, " "),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_BASE + tok_h(t)) % ROLL_MOD,
+    )
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id_col, shingle).
 

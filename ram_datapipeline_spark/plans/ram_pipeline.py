@@ -116,6 +116,7 @@ def run_ram_pipeline(
         results,
         os.path.join(out_dir, "results"),
         os.path.join(out_dir, "results_poi"),
+        partition_by=["aa_id"],
     )
     flat = sinks.flatten_poi_map(results)
     sinks.write_csv(flat, os.path.join(out_dir, "csv"))

@@ -63,11 +63,20 @@ def write_results_normalized(
     child_path: str,
     poi_map_col: str = "poi",
     mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> None:
     """K1: two independent appends (parquet here; `.write.jdbc` drop-in on a
-    cluster with a database — the plan is identical either way)."""
+    cluster with a database — the plan is identical either way).
+
+    ``partition_by`` (e.g. ``["aa_id"]``) lays the parent out hive-style so
+    per-admin-area readers prune directories instead of scanning the world —
+    the storage analog of the reference's per-area result grouping
+    (index.js:550-558)."""
     parent, child = split_results_normalized(results, poi_map_col)
-    parent.write.mode(mode).parquet(parent_path)
+    w = parent.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(parent_path)
     child.write.mode(mode).parquet(child_path)
 
 

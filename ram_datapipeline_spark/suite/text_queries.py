@@ -333,6 +333,29 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "content_hash", "bag_hash", "fingerprint64")
 
 
+@query(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> list_reduce(list_transform(generate_series(1, 10),
+                        i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+                        (a, b) -> a * 16 + b))),
+             (acc, th) -> (acc * 257 + th) % 1099511627776) AS roll_hash
+    FROM documents
+    """,
+    survey="document fingerprinting: Rabin-Karp rolling hash (north star)",
+    tags=("text",),
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial fingerprint per document — integer-only
+    fold, bit-identical across engines."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", T.rolling_hash(F.col("text")).alias("roll_hash"))
+
+
 _COSINE_CTE = """
 v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
 n AS (SELECT vec_id, e,
