@@ -1,0 +1,42 @@
+"""Recall contracts for the approximate ANN paths (referenced from the
+suite docstrings) and exactness spot-checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+)
+from tests.conftest import SF_DIR
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_lsh_recall_vs_exact(spark):
+    """LSH(8 planes) top-5 recall ≥ 0.3 vs the exact top-5 — a single
+    bucket probe is the cheapest configuration; recall must still be far
+    above chance (5/2000 ≈ 0.0025 per slot)."""
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    q = e.filter(F.col("vec_id") < 20)
+    exact = _pairs(cosine_topk(q, e, k=5))
+    approx = _pairs(cosine_topk_lsh(q, e, k=5))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+
+
+def test_lsh_candidates_subset_of_exact_ranking(spark):
+    """Every LSH result is a true neighbor with its exact cosine: scores
+    returned by the approximate path must equal the exact pairwise cosine
+    (the approximation prunes candidates, never perturbs scores)."""
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    approx = cosine_topk_lsh(q, e, k=3).withColumnRenamed("cos", "cos_a")
+    exact_all = cosine_topk(q, e, k=10_000).withColumnRenamed("cos", "cos_e")
+    j = approx.join(exact_all, ["query_id", "neighbor_id"])
+    assert j.count() == approx.count()  # every approx pair exists exactly
+    assert j.filter(F.col("cos_a") != F.col("cos_e")).count() == 0
