@@ -98,6 +98,45 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(media: DataFrame, max_side: int = 128) -> DataFrame:
+    """Image 'resize' over mapInPandas: payload flows through Python as
+    bytes, metadata is rewritten to the clamped dimensions. The byte
+    transform is a STUB (truncation to a deterministic length proportional
+    to the area ratio — see FAKE_DECODE_NOTE); a real implementation
+    replaces only the body of ``_resize_batch`` with PIL's
+    ``Image.resize``. Output schema mirrors the input (media_id, payload,
+    width, height) so resized batches re-enter the catalog."""
+
+    def _resize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["width"].astype("float64")
+        scale = (max_side / w).clip(upper=1.0)
+        new_w = (w * scale).astype("int32")
+        # stub byte transform: keep a prefix proportional to the area ratio
+        frac = (scale * scale).tolist()
+        payload = [
+            b[: max(1, int(len(b) * f))] for b, f in zip(pdf["payload"], frac)
+        ]
+        return pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "payload": payload,
+                "width": new_w,
+                "height": new_w,
+            }
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _resize_batch(pdf)
+
+    images = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload", F.col("meta.width").alias("width")
+    )
+    return images.mapInPandas(
+        gen, schema="media_id long, payload binary, width int, height int"
+    )
+
+
 def sample_frames(media: DataFrame, stride: int = 24) -> DataFrame:
     """Video frame sampling: one row per sampled frame index
     (media_id, frame_idx, ts_s). Pure JVM explode of a sequence — the

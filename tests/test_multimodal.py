@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.multimodal import (
     decode_image_stats,
+    resize_images,
     sample_frames,
     synthesize_media,
 )
@@ -50,6 +51,32 @@ def test_metadata_only_scan_prunes_payload(spark):
     q = m.filter(F.col("meta.width") > 256).select("media_id", "meta.width")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+
+def test_resize_images_plumbing(spark):
+    """Resize: dimensions clamped to max_side, payload bytes shrink
+    proportionally (stub), schema stable, binary survives the round trip."""
+    m = synthesize_media(load_tables(spark, SF_DIR)["documents"])
+    out = resize_images(m, max_side=128)
+    assert dict(out.dtypes)["payload"] == "binary"
+    rows = out.collect()
+    assert len(rows) == m.filter(F.col("kind") == "image").count() > 0
+    assert all(r["width"] <= 128 and r["width"] == r["height"] for r in rows)
+    assert all(len(r["payload"]) >= 1 for r in rows)
+    # already-small images pass through byte-identical
+    small_ids = {
+        r["media_id"]
+        for r in m.filter(
+            (F.col("kind") == "image") & (F.col("meta.width") <= 128)
+        ).collect()
+    }
+    orig = {
+        r["media_id"]: bytes(r["payload"])
+        for r in m.filter(F.col("kind") == "image").collect()
+    }
+    for r in rows:
+        if r["media_id"] in small_ids:
+            assert bytes(r["payload"]) == orig[r["media_id"]]
 
 
 def test_frame_sample_counts(spark):
