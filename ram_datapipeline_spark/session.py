@@ -71,6 +71,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize the per-batch Python round-trip in
+        # mapInPandas kernels (routing, media decode) — the batch is the
+        # unit of vectorization, not of memory safety, at these row widths
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         # Fixture parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long nanos and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

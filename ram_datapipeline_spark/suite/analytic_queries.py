@@ -162,6 +162,42 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w4_moving_window_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS moving_total,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_n
+    FROM orders
+    """,
+    survey="window frames: rolling sum over ROWS frame (§2.5 'not present', exposed natively)",
+    tags=("analytic",),
+)
+def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row rolling order total per customer — integer-cent accumulation
+    inside the frame so the float result is order-independent and
+    hash-stable."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("moving_total"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+@query(
     "j_asof_click_view",
     oracle="""
     SELECT l.event_id, l.user_id, l.ts, l.value,
