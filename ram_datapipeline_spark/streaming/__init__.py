@@ -15,6 +15,7 @@ from ram_datapipeline_spark.streaming.events import (  # noqa: F401
     session_window_agg,
     sessionize,
     tumbling_window_agg,
+    write_stream_to_parquet,
 )
 from ram_datapipeline_spark.streaming.oplog import OperationLog  # noqa: F401
 from ram_datapipeline_spark.streaming.stateful import (  # noqa: F401

@@ -57,6 +57,27 @@ def tumbling_window_agg(
     )
 
 
+def write_stream_to_parquet(
+    agg: DataFrame, out_path: str, checkpoint: str, query_name: str = "sink"
+):
+    """foreachBatch parquet sink for aggregated streams: each micro-batch
+    OVERWRITES the result snapshot (complete-mode semantics on files) —
+    the production pattern for serving a continuously-updated aggregate
+    from object storage. Returns the StreamingQuery."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    return (
+        agg.writeStream.foreachBatch(_write)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization, batch form (lag + cumulative flag sum):
     (user_id, session_id, n_events, session_start, session_end).

@@ -35,6 +35,33 @@ def q_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_event_props_decode",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(props->>'k' AS BIGINT) AS k,
+           event_type
+    FROM events
+    WHERE CAST(props->>'k' AS BIGINT) >= 50
+    """,
+    survey="F6 JSON decode on the event stream (index.js:315 analog)",
+    tags=("streaming",),
+)
+def q_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction + predicate on the decoded value — the
+    settings-decode pattern (S3/F6) applied to the event surface; the
+    filter happens post-parse but pre-shuffle (no shuffle at all here)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_id", "user_id", k.alias("k"), "event_type")
+        .filter(F.col("k") >= 50)
+    )
+
+
+@query(
     "st_sessionize",
     oracle="""
     WITH x AS (

@@ -45,6 +45,29 @@ def test_stream_batch_equivalence(spark, tmp_path):
     assert diff.count() == 0
 
 
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """foreachBatch snapshot sink: the final parquet equals the batch
+    aggregate after the stream drains."""
+    import shutil
+
+    from ram_datapipeline_spark.streaming import write_stream_to_parquet
+
+    events_dir = tmp_path / "ev3"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "part-0.parquet")
+    agg = tumbling_window_agg(
+        read_events_stream(spark, str(events_dir)), "1 hour", watermark="2 hours"
+    )
+    q = write_stream_to_parquet(
+        agg, str(tmp_path / "snap"), str(tmp_path / "ckpt3"), "snap_sink"
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "snap"))
+    want = tumbling_window_agg(load_tables(spark, SF_DIR)["events"], "1 hour")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
 def test_session_window_matches_lag_sessionize(spark):
     """Native session windows and the lag/cumsum batch form agree on
     session count and event totals per user (same 30-min gap)."""
