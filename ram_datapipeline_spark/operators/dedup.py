@@ -151,6 +151,70 @@ def near_dedup_survivors(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive-closure duplicate clusters: (id, component) where
+    component = min id reachable through the pair graph.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label in its neighborhood (including its own); convergence
+    when no label changes. Rounds needed ≈ graph diameter — near-dup
+    graphs are shallow (dup clusters are cliques or short chains), so this
+    terminates in a handful of rounds; ``max_iters`` bounds the loop like
+    the reference bounds its adaptive buffer (tasks.js:73-87). Each round
+    is one join + one aggregate — all distributed, nothing but the
+    convergence COUNT ever reaches the driver; intermediate results are
+    cached and replaced round-over-round to keep lineage flat.
+    """
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    sym.persist()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    labels.persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            labels.join(sym, labels["node"] == sym["src"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nb_label"))
+            .withColumnRenamed("dst", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nb_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash: per token, each md5 hex digit's high bit votes ±1 on
     one of 16 bit positions; the sign of the per-position sum is the

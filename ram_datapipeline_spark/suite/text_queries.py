@@ -141,6 +141,48 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, dst AS peer FROM sym
+      UNION
+      SELECT r.node, s.dst FROM reach r JOIN sym s ON r.peer = s.src
+    )
+    SELECT d.doc_id, least(d.doc_id, coalesce(min(r.peer), d.doc_id)) AS component
+    FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    survey="dedup survivor policy 2: transitive-closure clusters via iterative min-label propagation (north star)",
+    tags=("dedup",),
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters as connected components of the Jaccard-0.8 pair
+    graph — the production-grade survivor policy (greedy lower-id misses
+    chains A~B~C where A!~C). Spark side: bounded min-label propagation
+    (one join+agg per round); oracle: recursive transitive closure."""
+    t = load_tables(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(t["documents"], threshold=0.8)
+    return D.connected_components(pairs, t["documents"])
+
+
 def _simhash_oracle() -> str:
     votes = ",\n      ".join(
         f"sum(CASE WHEN strpos('89abcdef', substr(hh, {i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v{i}"

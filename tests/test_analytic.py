@@ -44,6 +44,20 @@ def test_ivf_recall_vs_exact(spark):
     assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
 
 
+def test_connected_components_chain(spark):
+    """A~B, B~C (but A!~C) must land in ONE component — the chain case the
+    greedy lower-id policy cannot express; isolated nodes keep their own
+    id as component."""
+    from ram_datapipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    out = {r["doc_id"]: r["component"] for r in connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
 def test_asof_join_edges(spark):
     """No prior right row → null match; inclusive tie; latest-not-first."""
     left = spark.createDataFrame(
