@@ -162,6 +162,31 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.5) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="exact percentiles (§2.4 'not present', exposed natively)",
+    tags=("analytic",),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark's `percentile`
+    and DuckDB's `quantile_cont` share the linear-interpolation definition
+    (lo + (hi-lo)*frac), so even float results hash-match."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+    )
+
+
+@query(
     "w4_moving_window_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
