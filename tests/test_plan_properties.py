@@ -1,0 +1,93 @@
+"""Plan-shape regression guards: the properties PLANS.md documents are
+asserted here so a change that silently de-broadcasts a dimension, drops a
+pushed filter, or adds a shuffle fails the suite, not just the benchmark.
+
+Counts are on the *pre-execution* physical plan (AQE may still improve it
+at runtime; it never adds exchanges).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from ram_datapipeline_spark import queries as Q
+from tests.conftest import SF_DIR
+
+
+def plan_text(spark, name: str) -> str:
+    df = Q.REGISTRY[name].builder(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_ops(plan: str, op: str) -> int:
+    """Count operator instances via the formatted-explain detail headers
+    ('(5) Exchange') — each operator appears once there (the tree above
+    repeats them)."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.M))
+
+
+def n_data_shuffles(plan: str) -> int:
+    # data exchanges only; broadcast exchanges are small-side by definition
+    return n_ops(plan, "Exchange")
+
+
+def test_q1_minimal_plan(spark):
+    p = plan_text(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert n_data_shuffles(p) == 1  # exactly the partial→final agg exchange
+
+
+def test_q3_dims_broadcast(spark):
+    p = plan_text(spark, "q3_revenue_topk")
+    assert n_ops(p, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p  # top-k without a full sort
+
+
+def test_q5_all_dims_broadcast(spark):
+    p = plan_text(spark, "q5_region_revenue")
+    assert n_ops(p, "BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_eta_poi_side_broadcast(spark):
+    p = plan_text(spark, "eta_nearest_poi")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # one exchange: the min-reduce groupBy (plus the parallelism spread)
+    assert n_data_shuffles(p) <= 2
+
+
+def test_text_quality_pure_map(spark):
+    p = plan_text(spark, "text_quality_score")
+    assert n_data_shuffles(p) == 0
+    assert "BroadcastExchange" not in p
+
+
+def test_mm_decode_no_shuffle_and_pruned(spark):
+    p = plan_text(spark, "mm_decode_image_stats")
+    assert n_data_shuffles(p) == 0
+    assert "ArrowEvalPython" in p or "MapInPandas" in p or "PythonMapInArrow" in p
+
+
+def test_lsh_no_cross_join(spark):
+    for name in ("sim_cosine_topk_lsh", "dedup_minhash_lsh", "dedup_simhash_pairs"):
+        p = plan_text(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+@pytest.mark.parametrize(
+    "name", ["s1_config_scan_filter", "s4_admin_scan_inlist"]
+)
+def test_scan_filters_pushed(spark, name):
+    p = plan_text(spark, name)
+    assert "PushedFilters: [" in p
+    # at least one real predicate reached the scan
+    assert "PushedFilters: []" not in p.split("PushedFilters", 1)[1][:200]
