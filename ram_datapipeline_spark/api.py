@@ -1,0 +1,116 @@
+"""Public API facade — the one-import surface of the engine.
+
+A user of the reference interacts with it through env-var-configured jobs
+(SURVEY §3): the analysis run, its sinks, and the conversion pipeline.
+This module is that surface re-expressed as composable functions; every
+name is independently oracle-gated through the suite.
+
+    from ram_datapipeline_spark import api
+
+    spark = api.get_spark()
+    tables = api.load_tables(spark, "/data/sf0.1")
+    eta = api.nearest_poi_eta(origins, pois)          # the core query
+    api.run_ram_pipeline(spark, sf_dir, out_dir)      # the whole job
+"""
+
+from __future__ import annotations
+
+# session / catalog
+from ram_datapipeline_spark.catalog import load_tables  # noqa: F401
+from ram_datapipeline_spark.session import ensure_parallelism, get_spark  # noqa: F401
+
+# the reference's analytics core (SURVEY §2.3-2.4, §3.1)
+from ram_datapipeline_spark.operators.eta import (  # noqa: F401
+    duration_matrix,
+    eta_with_walk_penalty,
+    min_duration,
+    nearest_poi_eta,
+    nearest_poi_eta_grid,
+    nearest_poi_eta_routed,
+    nearest_snap_distance,
+    routed_duration_matrix,
+)
+from ram_datapipeline_spark.operators.relational import (  # noqa: F401
+    exact_money_sum,
+    latest_per_key,
+    pivot_eav,
+    topk_per_group,
+    unpivot,
+)
+from ram_datapipeline_spark.operators.spatial import (  # noqa: F401
+    buffer_semi_join,
+    knn_candidates,
+    points_in_geojson_areas,
+    points_in_rect_areas,
+    square_grid,
+    world_buffer_guard,
+)
+from ram_datapipeline_spark.operators.temporal import asof_join  # noqa: F401
+from ram_datapipeline_spark.operators.skew import (  # noqa: F401
+    salted_join,
+    write_bucketed,
+)
+
+# training-data pipeline (north star)
+from ram_datapipeline_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    near_dedup_survivors,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from ram_datapipeline_spark.operators.similarity import (  # noqa: F401
+    cosine_pairs,
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
+from ram_datapipeline_spark.operators.text_ops import (  # noqa: F401
+    fingerprint,
+    lang_id,
+    quality_features,
+    rolling_hash,
+    shingles,
+)
+from ram_datapipeline_spark.multimodal import (  # noqa: F401
+    audio_frame_energy,
+    decode_image_stats,
+    payload_embedding,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+
+# sources / sinks (SURVEY §2.1)
+from ram_datapipeline_spark.sources import (  # noqa: F401
+    osm_ways_to_geojson,
+    read_geojson_features,
+    read_geojson_points,
+    read_osm_nodes,
+    read_osm_ways,
+)
+from ram_datapipeline_spark.sinks import (  # noqa: F401
+    flatten_poi_map,
+    geojson_feature_collection,
+    grouped_json,
+    write_csv,
+    write_geojson_seq,
+    write_json_grouped,
+    write_results_normalized,
+)
+
+# streaming / operations (SURVEY §2.8, §3.2)
+from ram_datapipeline_spark.streaming import (  # noqa: F401
+    OperationLog,
+    read_events_stream,
+    running_user_totals,
+    session_window_agg,
+    sessionize,
+    tumbling_window_agg,
+    write_stream_to_parquet,
+)
+
+# the full job (SURVEY §3.1)
+from ram_datapipeline_spark.plans import run_ram_pipeline  # noqa: F401

@@ -14,6 +14,7 @@ drop-in point isolated to one function per modality.
 
 from ram_datapipeline_spark.multimodal.media import (  # noqa: F401
     MEDIA_META_SCHEMA,
+    audio_frame_energy,
     decode_image_stats,
     payload_embedding,
     resize_images,

@@ -151,6 +151,36 @@ def sample_frames(media: DataFrame, stride: int = 24) -> DataFrame:
     )
 
 
+def audio_frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Audio feature extraction over mapInPandas: payload bytes as fake
+    8-bit PCM samples, framed into ``frame_len``-sample windows, per-frame
+    energy = sum of squared sample values (integer-exact). Output:
+    (media_id, frame_idx, energy). The numpy body is the drop-in point for
+    a real DSP kernel (see FAKE_DECODE_NOTE); the framing/batching is the
+    real shape — one Arrow batch in, frames-long output out."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, energies = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_frames = (len(samples) + frame_len - 1) // frame_len
+                for f in range(n_frames):
+                    w = samples[f * frame_len : (f + 1) * frame_len]
+                    ids.append(mid)
+                    frames.append(f)
+                    energies.append(int((w * w).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": frames, "energy": energies}
+            )
+
+    audio = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return audio.mapInPandas(
+        gen, schema="media_id long, frame_idx long, energy long"
+    )
+
+
 def payload_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
     """Byte-level feature vector per payload: (media_id, embedding
     array<double>). Position-bucketed byte sums — a deterministic stand-in

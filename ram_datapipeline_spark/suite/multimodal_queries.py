@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.multimodal import (
+    audio_frame_energy,
     decode_image_stats,
     payload_embedding,
     sample_frames,
@@ -94,6 +95,29 @@ def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     utf-8 bytes == code points)."""
     t = load_tables(spark, sf_dir)
     return decode_image_stats(synthesize_media(t["documents"]))
+
+
+@query(
+    "mm_audio_frame_energy",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id, CAST(b AS BIGINT) AS frame_idx,
+           CAST(list_sum(list_transform(
+               list_filter(generate_series(1, length(text)), p -> (p - 1) // 64 = b),
+               p -> CAST(ascii(substr(text, p, 1)) AS BIGINT)
+                    * CAST(ascii(substr(text, p, 1)) AS BIGINT))) AS BIGINT) AS energy
+    FROM m, LATERAL (SELECT unnest(generate_series(0, (length(text) - 1) // 64)) AS b) u
+    WHERE kind = 'audio'
+    """,
+    survey="multimodal: audio framing + per-frame energy kernel (north star)",
+    tags=("multimodal", "pandas-udf"),
+)
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-PCM frame energies through the numpy kernel; the oracle
+    recomputes frame sums from source text (ASCII: bytes == code
+    points)."""
+    t = load_tables(spark, sf_dir)
+    return audio_frame_energy(synthesize_media(t["documents"]), frame_len=64)
 
 
 @query(
