@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Scaling probe: replicate the sf0.1 fact tables K× (keys offset so join
+cardinalities scale linearly), run headline queries at both scales, and
+report the wall-clock ratio. Near-K× input with ≪K× wall-clock (local)
+and ~linear task counts is the evidence that the plans scale by
+partitioning, not by luck.
+
+Usage: python scripts/scale_probe.py [K]   (default 16)
+Writes scaled parquet under /tmp/spark_graft_scale_sf<K>/ and prints one
+JSON line with both timings per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ram_datapipeline_spark import queries as Q  # noqa: E402
+from ram_datapipeline_spark.catalog import TABLE_NAMES  # noqa: E402
+from ram_datapipeline_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
+          "w3_topk_per_group", "dedup_exact"]
+
+# key spans comfortably above sf0.1 maxima
+C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000
+
+
+def build_scaled(spark, k: int, out_dir: str) -> None:
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i")
+
+    def scale(name: str, keys: dict[str, int]):
+        df = spark.read.parquet(f"{BASE}/{name}.parquet").select("*", rep)
+        for col, span in keys.items():
+            df = df.withColumn(col, F.col(col) + F.col("_i") * span)
+        df.drop("_i").write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    scale("customer", {"c_custkey": C_SPAN})
+    scale("orders", {"o_orderkey": O_SPAN, "o_custkey": C_SPAN})
+    scale("lineitem", {"l_orderkey": O_SPAN})
+    scale("documents", {"doc_id": C_SPAN})
+    for name in TABLE_NAMES:
+        dst = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(dst):
+            # unscaled dimensions: copy through (small)
+            src = f"{BASE}/{name}.parquet"
+            shutil.copy(src, dst)
+
+
+def run(spark, name: str, sf_dir: str) -> float:
+    df = Q.REGISTRY[name].builder(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    out_dir = f"/tmp/spark_graft_scale_sf{k}"
+    spark = get_spark(app_name="scale-probe")
+    build_scaled(spark, k, out_dir)
+
+    results = {}
+    for name in PROBES:
+        run(spark, name, BASE)  # warm
+        base_t = run(spark, name, BASE)
+        big_t = run(spark, name, out_dir)
+        results[name] = {
+            "sf0.1_s": base_t,
+            f"x{k}_s": big_t,
+            "wall_ratio": round(big_t / base_t, 2),
+        }
+    print(json.dumps({"k": k, "probes": results}))
+
+
+if __name__ == "__main__":
+    main()
