@@ -302,6 +302,53 @@ def nearest_snap_distance(
     )
 
 
+def nearest_snap_distance_grid(
+    origins: DataFrame,
+    vertices: DataFrame,
+    cell_deg: float,
+    origin_keys: list[str] | None = None,
+) -> DataFrame:
+    """Grid-pruned snap distance for LARGE vertex sets (planet-scale road
+    networks): vertices replicated to 3×3 neighbor cells, equi-join on the
+    cell key, per-origin min. Exact whenever the true nearest vertex lies
+    within one cell (cell_deg ≥ max expected snap distance — the
+    reference's snap is bounded by road density, tasks.js:181-213).
+    Origins with an empty neighborhood yield no row (caller decides the
+    unsnapped policy). Output: origin_keys + snap_km."""
+    origin_keys = origin_keys or ["origin_id"]
+    o = origins.withColumn("_cx", geo.grid_cell_x(F.col("lon"), cell_deg)).withColumn(
+        "_cy", geo.grid_cell_y(F.col("lat"), cell_deg)
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1,1),"
+        " dx -> transform(sequence(-1,1), dy -> struct(dx, dy)))))"
+    )
+    v = (
+        vertices.withColumn("_cx0", geo.grid_cell_x(F.col("lon"), cell_deg))
+        .withColumn("_cy0", geo.grid_cell_y(F.col("lat"), cell_deg))
+        .select(
+            F.col("lon").alias("_v_lon"),
+            F.col("lat").alias("_v_lat"),
+            "_cx0",
+            "_cy0",
+            offsets.alias("_off"),
+        )
+        .select(
+            "_v_lon",
+            "_v_lat",
+            (F.col("_cx0") + F.col("_off.dx")).alias("_cx"),
+            (F.col("_cy0") + F.col("_off.dy")).alias("_cy"),
+        )
+    )
+    d = geo.dist_km(F.col("lon"), F.col("lat"), F.col("_v_lon"), F.col("_v_lat"))
+    return (
+        o.join(v, on=["_cx", "_cy"])
+        .withColumn("_d", d)
+        .groupBy(*origin_keys)
+        .agg(F.min("_d").alias("snap_km"))
+    )
+
+
 def eta_with_walk_penalty(eta: DataFrame, snap: DataFrame, origin_keys: list[str] | None = None) -> DataFrame:
     """Final ETA formula (SURVEY F4, tasks.js:136-151):
     eta_total = table_eta + walk_time(snap distance), null-preserving."""

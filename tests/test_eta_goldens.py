@@ -62,6 +62,19 @@ def test_walk_penalty_formula(spark):
     assert out["eta_total_s"] == 3330.0 + 111.0 / 4.0 * 3600.0
 
 
+def test_grid_snap_equals_exact_within_cell(spark):
+    """Grid-pruned snap equals the exact broadcast snap whenever the
+    nearest vertex is within one cell (cell chosen ≥ the data's spread)."""
+    origins = [(i, float(i % 7), float(i % 5)) for i in range(1, 40)]
+    verts = [(100 + i, "v", float(i % 6) + 0.25, float(i % 4) + 0.25) for i in range(12)]
+    o, v = _mk(spark, origins, verts)
+    exact = E.nearest_snap_distance(o, v).withColumnRenamed("snap_km", "exact_km")
+    grid = E.nearest_snap_distance_grid(o, v, cell_deg=20.0)
+    j = grid.join(exact, "origin_id", "full")
+    assert j.filter(F.col("snap_km") != F.col("exact_km")).count() == 0
+    assert j.filter(F.col("snap_km").isNull()).count() == 0
+
+
 def test_routed_kernel_equals_jvm_path(spark):
     """The mapInPandas kernel and the JVM expression produce identical
     durations on the same candidate sets (numpy sqrt ≡ JVM sqrt, IEEE)."""
