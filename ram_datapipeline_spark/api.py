@@ -28,6 +28,7 @@ from ram_datapipeline_spark.operators.eta import (  # noqa: F401
     nearest_poi_eta_grid,
     nearest_poi_eta_routed,
     nearest_snap_distance,
+    nearest_snap_distance_grid,
     routed_duration_matrix,
 )
 from ram_datapipeline_spark.operators.relational import (  # noqa: F401

@@ -18,6 +18,7 @@ from ram_datapipeline_spark.multimodal import (
     audio_frame_energy,
     decode_image_stats,
     payload_embedding,
+    resize_images,
     sample_frames,
     synthesize_media,
 )
@@ -138,6 +139,39 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sample_frames(synthesize_media(t["documents"]), stride=24)
     return out.select(
         "media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "ts_s"
+    )
+
+
+@query(
+    "mm_resize_meta",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    r AS (
+      SELECT media_id, length(text) AS n0, dim_px,
+             least(128.0 / dim_px, 1.0) AS scale
+      FROM m WHERE kind = 'image'
+    )
+    SELECT media_id,
+           CAST(trunc(dim_px * scale) AS INT) AS width,
+           CAST(trunc(dim_px * scale) AS INT) AS height,
+           CAST(greatest(1, trunc(n0 * scale * scale)) AS BIGINT) AS n_bytes
+    FROM r
+    """,
+    survey="multimodal: resize kernel metadata + byte-budget (north star)",
+    tags=("multimodal", "pandas-udf"),
+)
+def q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize kernel's observable contract — clamped dimensions and
+    the proportional byte budget — recomputed by the oracle with the same
+    truncation arithmetic (numpy astype/int() truncate toward zero exactly
+    like SQL trunc on positives)."""
+    t = load_tables(spark, sf_dir)
+    out = resize_images(synthesize_media(t["documents"]), max_side=128)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("long").alias("n_bytes"),
     )
 
 
