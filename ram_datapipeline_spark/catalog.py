@@ -48,6 +48,11 @@ def load_tables(
     """Load every fixture table from ``sf_dir`` and (optionally) register
     each as a temp view under its bare name."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamps in the fixtures are naive instants; all date formatting /
+    # extraction must interpret them as UTC regardless of whose
+    # SparkSession runs the query (the driver builds its own) — otherwise
+    # date_format/date_trunc shift against the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     tables: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
