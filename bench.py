@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_cosine_topk_lsh",   # LSH-bucketed ANN (north star)
     "sim_cosine_topk_ivf",   # IVF-partitioned ANN (north star)
     "mm_decode_image_stats",  # multimodal decode through Arrow (north star)
+    "dedup_connected_components",  # iterative min-label propagation (north star)
 ]
 
 
@@ -71,8 +72,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = Q.REGISTRY[name].builder(spark, SF_DIR)
+        # builder INSIDE the timed section: iterative operators (connected
+        # components) do real cluster work while constructing the result
         t0 = time.perf_counter()
+        df = Q.REGISTRY[name].builder(spark, SF_DIR)
         _run(df)
         timings[name] = round(time.perf_counter() - t0, 3)
 

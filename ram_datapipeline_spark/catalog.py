@@ -40,6 +40,11 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+# DataFrames are immutable plans — cache the loaded catalog per
+# (session, sf_dir) so 60+ query builders don't re-read parquet footers
+_CACHE: dict[tuple[int, str, bool], dict[str, DataFrame]] = {}
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,
@@ -47,6 +52,10 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Load every fixture table from ``sf_dir`` and (optionally) register
     each as a temp view under its bare name."""
+    key = (id(spark), sf_dir, register)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamps in the fixtures are naive instants; all date formatting /
     # extraction must interpret them as UTC regardless of whose
@@ -63,4 +72,5 @@ def load_tables(
         tables[name] = df
         if register:
             df.createOrReplaceTempView(name)
+    _CACHE[key] = dict(tables)
     return tables
