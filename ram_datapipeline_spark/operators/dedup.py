@@ -184,22 +184,23 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
     labels.persist()
-    for _ in range(max_iters):
+
+    def propagate(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            labels.join(sym, labels["node"] == sym["src"])
+            lbl.join(sym, lbl["node"] == sym["src"])
             .groupBy("dst")
             .agg(F.min("label").alias("nb_label"))
             .withColumnRenamed("dst", "node")
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nb_label", F.col("label"))
-                ).alias("label"),
-            )
+        return lbl.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nb_label", F.col("label"))
+            ).alias("label"),
         )
+
+    for _ in range(max_iters):
+        new_labels = propagate(labels)
         new_labels.persist()
         changed = (
             new_labels.alias("n")
