@@ -161,6 +161,59 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE 2 * CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+            * (SELECT count(*) FROM orders)
+          > 3 * (SELECT sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 FROM orders)
+"""
+
+
+@query(
+    "p7_scalar_subquery",
+    oracle=_SCALAR_SUBQ_SQL,
+    survey="scalar subquery predicate (relational surface beyond reference)",
+    tags=("analytic",),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above 1.5× the global average price — scalar subqueries
+    evaluated once and broadcast by Catalyst. The comparison is done in
+    integer cents cross-multiplied by the row count, so the 'average'
+    threshold never exists as a float and the predicate is bit-exact in
+    any engine."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, count(*) AS n_cust
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (n.n_name), ())
+    """,
+    survey="explicit grouping sets (§2.4 'not present', exposed natively)",
+    tags=("analytic",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric grouping sets (region-only, nation-only, grand total) —
+    the shape rollup/cube can't express; exercised through the SQL API."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, n.n_name AS nation, count(*) AS n_cust
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r.r_name), (n.n_name), ())
+        """
+    )
+
+
 @query(
     "agg_percentiles",
     oracle="""
