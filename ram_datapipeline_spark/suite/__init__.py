@@ -7,6 +7,7 @@ populates ``ram_datapipeline_spark.registry.REGISTRY``.
 from ram_datapipeline_spark.suite import (  # noqa: F401
     analytic_queries,
     eta_queries,
+    extended_queries,
     multimodal_queries,
     relational_queries,
     spatial_queries,

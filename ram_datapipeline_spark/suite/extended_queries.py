@@ -1,0 +1,394 @@
+"""Extended relational surface — the join types, window functions, and
+scalar families SURVEY §2.3/§2.5/§2.7 lists as "not present in the
+reference, free in Spark", exercised as first-class oracle-backed queries
+so a reference user migrating real workloads has them proven, not just
+available.
+
+Exactness discipline matches the rest of the suite: integer-cent money,
+day-granular date arithmetic, strict-left-fold array reductions, unique
+tie-breaks on every rank/limit boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.operators import relational as R
+from ram_datapipeline_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Outer joins (SURVEY §2.3 note: standard join types exposed natively)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q13_outer_join_custdist",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    survey="outer join + conditional join predicate (TPC-H Q13 shape)",
+    tags=("extended",),
+)
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-order-count distribution: LEFT OUTER JOIN with an extra
+    join-side predicate (customers with zero matching orders survive with
+    count 0), then a second aggregation over the counts."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "j_full_outer_reconcile",
+    oracle="""
+    WITH y96 AS (SELECT o_custkey, count(*) AS n96 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey),
+         y97 AS (SELECT o_custkey, count(*) AS n97 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey)
+    SELECT COALESCE(y96.o_custkey, y97.o_custkey) AS custkey,
+           COALESCE(n96, 0) AS n96, COALESCE(n97, 0) AS n97,
+           COALESCE(n97, 0) - COALESCE(n96, 0) AS delta
+    FROM y96 FULL OUTER JOIN y97 ON y96.o_custkey = y97.o_custkey
+    """,
+    survey="full outer join + coalesce reconciliation (§2.3 'not present')",
+    tags=("extended",),
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year order-count reconciliation: FULL OUTER JOIN keeps
+    customers active in either year; coalesce fills the gaps."""
+    t = load_tables(spark, sf_dir)
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            t["orders"]
+            .filter(
+                (F.col("o_orderdate") >= f"{y}-01-01")
+                & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            )
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    a = year_counts(1996, "n96").withColumnRenamed("o_custkey", "k96")
+    b = year_counts(1997, "n97").withColumnRenamed("o_custkey", "k97")
+    n96 = F.coalesce(F.col("n96"), F.lit(0))
+    n97 = F.coalesce(F.col("n97"), F.lit(0))
+    return (
+        a.join(b, F.col("k96") == F.col("k97"), "full_outer")
+        .select(
+            F.coalesce(F.col("k96"), F.col("k97")).alias("custkey"),
+            n96.alias("n96"),
+            n97.alias("n97"),
+            (n97 - n96).alias("delta"),
+        )
+    )
+
+
+@query(
+    "q4_exists_correlated",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    survey="correlated EXISTS via conditioned semi join (TPC-H Q4 shape)",
+    tags=("extended",),
+)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a non-equi component (line shipped after the
+    order date) — a semi join carrying both the equi key and the range
+    predicate; Catalyst keeps the date filter pushed to the orders scan."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    l = t["lineitem"].select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q18_having_join_back",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+    )
+    SELECT o.o_orderkey, o.o_custkey, b.sum_qty,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+    """,
+    survey="HAVING + join-back to the fact (TPC-H Q18 shape)",
+    tags=("extended",),
+)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: aggregate-then-filter (HAVING) joined back to
+    the order header. The aggregate side shrinks before the join, so at
+    scale the join input is the filtered group list, not the fact table."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "sum_qty",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pushdown aggregate (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q6_pushdown_revenue",
+    oracle="""
+    SELECT
+      CAST(sum(CAST(floor((l_extendedprice * l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+    """,
+    survey="filter-heavy scan aggregate; every predicate parquet-pushed (TPC-H Q6 shape)",
+    tags=("extended",),
+)
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change scan: four conjunctive predicates, all
+    pushable to the parquet reader (PushedFilters), then one global
+    fixed-point sum — the canonical scan-efficiency probe."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return l.agg(
+        R.exact_money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows: lag/lead, ntile/rank family (§2.5 'not present')
+# ---------------------------------------------------------------------------
+
+@query(
+    "w5_lag_lead_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER w AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    survey="lag/lead windows (§2.5 'not present', exposed natively)",
+    tags=("extended",),
+)
+def q_w5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer (lag) and the next
+    order key (lead) — day-granular integer arithmetic, unique tie-break
+    inside each partition."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag(F.col("o_orderdate")).over(w)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(prev_date)).alias(
+            "days_since_prev"
+        ),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "w6_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           percent_rank() OVER w AS prk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    survey="ranking windows: ntile/rank/dense_rank/percent_rank (§2.5 'not present')",
+    tags=("extended",),
+)
+def q_w6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family per priority class. percent_rank is
+    (rank-1)/(n-1) in both engines — a single IEEE division, bit-exact;
+    the unique (price, key) order pins every tie."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions over the embedding column
+# ---------------------------------------------------------------------------
+
+@query(
+    "hof_array_kit",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (a, b) -> a + b) AS total,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           CAST(embedding[1] AS DOUBLE) AS first_dim
+    FROM embeddings
+    """,
+    survey="higher-order array functions: transform/filter/aggregate (scale path for array<float> columns)",
+    tags=("extended",),
+)
+def q_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / aggregate over array<float> — all JVM-side
+    (whole-stage codegen), no UDF. The fold is strict-left on
+    double-widened elements, matching DuckDB's list_reduce element order
+    exactly (first element absorbed into the 0-init fold)."""
+    t = load_tables(spark, sf_dir)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return t["embeddings"].select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x).alias("total"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic (§2.7: 'no date arithmetic in the reference')
+# ---------------------------------------------------------------------------
+
+@query(
+    "f_date_arithmetic",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS ship_delay_days,
+           strftime(CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d')
+             AS deadline,
+           CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 90
+                THEN 'late' ELSE 'on_time' END AS verdict
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey < 500
+    """,
+    survey="date arithmetic: datediff / date_add / conditional (§2.7 beyond-ref)",
+    tags=("extended",),
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay arithmetic: day difference, +90-day deadline, and a
+    late/on-time verdict — integer day math only, no fractional-month
+    ambiguity."""
+    t = load_tables(spark, sf_dir)
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 500)
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            delay.alias("ship_delay_days"),
+            F.date_format(F.date_add(F.to_date("o_orderdate"), 90), "yyyy-MM-dd").alias(
+                "deadline"
+            ),
+            F.when(delay > 90, "late").otherwise("on_time").alias("verdict"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String function kit (§2.7 F8 generalization)
+# ---------------------------------------------------------------------------
+
+@query(
+    "f_string_kit",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           lower(p_type) AS type_lo,
+           substring(p_name, 1, 8) AS name8,
+           replace(p_type, ' ', '_') AS type_us,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_pad,
+           length(p_name) AS name_len,
+           reverse(p_brand) AS brand_rev,
+           strpos(p_type, 'O') AS o_pos,
+           levenshtein(p_brand, 'Brand#33') AS lev_to_b33
+    FROM part
+    """,
+    survey="string kit: case/substr/replace/pad/reverse/instr/levenshtein (§2.7 beyond-ref)",
+    tags=("extended",),
+)
+def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-manipulation surface a pipeline user expects — all
+    JVM-side built-ins; levenshtein is the classic DP edit distance in
+    both engines."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_pad"),
+        F.length("p_name").alias("name_len"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr(F.col("p_type"), "O").alias("o_pos"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#33")).alias("lev_to_b33"),
+    )
