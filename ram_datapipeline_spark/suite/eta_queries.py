@@ -86,27 +86,40 @@ def q_eta_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * 111.0 / 120.0 * 3600.0) AS eta_s
       FROM o CROSS JOIN p GROUP BY o.origin_id, p.poi_type
     ),
+    oc AS (SELECT *, CAST(floor(lon / 4.0) AS BIGINT) AS cx,
+                     CAST(floor(lat / 4.0) AS BIGINT) AS cy FROM o),
+    pc AS (SELECT *, CAST(floor(lon / 4.0) AS BIGINT) AS cx,
+                     CAST(floor(lat / 4.0) AS BIGINT) AS cy FROM p),
     snap AS (
-      SELECT o.origin_id,
-             min(sqrt((o.lon - p.lon) * (o.lon - p.lon)
-                      + (o.lat - p.lat) * (o.lat - p.lat)) * 111.0) AS snap_km
-      FROM o CROSS JOIN p GROUP BY o.origin_id
+      SELECT oc.origin_id,
+             min(sqrt((oc.lon - pc.lon) * (oc.lon - pc.lon)
+                      + (oc.lat - pc.lat) * (oc.lat - pc.lat)) * 111.0) AS snap_km
+      FROM oc JOIN pc
+        ON pc.cx BETWEEN oc.cx - 1 AND oc.cx + 1
+       AND pc.cy BETWEEN oc.cy - 1 AND oc.cy + 1
+      GROUP BY oc.origin_id
     )
     SELECT eta.origin_id, eta.poi_type, eta.eta_s, snap.snap_km,
            eta.eta_s + snap.snap_km / 4.0 * 3600.0 AS eta_total_s
-    FROM eta JOIN snap ON eta.origin_id = snap.origin_id
+    FROM eta LEFT JOIN snap ON eta.origin_id = snap.origin_id
     """,
     survey="J5,F4 (tasks.js:136-151,181-213; WALKSPEED=4 at :141)",
     tags=("eta",),
 )
 def q_eta_with_walk_penalty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final ETA formula: matrix min + walking penalty from the origin to
-    its nearest network point (suppliers double as snap targets here)."""
+    its nearest network point (suppliers double as snap targets here).
+
+    The snap term uses the grid-pruned join (``nearest_snap_distance_grid``,
+    3×3 neighborhood of 4° cells — the scale path for planet-sized vertex
+    sets); the oracle replays the identical neighborhood join. Origins whose
+    neighborhood holds no vertex get NULL snap_km / eta_total_s (unsnapped),
+    in both engine and oracle (LEFT JOIN)."""
     t = load_tables(spark, sf_dir)
     o = ram_domain.origins(t["customer"])
     p = ram_domain.pois(t["supplier"])
     e = eta_ops.nearest_poi_eta(o, p)
-    snap = eta_ops.nearest_snap_distance(o, p)
+    snap = eta_ops.nearest_snap_distance_grid(o, p, cell_deg=4.0)
     out = eta_ops.eta_with_walk_penalty(e, snap)
     return out.select("origin_id", "poi_type", "eta_s", "snap_km", "eta_total_s")
 
