@@ -13,8 +13,9 @@ Four tiers, each a declarative Spark plan:
   hashing) — banded into buckets; candidate pairs = bucket self-join.
   Scales to billions of docs: cost is O(shingles) hashing + bucket-local
   joins, never pairwise.
-- **SimHash**: 16-bit sign-aggregated fingerprint from token md5 digits;
-  near-dups = small Hamming distance.
+- **SimHash**: 64-bit sign-aggregated fingerprint from token md5 digits
+  (two ±1 votes per hex digit); near-dups = small Hamming distance,
+  blocked on max_hamming+1 disjoint 16-bit words (2¹⁶ buckets per band).
 
 All hashing is md5-hex (engine-portable, deterministic); signature
 minima/maxima operate on fixed-width lower-hex strings where lexicographic
@@ -216,56 +217,92 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash: per token, each md5 hex digit's high bit votes ±1 on
-    one of 16 bit positions; the sign of the per-position sum is the
-    fingerprint bit. Output: (id, simhash) as a 16-char '0'/'1' string
-    (portable; numeric packing is engine-specific).
+SIMHASH_BITS = 64
+# Bit 2i   of the fingerprint = high bit of md5 hex digit i   (digit ≥ 8);
+# bit 2i+1 = second bit of the same digit (digit & 4). Two ±1 votes per
+# digit × 32 digits = 64 bit positions from ONE md5 per token — identical
+# in Spark (instr) and any SQL engine (strpos), so oracle-exact.
+_BIT_SETS = ("89abcdef", "4567cdef")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """64-bit SimHash: per token, each md5 hex digit votes ±1 on two bit
+    positions (its two high bits); the sign of the per-position sum is the
+    fingerprint bit. Output: (id, simhash) as an ``n_bits``-char '0'/'1'
+    string (portable; numeric packing is engine-specific).
 
     Token multiplicity is preserved (explode, not distinct) — repeated
-    tokens weigh more, the standard SimHash weighting."""
+    tokens weigh more, the standard SimHash weighting. 64 bits keeps the
+    collision rate workable at real corpus sizes (a 16-bit fingerprint
+    saturates beyond ~10⁵ docs)."""
     from ram_datapipeline_spark.session import ensure_parallelism
 
+    assert n_bits <= 64, "one md5 yields at most 64 vote positions (2/hex digit)"
     src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     tok = src.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     tok = tok.withColumn("_h", F.md5(F.col("tok")))
     votes = [
         F.sum(
             F.when(
-                F.instr(F.lit("89abcdef"), F.substring(F.col("_h"), i + 1, 1)) > 0, 1
+                F.instr(F.lit(_BIT_SETS[i % 2]), F.substring(F.col("_h"), i // 2 + 1, 1))
+                > 0,
+                1,
             ).otherwise(-1)
         ).alias(f"_v{i}")
-        for i in range(16)
+        for i in range(n_bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
     bits = F.concat(
-        *[F.when(F.col(f"_v{i}") > 0, "1").otherwise("0") for i in range(16)]
+        *[F.when(F.col(f"_v{i}") > 0, "1").otherwise("0") for i in range(n_bits)]
     )
     return agg.select(F.col(id_col), bits.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pair generation is blocked on the simhash's 4-bit nibbles (a pair within
-    Hamming ≤ 3 of 16 bits must agree on ≥1 of 4 nibbles — pigeonhole), so
-    the join is bucket-local like LSH rather than O(n²)."""
-    s = simhash(df, id_col, text_col)
-    nib = s.select(
+    Pair generation is blocked on ``max_hamming + 1`` disjoint bit segments
+    (pigeonhole: with ≤ ``max_hamming`` differing bits spread over
+    ``max_hamming + 1`` disjoint segments, at least one segment matches
+    exactly), so the join is bucket-local like LSH rather than O(n²).
+    With the 64-bit default and max_hamming=3 the block key is a 16-bit
+    word → up to 4 × 2¹⁶ buckets, keeping buckets thin as the corpus grows
+    (the old 16-bit/4-nibble scheme capped at 64 buckets and degraded
+    toward O(n²/64)). Precision is exact: candidates are re-filtered on
+    the full Hamming distance."""
+    if not 0 <= max_hamming < n_bits:
+        raise ValueError(f"max_hamming must be in [0, {n_bits}), got {max_hamming}")
+    n_bands = max_hamming + 1
+    width = n_bits // n_bands  # disjoint segments; remainder bits stay unblocked
+    s = simhash(df, id_col, text_col, n_bits)
+    seg = s.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
             F.array(*[
-                F.concat(F.lit(str(q)), F.lit(":"), F.substring("simhash", q * 4 + 1, 4))
-                for q in range(4)
+                F.concat(
+                    F.lit(str(q)), F.lit(":"), F.substring("simhash", q * width + 1, width)
+                )
+                for q in range(n_bands)
             ])
         ).alias("block"),
     )
-    a = nib.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"), "block")
-    b = nib.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"), "block")
+    a = seg.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"), "block")
+    b = seg.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"), "block")
     hamming = sum(
         (F.substring("_ha", i + 1, 1) != F.substring("_hb", i + 1, 1)).cast("int")
-        for i in range(16)
+        for i in range(n_bits)
     )
     return (
         a.join(b, "block")

@@ -88,6 +88,35 @@ def cosine_topk(
     )
 
 
+def scaled_cell_count(n: int) -> int:
+    """IVF cell count for an ``n``-vector corpus: ⌈√n⌉ (the standard
+    balance point — probe cost and cell size both ~√n)."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n)))
+
+
+def scaled_plane_count(n: int, target_bucket: int = 64) -> int:
+    """LSH plane count targeting ~``target_bucket`` vectors per bucket:
+    ⌈log2(n / target_bucket)⌉, floored at 4. Buckets stay thin as the
+    corpus grows instead of saturating at a fixed 2^planes."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2.0, n / target_bucket))))
+
+
+def stratified_seed_ids(corpus: DataFrame, n_cells: int, id_col: str = "vec_id") -> DataFrame:
+    """The ``n_cells`` ids with smallest md5(id) — a deterministic,
+    hash-stratified sample spread uniformly over the corpus (the round-1
+    'first 8 ids' seeds clustered whatever rows were written first).
+    Distributed TakeOrdered — no full sort, no driver collect."""
+    return (
+        corpus.select(F.col(id_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_cells)
+    )
+
+
 def assign_ivf_cells(
     vectors: DataFrame, seeds: DataFrame, n_probe: int = 1,
     id_col: str = "vec_id",
@@ -114,20 +143,31 @@ def assign_ivf_cells(
 def cosine_topk_ivf(
     queries: DataFrame, corpus: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_cells: int = 8, n_probe: int = 2,
+    n_cells: int | None = None, n_probe: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning: corpus
     vectors live in their single nearest cell, queries probe their
     ``n_probe`` nearest cells, exact cosine ranks within the probed cells.
 
-    Seeds are the first ``n_cells`` corpus vectors by id — deterministic
-    (no RNG, no trained centroids), so the whole index is reproducible in
-    ANSI SQL. At scale the corpus assignment is one broadcast pass +
-    shuffle on cell; per-query cost is the probed cells' sizes. Recall
-    rises with n_probe — the standard IVF dial."""
+    Seeds are the ``n_cells`` corpus vectors with smallest md5(id) —
+    deterministic and hash-stratified (no RNG, no trained centroids), so
+    the whole index is reproducible in ANSI SQL. ``n_cells`` defaults to
+    ⌈√n⌉ of the corpus (one count job at build time), keeping cell size
+    ~√n instead of n/8 — the round-1 fixed 8 cells degraded to quadratic
+    within-cell work as the corpus grew. At scale the corpus assignment is
+    one broadcast pass + shuffle on cell; per-query cost is the probed
+    cells' sizes. Recall rises with n_probe — the standard IVF dial —
+    which defaults to ⌈√n_cells⌉ so the probed fraction shrinks as
+    1/√n_cells while absolute probe breadth still grows."""
+    import math
+
     c = with_norm(ensure_parallelism(corpus), vec_col)
     q = with_norm(queries, vec_col)
-    seeds = c.filter(F.col(id_col) < n_cells)
+    if n_cells is None:
+        n_cells = scaled_cell_count(corpus.count())
+    if n_probe is None:
+        n_probe = math.ceil(math.sqrt(n_cells))
+    seeds = c.join(F.broadcast(stratified_seed_ids(corpus, n_cells, id_col)), id_col)
     c_cells = assign_ivf_cells(c, seeds, 1, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_e").alias("_ec"),
@@ -157,19 +197,33 @@ def cosine_topk_ivf(
     )
 
 
+def lsh_plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights: w[p][i] = +1 iff the first hex
+    digit of md5(f"{p}:{i}") has its high bit set. Independent
+    pseudo-random planes, reproducible in any engine that has md5 (the
+    round-1 parity mix ``(i*odd + p*odd) % 2`` collapsed every plane to
+    one of TWO distinct hyperplanes — ≤4 effective buckets)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_bucket_signature(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature: sign pattern of ``n_planes`` fixed
-    pseudo-random hyperplanes. Plane weights are deterministic ±1 derived
-    from (plane, dim-index) parity of md5 — no RNG, reproducible anywhere."""
+    md5-derived ±1 hyperplanes (see ``lsh_plane_weights``). Strict
+    left-fold projection — bit-reproducible across engines."""
+    weights = lsh_plane_weights(n_planes, dim)
     bits = []
     for p in range(n_planes):
-        # deterministic ±1 weight per (plane, index): parity of a cheap mix
+        w_arr = F.array(*[F.lit(w) for w in weights[p]])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: F.when(((i * 2654435761 + p * 40503) % 2) == 0, x).otherwise(-x),
-            ),
+            F.zip_with(vec, w_arr, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -177,29 +231,56 @@ def lsh_bucket_signature(vec: Column, n_planes: int = 8, dim: int = 64) -> Colum
     return F.concat(*bits)
 
 
+def _probe_signatures(sig: Column, n_planes: int) -> Column:
+    """Multi-probe set: the signature itself plus every Hamming-1
+    neighbor (one bit flipped) — n_planes + 1 probes per query."""
+    probes = [sig]
+    for j in range(n_planes):
+        flipped = F.when(F.substring(sig, j + 1, 1) == "1", "0").otherwise("1")
+        probes.append(
+            F.concat(F.substring(sig, 1, j), flipped, F.substring(sig, j + 2, n_planes - j - 1))
+        )
+    return F.array(*probes)
+
+
 def cosine_topk_lsh(
     queries: DataFrame, corpus: DataFrame, k: int = 5,
-    id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int | None = None, dim: int = 64, multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket,
-    then exact cosine rank within the bucket. The scale path: the join is
-    bucket-local (equi-join on the signature), so per-query work is bucket
-    size, not corpus size. Recall is tunable via n_planes / multi-probe."""
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (plus its Hamming-1 probe buckets when ``multi_probe``), then exact
+    cosine rank within the candidates. The join is bucket-local (equi-join
+    on the signature), so per-query work is bucket size × probes, not
+    corpus size. ``n_planes`` defaults to ⌈log2(n/64)⌉ — bucket count
+    grows with the corpus (the round-1 fixed 8 planes capped at 256
+    buckets, so buckets grew linearly with n). Recall is tunable via
+    multi-probe breadth and the 64-vector bucket target."""
+    if n_planes is None:
+        n_planes = scaled_plane_count(corpus.count())
     q = with_norm(queries, vec_col)
     c = with_norm(ensure_parallelism(corpus), vec_col)
-    q = q.withColumn("_sig", lsh_bucket_signature(F.col("_e"), n_planes)).select(
+    sig = lsh_bucket_signature(F.col("_e"), n_planes, dim)
+    if multi_probe:
+        q_sig = F.explode(_probe_signatures(sig, n_planes)).alias("_sig")
+    else:
+        q_sig = sig.alias("_sig")
+    q = q.select(
         F.col(id_col).alias("query_id"), F.col("_e").alias("_eq"),
-        F.col("_nrm").alias("_nq"), "_sig",
+        F.col("_nrm").alias("_nq"), q_sig,
     )
-    c = c.withColumn("_sig", lsh_bucket_signature(F.col("_e"), n_planes)).select(
+    c = c.select(
         F.col(id_col).alias("neighbor_id"), F.col("_e").alias("_ec"),
-        F.col("_nrm").alias("_nc"), "_sig",
+        F.col("_nrm").alias("_nc"), sig.alias("_sig"),
     )
     cos = _dot(F.col("_eq"), F.col("_ec")) / (F.col("_nq") * F.col("_nc"))
     pairs = (
         c.join(F.broadcast(q), "_sig")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cos)
+        # a corpus vector can match several probes of one query
+        .select("query_id", "neighbor_id", "cos")
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -46,9 +46,20 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi-join, result-identical to ``big.join(small, on,
-    how)``: join keys become (on..., salt). Use when one key dominates the
-    distribution and the join must shuffle (small side too big to
-    broadcast)."""
+    how)`` for ``inner`` and ``left`` joins: join keys become (on...,
+    salt). Use when one key dominates the distribution and the join must
+    shuffle (small side too big to broadcast).
+
+    Right/full joins are rejected: the small side is replicated once per
+    salt, so its unmatched rows would surface ``n_salts`` times (ADVICE
+    r1). Salting with outer-preserved small side needs a post-join dedup
+    that this helper deliberately does not hide."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left', 'left_outer'); got {how!r}:"
+            " replicated small-side rows would duplicate unmatched"
+            " right/full-outer output"
+        )
     b = salt_big_side(big, n_salts)
     s = replicate_small_side(small, n_salts)
     return b.join(s, [*on, "_salt"], how).drop("_salt")

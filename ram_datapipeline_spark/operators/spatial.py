@@ -163,7 +163,16 @@ def world_buffer_guard(areas: DataFrame, buffer_deg: float) -> DataFrame:
 
 def _ring_contains(ring: list[list[float]], x: float, y: float) -> bool:
     """Even-odd ray casting for one linear ring (pure python, called on
-    numpy scalars inside the Arrow batch loop)."""
+    numpy scalars inside the Arrow batch loop).
+
+    Edge semantics are HALF-OPEN by construction, matching
+    ``functions.geo.point_in_rect``'s [xmin,xmax) × [ymin,ymax) rule for
+    axis-aligned rings: the ``(yi > y) != (yj > y)`` crossing test treats
+    each edge's y-span as half-open (bottom edge in, top edge out), and
+    the strict ``x <`` intersect test keeps left edges in and right edges
+    out. Both PIP paths therefore agree even for points EXACTLY on a
+    rectangle edge or corner — asserted by
+    tests/test_spatial_edges.py (VERDICT r1 #6)."""
     inside = False
     n = len(ring)
     j = n - 1

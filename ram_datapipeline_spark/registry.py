@@ -89,6 +89,7 @@ GATE_ORDER: tuple[str, ...] = (
     "sim_cosine_pairs",
     "sim_cosine_topk",
     "sim_cosine_topk_ivf",
+    "sim_cosine_topk_lsh",
     # text north star (invisible in round 1)
     "text_quality_score",
     "text_lang_id",
@@ -118,7 +119,6 @@ GATE_ORDER: tuple[str, ...] = (
     "w1_latest_per_key",
     "w3_topk_per_group",
     "f_scalar_kit",
-    "f7_date_parts",
     # multimodal north star representatives (binary-safe embedding gated)
     "mm_payload_embedding",
     "mm_decode_image_stats",

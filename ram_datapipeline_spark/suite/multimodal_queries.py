@@ -178,12 +178,16 @@ def q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_payload_embedding",
     oracle=f"""
-    WITH {_MEDIA_CTE}
+    WITH {_MEDIA_CTE},
+    hx AS (SELECT media_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS nb FROM m)
     SELECT media_id, CAST(b AS INT) AS bucket,
            COALESCE(list_sum(list_transform(
-               list_filter(generate_series(1, length(text)), p -> (p - 1) % 16 = b),
-               p -> CAST(ascii(substr(text, p, 1)) AS DOUBLE))), 0.0) AS val
-    FROM m, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) u
+               list_filter(generate_series(1, nb), p -> (p - 1) % 16 = b),
+               p -> CAST((strpos('0123456789ABCDEF', substr(h, 2 * p - 1, 1)) - 1) * 16
+                         + strpos('0123456789ABCDEF', substr(h, 2 * p, 1)) - 1
+                         AS DOUBLE))), 0.0) AS val
+    FROM hx, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) u
     """,
     survey="multimodal: byte-level feature extraction (encoder stand-in, north star)",
     tags=("multimodal",),

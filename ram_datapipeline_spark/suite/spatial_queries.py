@@ -60,10 +60,11 @@ def q_j2_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel (bbox prefilter + Arrow-batched ray casting) — the path
     non-rectangular polygons take. Checked against the identical oracle.
 
-    The GeoJSON rectangles are built half-open-compatible: the kernel's
-    even-odd rule includes min edges and excludes max edges for points
-    strictly inside the bbox prefilter, which matches the rect path on this
-    data (no origin sits exactly on a slab edge at oracle scale).
+    Both paths implement the SAME half-open rule [xmin,xmax) × [ymin,ymax)
+    — the even-odd kernel's crossing test is half-open by construction
+    (operators/spatial.py::_ring_contains), so agreement holds even for
+    points exactly on slab edges (tests/test_spatial_edges.py), not just
+    for this fixture's interior points.
     """
     t = load_tables(spark, sf_dir)
     o = ram_domain.origins(t["customer"])

@@ -183,12 +183,25 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, t["documents"])
 
 
-def _simhash_oracle() -> str:
-    votes = ",\n      ".join(
-        f"sum(CASE WHEN strpos('89abcdef', substr(hh, {i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(16)
+# Mirrors operators/dedup.py: bit 2i = high bit of md5 hex digit i
+# ('89abcdef'), bit 2i+1 = second bit ('4567cdef') — 64 bits from one md5.
+_SH_BIT_SETS = ("89abcdef", "4567cdef")
+_SH_BITS = 64
+
+
+def _sh_votes() -> str:
+    return ",\n      ".join(
+        f"sum(CASE WHEN strpos('{_SH_BIT_SETS[i % 2]}', substr(hh, {i // 2 + 1}, 1)) > 0"
+        f" THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SH_BITS)
     )
-    bits = " || ".join(f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(16))
+
+
+def _simhash_oracle() -> str:
+    votes = _sh_votes()
+    bits = " || ".join(
+        f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(_SH_BITS)
+    )
     return f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
     h AS (SELECT doc_id, md5(tok) AS hh FROM tok),
@@ -204,7 +217,7 @@ def _simhash_oracle() -> str:
 @query(
     "dedup_simhash",
     oracle=_simhash_oracle(),
-    survey="dedup tier 4: 16-bit SimHash fingerprints (north star)",
+    survey="dedup tier 4: 64-bit SimHash fingerprints (north star)",
     tags=("dedup",),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,14 +228,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_oracle() -> str:
-    votes = ",\n      ".join(
-        f"sum(CASE WHEN strpos('89abcdef', substr(hh, {i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(16)
+    votes = _sh_votes()
+    bits = " || ".join(
+        f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(_SH_BITS)
     )
-    bits = " || ".join(f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(16))
     hamming = " + ".join(
         f"(CASE WHEN substr(ha, {i + 1}, 1) <> substr(hb, {i + 1}, 1) THEN 1 ELSE 0 END)"
-        for i in range(16)
+        for i in range(_SH_BITS)
     )
     return f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -231,7 +243,7 @@ def _simhash_pairs_oracle() -> str:
     sh AS (SELECT doc_id, {bits} AS simhash FROM agg),
     blocks AS (
       SELECT doc_id, simhash,
-             CAST(q AS VARCHAR) || ':' || substr(simhash, q * 4 + 1, 4) AS block
+             CAST(q AS VARCHAR) || ':' || substr(simhash, q * 16 + 1, 16) AS block
       FROM sh, LATERAL (SELECT unnest(generate_series(0, 3)) AS q) u
     ),
     cand AS (
@@ -248,12 +260,12 @@ def _simhash_pairs_oracle() -> str:
 @query(
     "dedup_simhash_pairs",
     oracle=_simhash_pairs_oracle(),
-    survey="dedup tier 4b: SimHash near-dup pairs, nibble-blocked (north star)",
+    survey="dedup tier 4b: SimHash near-dup pairs, 16-bit-word blocked (north star)",
     tags=("dedup",),
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming ≤ 3 pairs via pigeonhole nibble blocking — bucket-local
-    join, never O(n²)."""
+    """Hamming ≤ 3 pairs via pigeonhole 16-bit-word blocking (4 × 2¹⁶
+    buckets) — bucket-local join, never O(n²)."""
     t = load_tables(spark, sf_dir)
     out = D.simhash_pairs(t["documents"], max_hamming=3)
     return out.select(
@@ -494,7 +506,21 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_topk_ivf",
     oracle=f"""
     WITH {_COSINE_CTE},
-    seeds AS (SELECT vec_id AS cell, e AS es, nrm AS ns FROM n WHERE vec_id < 8),
+    params AS (
+      SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc,
+             CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS INT) AS npr
+      FROM v
+    ),
+    seed_rk AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS srk
+      FROM v
+    ),
+    seeds AS (
+      SELECT n.vec_id AS cell, n.e AS es, n.nrm AS ns
+      FROM n JOIN seed_rk USING (vec_id) CROSS JOIN params
+      WHERE srk <= nc
+    ),
     c_assign AS (
       SELECT vec_id, cell FROM (
         SELECT c.vec_id, s.cell,
@@ -515,7 +541,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       (p, q) -> p + q) / (qv.nrm * s.ns) DESC,
                           s.cell) AS rk
         FROM n qv, seeds s WHERE qv.vec_id < 20
-      ) WHERE rk <= 2
+      ) CROSS JOIN params WHERE rk <= npr
     ),
     cand AS (
       SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
@@ -537,25 +563,78 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 def q_cos_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5: corpus in 8 deterministic cells, queries probe their 2
-    nearest cells — the entire index is reproducible in the SQL oracle."""
+    """IVF top-5: corpus in ⌈√n⌉ hash-stratified deterministic cells,
+    queries probe their ⌈√n_cells⌉ nearest cells — the entire index (cell
+    count, seed choice, probe breadth, assignment) is reproduced in the
+    SQL oracle."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    return SIM.cosine_topk_ivf(
-        e.filter(F.col("vec_id") < 20), e, k=5, n_cells=8, n_probe=2
+    return SIM.cosine_topk_ivf(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+def _lsh_oracle(max_planes: int = 24, dim: int = 64) -> str:
+    """DuckDB replay of the deterministic LSH index: the same md5-derived
+    ±1 plane weights (inlined as literals from ``lsh_plane_weights`` — one
+    source of truth), the same ⌈log2(n/64)⌉ plane count, the same strict
+    left-fold projections, and the same Hamming-1 multi-probe set."""
+    weights = SIM.lsh_plane_weights(max_planes, dim)
+    proj = lambda p: (  # noqa: E731
+        "list_reduce(list_transform(list_zip(e, ["
+        + ", ".join(f"{w:.1f}" for w in weights[p])
+        + "]::DOUBLE[]), x -> x[1] * x[2]), (a, b) -> a + b)"
     )
+    full_sig = " || ".join(
+        f"(CASE WHEN {proj(p)} >= 0 THEN '1' ELSE '0' END)" for p in range(max_planes)
+    )
+    return f"""
+    WITH {_COSINE_CTE},
+    params AS (
+      SELECT greatest(4, CAST(ceil(log2(greatest(2.0, count(*) / 64.0))) AS INT)) AS np
+      FROM v
+    ),
+    sig AS (
+      SELECT vec_id, e, nrm, left({full_sig}, (SELECT np FROM params)) AS s
+      FROM n
+    ),
+    q_probes AS (
+      SELECT vec_id, e, nrm,
+             CASE WHEN j = 0 THEN s
+                  ELSE left(s, j - 1)
+                       || (CASE WHEN substr(s, j, 1) = '1' THEN '0' ELSE '1' END)
+                       || substr(s, j + 1)
+             END AS s
+      FROM sig CROSS JOIN params
+           CROSS JOIN LATERAL (SELECT unnest(generate_series(0, np)) AS j) u
+      WHERE vec_id < 20
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2]),
+                         (p, q2) -> p + q2) / (q.nrm * c.nrm) AS cos
+      FROM q_probes q JOIN sig c ON q.s = c.s AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cand
+    ) WHERE rk <= 5
+    """
 
 
 @query(
     "sim_cosine_topk_lsh",
-    oracle=None,  # bucket membership is engine-internal; recall checked in tests
-    survey="similarity search: LSH-bucketed ANN scale path (north star)",
-    tags=("similarity", "rows-only"),
+    oracle=_lsh_oracle(),
+    survey="similarity search: LSH-bucketed multi-probe ANN scale path (north star)",
+    tags=("similarity",),
 )
 def q_cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH buckets; per-query cost
-    is bucket size, not corpus size. Recall vs the exact path is asserted
-    in tests/test_similarity.py."""
+    """Approximate top-5 via random-hyperplane LSH buckets with Hamming-1
+    multi-probe; per-query cost is bucket size × (n_planes + 1), not
+    corpus size. The whole index is deterministic (md5-derived planes,
+    ⌈log2(n/64)⌉ plane count) and replayed exactly by the SQL oracle;
+    recall vs the exact path is additionally asserted in
+    tests/test_similarity.py."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     return SIM.cosine_topk_lsh(e.filter(F.col("vec_id") < 20), e, k=5)

@@ -92,3 +92,42 @@ def test_frame_sample_counts(spark):
     )
     bad = per.join(expect, "media_id").filter(F.col("count") != F.col("expect"))
     assert bad.count() == 0
+
+
+def test_payload_embedding_binary_safe(spark, duck):
+    """VERDICT r1 #5: payload_embedding must be byte-exact on TRUE binary
+    payloads (non-UTF8 bytes like ff/00/fe), not just ASCII text — the
+    round-1 cast-to-string path corrupted them. Oracle: DuckDB folding the
+    same hex digit pairs."""
+    from ram_datapipeline_spark.multimodal.media import payload_embedding
+
+    payloads = ["FF00FE", "00", "DEADBEEFCAFE" * 7, "80FFFEFD7F"]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(payloads)], "media_id long, h string"
+    ).select("media_id", F.unhex("h").alias("payload"))
+    got = {
+        (r["media_id"], r["bucket"]): r["val"]
+        for r in payload_embedding(df, dim=4)
+        .select("media_id", F.posexplode("embedding").alias("bucket", "val"))
+        .collect()
+    }
+    rows = duck.execute(
+        """
+        WITH hx AS (
+          SELECT i AS media_id, h, length(h) // 2 AS nb
+          FROM (VALUES (0, 'FF00FE'), (1, '00'),
+                       (2, repeat('DEADBEEFCAFE', 7)), (3, '80FFFEFD7F')) t(i, h)
+        )
+        SELECT media_id, b AS bucket,
+               COALESCE(list_sum(list_transform(
+                   list_filter(generate_series(1, nb), p -> (p - 1) % 4 = b),
+                   p -> CAST((strpos('0123456789ABCDEF', substr(h, 2 * p - 1, 1)) - 1) * 16
+                             + strpos('0123456789ABCDEF', substr(h, 2 * p, 1)) - 1
+                             AS DOUBLE))), 0.0) AS val
+        FROM hx, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) u
+        """
+    ).fetchall()
+    want = {(m, b): v for m, b, v in rows}
+    assert got == want
+    # byte 0xFF lands as 255.0, not a >255 codepoint or a dropped char
+    assert got[(1, 0)] == 0.0 and got[(0, 0)] == 255.0

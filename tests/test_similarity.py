@@ -40,3 +40,44 @@ def test_lsh_candidates_subset_of_exact_ranking(spark):
     j = approx.join(exact_all, ["query_id", "neighbor_id"])
     assert j.count() == approx.count()  # every approx pair exists exactly
     assert j.filter(F.col("cos_a") != F.col("cos_e")).count() == 0
+
+
+def test_ann_bucket_sizes_bounded(spark):
+    """VERDICT r1 #4: index parameters must scale with the corpus and keep
+    buckets balanced — max bucket/cell size < 4× the mean on the fixture
+    (the round-1 fixed constants let buckets grow linearly with n)."""
+    import statistics
+
+    from ram_datapipeline_spark.operators.similarity import (
+        assign_ivf_cells,
+        lsh_bucket_signature,
+        scaled_cell_count,
+        scaled_plane_count,
+        stratified_seed_ids,
+        with_norm,
+    )
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    n = e.count()
+
+    n_planes = scaled_plane_count(n)
+    assert 2**n_planes >= n / 64  # bucket target tracks corpus size
+    sig = lsh_bucket_signature(F.col("_e"), n_planes)
+    lsh_sizes = [
+        r["count"]
+        for r in with_norm(e).select(sig.alias("s")).groupBy("s").count().collect()
+    ]
+    assert max(lsh_sizes) < 4 * statistics.mean(lsh_sizes), lsh_sizes
+
+    n_cells = scaled_cell_count(n)
+    assert n_cells * n_cells >= n  # ⌈√n⌉ cells
+    c = with_norm(e)
+    seeds = c.join(F.broadcast(stratified_seed_ids(e, n_cells)), "vec_id").select(
+        "vec_id", "_e", "_nrm"
+    )
+    ivf_sizes = [
+        r["count"]
+        for r in assign_ivf_cells(c, seeds, 1).groupBy("cell").count().collect()
+    ]
+    assert len(ivf_sizes) == n_cells  # every cell non-empty on the fixture
+    assert max(ivf_sizes) < 4 * statistics.mean(ivf_sizes), ivf_sizes

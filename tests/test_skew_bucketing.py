@@ -55,3 +55,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_rejects_right_and_full():
+    """ADVICE r1: replicated small-side rows would surface once per salt
+    for unmatched right/full-outer output — reject instead of silently
+    duplicating."""
+    import pytest as _pytest
+
+    from ram_datapipeline_spark.operators.skew import salted_join
+
+    for how in ("right", "right_outer", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(None, None, ["k"], how=how)
