@@ -39,6 +39,7 @@ HEADLINE = [
     "j2_point_in_admin",     # spatial point-in-polygon join (J2)
     "eta_nearest_poi",       # flagship: duration matrix + min-reduce (J4/A1)
     "eta_routed_kernel_grid",  # mapInPandas routing kernel, grid-pruned (U1)
+    "eta_routed_graph",      # graph-routed ETA: hub closure + kernel (U1/U4)
     "j_asof_click_view",     # as-of temporal join over events
     "st_sessionize",         # gap sessionization (stateful twin)
     "dedup_exact",           # content-hash dedup (north star)

@@ -1,0 +1,152 @@
+"""Distributed shortest-path closure for routing graphs (SURVEY U1/U4).
+
+The reference answers ``osrm.table`` calls from a contraction hierarchy
+built offline (osrm-extract/osrm-contract, SURVEY §2.9 U4). The Spark-first
+analog keeps the heavy step distributed and declarative:
+
+- **min-plus matrix squaring** (``min_plus_closure``): all-pairs shortest
+  paths over an edge-list DataFrame in ⌈log2(diameter)⌉ rounds — each round
+  is ONE self-join + ONE min-aggregate, both plain shuffles Catalyst/AQE
+  can plan. After k rounds every shortest path of ≤ 2^k edges is final.
+  This is the right distributed shape for the *contracted* (hub-level)
+  graph: V_hub is small (one hub per admin slab / road-network cell), so
+  V² closure rows broadcast to the routing kernel, while the full road
+  network never needs all-pairs anything.
+- **hub routing kernel** (``make_hub_routing_kernel``): a vectorized cost
+  backend for ``operators.eta.routed_duration_matrix`` — duration =
+  drive(origin → its hub) + closure[hub_o, hub_p] + drive(hub_p → poi).
+  Every arithmetic step is IEEE-exact (sqrt/*/÷ only), so the whole routed
+  query is reproducible bit-for-bit by a SQL oracle replaying the same
+  squarings (suite/eta_queries.py::eta_routed_graph).
+
+Why squaring and not per-round Bellman-Ford relaxation: BF needs
+``diameter`` rounds of (join + agg); squaring needs ⌈log2(diameter)⌉ at
+the cost of joining the (small) closure with itself instead of with the
+edge list. For hub graphs (V ≤ 10⁴ even planet-wide at 30 km cells) the
+closure fits comfortably in a shuffle, and round count — the driver-side
+synchronization barrier — is what hurts at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def min_plus_closure(
+    edges: DataFrame,
+    n_squarings: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    materialize_rounds: bool = False,
+) -> DataFrame:
+    """All-pairs shortest-path distances by min-plus matrix squaring.
+
+    ``edges``: directed (src, dst, w ≥ 0); vertices are inferred. Returns
+    (src, dst, w) for every connected ordered pair, where w is the exact
+    shortest-path cost over paths of at most ``2**n_squarings`` edges
+    (choose n_squarings ≥ ⌈log2(graph diameter in hops)⌉ — simple shortest
+    paths have ≤ V-1 edges, so ⌈log2(V-1)⌉ always suffices).
+
+    Determinism: every output distance is a min over sums whose
+    association order is fixed by the squaring sequence, so any engine
+    replaying the same rounds produces bit-identical doubles.
+
+    ``materialize_rounds``: with False (default) each round is persisted
+    LAZILY — the self-join's two branches share one cached round, so the
+    plan stays shallow (no 2^k branch duplication, cheap codegen) and no
+    per-round job is scheduled; the cache fills during the first real
+    action. Right for hub-scale graphs (a few thousand rows cached). Set
+    True for LARGE closures: each round then materializes eagerly and
+    unpersists its predecessor, bounding cached footprint to one round at
+    the cost of one scheduling barrier per round.
+    """
+    verts = (
+        edges.select(F.col(src).alias("_v"))
+        .union(edges.select(F.col(dst).alias("_v")))
+        .distinct()
+    )
+    d = (
+        edges.select(src, dst, w)
+        .union(
+            verts.select(
+                F.col("_v").alias(src), F.col("_v").alias(dst), F.lit(0.0).alias(w)
+            )
+        )
+        .groupBy(src, dst)
+        .agg(F.min(w).alias(w))
+    )
+    d = d.persist()
+    if materialize_rounds:
+        d.count()
+    for _ in range(n_squarings):
+        left = d.select(
+            F.col(src).alias("_u"), F.col(dst).alias("_m"), F.col(w).alias("_w1")
+        )
+        right = d.select(
+            F.col(src).alias("_m"), F.col(dst).alias("_v2"), F.col(w).alias("_w2")
+        )
+        nxt = (
+            left.join(right, "_m")
+            .select(
+                F.col("_u").alias(src),
+                F.col("_v2").alias(dst),
+                (F.col("_w1") + F.col("_w2")).alias(w),
+            )
+            .groupBy(src, dst)
+            .agg(F.min(w).alias(w))
+        )
+        nxt = nxt.persist()
+        if materialize_rounds:
+            nxt.count()  # materialize before dropping the previous round
+            d.unpersist()
+        d = nxt
+    return d
+
+
+def make_hub_routing_kernel(
+    closure_rows: list,
+    hub_rows: list,
+    slab_deg: float = 14.4,
+    km_per_deg: float = 111.0,
+    speed_kmh: float = 120.0,
+):
+    """Vectorized cost backend for ``routed_duration_matrix``: routes every
+    (origin, poi) pair through the hub graph.
+
+    ``closure_rows``: [(src, dst, w_seconds)] — the collected min-plus
+    closure (small by construction: hubs only). ``hub_rows``:
+    [(hub_id, lon, lat)]. A point's hub is its lon slab index
+    ``floor((lon + 180) / slab_deg)`` — no nearest-hub search needed, the
+    hub tiling is the admin tiling.
+
+    duration = leg(origin→hub_o) + closure[hub_o, hub_p] + leg(hub_p→poi),
+    legs at drive speed; expression order mirrors the SQL oracle exactly.
+    Unreachable hub pairs (absent from the closure) yield NaN → the caller
+    treats them as unreachable (they never win a min).
+    """
+    import numpy as np
+
+    n = max(h for h, _, _ in hub_rows) + 1
+    hub_lon = np.zeros(n)
+    hub_lat = np.zeros(n)
+    for h, lon, lat in hub_rows:
+        hub_lon[h] = lon
+        hub_lat[h] = lat
+    dist = np.full((n, n), np.nan)
+    for s, t, cost in closure_rows:
+        dist[s, t] = cost
+
+    def kernel(olon, olat, plon, plat):
+        ho = np.floor((olon + 180.0) / slab_deg).astype(np.int64)
+        hp = np.floor((plon + 180.0) / slab_deg).astype(np.int64)
+        dxo = olon - hub_lon[ho]
+        dyo = olat - hub_lat[ho]
+        leg_o = np.sqrt(dxo * dxo + dyo * dyo) * km_per_deg / speed_kmh * 3600.0
+        dxp = plon - hub_lon[hp]
+        dyp = plat - hub_lat[hp]
+        leg_p = np.sqrt(dxp * dxp + dyp * dyp) * km_per_deg / speed_kmh * 3600.0
+        return leg_o + dist[ho, hp] + leg_p
+
+    return kernel

@@ -87,3 +87,84 @@ def admin_areas(nation: DataFrame) -> DataFrame:
         ((F.col("n_nationkey") + 1).cast("double") * 14.4 - 180.0).alias("xmax"),
         F.lit(85.0).alias("ymax"),
     )
+
+
+# --- road-network hub graph (SURVEY U1/U4 analog: contracted routing graph) ---
+#
+# The reference routes over an OSRM contraction hierarchy built offline from
+# OSM (ram-analysis/app/calculate-eta/tasks.js:246-283; osrm-extract/contract
+# per SURVEY §2.9 U4). The Spark-first analog: contract the road network to
+# one hub per admin slab, hold the hub-to-hub shortest-path closure (computed
+# distributedly — operators/graph.py), and let the per-cell routing kernel
+# look travel times up in the broadcast closure. Hub ids ARE nation keys, so
+# a point's hub is derivable from its lon slab alone: floor((lon+180)/14.4).
+#
+# Edges: the ring hub_i → hub_{i±1 mod 25} (trunk roads between adjacent
+# slabs) plus a complete graph within each region (regional motorways).
+# Weights = planar drive seconds between hub coordinates — IEEE-exact, so
+# the closure is reproducible bit-for-bit in ANSI SQL.
+
+HUBS_SQL = (
+    "SELECT n_nationkey AS hub_id, n_regionkey AS region_id, "
+    "CAST(n_nationkey AS DOUBLE) * 14.4 - 180.0 + 7.2 AS lon, "
+    "CAST((n_nationkey * 53) % 170 AS DOUBLE) - 85.0 AS lat "
+    "FROM nation"
+)
+
+# Symmetric directed edge list over the hubs CTE ``h`` (both orientations
+# emitted by the symmetric ON condition; weight formula is symmetric since
+# (x-y)^2 == (y-x)^2 exactly in IEEE arithmetic).
+ROAD_EDGES_ON_SQL = (
+    "((b.hub_id - a.hub_id + 25) % 25 = 1) "
+    "OR ((a.hub_id - b.hub_id + 25) % 25 = 1) "
+    "OR (a.region_id = b.region_id AND a.hub_id <> b.hub_id)"
+)
+ROAD_EDGE_W_SQL = (
+    "sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat))"
+    " * 111.0 / 120.0 * 3600.0"
+)
+ROAD_EDGES_SQL = (
+    f"SELECT a.hub_id AS src, b.hub_id AS dst, {ROAD_EDGE_W_SQL} AS w "
+    f"FROM h a JOIN h b ON {ROAD_EDGES_ON_SQL}"
+)
+
+N_HUBS = 25  # nation is the fixed-size TPC-H dimension at every SF
+
+
+def hubs(nation: DataFrame) -> DataFrame:
+    """Routing hubs: (hub_id, region_id, lon, lat), one per admin slab."""
+    return nation.select(
+        F.col("n_nationkey").alias("hub_id"),
+        F.col("n_regionkey").alias("region_id"),
+        (F.col("n_nationkey").cast("double") * 14.4 - 180.0 + 7.2).alias("lon"),
+        (((F.col("n_nationkey") * 53) % 170).cast("double") - 85.0).alias("lat"),
+    )
+
+
+def road_edges(nation: DataFrame) -> DataFrame:
+    """Directed symmetric hub edge list: (src, dst, w) with w = planar
+    drive seconds (ring + intra-region clique; see module comment)."""
+    h = hubs(nation)
+    a = h.select(
+        F.col("hub_id").alias("_a_id"), F.col("region_id").alias("_a_r"),
+        F.col("lon").alias("_a_lon"), F.col("lat").alias("_a_lat"),
+    )
+    b = h.select(
+        F.col("hub_id").alias("_b_id"), F.col("region_id").alias("_b_r"),
+        F.col("lon").alias("_b_lon"), F.col("lat").alias("_b_lat"),
+    )
+    ring = ((F.col("_b_id") - F.col("_a_id") + N_HUBS) % N_HUBS == 1) | (
+        (F.col("_a_id") - F.col("_b_id") + N_HUBS) % N_HUBS == 1
+    )
+    clique = (F.col("_a_r") == F.col("_b_r")) & (F.col("_a_id") != F.col("_b_id"))
+    w = geo.eta_seconds(
+        F.col("_a_lon"), F.col("_a_lat"), F.col("_b_lon"), F.col("_b_lat")
+    )
+    return (
+        a.join(b, ring | clique)
+        .select(
+            F.col("_a_id").alias("src"),
+            F.col("_b_id").alias("dst"),
+            w.alias("w"),
+        )
+    )

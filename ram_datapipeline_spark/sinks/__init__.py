@@ -65,8 +65,9 @@ def write_results_normalized(
     mode: str = "append",
     partition_by: list[str] | None = None,
 ) -> None:
-    """K1: two independent appends (parquet here; `.write.jdbc` drop-in on a
-    cluster with a database — the plan is identical either way).
+    """K1: two independent appends (parquet here; ``write_results_jdbc``
+    below is the exercised database variant — the plan is identical either
+    way).
 
     ``partition_by`` (e.g. ``["aa_id"]``) lays the parent out hive-style so
     per-admin-area readers prune directories instead of scanning the world —
@@ -78,6 +79,28 @@ def write_results_normalized(
         w = w.partitionBy(*partition_by)
     w.parquet(parent_path)
     child.write.mode(mode).parquet(child_path)
+
+
+def write_results_jdbc(
+    results: DataFrame,
+    url: str,
+    parent_table: str,
+    child_table: str,
+    poi_map_col: str = "poi",
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """K1 over JDBC — the reference's actual sink (Postgres ``results`` /
+    ``results_poi``, index.js:104-135), through Spark's batched JDBC
+    writer: each partition opens one connection and inserts in batches,
+    so the write parallelism is the data partitioning, not one serialized
+    driver connection. Exercised end-to-end against embedded Derby in
+    tests/test_sinks_sources.py (any JDBC url + driver works the same
+    way; surrogate keys are pre-generated, no RETURNING round-trip)."""
+    parent, child = split_results_normalized(results, poi_map_col)
+    props = dict(properties or {})
+    parent.write.mode(mode).jdbc(url, parent_table, properties=props)
+    child.write.mode(mode).jdbc(url, child_table, properties=props)
 
 
 def poi_types_of(results: DataFrame, poi_map_col: str = "poi") -> list[str]:

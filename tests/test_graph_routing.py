@@ -1,0 +1,97 @@
+"""Distributed shortest-path closure (operators/graph.py): exactness vs an
+independent in-memory Dijkstra, disconnected-pair semantics, and the hub
+kernel's routing formula."""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+from ram_datapipeline_spark.operators.graph import (
+    make_hub_routing_kernel,
+    min_plus_closure,
+)
+
+
+def _dijkstra_all_pairs(edges):
+    adj = {}
+    nodes = set()
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        nodes.update((u, v))
+    out = {}
+    for s in nodes:
+        dist = {s: 0.0}
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, math.inf):
+                continue
+            for v, w in adj.get(u, []):
+                nd = d + w
+                if nd < dist.get(v, math.inf):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        for t, d in dist.items():
+            out[(s, t)] = d
+    return out
+
+
+def test_min_plus_closure_matches_dijkstra(spark):
+    """Deterministic 10-vertex graph (ring + chords, irregular weights):
+    the squared closure must equal Dijkstra to within ulp-level float
+    tolerance (path-sum association differs, so exact bit equality is not
+    required — the ORACLE equality in eta_routed_graph is the bit-exact
+    check, since both engines replay identical squarings)."""
+    n = 10
+    edges = []
+    for i in range(n):
+        w = 1.0 + ((i * 7) % 5)
+        edges.append((i, (i + 1) % n, w))
+        edges.append(((i + 1) % n, i, w))
+    for i in (0, 3, 6):
+        edges.append((i, (i + 4) % n, 2.5))
+        edges.append(((i + 4) % n, i, 2.5))
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in min_plus_closure(df, n_squarings=4).collect()
+    }
+    want = _dijkstra_all_pairs(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12), (k, got[k], want[k])
+
+
+def test_min_plus_closure_disconnected_pairs_absent(spark):
+    """Two components: cross-component pairs must be ABSENT (not inf/null);
+    within-component distances exact."""
+    edges = [(0, 1, 1.0), (1, 0, 1.0), (2, 3, 5.0), (3, 2, 5.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in min_plus_closure(df, n_squarings=2).collect()
+    }
+    assert got == {
+        (0, 0): 0.0, (1, 1): 0.0, (0, 1): 1.0, (1, 0): 1.0,
+        (2, 2): 0.0, (3, 3): 0.0, (2, 3): 5.0, (3, 2): 5.0,
+    }
+
+
+def test_hub_kernel_formula():
+    """Kernel = leg(origin→hub) + closure + leg(hub→poi), vectorized;
+    unreachable hub pairs yield NaN (never win a min)."""
+    import numpy as np
+
+    # slab 0 = [-180, -165.6), slab 1 = [-165.6, -151.2)
+    hubs = [(0, -180.0, 0.0), (1, -165.0, 0.0)]
+    closure = [(0, 0, 0.0), (1, 1, 0.0), (0, 1, 432.0)]  # no (1, 0) entry
+    k = make_hub_routing_kernel(closure, hubs, slab_deg=14.4)
+    olon = np.array([-179.0, -164.0])  # 1° from hub 0, 1° from hub 1
+    olat = np.array([0.0, 0.0])
+    plon = np.array([-164.0, -179.0])  # hub 1's slab, hub 0's slab
+    plat = np.array([0.0, 0.0])
+    got = k(olon, olat, plon, plat)
+    leg = 1.0 * 111.0 / 120.0 * 3600.0
+    assert math.isclose(got[0], leg + 432.0 + leg, rel_tol=1e-12)
+    assert math.isnan(got[1])  # hub 1 → hub 0 missing from closure

@@ -101,3 +101,13 @@ def test_scan_filters_pushed(spark, name):
     assert "PushedFilters: [" in p
     # at least one real predicate reached the scan
     assert "PushedFilters: []" not in p.split("PushedFilters", 1)[1][:200]
+
+
+def test_graph_routed_eta_plan(spark):
+    """eta_routed_graph must keep the kernel shape: candidates from the
+    grid equi-join (no cartesian product), durations through an Arrow
+    Python batch; the hub closure never shows up as a data-scale join."""
+    p = plan_text(spark, "eta_routed_graph")
+    assert n_ops(p, "CartesianProduct") == 0
+    assert "MapInPandas" in p or "ArrowEvalPython" in p or "PythonMapInArrow" in p
+    assert "BroadcastHashJoin" in p  # POI replicas broadcast onto origins

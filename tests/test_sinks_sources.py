@@ -189,3 +189,36 @@ def test_k5_metadata_append(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2  # append-only, last-write-wins by updated_at
     assert "updated_at" in back.columns
+
+
+def test_k1_jdbc_roundtrip(spark, results_df, tmp_path):
+    """VERDICT r1 #8: the K1 JDBC path actually exercised — write the
+    normalized parent/child through Spark's JDBC batch writer into an
+    embedded Derby database (driver ships with Spark) and read both tables
+    back via spark.read.jdbc."""
+    url = f"jdbc:derby:{tmp_path}/k1db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    sinks.write_results_jdbc(
+        results_df, url, "results", "results_poi", properties=props
+    )
+    parent = spark.read.jdbc(url, "results", properties=props)
+    child = spark.read.jdbc(url, "results_poi", properties=props)
+    assert parent.count() == 2
+    assert {r["NAME"] if "NAME" in r else r["name"] for r in parent.collect()} == {
+        "village-a",
+        "village-b",
+    }
+    rows = {
+        (r["poi_type"], r["eta_s"]) if "poi_type" in r else (r["POI_TYPE"], r["ETA_S"])
+        for r in child.collect()
+    }
+    assert rows == {
+        ("hospital", 600.0),
+        ("bank", None),
+        ("hospital", 1200.0),
+        ("bank", 90.0),
+    }
+    # referential integrity: every child key exists in the parent
+    pk = {r[0] for r in parent.select("result_id").collect()}
+    ck = {r[0] for r in child.select("result_id").collect()}
+    assert ck <= pk
