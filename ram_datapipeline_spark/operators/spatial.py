@@ -76,6 +76,70 @@ def buffer_semi_join(
     return pois.join(a, pred, "inner")
 
 
+def adaptive_buffer_candidates(
+    pois: DataFrame,
+    areas: DataFrame,
+    base_buffer_deg: float,
+    min_poi: int = 4,
+    max_doublings: int = 8,
+) -> DataFrame:
+    """Adaptive buffer enlargement (SURVEY J3, reference tasks.js:73-87),
+    declarative: the reference LOOPS — buffer the area, count candidate
+    POIs, double the buffer and re-query until ≥ ``min_poi`` are caught.
+    Sequential re-queries don't distribute; instead ALL doubling steps are
+    evaluated in ONE pass: areas × k∈[0, max_doublings] (a tiny broadcast
+    side) join POIs under the half-open buffered-rect predicate, counts
+    per (area, k) partial-aggregate map-side, and a window picks the
+    smallest sufficient k — bit-identical to the loop's outcome, but one
+    POI scan instead of up-to-9 per area.
+
+    Buffer at step k is ``base_buffer_deg * 2^k`` (multiplication by an
+    exact power of two — IEEE-exact, oracle-reproducible). Areas that
+    never reach ``min_poi`` within ``max_doublings`` yield NULL k /
+    buffer (the reference would loop forever; the cap is the honest
+    distributed policy). Output: (aa_id, k, buffer_deg, n_candidates).
+    """
+    ks = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.lit(float(base_buffer_deg) * float(2**k)).alias("buffer_deg"),
+            )
+            for k in range(max_doublings + 1)
+        ])
+    )
+    a = areas.select("aa_id", "xmin", "ymin", "xmax", "ymax", ks.alias("_s")).select(
+        "aa_id", "xmin", "ymin", "xmax", "ymax",
+        F.col("_s.k").alias("k"), F.col("_s.buffer_deg").alias("buffer_deg"),
+    )
+    a = F.broadcast(a)
+    pred = geo.point_in_rect(
+        pois["lon"], pois["lat"],
+        a["xmin"] - a["buffer_deg"], a["ymin"] - a["buffer_deg"],
+        a["xmax"] + a["buffer_deg"], a["ymax"] + a["buffer_deg"],
+    )
+    counts = (
+        pois.join(a, pred, "inner")
+        .groupBy("aa_id", "k", "buffer_deg")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .filter(F.col("n_candidates") >= min_poi)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("aa_id").orderBy(F.asc("k"))
+    best = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    # areas that never reach min_poi keep a row with NULL k/buffer/count
+    return (
+        areas.select("aa_id")
+        .join(best, "aa_id", "left")
+        .select("aa_id", "k", "buffer_deg", "n_candidates")
+    )
+
+
 def square_grid(areas: DataFrame, cell_deg: float) -> DataFrame:
     """Square grid covering each area's bbox, clipped to the area
     (SURVEY J7/F12/F13: squareGrid + intersect, null ⇒ pruned).

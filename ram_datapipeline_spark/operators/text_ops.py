@@ -141,3 +141,73 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     # the fan-out (and the md5 work downstream) uses every core
     src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     return src.select(F.col(id_col), F.expr(sh).alias("shingle"))
+
+
+# --- PII scrubbing (training-data hygiene pass) -----------------------------
+#
+# Regex redaction of the classic PII shapes a pretraining pipeline masks
+# before anything else sees the text. Patterns are deliberately portable
+# (no lookarounds, no \b differences): identical semantics in Spark's and
+# any POSIX-ish engine's regexp_replace.
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # order matters: emails before bare domains would go here if added
+    ("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}", "<PHONE>"),
+    ("(?:[0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(text: Column, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Sequential regex redaction — one JVM regexp_replace per pattern,
+    fused into a single projection by codegen (zero shuffles, zero
+    Python)."""
+    out = text
+    for pat, tag in patterns:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, clean_text, n_redactions): redacted text plus how many
+    characters the scrub removed (cheap audit signal — a document whose
+    length collapses was mostly PII)."""
+    clean = redact_pii(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        (F.length(F.col(text_col)) - F.length(clean)).cast("long").alias("removed_chars"),
+    )
+
+
+# --- repetition / near-duplication WITHIN a document ------------------------
+
+def repetition_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, n_grams, distinct_grams, repetition): 1 − distinct/total over
+    word n-grams — the standard boilerplate/repetition quality signal
+    (Gopher-style rep filters). Pure array expressions: the n-gram list and
+    its distinct count never leave the JVM row, so the operator is a
+    zero-shuffle map even at corpus scale."""
+    toks = tokens(F.col(text_col))
+    grams = F.filter(
+        F.transform(
+            toks,
+            lambda _, i: F.when(
+                i <= F.size(toks) - n,
+                F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    rep = F.when(total > 0, 1.0 - distinct.cast("double") / total.cast("double"))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        distinct.alias("distinct_grams"),
+        rep.alias("repetition"),
+    )

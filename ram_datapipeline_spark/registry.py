@@ -68,6 +68,7 @@ GATE_ORDER: tuple[str, ...] = (
     "j2_point_in_geojson",
     "j3_buffer_semi_join",
     "j3_knn_candidates",
+    "j3_adaptive_buffer",
     "j7_square_grid_clip",
     "f11_bbox_per_admin",
     "f16_centroid_per_admin",
@@ -119,9 +120,10 @@ GATE_ORDER: tuple[str, ...] = (
     "w1_latest_per_key",
     "w3_topk_per_group",
     "f_scalar_kit",
-    # multimodal north star representatives (binary-safe embedding gated)
+    # multimodal north star representative (binary-safe embedding — the
+    # round-2-changed query; mm_decode_image_stats rotated out, its r01
+    # row proves the unchanged implementation)
     "mm_payload_embedding",
-    "mm_decode_image_stats",
 )
 
 

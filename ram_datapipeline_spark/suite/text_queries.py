@@ -638,3 +638,81 @@ def q_cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     return SIM.cosine_topk_lsh(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH withpii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1 555 867-5309 ssn 123-45-6789 ip 10.0.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+             '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'),
+             '(?:[0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean_text,
+           CAST(length(text) - length(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+             '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'),
+             '(?:[0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS BIGINT) AS removed_chars
+    FROM withpii
+    """,
+    survey="text hygiene: PII regex redaction, pure JVM map (north star)",
+    tags=("text",),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents salted with deterministic synthetic PII
+    (emails / SSN / phone / IP derived from doc_id — the fixture corpus
+    carries none): email→<EMAIL>, SSN→<SSN>, phone→<PHONE>, IP→<IP>.
+    Four chained regexp_replace projections, zero shuffles, zero Python;
+    removed_chars audits how much each document shrank."""
+    t = load_tables(spark, sf_dir)
+    withpii = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 555 867-5309 ssn 123-45-6789 ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return T.pii_scrub(withpii)
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             ) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_grams,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / CAST(len(grams) AS DOUBLE)
+           END AS repetition
+    FROM g
+    """,
+    survey="text quality: within-document repetition ratio over 3-grams (north star)",
+    tags=("text",),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: 1 − distinct/total word
+    3-grams, computed entirely inside the row (array expressions, no
+    explode, no shuffle)."""
+    t = load_tables(spark, sf_dir)
+    return T.repetition_ratio(t["documents"])

@@ -131,3 +131,46 @@ def test_simhash_pairs_rejects_wide_hamming():
 
     with _pytest.raises(ValueError):
         simhash_pairs(None, max_hamming=64)
+
+
+def test_pii_scrub_patterns(spark):
+    """Each PII class is masked; clean text passes through untouched."""
+    from ram_datapipeline_spark.operators.text_ops import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.co.uk please"),
+            (2, "ssn 078-05-1120 leaked"),
+            (3, "call +1 555 867-5309 now"),
+            (4, "host 192.168.0.1 down"),
+            (5, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert "<EMAIL>" in out[1]["clean_text"] and "@" not in out[1]["clean_text"]
+    assert "<SSN>" in out[2]["clean_text"] and "078" not in out[2]["clean_text"]
+    assert "<PHONE>" in out[3]["clean_text"] and "867" not in out[3]["clean_text"]
+    assert "<IP>" in out[4]["clean_text"] and "192" not in out[4]["clean_text"]
+    assert out[5]["clean_text"] == "no pii here at all"
+    assert out[5]["removed_chars"] == 0
+    assert all(out[i]["removed_chars"] > 0 for i in (1, 2, 3, 4))
+
+
+def test_repetition_ratio_bounds(spark):
+    """Fully repeated text → high ratio; all-distinct text → 0; short text
+    (< n tokens) → null ratio with zero grams."""
+    from ram_datapipeline_spark.operators.text_ops import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c a b c"),
+            (2, "one two three four five six"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_ratio(df).collect()}
+    assert out[1]["repetition"] > 0.5
+    assert out[2]["repetition"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["repetition"] is None
