@@ -392,3 +392,134 @@ def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("p_type"), "O").alias("o_pos"),
         F.levenshtein(F.col("p_brand"), F.lit("Brand#33")).alias("lev_to_b33"),
     )
+
+
+# --- TPC-H shapes exercising optimizer paths not covered above -------------
+# Shared ANSI strings: Spark executes the SAME SQL over the catalog temp
+# views that DuckDB runs as the oracle — any divergence is an engine
+# difference, not a translation artifact. Money stays in integer cents
+# (floor(x*100+0.5)) so every aggregate is order-independent.
+
+_Q2_MIN_COST_SQL = """
+    SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+           CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+      AND CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) =
+          (SELECT min(CAST(floor(l2.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query(
+    "q2_correlated_min",
+    oracle=_Q2_MIN_COST_SQL,
+    survey="correlated scalar subquery with aggregate (TPC-H Q2 shape)",
+    tags=("relational",),
+)
+def q_q2_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supply line per small part — a correlated MIN subquery
+    that Catalyst decorrelates into an aggregate + join (no per-row
+    re-execution); integer-cents equality keeps ties exact."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q2_MIN_COST_SQL)
+
+
+_Q14_PROMO_SQL = """
+    SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) * 100.0
+           / CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=_Q14_PROMO_SQL,
+    survey="conditional-aggregate ratio (TPC-H Q14 shape)",
+    tags=("relational",),
+)
+def q_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share for one month: CASE-gated cents sums, one
+    final float division — numerator/denominator never exist as floats."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q14_PROMO_SQL)
+
+
+_Q16_SUPPLIER_CNT_SQL = """
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 4, 9, 16, 25)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_size
+"""
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle=_Q16_SUPPLIER_CNT_SQL,
+    survey="NOT IN anti-join + distinct aggregate (TPC-H Q16 shape)",
+    tags=("relational",),
+)
+def q_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier counts per (brand, size), excluding a NOT IN
+    subquery set (null-aware anti-join in Catalyst)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q16_SUPPLIER_CNT_SQL)
+
+
+_Q19_OR_ANDS_SQL = """
+    SELECT COALESCE(CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 0.0) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1.0 AND 11.0 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10.0 AND 20.0 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20.0 AND 30.0 AND p.p_size BETWEEN 1 AND 15)
+"""
+
+
+@query(
+    "q19_or_of_ands",
+    oracle=_Q19_OR_ANDS_SQL,
+    survey="disjunctive predicate pushdown (TPC-H Q19 shape)",
+    tags=("relational",),
+)
+def q_q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs revenue: Catalyst extracts the common p_brand/p_size
+    conjuncts for pushdown while keeping the disjunction exact."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q19_OR_ANDS_SQL)
+
+
+_Q22_DORMANT_SQL = """
+    SELECT c.c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    WHERE c.c_acctbal > 0.0
+      AND CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
+          * (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+          > (SELECT sum(CAST(floor(c2.c_acctbal * 100.0 + 0.5) AS BIGINT))
+             FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    GROUP BY c.c_nationkey
+"""
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=_Q22_DORMANT_SQL,
+    survey="NOT EXISTS anti-join + scalar-subquery threshold (TPC-H Q22 shape)",
+    tags=("relational",),
+)
+def q_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no finished orders, per
+    nation: NOT EXISTS → anti-join, the average threshold cross-multiplied
+    in integer cents (the float 'average' never exists)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q22_DORMANT_SQL)
