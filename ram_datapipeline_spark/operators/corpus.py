@@ -1,0 +1,208 @@
+"""Corpus-assembly operators for LLM training-data pipelines
+(beyond-reference, BASELINE.json north star): test-set decontamination,
+deterministic stratified sampling (domain mixing), sequence packing
+(concat-and-chunk token binning), and TF-IDF term ranking.
+
+Design rules shared with the rest of the engine:
+
+- **JVM-side expressions only** — every operator here is split/explode/
+  window/join built-ins; nothing drops to Python, so the hot path stays
+  whole-stage-codegen'd at 100 TB.
+- **Deterministic & oracle-exact** — hashes are md5 hex (identical in every
+  engine), sampling thresholds are integer comparisons on a 32-bit hash
+  prefix, scores are integer-division ratios; no libm, no RNG.
+- **Scale shapes** — the decontamination gram set is broadcast (benchmark
+  suites are tiny next to the corpus; swap to a shuffle semi-join if ever
+  not), packing windows are partitioned per shard (never a global sort),
+  and the TF-IDF document-frequency table is vocabulary-sized → broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.operators.text_ops import shingles, word_count
+
+# --- test-set decontamination -----------------------------------------------
+#
+# GPT-3-style n-gram overlap: a training document is contaminated if it
+# shares any word n-gram with the held-out benchmark set. Production
+# pipelines use n = 8..13 over a natural vocabulary; the operator takes n
+# as a parameter (fixtures use n=4 — the synthetic vocabulary is ~30 words,
+# so 4-grams reproduce the selectivity real 13-grams have on real text).
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark_source: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 4,
+) -> DataFrame:
+    """Flag training docs sharing any word ``n``-gram with the benchmark.
+
+    Returns one row per contaminated non-benchmark document:
+    ``(id_col, source_col, hit_grams)`` where ``hit_grams`` counts the
+    distinct shared grams.
+
+    Plan shape: one shingle explode over the corpus, grams keyed by md5
+    (fixed 32 bytes regardless of gram width), the benchmark gram set
+    deduplicated and **broadcast** into a hash join, then a single
+    aggregate back to one row per document. The corpus is never
+    self-joined; cost is O(corpus grams) + O(benchmark gram set).
+    """
+    sh = shingles(df, id_col=id_col, text_col=text_col, n=n, extra_cols=(source_col,))
+    grams = sh.select(
+        F.col(id_col), F.col(source_col), F.md5(F.col("shingle")).alias("g")
+    )
+    bench = (
+        grams.filter(F.col(source_col) == benchmark_source).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col(source_col) != benchmark_source)
+        .join(F.broadcast(bench), "g")
+        .groupBy(id_col, source_col)
+        # shingles() already deduplicates grams per document, so a plain
+        # count is the distinct-gram hit count (cheaper than countDistinct)
+        .agg(F.count("g").alias("hit_grams"))
+    )
+
+
+# --- deterministic hash sampling (domain mixing) -----------------------------
+
+
+def hash_uniform(key: Column) -> Column:
+    """Deterministic uniform draw in [0, 2^32) from a row key: the first 8
+    hex digits of md5(key) as an integer. Engine-portable (md5 hex is
+    identical everywhere) and reproducible run-to-run — re-sampling a
+    grown corpus keeps every previously-selected row selected."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: Column | float,
+    u_col: str = "u32",
+) -> DataFrame:
+    """Keep each row iff ``hash_uniform(key) < floor(rate * 2^32)``.
+
+    ``rate`` may be a per-row Column (stratified / domain-mixing rates) or
+    a scalar. The comparison is integer-exact: both engines parse the same
+    rate literal to the same double, the single multiply and floor are
+    correctly rounded IEEE ops, so the kept set is bit-reproducible.
+    Zero shuffles — this is a pure filter, pushed to the scan."""
+    rate_col = F.lit(rate) if isinstance(rate, float) else rate
+    threshold = F.floor(rate_col * F.lit(float(2**32))).cast("long")
+    return df.withColumn(u_col, hash_uniform(F.col(key_col))).filter(
+        F.col(u_col) < threshold
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Domain mixing: per-stratum deterministic sampling rates.
+
+    ``rates`` maps stratum value → keep probability; strata not listed get
+    ``default_rate``. Built as one CASE expression over ``hash_sample`` —
+    still a single pushed-down filter, no shuffle, no RNG state."""
+    rate_col: Column = F.lit(default_rate)
+    for value, r in rates.items():
+        rate_col = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate_col)
+    return hash_sample(df, key_col, rate_col)
+
+
+# --- sequence packing (concat-and-chunk) -------------------------------------
+
+
+def sequence_packing(
+    df: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document its slice of fixed-size training sequences.
+
+    The concat-and-chunk discipline LLM pretraining uses: within a shard,
+    documents are laid end-to-end in ``order_col`` order and the token
+    stream is cut every ``budget`` tokens. Emits per document:
+
+    - ``n_tokens``     — whitespace token count
+    - ``tok_offset``   — the document's first token's global offset in the
+                         shard stream
+    - ``bin_first`` / ``bin_last`` — the range of ``budget``-sized bins the
+                         document spans (a doc may straddle a cut)
+    - ``offset_in_bin`` — position of the first token inside ``bin_first``
+
+    Scale shape: the window is partitioned by shard — each shard sorts
+    independently (real pipelines pack within shards for exactly this
+    reason), so there is no global single-partition sort; one shuffle on
+    the shard key total."""
+    n_tok = word_count(F.col(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.select(
+        F.col(order_col),
+        F.col(shard_col),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        out.withColumn("tok_offset", cum)
+        .withColumn("bin_first", F.expr(f"tok_offset div {budget}"))
+        .withColumn(
+            "bin_last",
+            F.expr(f"(tok_offset + greatest(n_tokens, 1) - 1) div {budget}"),
+        )
+        .withColumn("offset_in_bin", F.col("tok_offset") % budget)
+    )
+
+
+# --- TF-IDF term ranking ------------------------------------------------------
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by integer TF-IDF.
+
+    Score = ``tf * 1_000_000 div df`` (term frequency in the doc, document
+    frequency across the corpus). With the corpus size constant the
+    classical ``tf·log(N/df)`` ranking is monotone in ``tf/df``; integer
+    division keeps the score exact in every engine — no logs, no floats.
+    Ties break on the term string ascending.
+
+    Plan shape: explode → per-(doc,term) count (one shuffle) → document
+    frequency (vocabulary-sized aggregate, **broadcast** back) → per-doc
+    window top-k. The corpus-wide table that moves between stages is the
+    vocabulary, not the corpus."""
+    from ram_datapipeline_spark.session import ensure_parallelism
+
+    words = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.expr("tf * 1000000 div df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rnk")
+    )

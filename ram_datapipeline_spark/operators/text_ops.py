@@ -120,12 +120,20 @@ def rolling_hash(text: Column) -> Column:
     )
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id_col, shingle).
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id_col, *extra_cols,
+    shingle).
 
     Built as transform-over-sequence + explode — generated JVM-side, then
     deduplicated by the explode of array_distinct (no shuffle needed for
-    the dedup; distinctness is per-row)."""
+    the dedup; distinctness is per-row). ``extra_cols`` are carried through
+    the explode (cheaper than re-joining them on afterwards)."""
     from ram_datapipeline_spark.session import ensure_parallelism
 
     arr = f"split({text_col}, ' ')"
@@ -139,8 +147,9 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     )
     # the explode multiplies rows ~token-count×; spread the source first so
     # the fan-out (and the md5 work downstream) uses every core
-    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
-    return src.select(F.col(id_col), F.expr(sh).alias("shingle"))
+    keep = [F.col(id_col), *(F.col(c) for c in extra_cols)]
+    src = ensure_parallelism(df.select(*keep, F.col(text_col)))
+    return src.select(*keep, F.expr(sh).alias("shingle"))
 
 
 # --- PII scrubbing (training-data hygiene pass) -----------------------------

@@ -9,6 +9,7 @@ from ram_datapipeline_spark.suite import (  # noqa: F401
     eta_queries,
     extended_queries,
     multimodal_queries,
+    pipeline_queries,
     relational_queries,
     spatial_queries,
     streaming_queries,

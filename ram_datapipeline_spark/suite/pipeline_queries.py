@@ -1,0 +1,143 @@
+"""Corpus-assembly query family (beyond-reference, BASELINE.json north
+star): the operations that turn a filtered document pool into a training
+corpus — test-set decontamination, deterministic domain mixing, sequence
+packing, and characteristic-term extraction.
+
+All four carry full DuckDB oracles: hashing is md5 hex, sampling is an
+integer threshold on a 32-bit hash prefix, packing is window integer
+arithmetic, TF-IDF is integer division — bit-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.operators import corpus as C
+from ram_datapipeline_spark.registry import query
+
+# DuckDB equivalent of hash_uniform(): fold the first 8 md5 hex digits to a
+# 32-bit integer (DuckDB has no conv(); strpos-over-hex is exact).
+_U32_SQL = (
+    "list_reduce(list_transform(generate_series(1, 8), "
+    "i -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+@query(
+    "pipe_decontaminate",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]) AS g
+      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(arr) - 3)) AS i) u
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
+    SELECT s.doc_id, s.source, count(*) AS hit_grams
+    FROM sh s JOIN bench b ON s.g = b.g
+    WHERE s.source <> 'src0'
+    GROUP BY s.doc_id, s.source
+    """,
+    survey="test-set decontamination via n-gram overlap (north star)",
+    tags=("pipeline",),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing any word 4-gram with the src0 'benchmark'
+    shard: corpus-wide shingle explode, benchmark gram set broadcast, one
+    aggregate back to documents. n=4 on the ~30-word synthetic vocabulary
+    reproduces the selectivity of the 13-grams real pipelines use."""
+    t = load_tables(spark, sf_dir)
+    return C.decontaminate(t["documents"], benchmark_source="src0", n=4)
+
+
+@query(
+    "pipe_stratified_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, {_U32_SQL} AS u32 FROM documents
+    )
+    SELECT doc_id, source, u32 FROM h
+    WHERE u32 < CAST(floor(
+        (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 0.7 ELSE 0.2 END)
+        * 4294967296.0) AS BIGINT)
+    """,
+    survey="deterministic stratified sampling / domain mixing (north star)",
+    tags=("pipeline",),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: even-numbered sources kept at 70%, odd at 20%, via
+    an integer threshold on md5(doc_id)'s 32-bit prefix. Pure pushed-down
+    filter — zero shuffles, reproducible across runs and engines."""
+    t = load_tables(spark, sf_dir)
+    rates = {f"src{i}": (0.7 if i % 2 == 0 else 0.2) for i in range(20)}
+    return C.stratified_sample(
+        t["documents"].select("doc_id", "source"),
+        key_col="doc_id",
+        strata_col="source",
+        rates=rates,
+    ).select("doc_id", "source", "u32")
+
+
+@query(
+    "pipe_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_offset
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, tok_offset,
+           tok_offset // 512 AS bin_first,
+           (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS bin_last,
+           tok_offset % 512 AS offset_in_bin
+    FROM c
+    """,
+    survey="sequence packing: concat-and-chunk token binning (north star)",
+    tags=("pipeline",),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's slice of 512-token training sequences, packed
+    end-to-end per source shard. Window is partitioned by shard — no
+    global sort; one shuffle total."""
+    t = load_tables(spark, sf_dir)
+    return C.sequence_packing(t["documents"], budget=512)
+
+
+@query(
+    "pipe_tfidf_topk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, tf.tf * 1000000 // dfreq.df AS score
+      FROM tf JOIN dfreq USING (term)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+    survey="TF-IDF characteristic terms, integer-exact (north star)",
+    tags=("pipeline",),
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document: integer tf*1e6 div df
+    score (monotone in tf·idf for a fixed corpus), document-frequency
+    table broadcast, ties broken on the term string."""
+    t = load_tables(spark, sf_dir)
+    return C.tfidf_topk(t["documents"], k=3)

@@ -1,0 +1,115 @@
+"""Corpus-assembly operators: semantic properties + plan shapes.
+
+Oracle parity for the four gated queries lives in test_oracle_parity.py
+(registry-wide); these tests pin the properties the oracles can't see —
+sampling monotonicity, packing contiguity, plan broadcast/shuffle shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.operators import corpus as C
+from tests.conftest import SF_DIR
+from tests.test_plan_properties import n_data_shuffles, n_ops, plan_text
+
+
+def test_decontaminate_excludes_benchmark_and_hits_are_real(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    out = C.decontaminate(docs, benchmark_source="src0", n=4)
+    rows = out.collect()
+    assert rows, "fixture is known to contain contaminated docs at n=4"
+    assert all(r.source != "src0" for r in rows)
+
+    # every flagged doc genuinely shares a 4-gram with some src0 doc
+    def grams(text: str) -> set[str]:
+        w = text.split(" ")
+        return {" ".join(w[i : i + 4]) for i in range(len(w) - 3)}
+
+    bench = set()
+    for r in docs.filter(F.col("source") == "src0").select("text").collect():
+        bench |= grams(r.text)
+    flagged_ids = [r.doc_id for r in rows]
+    texts = {
+        r.doc_id: r.text
+        for r in docs.filter(F.col("doc_id").isin(flagged_ids)).collect()
+    }
+    for r in rows:
+        shared = grams(texts[r.doc_id]) & bench
+        assert len(shared) == r.hit_grams
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    plan_df = C.decontaminate(docs, benchmark_source="src0", n=4)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    p = buf.getvalue()
+    assert n_ops(p, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_hash_sample_monotone_and_deterministic(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "source")
+    small = {r.doc_id for r in C.hash_sample(docs, "doc_id", 0.2).collect()}
+    large = {r.doc_id for r in C.hash_sample(docs, "doc_id", 0.7).collect()}
+    assert small <= large  # raising the rate only ADDS rows
+    again = {r.doc_id for r in C.hash_sample(docs, "doc_id", 0.2).collect()}
+    assert small == again  # no RNG state: identical across runs
+    n_total = docs.count()
+    assert 0 < len(small) < len(large) < n_total
+
+
+def test_stratified_sample_zero_shuffle_plan(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "source")
+    df = C.stratified_sample(
+        docs, "doc_id", "source", rates={"src0": 0.5}, default_rate=0.1
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert n_data_shuffles(buf.getvalue()) == 0  # pure filter, no exchange
+
+
+def test_sequence_packing_contiguous_per_shard(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    rows = C.sequence_packing(docs, budget=512).collect()
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.source, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in shard_rows:
+            assert r.tok_offset == expect  # docs laid end-to-end, no gaps
+            assert r.offset_in_bin == r.tok_offset % 512
+            assert r.bin_first == r.tok_offset // 512
+            assert r.bin_first <= r.bin_last
+            expect += r.n_tokens
+
+
+def test_tfidf_topk_shape_and_rank_bounds(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    out = C.tfidf_topk(docs, k=3)
+    # plan asserted pre-execution (post-collect explain shows the AQE final
+    # plan AND the original, double-counting operators)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert n_ops(buf.getvalue(), "BroadcastHashJoin") == 1  # df table broadcast
+
+    rows = out.collect()
+    n_docs = docs.count()
+    assert len(rows) == 3 * n_docs  # vocab is dense enough: 3 terms everywhere
+    assert all(1 <= r.rnk <= 3 for r in rows)
