@@ -109,17 +109,19 @@ GATE_ORDER: tuple[str, ...] = (
     "q1_pricing_summary",
     "s1_config_scan_filter",
     "s3_settings_json_decode",
-    "s4_admin_scan_inlist",
-    "p4_first_row",
     "p6_nullsafe_round",
     "j1_inner_equijoin",
-    "j6_positional_explode",
     "j_asof_click_view",
     "a2_pivot_eav",
-    "a4_group_nested",
     "w1_latest_per_key",
     "w3_topk_per_group",
     "f_scalar_kit",
+    # corpus-assembly north star (new in round 2 — must be driver-visible;
+    # rotated out to make room: s4/p4/a4/j6, all r01-green and unchanged)
+    "pipe_decontaminate",
+    "pipe_stratified_sample",
+    "pipe_sequence_packing",
+    "pipe_tfidf_topk",
     # multimodal north star representative (binary-safe embedding — the
     # round-2-changed query; mm_decode_image_stats rotated out, its r01
     # row proves the unchanged implementation)
