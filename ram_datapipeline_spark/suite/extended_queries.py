@@ -523,3 +523,305 @@ def q_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
     in integer cents (the float 'average' never exists)."""
     load_tables(spark, sf_dir)
     return spark.sql(_Q22_DORMANT_SQL)
+
+
+# --- remaining TPC-H shapes (completing all 22) -----------------------------
+# The fixture has no partsupp / l_shipmode / l_commitdate columns, so Q9,
+# Q11, Q12, Q20, Q21 are *shape-preserving adaptations*: same plan skeleton
+# (join graph, subquery kind, aggregate structure), fixture-available
+# columns. Money and quantities stay in exact integers until one final
+# division, so every aggregate is order-independent.
+
+_CENTS = "CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) AS BIGINT)"
+
+_Q7_VOLUME_SQL = f"""
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year, {_CENTS} AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query(
+    "q7_nation_volume",
+    oracle=_Q7_VOLUME_SQL,
+    survey="6-table join + year rollup (TPC-H Q7 shape)",
+    tags=("relational",),
+)
+def q_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume between two nations by ship year: a
+    6-table join where every dimension broadcasts and only the fact
+    aggregate shuffles."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q7_VOLUME_SQL)
+
+
+_Q8_SHARE_SQL = f"""
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
+           / CAST(sum(cents) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year, n1.n_name AS supp_nation,
+             {_CENTS} AS cents
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@query(
+    "q8_market_share",
+    oracle=_Q8_SHARE_SQL,
+    survey="8-table join + conditional-share ratio (TPC-H Q8 shape)",
+    tags=("relational",),
+)
+def q_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's market share inside a region per year — the numerator
+    is a CASE-gated cents sum over the same rows as the denominator, so
+    one aggregate produces both."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q8_SHARE_SQL)
+
+
+_Q9_PROFIT_SQL = """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) AS BIGINT)
+               - CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT) * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+             AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+"""
+
+
+@query(
+    "q9_profit_by_nation",
+    oracle=_Q9_PROFIT_SQL,
+    survey="profit rollup, revenue minus cost (TPC-H Q9 shape; cost = retailprice*qty, fixture has no partsupp)",
+    tags=("relational",),
+)
+def q_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per (nation, year): revenue cents minus integer cost cents
+    inside one sum — the subtraction happens per row in exact integers."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q9_PROFIT_SQL)
+
+
+_Q10_RETURNS_SQL = f"""
+    SELECT c.c_custkey, c.c_name, n.n_name, CAST(sum({_CENTS}) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c.c_custkey ASC
+    LIMIT 20
+"""
+
+
+@query(
+    "q10_returned_items",
+    oracle=_Q10_RETURNS_SQL,
+    survey="returned-item revenue top-k (TPC-H Q10 shape)",
+    tags=("relational",),
+)
+def q_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by returned-item revenue in one quarter; the
+    LIMIT boundary is totally ordered (cents DESC, custkey ASC) so the
+    cut is deterministic."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q10_RETURNS_SQL)
+
+
+_Q11_VALUE_SQL = f"""
+    WITH val AS (
+      SELECT s.s_nationkey, l.l_partkey, CAST(sum({_CENTS}) AS BIGINT) AS value_cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_partkey
+    )
+    SELECT s_nationkey, l_partkey, value_cents
+    FROM val
+    WHERE value_cents * 10000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM val)
+"""
+
+
+@query(
+    "q11_important_value",
+    oracle=_Q11_VALUE_SQL,
+    survey="HAVING vs corpus-total scalar subquery (TPC-H Q11 shape; lineitem value, fixture has no partsupp)",
+    tags=("relational",),
+)
+def q_q11_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, part) groups holding more than 1/10000 of total value:
+    the grouped aggregate is reused by the scalar-subquery total — integer
+    cross-multiply, the fraction never becomes a float."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q11_VALUE_SQL)
+
+
+_Q12_PRIORITY_SQL = """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+"""
+
+
+@query(
+    "q12_priority_split",
+    oracle=_Q12_PRIORITY_SQL,
+    survey="priority-class conditional counts (TPC-H Q12 shape; linestatus for the absent shipmode)",
+    tags=("relational",),
+)
+def q_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High/low-priority line counts per line status for one ship year —
+    two CASE sums over a single fact pass."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q12_PRIORITY_SQL)
+
+
+_Q15_TOP_SUPP_SQL = f"""
+    WITH rev AS (
+      SELECT l.l_suppkey, CAST(sum({_CENTS}) AS BIGINT) AS total_cents
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+"""
+
+
+@query(
+    "q15_top_supplier",
+    oracle=_Q15_TOP_SUPP_SQL,
+    survey="grouped view reused against its own max (TPC-H Q15 shape)",
+    tags=("relational",),
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue: the grouped
+    revenue CTE feeds both the join and the scalar max — integer cents
+    make the max boundary exact (ties all returned)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q15_TOP_SUPP_SQL)
+
+
+_Q17_SMALL_QTY_SQL = """
+    WITH pq AS (
+      SELECT l_partkey, count(*) AS cnt, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 700.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq     ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS BIGINT) * 5 * pq.cnt < sum_qty
+"""
+
+
+@query(
+    "q17_small_quantity",
+    oracle=_Q17_SMALL_QTY_SQL,
+    survey="per-key average threshold, cross-multiplied exact (TPC-H Q17 shape)",
+    tags=("relational",),
+)
+def q_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from below-one-fifth-of-average-quantity lines:
+    ``qty < 0.2·avg(qty)`` cross-multiplied to ``5·qty·cnt < sum_qty`` so
+    the comparison is pure integers (the average never exists as a
+    float)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q17_SMALL_QTY_SQL)
+
+
+_Q20_PART_SUPP_SQL = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(CAST(l.l_quantity AS BIGINT)) > 100
+    )
+"""
+
+
+@query(
+    "q20_bulk_suppliers",
+    oracle=_Q20_PART_SUPP_SQL,
+    survey="IN over grouped-HAVING subquery (TPC-H Q20 shape; quantity threshold for the absent partsupp availqty)",
+    tags=("relational",),
+)
+def q_q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who moved >100 units of any PROMO part: the IN subquery
+    aggregates before the semi-join, so the probe side is (supplier, part)
+    groups, not raw lineitem."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q20_PART_SUPP_SQL)
+
+
+_Q21_WAITING_SQL = """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+"""
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle=_Q21_WAITING_SQL,
+    survey="EXISTS + NOT EXISTS self-joins (TPC-H Q21 shape; late = shipped >60 days after order, fixture has no commit/receipt dates)",
+    tags=("relational",),
+)
+def q_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the sole late shipper on finished multi-supplier
+    orders: one semi- and one anti-join against the same fact, both
+    correlated on the order key."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q21_WAITING_SQL)

@@ -57,6 +57,16 @@ def test_q5_all_dims_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_q7_q8_wide_joins_all_dims_broadcast(spark):
+    # the 6- and 8-table TPC-H shapes: every dimension broadcasts, the only
+    # data exchange is the partial→final aggregate
+    for name, n_dims in (("q7_nation_volume", 5), ("q8_market_share", 7)):
+        p = plan_text(spark, name)
+        assert n_ops(p, "BroadcastHashJoin") == n_dims, name
+        assert "SortMergeJoin" not in p, name
+        assert n_data_shuffles(p) == 1, name
+
+
 def test_eta_poi_side_broadcast(spark):
     p = plan_text(spark, "eta_nearest_poi")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
