@@ -128,3 +128,76 @@ def session_window_agg(
             "n_events",
         )
     )
+
+
+def interval_join_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon_minutes: int = 10,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Click attribution via a time-interval join: each click matched to
+    the same user's views in the preceding ``horizon_minutes``.
+
+    Batch/stream unified: on two ``readStream`` inputs this is Spark's
+    stream-stream inner join — the time-bound condition is what lets the
+    engine evict state (a view older than the horizon + watermark can
+    never match a future click, so its state is dropped). On batch inputs
+    the watermark is a no-op and the SAME function is the oracle-checked
+    query.
+
+    Gap seconds are µs-exact: epoch doubles below 2^53 — identical
+    arithmetic in every engine."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    if watermark:
+        v = v.withWatermark("view_ts", watermark)
+        c = c.withWatermark("click_ts", watermark)
+    horizon = f"INTERVAL {int(horizon_minutes)} MINUTES"
+    joined = v.join(
+        c,
+        F.expr(
+            f"v_user = c_user AND click_ts > view_ts "
+            f"AND click_ts <= view_ts + {horizon}"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+        (F.col("click_ts").cast("double") - F.col("view_ts").cast("double")).alias(
+            "gap_s"
+        ),
+    )
+
+
+def dedup_events(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """At-least-once → exactly-once: drop replayed events by key.
+
+    Streaming input: ``dropDuplicatesWithinWatermark`` — state holds one
+    entry per key only within the watermark horizon, so memory is bounded
+    by (horizon × arrival rate), not by history. Batch input: plain
+    ``dropDuplicates`` (replays are whole-row copies, so which copy
+    survives is immaterial)."""
+    if events.isStreaming:
+        if watermark is None:
+            raise ValueError("streaming dedup requires a watermark horizon")
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))

@@ -10,7 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.registry import query
-from ram_datapipeline_spark.streaming import sessionize, tumbling_window_agg
+from ram_datapipeline_spark.streaming import (
+    dedup_events,
+    interval_join_attribution,
+    sessionize,
+    tumbling_window_agg,
+)
 
 
 @query(
@@ -91,3 +96,54 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental twin (equivalence asserted in tests)."""
     t = load_tables(spark, sf_dir)
     return sessionize(t["events"], gap_minutes=30)
+
+
+@query(
+    "st_click_attribution",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           v.ts AS view_ts, c.ts AS click_ts,
+           epoch(c.ts) - epoch(v.ts) AS gap_s
+    FROM events v
+    JOIN events c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    survey="streaming: stream-stream interval join (click attribution, §2.8)",
+    tags=("streaming",),
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks attributed to same-user views in the preceding 10 minutes.
+    The identical function on two readStream inputs is a watermarked
+    stream-stream join (state evicted past horizon + watermark);
+    equivalence is proven in tests/test_streaming.py."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    from pyspark.sql import functions as F
+
+    return interval_join_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        horizon_minutes=10,
+    )
+
+
+@query(
+    "st_dedup_replay",
+    oracle="""
+    SELECT * FROM events
+    """,
+    survey="streaming: exactly-once via keyed dedup (dropDuplicatesWithinWatermark twin, §2.8)",
+    tags=("streaming",),
+)
+def q_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An at-least-once replay (the events table unioned with itself)
+    deduplicated back to exactly-once on event_id. Replayed rows are
+    whole-row copies, so the survivor set is exactly the original table;
+    the streaming path (dropDuplicatesWithinWatermark, bounded state) is
+    proven equivalent in tests/test_streaming.py."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    return dedup_events(ev.unionAll(ev))

@@ -169,3 +169,142 @@ def test_operation_log_lifecycle(spark, tmp_path):
     again = ol.start("generate-analysis", 1, 1)
     assert again == 2
     assert ol.last_log(op)["code"] == "success"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """interval_join_attribution on two readStream inputs (watermarked
+    stream-stream join) produces exactly the batch join's rows."""
+    import shutil
+
+    from ram_datapipeline_spark.streaming import (
+        interval_join_attribution,
+        read_events_stream,
+    )
+
+    events_dir = tmp_path / "events_ss"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "part-0.parquet")
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    batch = interval_join_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        horizon_minutes=10,
+    )
+
+    s = read_events_stream(spark, str(events_dir))
+    stream = interval_join_attribution(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "click"),
+        horizon_minutes=10,
+        watermark="40 days",  # > fixture span: nothing is late in this replay
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM attrib")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_dedup_within_watermark_drops_replayed_file(spark, tmp_path):
+    """The same file delivered twice (two micro-batches) dedups back to
+    one row per event_id with bounded state."""
+    import shutil
+
+    from ram_datapipeline_spark.streaming import dedup_events, read_events_stream
+
+    events_dir = tmp_path / "events_dup"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "b.parquet")
+
+    n_unique = load_tables(spark, SF_DIR)["events"].count()
+    stream = dedup_events(
+        read_events_stream(spark, str(events_dir)), watermark="40 days"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) FROM deduped").collect()[0][0] == n_unique
+
+
+def test_watermark_evicts_late_file(spark, tmp_path):
+    """Late-data semantics: a file arriving entirely behind the watermark
+    is dropped from the windowed aggregate (state was evicted)."""
+    import os
+
+    from ram_datapipeline_spark.streaming import read_events_stream
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    cut = "2024-01-16 00:00:00"
+    mid = "2024-01-23 00:00:00"
+    recent_a = ev.filter(F.col("ts") >= mid)
+    recent_b = ev.filter((F.col("ts") >= cut) & (F.col("ts") < mid))
+    old = ev.filter(F.col("ts") < cut)
+    recent = ev.filter(F.col("ts") >= cut)
+    events_dir = tmp_path / "events_late"
+    events_dir.mkdir()
+    import glob
+    import shutil
+
+    # Three micro-batches (mtime order). The late filter's watermark lags
+    # ONE batch behind the eviction watermark (visible in the executed
+    # plan: StateStoreSave carries a late-events and an eviction value), so
+    # the late file must land in batch 2 for batch 0's event times to
+    # gate it.
+    for name, df, age in (
+        ("b0_recent_a.parquet", recent_a, 300),
+        ("b1_recent_b.parquet", recent_b, 200),
+        ("b2_late.parquet", old, 100),
+    ):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name) + ".d")
+        shutil.copy(
+            glob.glob(str(tmp_path / (name + ".d")) + "/*.parquet")[0],
+            events_dir / name,
+        )
+        now = 2_000_000_000
+        os.utime(events_dir / name, (now - age, now - age))
+
+    stream = tumbling_window_agg(
+        read_events_stream(spark, str(events_dir)), "1 hour", watermark="1 hour"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_events = spark.sql("SELECT sum(n_events) FROM late_agg").collect()[0][0]
+    # only the recent files' events survive — the late file fell behind the
+    # watermark — and append mode additionally withholds windows still open
+    # at the final watermark (max recent ts − 1h)
+    import datetime
+
+    wm = recent.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=1)
+    closed = recent.filter(
+        F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") <= F.lit(wm)
+    ).count()
+    assert got_events == closed
+    assert got_events < recent.count() < ev.count()
+    # nothing from before the cut leaked into the emitted windows
+    assert (
+        spark.sql(f"SELECT count(*) FROM late_agg WHERE window_start < '{cut}'")
+        .collect()[0][0]
+        == 0
+    )
