@@ -141,3 +141,106 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcast, ties broken on the term string."""
     t = load_tables(spark, sf_dir)
     return C.tfidf_topk(t["documents"], k=3)
+
+
+# --- vector/embedding storage ops -------------------------------------------
+
+from ram_datapipeline_spark.operators import vectors as V  # noqa: E402
+
+
+@query(
+    "vec_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM d
+    )
+    SELECT vec_id, nrm,
+           CASE WHEN nrm > 0.0 THEN list_transform(e, x -> x / nrm) END AS unit
+    FROM n
+    """,
+    survey="embedding L2 normalization, zero-shuffle map (north star)",
+    tags=("pipeline",),
+)
+def q_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit vectors + norms: strict left-fold sum of squares, so the fold
+    order (and therefore every bit of the double) matches any engine's
+    left fold."""
+    t = load_tables(spark, sf_dir)
+    return V.normalize(t["embeddings"]).select("vec_id", "nrm", "unit")
+
+
+@query(
+    "vec_quantize_int8",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM d)
+    SELECT vec_id, mn AS scale_min, mx AS scale_max,
+           CASE WHEN mx > mn
+                THEN list_transform(e, x -> least(
+                       CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT),
+                       CAST(255 AS BIGINT)))
+                ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+           END AS q
+    FROM s
+    """,
+    survey="embedding scalar int8 quantization (north star)",
+    tags=("pipeline",),
+)
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector [0,255] codes + dequantization scales. The float
+    divide is the same correctly-rounded IEEE op everywhere; floor makes
+    the output integer-exact."""
+    t = load_tables(spark, sf_dir)
+    return V.quantize_int8(t["embeddings"]).select(
+        "vec_id", "scale_min", "scale_max", "q"
+    )
+
+
+@query(
+    "vec_label_centroids",
+    oracle="""
+    WITH d AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (SELECT label, e, list_min(e) AS mn, list_max(e) AS mx FROM d),
+    q AS (
+      SELECT label,
+             CASE WHEN mx > mn
+                  THEN list_transform(e, x -> least(
+                         CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT),
+                         CAST(255 AS BIGINT)))
+                  ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+             END AS codes
+      FROM s
+    ),
+    x AS (
+      SELECT label, i - 1 AS pos, codes[i] AS code
+      FROM q, LATERAL (SELECT unnest(generate_series(1, len(codes))) AS i) u
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(sum(code) AS BIGINT) AS sum_q,
+           count(*) AS n,
+           CAST(sum(code) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+    FROM x
+    GROUP BY label, pos
+    """,
+    survey="per-label centroids over quantized codes — exact distributed mean (north star)",
+    tags=("pipeline",),
+)
+def q_vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-wise label centroids computed on integer codes: the
+    cross-row sum is exact under any shuffle order (the float-sum
+    nondeterminism trap), one (label, pos) aggregate with map-side
+    combine."""
+    t = load_tables(spark, sf_dir)
+    return V.label_centroids(t["embeddings"])

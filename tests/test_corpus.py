@@ -113,3 +113,54 @@ def test_tfidf_topk_shape_and_rank_bounds(spark):
     n_docs = docs.count()
     assert len(rows) == 3 * n_docs  # vocab is dense enough: 3 terms everywhere
     assert all(1 <= r.rnk <= 3 for r in rows)
+
+
+# --- vector ops ---------------------------------------------------------------
+
+
+def test_normalize_units_and_zero_guard(spark):
+    from ram_datapipeline_spark.operators import vectors as V
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    rows = V.normalize(emb).select("vec_id", "nrm", "unit").collect()
+    for r in rows[:50]:
+        if r.nrm > 0:
+            s = sum(x * x for x in r.unit)
+            assert abs(s - 1.0) < 1e-9
+        else:
+            assert r.unit is None
+
+
+def test_quantize_int8_bounds_and_dequant_error(spark):
+    from ram_datapipeline_spark.operators import vectors as V
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    out = V.quantize_int8(emb).select("embedding", "scale_min", "scale_max", "q")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert n_data_shuffles(buf.getvalue()) == 0  # pure map
+
+    for r in out.collect()[:50]:
+        assert all(0 <= c <= 255 for c in r.q)
+        span = r.scale_max - r.scale_min
+        if span > 0:
+            step = span / 255.0
+            for x, c in zip(r.embedding, r.q):
+                dequant = r.scale_min + c * step
+                assert abs(dequant - x) <= step + 1e-12
+
+
+def test_label_centroids_shape_and_exact_mean(spark):
+    from ram_datapipeline_spark.operators import vectors as V
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    n_labels = emb.select("label").distinct().count()
+    dim = len(emb.first().embedding)
+    rows = V.label_centroids(emb).collect()
+    assert len(rows) == n_labels * dim
+    for r in rows[:20]:
+        assert r.mean_q == r.sum_q / r.n  # single exact division
