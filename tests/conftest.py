@@ -38,10 +38,26 @@ def duck():
     con.close()
 
 
+def _tuplify(v):
+    """Array/list/struct cells -> nested tuples: hashable and totally
+    ordered, so multi-column row sorts and exact equality work on them."""
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_tuplify(x) for x in v)
+    if isinstance(v, dict):
+        return tuple((k, _tuplify(v[k])) for k in sorted(v))
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Sorted-columns, sorted-rows, widened-dtypes frame for exact compare."""
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(_tuplify)
         if pd.api.types.is_integer_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("Int64")
         elif pd.api.types.is_float_dtype(pdf[c]):
