@@ -169,6 +169,73 @@ def sequence_packing(
     )
 
 
+# --- segment-level exact dedup (line dedup analog) ---------------------------
+
+
+def segment_dedup(
+    df: DataFrame,
+    seg_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact dedup of fixed-span word segments, keeping the
+    first occurrence (by ``(id_col, seg_idx)``) and rebuilding each
+    document from its surviving segments — the C4/RefinedWeb *line-level*
+    dedup discipline (our synthetic corpus has no newlines, so
+    ``seg_words``-word spans stand in for lines).
+
+    Emits one row per input document: ``(id_col, n_segments,
+    kept_segments, text_dedup)`` — fully-duplicated documents survive with
+    ``kept_segments = 0`` and an empty rebuilt text.
+
+    Plan shape: split/slice segmentation is a zero-shuffle projection;
+    the only corpus-sized exchange hashes segments by md5 for the
+    first-occurrence window (one shuffle); the rebuild re-groups by
+    document (second shuffle) carrying only surviving segments. Nothing
+    is pairwise, nothing reaches the driver.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.expr(f"(size({text_col}_words) + {seg_words - 1}) div {seg_words}")
+    base = df.select(
+        F.col(id_col), words.alias(f"{text_col}_words")
+    ).withColumn("n_segments", n_seg)
+    segs = base.select(
+        id_col,
+        "n_segments",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_segments") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(F.col(f"{text_col}_words"), i * seg_words + 1, seg_words),
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy(id_col, "seg_idx")
+    kept = segs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("kept_segments"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = base.select(id_col, "n_segments")
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_segments",
+            F.coalesce("kept_segments", F.lit(0)).alias("kept_segments"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 # --- TF-IDF term ranking ------------------------------------------------------
 
 

@@ -70,3 +70,33 @@ def asof_join(
         for f in [f"{ts_col}{suffix}", *right_cols]
     ]
     return out.select(*flat)
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    op_col: str = "op",
+    tiebreak_col: str | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Materialize a changelog into its final snapshot (lakehouse MERGE /
+    CDC-apply semantics): per key, the newest change wins; a winning
+    ``delete_op`` removes the key from the snapshot entirely.
+
+    Ordering is ``(ts_col, tiebreak_col)`` descending — the tiebreak makes
+    the winner deterministic when a key changes twice in one timestamp
+    (required for an exact oracle and for exactly-once replays).
+
+    Shape: one window shuffle on the key — the standard distributed
+    upsert-compaction. At 100 TB this is the same plan as latest-per-key
+    (W1); deletes cost nothing extra because they are filtered AFTER the
+    per-key reduction (a delete row still wins its key, then drops).
+    """
+    order = [F.desc(ts_col)] + ([F.desc(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )

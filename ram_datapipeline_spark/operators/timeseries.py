@@ -1,0 +1,92 @@
+"""Time-series regularization operators (beyond-reference).
+
+The reference is batch-geospatial and has no time-series surface
+(SURVEY §2.3); an events/metrics pipeline needs resampling. Provided:
+
+- ``resample_gapfill_locf`` — bucket an event stream to a fixed step,
+  densify every key over the full observed range (gap fill), and carry
+  the last observed value forward (LOCF) across empty buckets.
+
+Exactness rules: bucket values are *selected*, never float-summed across
+rows (the last event per bucket is picked by a deterministic
+``(ts, id)`` ordering), so every emitted double is a value that exists
+in the input — bit-reproducible under any shuffle order and
+DuckDB-oracle-checkable.
+
+Scale shape: one window + one aggregate over the events (both on the
+``(key, bucket)`` grain, map-side combined), a key×buckets spine built
+by exploding a per-key ``sequence()`` (never a driver loop; bounded by
+keys × range/step, the *output* size), one left join back, and one
+per-key ordered window for the carry-forward. No cross join of
+event-sized inputs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_gapfill_locf(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    step: str = "hour",
+) -> DataFrame:
+    """Regularize ``events`` onto a fixed ``step`` grid per key.
+
+    Emits ``(key_col, bucket, n_events, locf_value)`` for EVERY
+    (key, bucket) in [min bucket, max bucket] of the whole input:
+
+    - ``n_events``   — events of that key in that bucket (0 when gap);
+    - ``locf_value`` — value of the key's newest event at or before the
+      bucket's end, ties on ``ts`` broken by ``id_col`` descending; NULL
+      until the key's first event (no forward leakage).
+    """
+    b = events.select(
+        F.col(key_col),
+        F.date_trunc(step, F.col(ts_col)).alias("bucket"),
+        F.col(ts_col),
+        F.col(val_col),
+        F.col(id_col),
+    )
+    last_w = Window.partitionBy(key_col, "bucket").orderBy(
+        F.desc(ts_col), F.desc(id_col)
+    )
+    per_bucket = (
+        b.withColumn("rn", F.row_number().over(last_w))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col(val_col))).alias("last_v"),
+        )
+    )
+    bounds = b.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    keys = b.select(key_col).distinct()
+    spine = (
+        keys.join(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(
+                F.expr(f"sequence(lo, hi, interval 1 {step})")
+            ).alias("bucket"),
+        )
+    )
+    locf_w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(per_bucket, [key_col, "bucket"], "left")
+        .select(
+            key_col,
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("last_v", ignorenulls=True).over(locf_w).alias("locf_value"),
+        )
+    )

@@ -230,3 +230,28 @@ def append_metadata_event(
         "updated_at", F.current_timestamp()
     )
     df.write.mode("append").parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    target_file_partitions: int | None = None,
+) -> None:
+    """Hive-partitioned parquet layout: directory-per-value on
+    ``partition_cols`` so downstream scans with a partition predicate
+    never open non-matching files (partition pruning — the data-layout
+    half of the 100 TB story; column pruning + row-group pushdown are the
+    in-file half).
+
+    ``target_file_partitions`` repartitions on the partition columns
+    first: one shuffle that (a) co-locates each output directory's rows in
+    few tasks — avoiding the tasks × partitions small-file explosion —
+    and (b) is exactly the compaction knob when re-layering an existing
+    table. Prune proof: tests/test_sinks_sources.py asserts the read
+    plan's PartitionFilters and file counts."""
+    w = df
+    if target_file_partitions is not None:
+        w = df.repartition(target_file_partitions, *partition_cols)
+    w.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -12,6 +12,7 @@ design point, batch correctness certifies the streaming plan.
 
 from ram_datapipeline_spark.streaming.events import (  # noqa: F401
     dedup_events,
+    enrich_with_dim,
     interval_join_attribution,
     read_events_stream,
     session_window_agg,

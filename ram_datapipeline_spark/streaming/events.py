@@ -201,3 +201,41 @@ def dedup_events(
             list(key_cols)
         )
     return events.dropDuplicates(list(key_cols))
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    attr: str = "c_mktsegment",
+    duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-static enrichment + windowed rollup: join each event to a
+    dimension attribute and count per (window, attribute).
+
+    The missing streaming-join flavor next to the stream-stream interval
+    join: the static side is planned per micro-batch (so dimension
+    updates between batches are picked up) and **broadcast** — the stream
+    side never shuffles for the join; the only stateful operator is the
+    windowed count. Unmatched events keep ``'unknown'`` rather than
+    silently dropping (left join). Aggregates are count/max —
+    selection-exact, no cross-row float sums.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    d = dim.select(F.col(on_right).alias(on_left), F.col(attr).alias("segment"))
+    joined = src.join(F.broadcast(d), on_left, "left").withColumn(
+        "segment", F.coalesce("segment", F.lit("unknown"))
+    )
+    return (
+        joined.groupBy(F.window("ts", duration), "segment")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "segment",
+            "n_events",
+            "max_value",
+        )
+    )

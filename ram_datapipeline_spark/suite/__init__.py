@@ -14,4 +14,5 @@ from ram_datapipeline_spark.suite import (  # noqa: F401
     spatial_queries,
     streaming_queries,
     text_queries,
+    timeseries_queries,
 )

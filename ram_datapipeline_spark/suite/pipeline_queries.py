@@ -244,3 +244,112 @@ def q_vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine."""
     t = load_tables(spark, sf_dir)
     return V.label_centroids(t["embeddings"])
+
+
+@query(
+    "pipe_segment_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    tot AS (SELECT doc_id, (len(words) + 3) // 4 AS n_segments, words FROM w),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(list_slice(words, i*4 + 1, i*4 + 4), ' ') AS seg
+      FROM tot, LATERAL (SELECT unnest(generate_series(0, n_segments - 1)) AS i) u
+    ),
+    kept AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS kept_segments,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_segments,
+           coalesce(a.kept_segments, 0) AS kept_segments,
+           coalesce(a.text_dedup, '') AS text_dedup
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+    survey="segment-level exact dedup + document rebuild (C4 line-dedup analog)",
+    tags=("pipeline",),
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence dedup of 4-word segments, documents
+    rebuilt from survivors. 4-word spans on the ~30-word synthetic
+    vocabulary collide at the rate real pipelines see for duplicated
+    lines; one md5-keyed shuffle, one rebuild shuffle
+    (operators/corpus.py::segment_dedup)."""
+    t = load_tables(spark, sf_dir)
+    return C.segment_dedup(t["documents"], seg_words=4)
+
+
+@query(
+    "vec_kmeans_q8",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    g AS (SELECT min(list_min(e)) AS gmn, max(list_max(e)) AS gmx FROM d),
+    c AS (
+      SELECT vec_id,
+             CASE WHEN gmx > gmn
+                  THEN list_transform(e, x -> least(
+                         CAST(floor((x - gmn) * 255.0 / (gmx - gmn)) AS BIGINT),
+                         CAST(255 AS BIGINT)))
+                  ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+             END AS codes
+      FROM d, g
+    ),
+    seeds AS (
+      SELECT codes AS cent0,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM c
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
+    ),
+    d1 AS (
+      SELECT v.vec_id, v.codes, s.cid,
+             list_reduce(list_transform(generate_series(1, len(v.codes)),
+               i -> (v.codes[i] - s.cent0[i]) * (v.codes[i] - s.cent0[i])),
+               (x, y) -> x + y) AS dist
+      FROM c v, seeds s
+    ),
+    a1 AS (
+      SELECT vec_id, codes, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d1
+    ),
+    m AS (
+      SELECT cid, i - 1 AS pos,
+             CAST(sum(codes[i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+      FROM a1, LATERAL (SELECT unnest(generate_series(1, len(codes))) AS i) u
+      WHERE rn = 1
+      GROUP BY cid, i
+    ),
+    cent2 AS (SELECT cid, list(mean ORDER BY pos) AS cent FROM m GROUP BY cid),
+    d2 AS (
+      SELECT v.vec_id, t.cid,
+             list_reduce(list_transform(generate_series(1, len(v.codes)),
+               i -> (CAST(v.codes[i] AS DOUBLE) - t.cent[i])
+                    * (CAST(v.codes[i] AS DOUBLE) - t.cent[i])),
+               (x, y) -> x + y) AS dist2
+      FROM c v, cent2 t
+    ),
+    a2 AS (
+      SELECT vec_id, cid, dist2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+      FROM d2
+    )
+    SELECT vec_id, cid AS cluster, dist2 AS dist FROM a2 WHERE rn = 1
+    """,
+    survey="distributed k-means (2 Lloyd rounds) over global int8 codes — exact clustering (north star)",
+    tags=("pipeline",),
+)
+def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=4 two-round Lloyd over globally-quantized codes: hash-stratified
+    seeds, broadcast centroids both rounds, integer round-1 distances,
+    exact-mean round-2 centroids, left-fold round-2 distances — every bit
+    reproducible under shuffle (operators/vectors.py::kmeans_q8)."""
+    t = load_tables(spark, sf_dir)
+    return V.kmeans_q8(t["embeddings"], k=4)

@@ -147,3 +147,29 @@ def q_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ev = t["events"]
     return dedup_events(ev.unionAll(ev))
+
+
+@query(
+    "st_enrich_static",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour' AS window_end,
+           coalesce(c.c_mktsegment, 'unknown') AS segment,
+           count(*) AS n_events,
+           max(e.value) AS max_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+    survey="streaming: stream-static broadcast enrichment + windowed rollup (§2.8)",
+    tags=("streaming",),
+)
+def q_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events enriched with the customer market segment (static dim,
+    broadcast — the stream side never shuffles for the join), counted per
+    1-hour window × segment. Streaming twin equivalence in
+    tests/test_streaming.py; aggregates are count/max (selection-exact,
+    no cross-row float sums)."""
+    from ram_datapipeline_spark.streaming import enrich_with_dim
+
+    t = load_tables(spark, sf_dir)
+    return enrich_with_dim(t["events"], t["customer"])

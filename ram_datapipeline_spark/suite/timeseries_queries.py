@@ -1,0 +1,100 @@
+"""Time-series / changelog query family (beyond-reference): fixed-step
+resampling with gap fill + last-observation-carried-forward, and CDC
+changelog materialization (lakehouse MERGE semantics).
+
+Exactness: bucket values are selected by deterministic (ts, event_id)
+ordering — never float-summed across rows — so both queries are
+bit-exact against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.operators.temporal import cdc_apply
+from ram_datapipeline_spark.operators.timeseries import resample_gapfill_locf
+from ram_datapipeline_spark.registry import query
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, ts, value, event_id
+      FROM events
+    ),
+    rn AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rn
+      FROM b
+    ),
+    agg AS (
+      SELECT user_id, bucket, count(*) AS n_events,
+             max(CASE WHEN rn = 1 THEN value END) AS last_v
+      FROM rn GROUP BY user_id, bucket
+    ),
+    bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+    spine AS (
+      SELECT u.user_id, g.bucket
+      FROM (SELECT DISTINCT user_id FROM b) u, bounds,
+           LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket) g
+    )
+    SELECT s.user_id, s.bucket,
+           coalesce(a.n_events, 0) AS n_events,
+           last_value(a.last_v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.bucket = a.bucket
+    """,
+    survey="time-series resample: gap fill + LOCF (beyond ref §2.3)",
+    tags=("timeseries",),
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user grid over the full observed range: event counts
+    (0 in gaps) and the last observed value carried forward. The spine is
+    keys × sequence(), the carry is one per-key ordered window — no
+    event-sized cross join anywhere (operators/timeseries.py)."""
+    t = load_tables(spark, sf_dir)
+    return resample_gapfill_locf(t["events"])
+
+
+@query(
+    "ts_cdc_apply",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM events
+    ),
+    rn AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ch
+    )
+    SELECT user_id, ts, value, op FROM rn WHERE rn = 1 AND op <> 'delete'
+    """,
+    survey="CDC changelog -> snapshot (MERGE / upsert-compaction, beyond ref)",
+    tags=("timeseries",),
+)
+def q_ts_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the event stream as a keyed snapshot: newest change
+    per user wins, a winning 'error' acts as a delete marker and removes
+    the key. One window shuffle — same plan class as latest-per-key (W1)
+    with delete semantics on top (operators/temporal.py::cdc_apply)."""
+    t = load_tables(spark, sf_dir)
+    changes = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    out = cdc_apply(
+        changes, key_col="user_id", ts_col="ts", op_col="op",
+        tiebreak_col="event_id",
+    )
+    return out.select("user_id", "ts", "value", "op")

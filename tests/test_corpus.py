@@ -164,3 +164,53 @@ def test_label_centroids_shape_and_exact_mean(spark):
     assert len(rows) == n_labels * dim
     for r in rows[:20]:
         assert r.mean_q == r.sum_q / r.n  # single exact division
+
+
+def test_segment_dedup_first_occurrence_and_rebuild(spark):
+    from ram_datapipeline_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # segments: "a b c d", "e f g h"
+            (2, "a b c d x y z w"),          # first segment duplicates doc 1
+            (3, "a b c d e f g h"),          # fully duplicated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in C.segment_dedup(docs, seg_words=4).collect()}
+    assert out[1].kept_segments == 2 and out[1].text_dedup == "a b c d e f g h"
+    assert out[2].kept_segments == 1 and out[2].text_dedup == "x y z w"
+    assert out[3].kept_segments == 0 and out[3].text_dedup == ""
+    assert all(out[i].n_segments == 2 for i in (1, 2, 3))
+
+
+def test_segment_dedup_drops_on_fixture(spark):
+    from ram_datapipeline_spark.operators import corpus as C
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    agg = (
+        C.segment_dedup(docs, seg_words=4)
+        .agg(
+            F.sum("n_segments").alias("total"),
+            F.sum("kept_segments").alias("kept"),
+        )
+        .first()
+    )
+    # the 4-word segment space over the ~30-word vocabulary collides at
+    # fixture scale: dedup must drop something, but never a majority
+    assert 0 < agg.kept < agg.total
+    assert agg.kept > agg.total * 0.5
+
+
+def test_kmeans_q8_assignment_contract(spark):
+    from ram_datapipeline_spark.operators import vectors as V
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    n = emb.count()
+    out = V.kmeans_q8(emb, k=4)
+    rows = out.collect()
+    assert len(rows) == n  # every vector assigned exactly once
+    assert {r.cluster for r in rows} <= {0, 1, 2, 3}
+    assert all(r.dist >= 0.0 for r in rows)
+    # hash-stratified seeding on real data should populate every cluster
+    assert len({r.cluster for r in rows}) == 4

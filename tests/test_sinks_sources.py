@@ -222,3 +222,31 @@ def test_k1_jdbc_roundtrip(spark, results_df, tmp_path):
     pk = {r[0] for r in parent.select("result_id").collect()}
     ck = {r[0] for r in child.select("result_id").collect()}
     assert ck <= pk
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """write_partitioned produces a layout where a partition predicate
+    reaches the scan as a PartitionFilter and non-matching directories
+    are never read."""
+    from ram_datapipeline_spark.catalog import load_tables
+    from ram_datapipeline_spark.sinks import write_partitioned
+    from tests.conftest import SF_DIR
+
+    events = load_tables(spark, SF_DIR)["events"]
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(
+        events, out, partition_cols=["event_type"], target_file_partitions=4
+    )
+
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    assert one.count() == events.filter(F.col("event_type") == "click").count()
+    # directory layout exists per value (hive-style)
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert len(dirs) == 5  # click/view/signup/error/purchase

@@ -308,3 +308,34 @@ def test_watermark_evicts_late_file(spark, tmp_path):
         .collect()[0][0]
         == 0
     )
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """enrich_with_dim on a readStream input (static customer dim joined
+    per micro-batch) produces exactly the batch result."""
+    import shutil
+
+    from ram_datapipeline_spark.streaming import enrich_with_dim
+
+    t = load_tables(spark, SF_DIR)
+    events_dir = tmp_path / "ev_enrich"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "part-0.parquet")
+    batch = enrich_with_dim(t["events"], t["customer"])
+    stream = enrich_with_dim(
+        read_events_stream(spark, str(events_dir)),
+        t["customer"],
+        watermark="2 hours",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enrich_static")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enrich_static")
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
