@@ -50,6 +50,9 @@ HEADLINE = [
     "sim_cosine_topk_ivf",   # IVF-partitioned ANN (north star)
     "mm_decode_image_stats",  # multimodal decode through Arrow (north star)
     "dedup_connected_components",  # iterative min-label propagation (north star)
+    "pipe_segment_dedup",    # segment-level dedup + doc rebuild (north star)
+    "vec_kmeans_q8",         # two-round distributed k-means (north star)
+    "ts_gapfill_locf",       # time-series spine + LOCF windows
 ]
 
 

@@ -187,6 +187,10 @@ def connected_components(
     labels.persist()
 
     def propagate(lbl: DataFrame) -> DataFrame:
+        # carry the previous label through the join so the convergence
+        # check below is a filter on THIS result — not a second
+        # corpus-sized join against the old labels (one join+agg per
+        # round total)
         neighbor_min = (
             lbl.join(sym, lbl["node"] == sym["src"])
             .groupBy("dst")
@@ -195,22 +199,22 @@ def connected_components(
         )
         return lbl.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce("nb_label", F.col("label"))
             ).alias("label"),
         )
 
+    cached = labels  # the handle actually persisted (unpersist needs it)
     for _ in range(max_iters):
         new_labels = propagate(labels)
         new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        cached.unpersist()
+        cached = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     sym.unpersist()

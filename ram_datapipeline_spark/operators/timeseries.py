@@ -52,16 +52,12 @@ def resample_gapfill_locf(
         F.col(val_col),
         F.col(id_col),
     )
-    last_w = Window.partitionBy(key_col, "bucket").orderBy(
-        F.desc(ts_col), F.desc(id_col)
-    )
-    per_bucket = (
-        b.withColumn("rn", F.row_number().over(last_w))
-        .groupBy(key_col, "bucket")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.max(F.when(F.col("rn") == 1, F.col(val_col))).alias("last_v"),
-        )
+    # max_by over the (ts, id) struct = "newest event's value" as a plain
+    # map-side-combinable aggregate — one corpus exchange total, vs the
+    # row_number-window formulation's extra full sort + shuffle
+    per_bucket = b.groupBy(key_col, "bucket").agg(
+        F.count("*").alias("n_events"),
+        F.expr(f"max_by({val_col}, struct({ts_col}, {id_col}))").alias("last_v"),
     )
     bounds = b.agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")

@@ -152,11 +152,14 @@ def kmeans_q8(
     id, which clumps; VERDICT r1 "What's wrong" #3), deterministic under
     any partitioning.
 
-    Scale shape: centroids are k rows and broadcast into both assignment
-    passes (corpus never shuffles to meet them); the argmin is a
-    map-side-combinable ``min_by`` aggregate keyed by the vector id; the
-    recentering explode shuffles (k × dim)-bound partial sums. Rounds are
-    a fixed constant — lineage stays bounded without checkpointing.
+    Scale shape: each assignment pass broadcasts ALL centroids as one
+    array-of-structs row and takes the argmin per vector with
+    ``array_min`` over (dist, cid) structs — a pure projection, so the
+    corpus is NEVER shuffled for assignment (a per-centroid cross join +
+    groupBy argmin would shuffle the full corpus once per round). The only
+    corpus-sized exchange in the whole operator is the recentering
+    explode's (k × dim)-bound partial-sum aggregate. Rounds are a fixed
+    constant — lineage stays bounded without checkpointing.
 
     Emits ``(id_col, cluster, dist)`` — final assignment + its squared
     distance.
@@ -171,18 +174,43 @@ def kmeans_q8(
         F.col("codes").alias("cent0"),
     )
 
-    d1 = c.join(F.broadcast(seeds)).withColumn(
-        "dist",
-        F.aggregate(
-            F.zip_with(F.col("codes"), F.col("cent0"), lambda a, b: (a - b) * (a - b)),
+    def assign(cents_row: DataFrame, cent_field: str, dist_fn) -> DataFrame:
+        """Broadcast the k centroids as ONE array column; per vector,
+        distances live in an array and ``array_min`` over (dist, cid)
+        structs is the deterministic argmin — zero shuffle."""
+        packed = cents_row.agg(
+            F.collect_list(F.struct("cid", cent_field)).alias("cents")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda s: F.struct(
+                    dist_fn(F.col("codes"), s[cent_field]).alias("dist"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        )
+        return c.join(F.broadcast(packed)).withColumn("best", best)
+
+    def int_dist(codes: Column, cent: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(codes, cent, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        ),
-    )
-    a1 = d1.groupBy(id_col).agg(
-        F.expr("min_by(cid, struct(dist, cid))").alias("cluster"),
-        F.min(F.struct("dist", "cid"))["dist"].alias("dist1"),
-        F.first("codes").alias("codes"),
+        )
+
+    def dbl_dist(codes: Column, cent: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                codes, cent,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    a1 = assign(seeds, "cent0", int_dist).select(
+        id_col, "codes", F.col("best")["cid"].alias("cluster")
     )
 
     means = (
@@ -199,19 +227,8 @@ def kmeans_q8(
         ).alias("cent")
     )
 
-    d2 = c.join(F.broadcast(cent2)).withColumn(
-        "dist2",
-        F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.col("cent"),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return d2.groupBy(id_col).agg(
-        F.expr("min_by(cid, struct(dist2, cid))").alias("cluster"),
-        F.min(F.struct("dist2", "cid"))["dist2"].alias("dist"),
+    return assign(cent2, "cent", dbl_dist).select(
+        id_col,
+        F.col("best")["cid"].alias("cluster"),
+        F.col("best")["dist"].alias("dist"),
     )

@@ -108,12 +108,12 @@ GATE_ORDER: tuple[str, ...] = (
     # representatives keeping each §2 family visible this round
     "q1_pricing_summary",
     "s1_config_scan_filter",
-    "s3_settings_json_decode",
     "p6_nullsafe_round",
     "j1_inner_equijoin",
+    "ts_gapfill_locf",
     "j_asof_click_view",
     "a2_pivot_eav",
-    "w1_latest_per_key",
+    "vec_kmeans_q8",
     "w3_topk_per_group",
     "f_scalar_kit",
     # corpus-assembly north star (new in round 2 — must be driver-visible;
@@ -126,6 +126,9 @@ GATE_ORDER: tuple[str, ...] = (
     # round-2-changed query; mm_decode_image_stats rotated out, its r01
     # row proves the unchanged implementation)
     "mm_payload_embedding",
+    # round-2 rotations: s3_settings_json_decode and w1_latest_per_key
+    # (both r01-green and unchanged) rotated out for the new timeseries
+    # (ts_gapfill_locf) and vectors (vec_kmeans_q8) families
 )
 
 

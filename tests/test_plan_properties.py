@@ -121,3 +121,37 @@ def test_graph_routed_eta_plan(spark):
     assert n_ops(p, "CartesianProduct") == 0
     assert "MapInPandas" in p or "ArrowEvalPython" in p or "PythonMapInArrow" in p
     assert "BroadcastHashJoin" in p  # POI replicas broadcast onto origins
+
+
+def test_kmeans_assignment_never_shuffles_corpus(spark):
+    """Both Lloyd assignment passes are broadcast-centroid projections;
+    the only corpus-sized exchange is the (k × dim)-bound recentering
+    aggregate (+ its k-row repack). A per-centroid cross join + groupBy
+    argmin would add one full-corpus shuffle per round."""
+    plan = plan_text(spark, "vec_kmeans_q8")
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+    # exchanges: global-bounds agg (1-row), seed top-k, centroid repack,
+    # recentering partials — all bounded by k, dim, or 1; corpus rows
+    # never hash-partition. Window over the k seeds is single-partition
+    # by construction (k rows).
+    assert n_data_shuffles(plan) <= 6
+
+
+def test_gapfill_single_corpus_exchange(spark):
+    """The bucket rollup is one max_by aggregate (map-side combined);
+    everything after operates on the (key × buckets)-bound grid."""
+    plan = plan_text(spark, "ts_gapfill_locf")
+    assert n_ops(plan, "CartesianProduct") == 0
+    # corpus-sized: 1 (groupBy key,bucket). grid-sized: spine explode
+    # join, locf window, distinct-keys agg.
+    assert n_data_shuffles(plan) <= 6
+    assert n_ops(plan, "Window") == 1  # only the LOCF carry
+
+
+def test_segment_dedup_two_corpus_exchanges(spark):
+    """Segment dedup = md5-keyed first-occurrence window + per-doc
+    rebuild: two corpus-sized exchanges, nothing pairwise."""
+    plan = plan_text(spark, "pipe_segment_dedup")
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_data_shuffles(plan) <= 3

@@ -45,6 +45,8 @@ def test_every_family_has_a_gated_representative():
         "text": ("text_",),
         "multimodal": ("mm_",),
         "corpus-pipeline": ("pipe_",),
+        "timeseries": ("ts_",),
+        "vectors": ("vec_",),
     }
     unrepresented = [
         fam

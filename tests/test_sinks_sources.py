@@ -250,3 +250,29 @@ def test_partitioned_layout_prunes(spark, tmp_path):
 
     dirs = [d for d in os.listdir(out) if d.startswith("event_type=")]
     assert len(dirs) == 5  # click/view/signup/error/purchase
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """A join whose partition-column predicate only exists on the DIM side
+    still prunes the partitioned fact's directories at runtime (dynamic
+    partition pruning): the fact scan's PartitionFilters carries a
+    dynamicpruning subquery fed by the broadcast dim."""
+    from ram_datapipeline_spark.catalog import load_tables
+    from ram_datapipeline_spark.sinks import write_partitioned
+    from tests.conftest import SF_DIR
+
+    events = load_tables(spark, SF_DIR)["events"]
+    out = str(tmp_path / "events_dpp")
+    write_partitioned(
+        events, out, partition_cols=["event_type"], target_file_partitions=4
+    )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 0), ("error", 0), ("signup", 0), ("purchase", 1)],
+        "event_type string, keep int",
+    )
+    joined = fact.join(dim.filter(F.col("keep") == 1), "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    want = events.filter(F.col("event_type").isin("click", "purchase")).count()
+    assert joined.count() == want
