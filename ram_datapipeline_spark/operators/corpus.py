@@ -273,3 +273,90 @@ def tfidf_topk(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "score", "rnk")
     )
+
+
+# --- chunking with overlap (RAG / context-window prep) ------------------------
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    chunk_words: int = 64,
+    overlap_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size word chunks with overlap — the
+    retrieval/context-window prep step (chunk i starts at
+    ``i * (chunk_words - overlap_words)``; the last chunk may be short;
+    every document yields at least one chunk).
+
+    Emits ``(id_col, chunk_idx, n_chunks, chunk_text, chunk_words_n)``.
+    Pure projection + bounded explode: output rows ≈ input tokens /
+    stride — no shuffle at all; chunk boundaries are integer arithmetic
+    (engine-exact)."""
+    if overlap_words >= chunk_words:
+        raise ValueError("overlap_words must be < chunk_words")
+    stride = chunk_words - overlap_words
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), words.alias("_w")).withColumn(
+        # chunks fully covering size + one tail chunk when stride doesn't
+        # divide: ceil(max(size - overlap, 1) / stride)
+        "n_chunks",
+        F.expr(f"(greatest(size(_w) - {overlap_words}, 1) + {stride - 1}) div {stride}"),
+    )
+    return base.select(
+        id_col,
+        "n_chunks",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda i: F.slice(F.col("_w"), i * stride + 1, chunk_words),
+            )
+        ).alias("chunk_idx", "_chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        "n_chunks",
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").alias("chunk_words_n"),
+    )
+
+
+# --- staged quality funnel accounting ----------------------------------------
+
+
+def quality_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+) -> DataFrame:
+    """Pipeline-introspection staple: per filter stage, how many rows
+    survive all stages up to and including it. ``stages`` is an ordered
+    list of (name, predicate Column); row counts are computed in ONE pass
+    (conditional sums over the conjunction prefix — no per-stage scans,
+    no driver loop). Emits ``(stage_idx, stage, n_in, n_out, n_dropped)``
+    ordered by stage.
+    """
+    conj = F.lit(True)
+    counts = []
+    for i, (name, pred) in enumerate(stages):
+        conj = conj & pred
+        counts.append(
+            F.sum(F.when(conj, 1).otherwise(0)).cast("long").alias(f"_s{i}")
+        )
+    row = df.agg(F.count("*").cast("long").alias("_n"), *counts)
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                (F.col("_n") if i == 0 else F.col(f"_s{i-1}")).alias("n_in"),
+                F.col(f"_s{i}").alias("n_out"),
+                (
+                    (F.col("_n") if i == 0 else F.col(f"_s{i-1}"))
+                    - F.col(f"_s{i}")
+                ).alias("n_dropped"),
+            )
+            for i, (name, _) in enumerate(stages)
+        ]
+    )
+    return row.select(F.explode(stage_rows).alias("s")).select("s.*")

@@ -110,3 +110,53 @@ def grouped_collect_sorted(
         ).alias(out_name),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Table-version diff (incremental-pipeline staple): classify every
+    key as added / removed / changed / unchanged between two snapshots.
+
+    Emits the key columns, ``status``, and ``old_<c>`` / ``new_<c>`` for
+    each compared column. Comparison is null-safe (``<=>``); by default
+    unchanged rows are filtered out — at 100 TB the diff output is
+    change-sized, not table-sized, and the filter happens before any
+    downstream consumer. One co-partitioned full outer join on the key
+    (both sides shuffle once on the same key — bucketing both snapshots
+    on the key makes it exchange-free)."""
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = [o[f"_ok_{k}"] == n[f"_nk_{k}"] for k in key_cols]
+    j = o.join(n, cond, "full_outer")
+    any_diff = F.lit(False)
+    for c in compare_cols:
+        any_diff = any_diff | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col(f"_ok_{key_cols[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"_nk_{key_cols[0]}").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

@@ -353,3 +353,121 @@ def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible under shuffle (operators/vectors.py::kmeans_q8)."""
     t = load_tables(spark, sf_dir)
     return V.kmeans_q8(t["embeddings"], k=4)
+
+
+@query(
+    "pipe_chunk_overlap",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    t AS (
+      SELECT doc_id, words,
+             (greatest(len(words) - 2, 1) + 5) // 6 AS n_chunks
+      FROM w
+    ),
+    ch AS (
+      SELECT doc_id, n_chunks, i AS chunk_idx,
+             list_slice(words, i*6 + 1, i*6 + 8) AS chunk
+      FROM t, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) u
+    )
+    SELECT doc_id, chunk_idx, n_chunks,
+           array_to_string(chunk, ' ') AS chunk_text,
+           CAST(len(chunk) AS INT) AS chunk_words_n
+    FROM ch
+    """,
+    survey="document chunking with overlap (RAG / context-window prep)",
+    tags=("pipeline",),
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-word chunks, 2-word overlap (stride 6): pure projection +
+    bounded explode — zero shuffles; boundaries are integer arithmetic
+    (operators/corpus.py::chunk_with_overlap)."""
+    t = load_tables(spark, sf_dir)
+    return C.chunk_with_overlap(t["documents"], chunk_words=8, overlap_words=2)
+
+
+@query(
+    "pipe_quality_funnel",
+    oracle="""
+    WITH c AS (
+      SELECT count(*) AS n,
+        CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+        CAST(sum(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr') THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN n_chars >= 100 AND lang IN ('en','de','fr')
+                       AND len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS s2
+      FROM documents
+    )
+    SELECT 0 AS stage_idx, 'min_length' AS stage, n AS n_in, s0 AS n_out, n - s0 AS n_dropped FROM c
+    UNION ALL
+    SELECT 1, 'lang_allowed', s0, s1, s0 - s1 FROM c
+    UNION ALL
+    SELECT 2, 'min_tokens', s1, s2, s1 - s2 FROM c
+    """,
+    survey="staged quality-filter funnel accounting (single-pass conditional sums)",
+    tags=("pipeline",),
+)
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts for a 3-stage document filter, computed
+    in ONE scan (conditional sums over conjunction prefixes — no
+    per-stage jobs, no driver loop; operators/corpus.py::quality_funnel)."""
+    from pyspark.sql import functions as SF
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    return C.quality_funnel(
+        d,
+        [
+            ("min_length", SF.col("n_chars") >= 100),
+            ("lang_allowed", SF.col("lang").isin("en", "de", "fr")),
+            ("min_tokens", SF.size(SF.split(SF.col("text"), " ")) >= 30),
+        ],
+    )
+
+
+@query(
+    "pipe_snapshot_diff",
+    oracle="""
+    WITH oldv AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    newv AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7
+    ),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_totalprice AS old_o_totalprice,
+             n.o_totalprice AS new_o_totalprice,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM j WHERE status <> 'unchanged'
+    """,
+    survey="snapshot diff: added/removed/changed between table versions (incremental pipelines)",
+    tags=("pipeline",),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic derivations of orders (drop keys ≡3 mod 10 from
+    'old', drop ≡7 and double prices ≡5 in 'new') diffed by key: null-safe
+    compare, change-sized output, one co-partitioned full outer join
+    (operators/relational.py::snapshot_diff)."""
+    from pyspark.sql import functions as SF
+
+    from ram_datapipeline_spark.operators.relational import snapshot_diff
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    oldv = o.filter(SF.col("o_orderkey") % 10 != 3).select("o_orderkey", "o_totalprice")
+    newv = o.filter(SF.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        SF.when(
+            SF.col("o_orderkey") % 10 == 5, SF.col("o_totalprice") * 2
+        ).otherwise(SF.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        oldv, newv, key_cols=["o_orderkey"], compare_cols=["o_totalprice"]
+    )

@@ -214,3 +214,64 @@ def test_kmeans_q8_assignment_contract(spark):
     assert all(r.dist >= 0.0 for r in rows)
     # hash-stratified seeding on real data should populate every cluster
     assert len({r.cluster for r in rows}) == 4
+
+
+def test_chunk_with_overlap_boundaries(spark):
+    from ram_datapipeline_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = C.chunk_with_overlap(docs, chunk_words=8, overlap_words=2)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: 10 words, stride 6 → chunks [0..7] and [6..9]
+    assert rows[(1, 0)].chunk_text == "w0 w1 w2 w3 w4 w5 w6 w7"
+    assert rows[(1, 1)].chunk_text == "w6 w7 w8 w9"
+    assert rows[(1, 1)].chunk_words_n == 4
+    assert rows[(1, 0)].n_chunks == 2
+    # short doc: exactly one (short) chunk
+    assert rows[(2, 0)].chunk_text == "a b" and rows[(2, 0)].n_chunks == 1
+    # consecutive chunks overlap by exactly overlap_words
+    a, b = rows[(1, 0)].chunk_text.split(), rows[(1, 1)].chunk_text.split()
+    assert a[-2:] == b[:2]
+
+
+def test_quality_funnel_monotone_single_job(spark):
+    from ram_datapipeline_spark.operators import corpus as C
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    rows = (
+        C.quality_funnel(
+            docs,
+            [
+                ("len", F.col("n_chars") >= 100),
+                ("lang", F.col("lang").isin("en", "de", "fr")),
+            ],
+        )
+        .orderBy("stage_idx")
+        .collect()
+    )
+    assert [r.stage for r in rows] == ["len", "lang"]
+    # funnel algebra: each stage's input is the previous stage's output
+    assert rows[1].n_in == rows[0].n_out
+    assert all(r.n_out <= r.n_in and r.n_dropped == r.n_in - r.n_out for r in rows)
+    assert rows[0].n_in == docs.count()
+
+
+def test_snapshot_diff_statuses(spark):
+    from ram_datapipeline_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0), (3, 99.0), (4, 40.0)], "k long, v double"
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out[1].status == "removed" and out[1].new_v is None
+    assert 2 not in out  # unchanged filtered
+    assert out[3].status == "changed" and (out[3].old_v, out[3].new_v) == (30.0, 99.0)
+    assert out[4].status == "added" and out[4].old_v is None
+    withu = snapshot_diff(old, new, ["k"], ["v"], include_unchanged=True)
+    assert withu.filter(F.col("status") == "unchanged").count() == 1
