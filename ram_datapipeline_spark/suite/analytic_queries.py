@@ -305,3 +305,99 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, on="user_id", ts_col="ts",
         right_cols=["view_event_id", "view_value"],
     )
+
+
+@query(
+    "ev_user_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS first_click_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, c.first_click_ts, p.first_purchase_ts
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+            LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    survey="ordered event funnel (signup → click → purchase) — event analytics",
+    tags=("events",),
+)
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel: first signup, first click AFTER it, first
+    purchase AFTER that. Three min-aggregates chained by key-local joins —
+    every shuffle is on user_id, so at scale the three stages co-partition
+    and the event table streams through once per stage; timestamps are
+    selected, never summed (exact)."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return s.join(c, "user_id", "left").join(p, "user_id", "left")
+
+
+@query(
+    "ev_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT f.cohort,
+           CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    survey="weekly cohort retention matrix — event analytics",
+    tags=("events",),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users bucketed by first-activity week (cohort) × activity-week
+    offset. Week arithmetic is integer epoch seconds / 604800 — exact;
+    the distinct-user count shuffles (cohort, offset, user) once after a
+    map-side distinct."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    f = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    a = e.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    j = a.join(f, "user_id").select(
+        "cohort",
+        ((F.col("wk").cast("long") - F.col("cohort").cast("long")) / 604800)
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+    )
+    return j.groupBy("cohort", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
