@@ -28,10 +28,12 @@ from ram_datapipeline_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
-          "w3_topk_per_group", "dedup_exact"]
+          "w3_topk_per_group", "dedup_exact", "pipe_segment_dedup",
+          "vec_kmeans_q8", "ts_gapfill_locf"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000
+U_SPAN, E_SPAN = 100_000, 1_000_000_000
 
 
 def build_scaled(spark, k: int, out_dir: str) -> None:
@@ -43,13 +45,18 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     def scale(name: str, keys: dict[str, int]):
         df = spark.read.parquet(f"{BASE}/{name}.parquet").select("*", rep)
         for col, span in keys.items():
-            df = df.withColumn(col, F.col(col) + F.col("_i") * span)
+            df = df.withColumn(
+                col,
+                F.col(col) + F.col("_i").cast("long") * F.lit(span).cast("long"),
+            )
         df.drop("_i").write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
     scale("customer", {"c_custkey": C_SPAN})
     scale("orders", {"o_orderkey": O_SPAN, "o_custkey": C_SPAN})
     scale("lineitem", {"l_orderkey": O_SPAN})
     scale("documents", {"doc_id": C_SPAN})
+    scale("embeddings", {"vec_id": C_SPAN})
+    scale("events", {"event_id": E_SPAN, "user_id": U_SPAN})
     for name in TABLE_NAMES:
         dst = f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
