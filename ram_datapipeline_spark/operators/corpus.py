@@ -360,3 +360,29 @@ def quality_funnel(
         ]
     )
     return row.select(F.explode(stage_rows).alias("s")).select("s.*")
+
+
+# --- deterministic train/val/test split --------------------------------------
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Hash-based train/val/test assignment: the md5-u32 draw lands each
+    key in ``test`` (first ``test_frac`` of hash space), ``val`` (next
+    ``val_frac``), or ``train``. Zero shuffles, reproducible across runs
+    and engines, and STABLE under corpus growth — adding documents never
+    reassigns an existing key (the property random splits lack)."""
+    u = hash_uniform(F.col(key_col))
+    t_thr = int(test_frac * 2**32)
+    v_thr = int((test_frac + val_frac) * 2**32)
+    return df.withColumn(
+        split_col,
+        F.when(u < t_thr, F.lit("test"))
+        .when(u < v_thr, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -317,3 +317,33 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    block_col: Column,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Typo-duplicate candidate pairs by Levenshtein distance ≤
+    ``max_dist``, restricted to a blocking key (data-cleaning staple:
+    entity/name dedup).
+
+    Blocking is what makes this survive scale: the self-join is an
+    equi-join on ``block_col`` — per-block-local work instead of O(n²)
+    all-pairs — and the edit distance only runs inside blocks (AQE splits
+    skewed blocks). The metric is the exact integer edit distance,
+    identical in every engine. Emits ``(name_a, name_b, dist)`` with
+    ``name_a < name_b`` (each unordered pair once)."""
+    names = df.select(F.col(text_col).alias("name")).distinct().withColumn(
+        "block", block_col
+    )
+    a = names.select(F.col("name").alias("name_a"), "block")
+    b = names.select(F.col("name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )

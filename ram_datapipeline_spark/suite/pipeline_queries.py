@@ -11,6 +11,7 @@ arithmetic, TF-IDF is integer division — bit-exact in both engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.operators import corpus as C
@@ -471,3 +472,35 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         oldv, newv, key_cols=["o_orderkey"], compare_cols=["o_totalprice"]
     )
+
+
+@query(
+    "pipe_split_assign",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, {_U32_SQL} AS u32 FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CASE WHEN u32 < CAST(floor(0.1 * 4294967296.0) AS BIGINT) THEN 'test'
+                  WHEN u32 < CAST(floor(0.2 * 4294967296.0) AS BIGINT) THEN 'val'
+                  ELSE 'train' END AS split
+      FROM h
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM s GROUP BY source, split
+    """,
+    survey="deterministic train/val/test split (hash thresholds, growth-stable)",
+    tags=("pipeline",),
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10/10/80 test/val/train split via md5-u32 thresholds — zero
+    shuffles for the assignment itself (pure pushed-down projection);
+    adding documents never reassigns an existing key. Emits per
+    (source, split) counts (operators/corpus.py::split_assign)."""
+    t = load_tables(spark, sf_dir)
+    out = C.split_assign(
+        t["documents"].select("doc_id", "source"),
+        key_col="doc_id", val_frac=0.1, test_frac=0.1,
+    )
+    return out.groupBy("source", "split").agg(F.count("*").alias("n_docs"))

@@ -716,3 +716,30 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, no shuffle)."""
     t = load_tables(spark, sf_dir)
     return T.repetition_ratio(t["documents"])
+
+
+@query(
+    "dedup_fuzzy_name",
+    oracle="""
+    WITH n AS (
+      SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS block
+      FROM part
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+    survey="blocked fuzzy-match pairs (Levenshtein ≤ 2) — entity/name dedup",
+    tags=("dedup",),
+)
+def q_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-duplicate part names: block on the noun (second word) so the
+    self-join is block-local (never all-pairs), exact integer edit
+    distance inside blocks (operators/dedup.py::fuzzy_pairs)."""
+    from ram_datapipeline_spark.operators.dedup import fuzzy_pairs
+
+    t = load_tables(spark, sf_dir)
+    return fuzzy_pairs(
+        t["part"], "p_name", F.split_part(F.col("name"), F.lit(" "), F.lit(2))
+    )
