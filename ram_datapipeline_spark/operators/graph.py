@@ -150,3 +150,65 @@ def make_hub_routing_kernel(
         return leg_o + dist[ho, hp] + leg_p
 
     return kernel
+
+
+# Below this vertex count the closure is computed driver-side: the closure
+# is ALREADY collected + broadcast to the routing kernel (the CH-style
+# "contracted core in memory"), so a V×V numpy squaring is the same memory
+# class with none of the per-round job-scheduling cost. Above it, the
+# distributed squaring runs (same math, same results).
+LOCAL_CLOSURE_MAX_VERTS = 512
+
+
+def min_plus_closure_rows(
+    edge_rows: list, n_squarings: int
+) -> list:
+    """Driver-side replay of ``min_plus_closure`` for hub-scale graphs:
+    identical squaring sequence on a dense matrix, so every output double
+    is bit-identical to the distributed version (each path candidate is
+    ONE a+b — the same correctly-rounded IEEE add — and min over
+    candidates is order-independent; there is no accumulation anywhere).
+    Absent pairs are +inf internally and omitted from the result, matching
+    the join semantics."""
+    import numpy as np
+
+    verts = sorted({s for s, _, _ in edge_rows} | {d for _, d, _ in edge_rows})
+    ix = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    d = np.full((n, n), np.inf)
+    np.fill_diagonal(d, 0.0)
+    for s, t, w in edge_rows:
+        si, ti = ix[s], ix[t]
+        if w < d[si, ti]:
+            d[si, ti] = w
+    for _ in range(n_squarings):
+        d = np.min(d[:, :, None] + d[None, :, :], axis=1)
+    out = []
+    for i in range(n):
+        for j in range(n):
+            if np.isfinite(d[i, j]):
+                out.append((verts[i], verts[j], float(d[i, j])))
+    return out
+
+
+def hub_closure_rows(
+    edges: DataFrame,
+    n_squarings: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> list:
+    """Collected all-pairs closure rows [(src, dst, w)], choosing the
+    execution strategy by graph size: numpy squaring under
+    ``LOCAL_CLOSURE_MAX_VERTS`` vertices, the distributed
+    ``min_plus_closure`` above (both produce bit-identical rows).
+    Collecting the EDGE list is always admissible here because the caller
+    is about to hold the (≥ E)-sized closure in memory anyway."""
+    edge_rows = [
+        (r[src], r[dst], r[w]) for r in edges.select(src, dst, w).collect()
+    ]
+    n_verts = len({s for s, _, _ in edge_rows} | {d for _, d, _ in edge_rows})
+    if n_verts <= LOCAL_CLOSURE_MAX_VERTS:
+        return min_plus_closure_rows(edge_rows, n_squarings)
+    cl = min_plus_closure(edges, n_squarings, src=src, dst=dst, w=w)
+    return [(r[src], r[dst], r[w]) for r in cl.collect()]

@@ -203,19 +203,19 @@ def q_eta_routed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-region cliques — and 2^3 = 8 covers that with margin; the
     generic bound is ceil(log2(V-1)) squarings)."""
     from ram_datapipeline_spark.operators.graph import (
+        hub_closure_rows,
         make_hub_routing_kernel,
-        min_plus_closure,
     )
 
     t = load_tables(spark, sf_dir)
     o = ram_domain.origins(t["customer"])
     p = ram_domain.pois(t["supplier"])
     edges = ram_domain.road_edges(t["nation"])
-    closure = min_plus_closure(edges, n_squarings=3)
     # hub-level artifacts are tiny by construction (one hub per admin
     # slab); collect + broadcast is the CH-style "contracted core in
-    # memory" pattern, not a data-scale collect
-    closure_rows = [(r["src"], r["dst"], r["w"]) for r in closure.collect()]
+    # memory" pattern, not a data-scale collect. hub_closure_rows picks
+    # numpy vs distributed squaring by vertex count (bit-identical).
+    closure_rows = hub_closure_rows(edges, n_squarings=3)
     hub_rows = [
         (r["hub_id"], r["lon"], r["lat"])
         for r in ram_domain.hubs(t["nation"]).collect()

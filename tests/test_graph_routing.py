@@ -95,3 +95,25 @@ def test_hub_kernel_formula():
     leg = 1.0 * 111.0 / 120.0 * 3600.0
     assert math.isclose(got[0], leg + 432.0 + leg, rel_tol=1e-12)
     assert math.isnan(got[1])  # hub 1 → hub 0 missing from closure
+
+
+def test_local_closure_bit_identical_to_distributed(spark):
+    """The numpy fast path replays the distributed squaring sequence
+    exactly — every (src, dst, w) row matches bit-for-bit."""
+    from ram_datapipeline_spark import ram_domain
+    from ram_datapipeline_spark.catalog import load_tables
+    from ram_datapipeline_spark.operators.graph import (
+        min_plus_closure,
+        min_plus_closure_rows,
+    )
+    from tests.conftest import SF_DIR
+
+    edges = ram_domain.road_edges(load_tables(spark, SF_DIR)["nation"])
+    dist = {
+        (r["src"], r["dst"]): r["w"]
+        for r in min_plus_closure(edges, n_squarings=3).collect()
+    }
+    edge_rows = [(r["src"], r["dst"], r["w"]) for r in edges.collect()]
+    loc = {(s, t): w for s, t, w in min_plus_closure_rows(edge_rows, 3)}
+    assert set(dist) == set(loc)
+    assert all(dist[k] == loc[k] for k in dist)  # bitwise-equal doubles
