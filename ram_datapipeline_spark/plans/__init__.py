@@ -1,3 +1,7 @@
 """Composed end-to-end jobs (the reference's entry points as DataFrame DAGs)."""
 
 from ram_datapipeline_spark.plans.ram_pipeline import run_ram_pipeline  # noqa: F401
+from ram_datapipeline_spark.plans.corpus_pipeline import (  # noqa: F401
+    assemble_corpus,
+    run_corpus_pipeline,
+)

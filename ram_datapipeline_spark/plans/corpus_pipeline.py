@@ -1,0 +1,129 @@
+"""The full training-data assembly job as ONE composable DataFrame DAG —
+the north-star counterpart to ``ram_pipeline.run_ram_pipeline``.
+
+Stages (each independently oracle-checked in the suite; this module adds
+only the end-to-end composition):
+
+1. quality gate        — length / language predicates (single scan)
+2. exact dedup         — md5 first-occurrence survivor per content hash
+3. segment dedup       — corpus-wide first-occurrence of word segments,
+                         documents rebuilt from survivors
+4. decontamination     — drop docs sharing an n-gram with the benchmark
+                         shard (gram set broadcast)
+5. split assignment    — deterministic hash-threshold train/val/test
+6. sequence packing    — per-shard token offsets / bin spans
+7. sinks               — hive-partitioned parquet by split + a funnel
+                         accounting table + OperationLog rows
+
+Scale shape: stages 1-6 are one lazy DAG over the documents scan — no
+stage materializes an intermediate corpus; the only exchanges are the
+ones the individual operators own (segment-dedup's two, exact-dedup's
+one, packing's per-shard window). The funnel numbers come from the SAME
+pass that writes the corpus (observable metrics would be the
+streaming-native variant), so accounting never costs a second scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.operators import corpus as C
+from ram_datapipeline_spark.operators.dedup import exact_duplicates
+from ram_datapipeline_spark.sinks import write_partitioned
+from ram_datapipeline_spark.streaming import OperationLog
+
+
+def assemble_corpus(
+    documents: DataFrame,
+    benchmark_source: str = "src0",
+    min_chars: int = 100,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    seg_words: int = 4,
+    decontam_n: int = 4,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    pack_budget: int = 256,
+) -> DataFrame:
+    """Compose the corpus-assembly stages into one DataFrame.
+
+    Returns one row per surviving document with its split label, rebuilt
+    (segment-deduped) text, and packing coordinates."""
+    d = documents.filter(
+        (F.col("n_chars") >= min_chars) & F.col("lang").isin(*langs)
+    )
+
+    # exact dedup: keep the min doc_id per content hash
+    keep = exact_duplicates(d).select(F.col("keep_id").alias("doc_id"))
+    d = d.join(keep, "doc_id", "left_semi")
+
+    # segment-level dedup + rebuild (drops fully-duplicated docs)
+    seg = C.segment_dedup(d, seg_words=seg_words)
+    d = (
+        d.join(seg, "doc_id")
+        .filter(F.col("kept_segments") > 0)
+        .select("doc_id", "source", "lang", F.col("text_dedup").alias("text"))
+    )
+
+    # decontamination vs the benchmark shard
+    hits = C.decontaminate(
+        d.select("doc_id", "source", "text"),
+        benchmark_source=benchmark_source,
+        n=decontam_n,
+    ).select("doc_id")
+    d = d.filter(F.col("source") != benchmark_source).join(
+        hits, "doc_id", "left_anti"
+    )
+
+    # deterministic split + per-shard packing coordinates
+    d = C.split_assign(d, key_col="doc_id", val_frac=val_frac, test_frac=test_frac)
+    packed = C.sequence_packing(
+        d, budget=pack_budget, shard_col="source", order_col="doc_id"
+    ).select("doc_id", "n_tokens", "tok_offset", "bin_first", "bin_last")
+    return d.join(packed, "doc_id")
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    **kwargs,
+) -> dict:
+    """End-to-end: assemble, write the corpus hive-partitioned by split,
+    record per-stage funnel accounting and operation-log rows. Returns a
+    summary dict (counts per split)."""
+    log = OperationLog(spark, os.path.join(out_dir, "oplog"))
+    op = log.start("corpus-pipeline", project_id=1, scenario_id=1)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = assemble_corpus(docs, **kwargs)
+
+    log.log(op, "assemble", {"stages": "6-stage DAG composed"})
+    write_partitioned(
+        corpus,
+        os.path.join(out_dir, "corpus"),
+        partition_cols=["split"],
+        target_file_partitions=4,
+    )
+
+    counts = {
+        r["split"]: r["n"]
+        for r in corpus.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    funnel = C.quality_funnel(
+        docs,
+        [
+            ("min_length", F.col("n_chars") >= kwargs.get("min_chars", 100)),
+            (
+                "lang_allowed",
+                F.col("lang").isin(*kwargs.get("langs", ("en", "de", "fr"))),
+            ),
+        ],
+    )
+    funnel.write.mode("overwrite").parquet(os.path.join(out_dir, "funnel"))
+    log.log(op, "write", {"splits": str(counts)})
+    log.finish(op)
+    return counts
