@@ -41,11 +41,15 @@ def tumbling_window_agg(
     """Tumbling-window counts + value sum per event type:
     (window_start, window_end, event_type, n_events, total_value)."""
     src = events.withWatermark("ts", watermark) if watermark else events
+    # integer-cents sum: value carries 2 decimals, so the cross-row sum is
+    # BIGINT — exact under any shuffle/merge order (a raw double sum is
+    # order-dependent at the ULP level and can flake an exact-hash gate)
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
     return (
         src.groupBy(F.window("ts", duration), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

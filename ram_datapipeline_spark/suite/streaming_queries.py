@@ -25,7 +25,7 @@ from ram_datapipeline_spark.streaming import (
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
            event_type,
            count(*) AS n_events,
-           sum(value) AS total_value
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
