@@ -276,3 +276,35 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     want = events.filter(F.col("event_type").isin("click", "purchase")).count()
     assert joined.count() == want
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """Events survive an ORC write/read bit-exactly (second columnar
+    format besides parquet — native Spark, no extra deps)."""
+    from ram_datapipeline_spark.catalog import load_tables
+    from tests.conftest import SF_DIR
+
+    events = load_tables(spark, SF_DIR)["events"]
+    out = str(tmp_path / "events_orc")
+    events.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == events.count()
+    assert dict(back.dtypes) == dict(events.dtypes)
+    assert back.exceptAll(events).count() == 0
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A table whose newer files carry an extra column reads as the merged
+    schema with NULL backfill (mergeSchema) — additive schema evolution."""
+    out = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        f"{out}/batch=0"
+    )
+    spark.range(3, 6).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(f"{out}/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "v1", "v2", "batch"}
+    old = merged.filter(F.col("batch") == 0)
+    assert old.filter(F.col("v2").isNull()).count() == 3
+    assert merged.count() == 6
