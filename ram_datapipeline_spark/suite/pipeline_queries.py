@@ -504,3 +504,48 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id", val_frac=0.1, test_frac=0.1,
     )
     return out.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "pipe_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(text) AS h FROM documents WHERE source <> 'src1'
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents WHERE source = 'src1'
+    )
+    SELECT b.doc_id, b.h
+    FROM batch b
+    WHERE b.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    """,
+    survey="incremental-batch dedup vs existing corpus (anti-join on content hash)",
+    tags=("pipeline",),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingesting a new shard (src1) into an existing corpus: drop batch
+    docs whose content hash already exists in the corpus (anti-join on
+    md5 — at scale the 'seen' side is a hash-only table, a fraction of
+    corpus bytes) and self-dedup the batch (first doc_id wins). The
+    incremental form of dedup_exact: only the NEW batch is scanned +
+    shuffled; the corpus contributes a hash list."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    from pyspark.sql import Window as W
+
+    corpus_hashes = (
+        d.filter(F.col("source") != "src1").select(F.md5("text").alias("h"))
+    )
+    batch = d.filter(F.col("source") == "src1").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    first = W.partitionBy("h").orderBy("doc_id")
+    batch1 = (
+        batch.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return batch1.join(corpus_hashes, "h", "left_anti").select("doc_id", "h")
