@@ -825,3 +825,49 @@ def q_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated on the order key."""
     load_tables(spark, sf_dir)
     return spark.sql(_Q21_WAITING_SQL)
+
+
+@query(
+    "j_band_price",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 500.0),
+             ('mid', 500.0, 2000.0),
+             ('premium', 2000.0, 100000.0)
+    )
+    SELECT b.band, count(*) AS n_items,
+           min(l.l_extendedprice) AS min_price,
+           max(l.l_extendedprice) AS max_price
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band
+    """,
+    survey="range-band join (non-equi BETWEEN against a broadcast band dim)",
+    tags=("join",),
+)
+def q_band_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join: every lineitem lands in its [lo, hi) price band.
+    The band dim is rows-sized → broadcast nested-loop (the right plan:
+    the fact never shuffles for the join; with a large band table the
+    rewrite is a range-bucketed equi-join). Aggregates are count/min/max —
+    selection-exact."""
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 2000.0),
+         ("premium", 2000.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    li = t["lineitem"]
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li["l_extendedprice"] >= bands["lo"])
+            & (li["l_extendedprice"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
