@@ -144,3 +144,105 @@ def test_exact_money_sum_partition_invariant(spark, vals, parts):
     a = df.coalesce(1).agg(exact_money_sum(F.col("x")).alias("s")).collect()[0]["s"]
     b = df.repartition(parts).agg(exact_money_sum(F.col("x")).alias("s")).collect()[0]["s"]
     assert a == b
+
+
+words_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=1, max_size=40
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=words_strategy, chunk=st.integers(3, 8), overlap=st.integers(0, 2))
+@SETTINGS
+def test_chunk_overlap_reconstructs_text(spark, docs, chunk, overlap):
+    """Dropping each chunk's leading `overlap` words (except chunk 0) and
+    concatenating reconstructs the original document exactly, and every
+    chunk except the last has exactly `chunk` words."""
+    from ram_datapipeline_spark.operators.corpus import chunk_with_overlap
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = chunk_with_overlap(df, chunk_words=chunk, overlap_words=overlap)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, ws in enumerate(docs):
+        chunks = by_doc[i]
+        assert chunks[0].n_chunks == len(chunks)
+        rebuilt: list = []
+        for j, r in enumerate(chunks):
+            cw = r.chunk_text.split(" ")
+            assert len(cw) == r.chunk_words_n
+            if j < len(chunks) - 1:
+                assert r.chunk_words_n == chunk
+            rebuilt.extend(cw if j == 0 else cw[overlap:])
+        assert rebuilt == ws
+
+
+@given(docs=words_strategy, seg=st.integers(2, 5))
+@SETTINGS
+def test_segment_dedup_invariants(spark, docs, seg):
+    """Global kept-segment count equals the number of DISTINCT segments,
+    and each doc's rebuilt text is a concatenation of a subset of its own
+    segments in order."""
+    from ram_datapipeline_spark.operators.corpus import segment_dedup
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in segment_dedup(df, seg_words=seg).collect()}
+
+    def segments(ws):
+        return [
+            " ".join(ws[i : i + seg]) for i in range(0, len(ws), seg)
+        ]
+
+    all_segs = [s for ws in docs for s in segments(ws)]
+    assert sum(r.kept_segments for r in out.values()) == len(set(all_segs))
+    for i, ws in enumerate(docs):
+        own = segments(ws)
+        # rebuilt text is some subsequence of the doc's own segments
+        text = out[i].text_dedup
+        if text:
+            it = iter(own)
+            rebuilt_segs = []
+            # greedy scan: each kept segment must appear among own segments in order
+            pos = 0
+            for s in _split_into_segments(text, own):
+                while pos < len(own) and own[pos] != s:
+                    pos += 1
+                assert pos < len(own), f"segment {s!r} not in doc order"
+                rebuilt_segs.append(s)
+                pos += 1
+
+
+def _split_into_segments(text: str, own: list) -> list:
+    """Recover the kept segment sequence from the rebuilt text by greedy
+    prefix matching against the doc's own segment list (segments may
+    contain spaces, so a plain split can't recover boundaries)."""
+    out = []
+    rest = text
+    i = 0
+    own = list(own)
+    while rest:
+        for j, s in enumerate(own[i:], start=i):
+            if rest == s:
+                out.append(s)
+                rest = ""
+                i = j + 1
+                break
+            if rest.startswith(s + " "):
+                out.append(s)
+                rest = rest[len(s) + 1 :]
+                i = j + 1
+                break
+        else:
+            raise AssertionError(f"cannot match {rest!r} against segments")
+    return out
