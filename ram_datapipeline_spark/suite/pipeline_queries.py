@@ -549,3 +549,39 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     return batch1.join(corpus_hashes, "h", "left_anti").select("doc_id", "h")
+
+
+@query(
+    "pipe_reservoir_topk",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, rn AS sample_rank FROM r WHERE rn <= 5
+    """,
+    survey="deterministic without-replacement sample: k smallest hashes per stratum",
+    tags=("pipeline",),
+)
+def q_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample per source WITHOUT replacement: keep the
+    k docs with the smallest md5(doc_id) per stratum — the deterministic
+    equivalent of a distributed reservoir (rank by hash = random order,
+    but reproducible and engine-portable). One window shuffle on the
+    stratum; WindowGroupLimit prunes rank > k map-side, so the exchange
+    carries ~k rows per stratum per task, not the corpus."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+    )

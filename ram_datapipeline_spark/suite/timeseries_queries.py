@@ -98,3 +98,49 @@ def q_ts_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
     )
     return out.select("user_id", "ts", "value", "op")
+
+
+@query(
+    "ts_moving_avg",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, bucket, n_events,
+           CAST(sum(n_events) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) AS ma3
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    survey="3-bucket moving average over the hourly series (ROWS frame, integer-exact)",
+    tags=("timeseries",),
+)
+def q_ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-hour moving average of per-user event counts: the
+    frame sums are BIGINT (order-safe), one division at the end. One
+    (user, bucket) aggregate + one per-user frame window — both shuffles
+    on the same key, co-partitioned."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    b = (
+        t["events"]
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return b.select(
+        "user_id",
+        "bucket",
+        "n_events",
+        (
+            F.sum("n_events").over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("ma3"),
+    )

@@ -308,3 +308,35 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     old = merged.filter(F.col("batch") == 0)
     assert old.filter(F.col("v2").isNull()).count() == 3
     assert merged.count() == 6
+
+
+def test_json_source_corrupt_record_handling(spark, tmp_path):
+    """Malformed JSONL rows land in the corrupt-record column under
+    PERMISSIVE mode (ingest keeps going) and are droppable under
+    DROPMALFORMED — the resilience contract any 100 TB ingest needs."""
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 2, "v": "fine"}\n'
+    )
+    schema = "id long, v string, _corrupt string"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(p))
+    )
+    rows = perm.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt is not None]
+    assert len(bad) == 1 and "broken" in bad[0]._corrupt
+    good_ids = {r.id for r in rows if r._corrupt is None}
+    assert good_ids == {1, 2}
+
+    dropped = (
+        spark.read.schema("id long, v string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r.id for r in dropped.collect()} == {1, 2}
