@@ -32,6 +32,7 @@ from ram_datapipeline_spark.operators.eta import (  # noqa: F401
     routed_duration_matrix,
 )
 from ram_datapipeline_spark.operators.relational import (  # noqa: F401
+    snapshot_diff,
     exact_money_sum,
     latest_per_key,
     pivot_eav,
@@ -46,7 +47,13 @@ from ram_datapipeline_spark.operators.spatial import (  # noqa: F401
     square_grid,
     world_buffer_guard,
 )
-from ram_datapipeline_spark.operators.temporal import asof_join  # noqa: F401
+from ram_datapipeline_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    cdc_apply,
+)
+from ram_datapipeline_spark.operators.timeseries import (  # noqa: F401
+    resample_gapfill_locf,
+)
 from ram_datapipeline_spark.operators.skew import (  # noqa: F401
     salted_join,
     write_bucketed,
@@ -54,6 +61,7 @@ from ram_datapipeline_spark.operators.skew import (  # noqa: F401
 
 # training-data pipeline (north star)
 from ram_datapipeline_spark.operators.dedup import (  # noqa: F401
+    fuzzy_pairs,
     connected_components,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -114,4 +122,32 @@ from ram_datapipeline_spark.streaming import (  # noqa: F401
 )
 
 # the full job (SURVEY §3.1)
-from ram_datapipeline_spark.plans import run_ram_pipeline  # noqa: F401
+from ram_datapipeline_spark.operators.corpus import (  # noqa: F401
+    chunk_with_overlap,
+    decontaminate,
+    hash_sample,
+    quality_funnel,
+    segment_dedup,
+    sequence_packing,
+    split_assign,
+    stratified_sample,
+    tfidf_topk,
+)
+from ram_datapipeline_spark.operators.vectors import (  # noqa: F401
+    kmeans_q8,
+    l2_norm,
+    label_centroids,
+    normalize,
+    quantize_global_q8,
+    quantize_int8,
+)
+from ram_datapipeline_spark.operators.graph import (  # noqa: F401
+    hub_closure_rows,
+    make_hub_routing_kernel,
+    min_plus_closure,
+)
+from ram_datapipeline_spark.plans import (  # noqa: F401
+    assemble_corpus,
+    run_corpus_pipeline,
+    run_ram_pipeline,
+)
