@@ -16,6 +16,7 @@ name is independently oracle-gated through the suite.
 from __future__ import annotations
 
 # session / catalog
+from ram_datapipeline_spark.analysis import plan_stats, plan_text  # noqa: F401
 from ram_datapipeline_spark.catalog import load_tables  # noqa: F401
 from ram_datapipeline_spark.session import ensure_parallelism, get_spark  # noqa: F401
 

@@ -155,3 +155,19 @@ def test_segment_dedup_two_corpus_exchanges(spark):
     plan = plan_text(spark, "pipe_segment_dedup")
     assert n_ops(plan, "CartesianProduct") == 0
     assert n_data_shuffles(plan) <= 3
+
+
+def test_plan_stats_helper_agrees_with_guards(spark):
+    """The public plan_stats API reports the same counts the guards
+    assert (q3: 2 broadcast joins, 1 data exchange, pushed scans, no
+    sort-merge/nested-loop, non-trivial codegen fusion)."""
+    from ram_datapipeline_spark.analysis import plan_stats
+
+    df = Q.REGISTRY["q3_revenue_topk"].builder(spark, SF_DIR)
+    stats = plan_stats(df)
+    assert stats["broadcast_hash_joins"] == 2
+    assert stats["sort_merge_joins"] == 0
+    assert stats["nested_loop_joins"] == 0
+    assert stats["exchanges"] == 1
+    assert stats["pushed_filter_scans"] >= 2
+    assert stats["python_eval"] == 0
