@@ -45,9 +45,26 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 def cosine_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold: (vec_a, vec_b, cos). Exact
-    brute force — quadratic; the correctness baseline for ANN variants."""
+    brute force — quadratic BY CONSTRUCTION; it exists as the correctness
+    baseline the ANN variants (LSH/IVF) are recall-tested against, not as
+    a production path.
+
+    ``max_rows`` is the scale fence: the cross join is refused above it
+    (count is one cheap job) unless explicitly lifted with
+    ``max_rows=None`` — a silent O(n²) on a grown corpus is the failure
+    mode this guards against; use ``cosine_topk_lsh`` / ``cosine_topk_ivf``
+    there."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs is O(n²) brute force: corpus has {n} rows >"
+                f" max_rows={max_rows}. Use the LSH/IVF ANN operators at"
+                " this scale, or pass max_rows=None to force."
+            )
     v = with_norm(ensure_parallelism(df), vec_col).select(F.col(id_col), "_e", "_nrm")
     a = v.select(F.col(id_col).alias("vec_a"), F.col("_e").alias("_ea"), F.col("_nrm").alias("_na"))
     b = v.select(F.col(id_col).alias("vec_b"), F.col("_e").alias("_eb"), F.col("_nrm").alias("_nb"))

@@ -81,3 +81,21 @@ def test_ann_bucket_sizes_bounded(spark):
     ]
     assert len(ivf_sizes) == n_cells  # every cell non-empty on the fixture
     assert max(ivf_sizes) < 4 * statistics.mean(ivf_sizes), ivf_sizes
+
+
+def test_cosine_pairs_scale_fence(spark):
+    """The brute-force baseline refuses oversized corpora unless the
+    fence is explicitly lifted."""
+    import pytest as _pytest
+
+    from ram_datapipeline_spark.operators.similarity import cosine_pairs
+
+    big = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="O\\(n²\\)|max_rows"):
+        cosine_pairs(big, max_rows=10)
+    # lifted fence still works
+    out = cosine_pairs(big.limit(5), max_rows=None, threshold=0.9)
+    assert out.count() == 10  # all 5C2 identical unit vectors
