@@ -282,13 +282,28 @@ def nearest_snap_distance(
     origins: DataFrame,
     vertices: DataFrame,
     origin_keys: list[str] | None = None,
+    max_vertices: int | None = 100_000,
 ) -> DataFrame:
     """Nearest-neighbor snap distance in km (SURVEY J5/U2).
 
     Reference: ``osrm.nearest`` per origin in series (tasks.js:181-213).
     Here: broadcast cross join against road vertices + min — one pass, no
     per-row call. Output: origin_keys + snap_km.
+
+    ``max_vertices`` is the scale fence: O(origins × vertices) is only
+    sane while the vertex set broadcasts; above the fence use
+    ``nearest_snap_distance_grid`` (the gated walk-penalty query does), or
+    pass ``max_vertices=None`` to force.
     """
+    if max_vertices is not None:
+        nv = vertices.count()
+        if nv > max_vertices:
+            raise ValueError(
+                f"nearest_snap_distance is O(origins × vertices): {nv}"
+                f" vertices > max_vertices={max_vertices}. Use"
+                " nearest_snap_distance_grid at this scale, or pass"
+                " max_vertices=None to force."
+            )
     origin_keys = origin_keys or ["origin_id"]
     v = F.broadcast(
         vertices.select(F.col("lon").alias("_v_lon"), F.col("lat").alias("_v_lat"))
