@@ -305,3 +305,58 @@ def cosine_topk_lsh(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
+
+
+def sparse_tfidf_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Document-pair cosine similarity over SPARSE integer tf-idf vectors
+    — the inverted-index counterpart to the dense-embedding operators:
+    pairs are generated only for documents sharing ≥1 term (posting-list
+    self-join), never all-pairs.
+
+    Exactness: weights are integer (``tf · 1e6 div df``), so every dot
+    product is a BIGINT sum (order-safe under shuffle); each norm is one
+    sqrt of an integer; cosine is one division of exact doubles — fully
+    oracle-checkable.
+
+    Scale shape: one explode + two vocabulary-keyed aggregates (map-side
+    combined), document norms broadcast-joined back, and the pair space
+    bounded by posting-list co-occurrence — the classic sparse-similarity
+    join. Hot terms (stopwords) are the skew risk: AQE splits them; a
+    df-ceiling filter is the standard mitigation knob upstream."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col),
+        "term",
+        F.expr("tf * 1000000 div df").alias("w"),
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = w.select(F.col(id_col).alias("doc_a"), "term", F.col("w").alias("_wa"))
+    b = w.select(F.col(id_col).alias("doc_b"), "term", F.col("w").alias("_wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("nrm").alias("_na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nrm").alias("_nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cos", F.col("dot").cast("double") / (F.col("_na") * F.col("_nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "dot", "cos")
+    )

@@ -743,3 +743,44 @@ def q_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(
         t["part"], "p_name", F.split_part(F.col("name"), F.lit(" "), F.lit(2))
     )
+
+
+@query(
+    "sim_sparse_tfidf_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT tf.doc_id, tf.term, (tf.tf * 1000000) // dfreq.df AS w
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot,
+           CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.9
+    """,
+    survey="sparse tf-idf cosine pairs via inverted index (integer dot products)",
+    tags=("similarity",),
+)
+def q_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical document pairs by sparse tf-idf cosine ≥ 0.9 —
+    posting-list self-join, BIGINT dot products, one sqrt per doc
+    (operators/similarity.py::sparse_tfidf_pairs)."""
+    from ram_datapipeline_spark.operators.similarity import sparse_tfidf_pairs
+
+    t = load_tables(spark, sf_dir)
+    return sparse_tfidf_pairs(t["documents"], threshold=0.9)
