@@ -39,6 +39,16 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
 }
 
+# Columns that must surface as TIMESTAMP (not TIMESTAMP_NTZ) because they
+# feed event-time operators — watermarks, session windows, epoch arithmetic
+# — which Spark defines only on TIMESTAMP. Restricted to the event-time
+# column: casting a scan column blocks parquet predicate pushdown, so the
+# date columns (o_orderdate, l_shipdate) stay native NTZ where pushdown
+# carries the q1/q6-style range filters into the scan.
+_EVENT_TIME_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+}
+
 
 # DataFrames are immutable plans — cache the loaded catalog per
 # (session, sf_dir) so 60+ query builders don't re-read parquet footers
@@ -69,6 +79,12 @@ def load_tables(
         for col in _NANO_TS_COLS.get(name, ()):
             if dict(df.dtypes).get(col) == "bigint":
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        for col in _EVENT_TIME_COLS.get(name, ()):
+            if dict(df.dtypes).get(col) == "timestamp_ntz":
+                # µs-precision fixture vintages surface as TIMESTAMP_NTZ under
+                # Spark 4's parquet inference; UTC session ⇒ the cast keeps
+                # the same instant and wall clock, DuckDB oracles unchanged
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
         tables[name] = df
         if register:
             df.createOrReplaceTempView(name)

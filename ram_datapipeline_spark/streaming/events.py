@@ -28,8 +28,14 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtype == "timestamp_ntz":
+        # µs-precision fixture vintages read as TIMESTAMP_NTZ; event-time
+        # watermarks are defined only on TIMESTAMP — normalize like the
+        # batch catalog (UTC session ⇒ same instant, same wall clock)
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -179,9 +185,10 @@ def interval_join_attribution(
         "click_id",
         "view_ts",
         "click_ts",
-        (F.col("click_ts").cast("double") - F.col("view_ts").cast("double")).alias(
-            "gap_s"
-        ),
+        (
+            F.col("click_ts").cast("timestamp").cast("double")
+            - F.col("view_ts").cast("timestamp").cast("double")
+        ).alias("gap_s"),
     )
 
 
