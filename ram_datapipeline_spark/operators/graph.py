@@ -212,3 +212,79 @@ def hub_closure_rows(
         return min_plus_closure_rows(edge_rows, n_squarings)
     cl = min_plus_closure(edges, n_squarings, src=src, dst=dst, w=w)
     return [(r[src], r[dst], r[w]) for r in cl.collect()]
+
+
+def triangle_counts(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    ``edges``: (u, v) pairs in either orientation, self-loops and
+    duplicates tolerated. Returns (node, n_triangles) for every node in at
+    least one triangle; each triangle contributes exactly one count to
+    each of its three corners.
+
+    Scale shape — the classic degree-ordered orientation, with the global
+    ordering expressed as a plain (degree, id) tuple comparison instead of
+    a rank window, so NO global sort or single-partition stage exists
+    anywhere in the plan:
+
+    - canonicalize + distinct: one shuffle on the edge key;
+    - degrees: one explode + count shuffle (map-side partial);
+    - orient each edge from the (deg, id)-smaller endpoint to the larger:
+      two hash joins against the degree table. Out-degree after this
+      orientation is bounded by O(√m) — a node of degree d only keeps
+      edges to neighbors of degree ≥ d, and there are at most 2√m nodes
+      of degree ≥ √m — which is what keeps the wedge join below from
+      going quadratic on skewed (power-law) graphs;
+    - wedges: self-join oriented edges on the middle node (size
+      Σ out-deg² ≤ m·√m worst case, far less on real graphs);
+    - close: hash join wedges back to oriented edges on (a, c);
+    - corners: explode the 3 corners + one count shuffle.
+
+    Every step is an equi-join or aggregate Catalyst plans as ordinary
+    shuffles; AQE splits any residual hot bucket. Deterministic: degree
+    ties broken by node id, so the orientation — and therefore every
+    intermediate — is a pure function of the edge set.
+    """
+    e = edges.select(F.col(u).alias("eu"), F.col(v).alias("ev")).where(
+        F.col("eu") != F.col("ev")
+    )
+    canon = e.select(
+        F.least("eu", "ev").alias("cu"), F.greatest("eu", "ev").alias("cv")
+    ).distinct()
+    deg = (
+        canon.select(F.col("cu").alias("node"))
+        .unionAll(canon.select(F.col("cv").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("cu"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("cv"), F.col("deg").alias("dv"))
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("cu") < F.col("cv"))
+    )
+    oriented = (
+        canon.join(du, "cu")
+        .join(dv, "cv")
+        .select(
+            F.when(lo_first, F.col("cu")).otherwise(F.col("cv")).alias("src"),
+            F.when(lo_first, F.col("cv")).otherwise(F.col("cu")).alias("dst"),
+        )
+        # referenced three times below (both wedge legs + the closing
+        # edge); without a persist each reference recomputes the whole
+        # canonicalize+degree+orient pipeline — 3× the scans and shuffles
+        .persist()
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -8,6 +8,7 @@ from ram_datapipeline_spark.suite import (  # noqa: F401
     analytic_queries,
     eta_queries,
     extended_queries,
+    graph_queries,
     multimodal_queries,
     pipeline_queries,
     relational_queries,

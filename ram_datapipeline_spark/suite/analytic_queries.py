@@ -401,3 +401,61 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("cohort", "week_offset").agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+@query(
+    "ev_cumulative_users",
+    oracle="""
+    WITH active AS (
+      SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS active_users
+      FROM events GROUP BY 1
+    ),
+    first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT day, count(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT a.day, a.active_users,
+           CAST(coalesce(p.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(p.new_users, 0)) OVER (
+             ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM active a LEFT JOIN per_day p ON a.day = p.day
+    """,
+    survey="event analytics: daily new / cumulative distinct users (beyond ref)",
+    tags=("analytic",),
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-growth curve: per day, distinct active users, first-time
+    users, and the running distinct-user total. The cumulative window runs
+    AFTER the reducing aggregations, over one row per calendar day — its
+    unpartitioned sort is over #days rows no matter how many events exist,
+    so the plan has no data-sized single-partition stage."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    active = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    joined = active.join(per_day, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        "active_users",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

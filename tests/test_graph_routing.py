@@ -117,3 +117,35 @@ def test_local_closure_bit_identical_to_distributed(spark):
     loc = {(s, t): w for s, t, w in min_plus_closure_rows(edge_rows, 3)}
     assert set(dist) == set(loc)
     assert all(dist[k] == loc[k] for k in dist)  # bitwise-equal doubles
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Hand-built graph vs itertools brute force — includes a duplicate
+    edge, a reversed duplicate, a self-loop, and a degree tie."""
+    from itertools import combinations
+
+    from ram_datapipeline_spark.operators.graph import triangle_counts
+
+    raw = [
+        (1, 2), (2, 3), (1, 3),          # triangle {1,2,3}
+        (3, 4), (4, 5), (3, 5),          # triangle {3,4,5}
+        (5, 1),                           # closes triangle {1,3,5} with (1,3),(3,5)
+        (2, 1),                           # reversed duplicate
+        (2, 3),                           # exact duplicate
+        (6, 6),                           # self-loop (must be ignored)
+        (6, 7),                           # pendant edge, no triangle
+    ]
+    edges = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    nodes = sorted({n for e in edges for n in e})
+    want: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= edges:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+
+    df = spark.createDataFrame(raw, ["u", "v"])
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == want
+    assert got == {1: 2, 2: 1, 3: 3, 4: 1, 5: 2}
