@@ -53,6 +53,7 @@ HEADLINE = [
     "pipe_segment_dedup",    # segment-level dedup + doc rebuild (north star)
     "vec_kmeans_q8",         # two-round distributed k-means (north star)
     "ts_gapfill_locf",       # time-series spine + LOCF windows
+    "graph_triangle_count",  # degree-oriented wedge join, shuffle-heavy
 ]
 
 

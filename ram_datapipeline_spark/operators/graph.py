@@ -226,10 +226,10 @@ def triangle_counts(
     least one triangle; each triangle contributes exactly one count to
     each of its three corners.
 
-    Scale shape — the classic degree-ordered orientation, with the global
-    ordering expressed as a plain (degree, id) tuple comparison instead of
-    a rank window, so NO global sort or single-partition stage exists
-    anywhere in the plan:
+    Scale shape — degree-ordered orientation + adjacency-list
+    intersection, with the global ordering expressed as a plain
+    (degree, id) tuple comparison instead of a rank window, so NO global
+    sort or single-partition stage exists anywhere in the plan:
 
     - canonicalize + distinct: one shuffle on the edge key;
     - degrees: one explode + count shuffle (map-side partial);
@@ -237,12 +237,19 @@ def triangle_counts(
       two hash joins against the degree table. Out-degree after this
       orientation is bounded by O(√m) — a node of degree d only keeps
       edges to neighbors of degree ≥ d, and there are at most 2√m nodes
-      of degree ≥ √m — which is what keeps the wedge join below from
-      going quadratic on skewed (power-law) graphs;
-    - wedges: self-join oriented edges on the middle node (size
-      Σ out-deg² ≤ m·√m worst case, far less on real graphs);
-    - close: hash join wedges back to oriented edges on (a, c);
-    - corners: explode the 3 corners + one count shuffle.
+      of degree ≥ √m;
+    - out-adjacency lists: one collect_list shuffle. The O(√m) out-degree
+      bound caps every list at √m elements, so rows stay bounded even on
+      power-law graphs (at 10⁹ edges: ≤ ~30k-element arrays);
+    - per-edge intersection: join each oriented edge (a, b) to the two
+      adjacency lists and take ``array_intersect`` — the triangle
+      {a, b, c} is found exactly once, at its (deg, id)-lowest edge.
+      This replaces materializing the Σ out-deg² wedge set (the classic
+      3-way self-join) with m rows carrying small arrays — the total work
+      is the same O(Σ outdeg²) comparisons but runs inside whole-stage
+      codegen per edge instead of shuffling a wedge row per candidate;
+    - corners: a + b get the intersection size, each c one count — the
+      explode is exactly #triangles rows; one final sum shuffle.
 
     Every step is an equi-join or aggregate Catalyst plans as ordinary
     shuffles; AQE splits any residual hot bucket. Deterministic: degree
@@ -273,18 +280,34 @@ def triangle_counts(
             F.when(lo_first, F.col("cu")).otherwise(F.col("cv")).alias("src"),
             F.when(lo_first, F.col("cv")).otherwise(F.col("cu")).alias("dst"),
         )
-        # referenced three times below (both wedge legs + the closing
-        # edge); without a persist each reference recomputes the whole
-        # canonicalize+degree+orient pipeline — 3× the scans and shuffles
+        # referenced twice below (edge stream + adjacency build); without
+        # a persist each reference recomputes the whole
+        # canonicalize+degree+orient pipeline
         .persist()
     )
-    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    adj_a = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("nbrs_a"))
+    adj_b = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nbrs_b"))
+    per_edge = (
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        # inner joins: an endpoint with no out-adjacency row closes no
+        # triangle at this edge, so dropping the row is exact
+        .join(adj_a, "a")
+        .join(adj_b, "b")
+        .select("a", "b", F.array_intersect("nbrs_a", "nbrs_b").alias("cs"))
+        .where(F.size("cs") > 0)
     )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    corners = (
+        per_edge.select(F.col("a").alias("node"), F.size("cs").cast("long").alias("cnt"))
+        .unionAll(
+            per_edge.select(
+                F.col("b").alias("node"), F.size("cs").cast("long").alias("cnt")
+            )
+        )
+        .unionAll(
+            per_edge.select(
+                F.explode("cs").alias("node"), F.lit(1).cast("long").alias("cnt")
+            )
+        )
+    )
+    return corners.groupBy("node").agg(F.sum("cnt").alias("n_triangles"))
