@@ -311,3 +311,55 @@ def triangle_counts(
         )
     )
     return corners.groupBy("node").agg(F.sum("cnt").alias("n_triangles"))
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point integer PageRank over a directed edge list.
+
+    Ranks are integers in units of 1/``scale``: R₀ = scale for every node
+    with out-edges; each round
+    ``R'(i) = base + (damp_num · Σ_j floor(R(j)/outdeg(j))) div damp_den``
+    with ``base = (scale·(damp_den−damp_num)) div damp_den``. Every
+    operation is integer division or integer summation — commutative and
+    exact — so the result is a pure function of (edge set, iters),
+    bit-reproducible by any SQL engine replaying the same rounds
+    (unlike float PageRank, where shuffle-order addition drifts ULPs).
+
+    Scale shape: the canonical distributed PageRank — per round ONE hash
+    join (ranks ⋈ out-degree-annotated edges on src) + ONE sum aggregate
+    on dst; the annotated edge list is computed once and persisted, ranks
+    are the only per-round state. No driver-side data, no global sort;
+    round count is fixed (a hyperparameter, not data-dependent), so there
+    is no convergence COUNT action at all.
+
+    Nodes with no in-edges still receive ``base`` (they appear via their
+    out-edges' degree table); isolated nodes (no edges) are out of scope —
+    an edge list defines the graph.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    annotated = e.join(deg, "src").persist()
+    base = (scale * (damp_den - damp_num)) // damp_den
+    ranks = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))
+    for _ in range(iters):
+        contribs = annotated.join(
+            ranks, annotated["src"] == ranks["node"]
+        ).select(F.col("dst"), F.expr("r div outdeg").alias("c"))
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(
+                F.expr(
+                    f"CAST({base} AS BIGINT) + ({damp_num} * sum(c)) div {damp_den}"
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ram_datapipeline_spark.catalog import load_tables
-from ram_datapipeline_spark.operators.graph import triangle_counts
+from ram_datapipeline_spark.operators.graph import pagerank_int, triangle_counts
 from ram_datapipeline_spark.registry import query
 
 
@@ -64,17 +64,71 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/graph.py::triangle_counts``) keeps the wedge join
     sub-quadratic — the oracle replays the identical (deg, id) orientation
     so both engines enumerate exactly the same triangle set."""
+    return triangle_counts(_co_order_edges(spark, sf_dir)).select(
+        F.col("node").alias("part_key"), "n_triangles"
+    )
+
+
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-order part graph: (u < v) once per part pair that
+    shares at least one order."""
     t = load_tables(spark, sf_dir)
     items = t["lineitem"].select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     a = items.select("ok", F.col("pk").alias("pa"))
     b = items.select("ok", F.col("pk").alias("pb"))
-    edges = (
+    return (
         a.join(b, "ok")
         .where(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
     )
-    return triangle_counts(edges).select(
-        F.col("node").alias("part_key"), "n_triangles"
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    und AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    edges AS (
+      SELECT u AS src, v AS dst FROM und
+      UNION ALL SELECT v AS src, u AS dst FROM und
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    ae AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    r1 AS (SELECT ae.dst AS node,
+                  CAST(150000 + (85 * sum(r0.r // ae.outdeg)) // 100 AS BIGINT) AS r
+           FROM ae JOIN r0 ON ae.src = r0.node GROUP BY ae.dst),
+    r2 AS (SELECT ae.dst AS node,
+                  CAST(150000 + (85 * sum(r1.r // ae.outdeg)) // 100 AS BIGINT) AS r
+           FROM ae JOIN r1 ON ae.src = r1.node GROUP BY ae.dst),
+    r3 AS (SELECT ae.dst AS node,
+                  CAST(150000 + (85 * sum(r2.r // ae.outdeg)) // 100 AS BIGINT) AS r
+           FROM ae JOIN r2 ON ae.src = r2.node GROUP BY ae.dst)
+    SELECT node AS part_key, r AS rank_fp FROM r3
+    """,
+    survey="graph analytics: fixed-point integer PageRank, 3 rounds (beyond ref)",
+    tags=("graph",),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round damped PageRank on the (symmetrized) co-order part graph in
+    exact integer fixed-point — rank units of 1e-6, every step an integer
+    div/sum, so Spark and the SQL oracle replaying the identical rounds
+    agree bit-for-bit (float PageRank can't hash-match across engines:
+    shuffle-order addition drifts ULPs). One join + one agg per round
+    (``operators/graph.py::pagerank_int``)."""
+    # distinct here, not just in the operator: edge multiplicity would
+    # weight the contribution sums (the oracle's `und` is DISTINCT too)
+    und = _co_order_edges(spark, sf_dir).distinct()
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    return pagerank_int(edges, iters=3).select(
+        F.col("node").alias("part_key"), "rank_fp"
     )

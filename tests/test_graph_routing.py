@@ -149,3 +149,27 @@ def test_triangle_counts_matches_bruteforce(spark):
     }
     assert got == want
     assert got == {1: 2, 2: 1, 3: 3, 4: 1, 5: 2}
+
+
+def test_pagerank_int_matches_python_replay(spark):
+    """Tiny directed graph vs a dict-based replay of the exact integer
+    recurrence (same div/sum steps)."""
+    from ram_datapipeline_spark.operators.graph import pagerank_int
+
+    edge_list = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (4, 3)]
+    iters, scale, dn, dd = 3, 1_000_000, 85, 100
+    outdeg: dict[int, int] = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (scale * (dd - dn)) // dd
+    ranks = {n: scale for n in outdeg}
+    for _ in range(iters):
+        sums: dict[int, int] = {}
+        for s, d in edge_list:
+            if s in ranks:
+                sums[d] = sums.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {n: base + (dn * v) // dd for n, v in sums.items()}
+
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r["node"]: r["rank_fp"] for r in pagerank_int(df, iters=iters).collect()}
+    assert got == ranks
