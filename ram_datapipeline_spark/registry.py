@@ -109,7 +109,10 @@ GATE_ORDER: tuple[str, ...] = (
     "q1_pricing_summary",
     "s1_config_scan_filter",
     "p6_nullsafe_round",
-    "j1_inner_equijoin",
+    # graph-analytics family (new in round 2) — j1_inner_equijoin rotated
+    # out for it: r01-green, unchanged, and inner equi-joins stay gated
+    # through q1/q3/q5 + j_asof in this same window
+    "graph_triangle_count",
     "ts_gapfill_locf",
     "j_asof_click_view",
     "a2_pivot_eav",

@@ -47,6 +47,7 @@ def test_every_family_has_a_gated_representative():
         "corpus-pipeline": ("pipe_",),
         "timeseries": ("ts_",),
         "vectors": ("vec_",),
+        "graph-analytics": ("graph_",),
     }
     unrepresented = [
         fam
