@@ -106,7 +106,10 @@ GATE_ORDER: tuple[str, ...] = (
     "eta_with_walk_penalty",
     "eta_routed_graph",
     # representatives keeping each §2 family visible this round
-    "q1_pricing_summary",
+    # (q1_pricing_summary rotated out late round 2 for the event-analytics
+    # family: r01-green, unchanged, and the relational-composite family
+    # stays gated through q3/q5 in this window)
+    "ev_user_funnel",
     "s1_config_scan_filter",
     "p6_nullsafe_round",
     # graph-analytics family (new in round 2) — j1_inner_equijoin rotated

@@ -37,7 +37,8 @@ def test_every_family_has_a_gated_representative():
         "windows": ("w1_", "w2_", "w3_"),
         "functions": ("f_scalar", "f7_", "f_string", "f_date", "hof_"),
         "geo-functions": ("f11_", "f16_", "f17_"),
-        "relational-composites": ("q1_", "q3_", "q5_"),
+        "relational-composites": ("q3_", "q5_"),
+        "event-analytics": ("ev_",),
         "eta-routing": ("eta_",),
         "streaming": ("st_",),
         "dedup": ("dedup_",),
