@@ -146,6 +146,8 @@ from ram_datapipeline_spark.operators.graph import (  # noqa: F401
     hub_closure_rows,
     make_hub_routing_kernel,
     min_plus_closure,
+    pagerank_int,
+    triangle_counts,
 )
 from ram_datapipeline_spark.plans import (  # noqa: F401
     assemble_corpus,

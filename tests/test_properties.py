@@ -246,3 +246,61 @@ def _split_into_segments(text: str, own: list) -> list:
         else:
             raise AssertionError(f"cannot match {rest!r} against segments")
     return out
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(raw=edges_strategy)
+@SETTINGS
+def test_triangle_counts_match_bruteforce(spark, raw):
+    """triangle_counts ≡ brute-force triple enumeration on random small
+    graphs (duplicates, reversals, self-loops included by construction)."""
+    from itertools import combinations
+
+    from ram_datapipeline_spark.operators.graph import triangle_counts
+
+    edges = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    nodes = sorted({n for e in edges for n in e})
+    want: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= edges:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+
+    df = spark.createDataFrame(raw, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+@given(raw=edges_strategy, iters=st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_pagerank_int_matches_replay(spark, raw, iters):
+    """pagerank_int ≡ a dict replay of the integer recurrence on random
+    directed graphs for any round count."""
+    from ram_datapipeline_spark.operators.graph import pagerank_int
+
+    edge_list = sorted(set(raw))
+    scale, dn, dd = 1_000_000, 85, 100
+    outdeg: dict[int, int] = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (scale * (dd - dn)) // dd
+    ranks = {n: scale for n in outdeg}
+    for _ in range(iters):
+        sums: dict[int, int] = {}
+        for s, d in edge_list:
+            if s in ranks:
+                sums[d] = sums.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {n: base + (dn * v) // dd for n, v in sums.items()}
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank_fp"] for r in pagerank_int(df, iters=iters).collect()}
+    assert got == ranks
