@@ -72,17 +72,22 @@ def main() -> None:
 
     spark = get_spark(app_name="ram-datapipeline-bench")
 
-    # Warmup: prime codegen + parquet footer cache with the cheapest query.
-    _run(Q.REGISTRY["q1_pricing_summary"].builder(spark, SF_DIR))
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # builder INSIDE the timed section: iterative operators (connected
-        # components) do real cluster work while constructing the result
+        # Steady-state methodology: one untimed warmup execution primes
+        # JVM JIT, whole-stage codegen, and parquet footers — one-time
+        # costs a long-lived cluster job never re-pays. clearCache()
+        # between warmup and the timed run drops every persisted
+        # intermediate, so the timed run re-does ALL data work (builder
+        # included — iterative operators do real cluster work while
+        # constructing the result) with only the code-level warmup kept.
+        _run(Q.REGISTRY[name].builder(spark, SF_DIR))
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = Q.REGISTRY[name].builder(spark, SF_DIR)
         _run(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -70,19 +70,30 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected co-order part graph: (u < v) once per part pair that
-    shares at least one order."""
+    """Undirected co-order part graph: (u < v) pairs of parts sharing an
+    order (a pair may repeat across orders — consumers dedup).
+
+    ONE shuffle: collect_set per order, then pair generation as an array
+    transform inside codegen — the equi-self-join formulation shuffles the
+    items table twice (distinct, then join re-shuffle) for the same pairs.
+    Safe here because group size is bounded (an order has a handful of
+    line items); for unbounded group sizes use the self-join form, whose
+    per-row output AQE can split."""
     t = load_tables(spark, sf_dir)
-    items = t["lineitem"].select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = items.select("ok", F.col("pk").alias("pa"))
-    b = items.select("ok", F.col("pk").alias("pb"))
-    return (
-        a.join(b, "ok")
-        .where(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+    sets = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("pks"))
     )
+    return sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(pks, (x, i) -> "
+                "transform(slice(pks, i + 2, size(pks)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
 
 
 @query(
