@@ -143,6 +143,7 @@ from ram_datapipeline_spark.operators.vectors import (  # noqa: F401
     quantize_int8,
 )
 from ram_datapipeline_spark.operators.graph import (  # noqa: F401
+    common_neighbor_counts,
     hub_closure_rows,
     make_hub_routing_kernel,
     min_plus_closure,

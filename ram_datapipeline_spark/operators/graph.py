@@ -214,47 +214,22 @@ def hub_closure_rows(
     return [(r[src], r[dst], r[w]) for r in cl.collect()]
 
 
-def triangle_counts(
-    edges: DataFrame,
-    u: str = "u",
-    v: str = "v",
-) -> DataFrame:
-    """Per-node triangle participation counts over an undirected graph.
+def _edge_triangle_lists(
+    edges: DataFrame, u: str, v: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the triangle-based analytics: canonicalize an
+    undirected edge list, orient it by the (degree, id) total order, and
+    compute per-oriented-edge completion lists.
 
-    ``edges``: (u, v) pairs in either orientation, self-loops and
-    duplicates tolerated. Returns (node, n_triangles) for every node in at
-    least one triangle; each triangle contributes exactly one count to
-    each of its three corners.
+    Returns ``(canon, deg, per_edge)``:
 
-    Scale shape — degree-ordered orientation + adjacency-list
-    intersection, with the global ordering expressed as a plain
-    (degree, id) tuple comparison instead of a rank window, so NO global
-    sort or single-partition stage exists anywhere in the plan:
-
-    - canonicalize + distinct: one shuffle on the edge key;
-    - degrees: one explode + count shuffle (map-side partial);
-    - orient each edge from the (deg, id)-smaller endpoint to the larger:
-      two hash joins against the degree table. Out-degree after this
-      orientation is bounded by O(√m) — a node of degree d only keeps
-      edges to neighbors of degree ≥ d, and there are at most 2√m nodes
-      of degree ≥ √m;
-    - out-adjacency lists: one collect_list shuffle. The O(√m) out-degree
-      bound caps every list at √m elements, so rows stay bounded even on
-      power-law graphs (at 10⁹ edges: ≤ ~30k-element arrays);
-    - per-edge intersection: join each oriented edge (a, b) to the two
-      adjacency lists and take ``array_intersect`` — the triangle
-      {a, b, c} is found exactly once, at its (deg, id)-lowest edge.
-      This replaces materializing the Σ out-deg² wedge set (the classic
-      3-way self-join) with m rows carrying small arrays — the total work
-      is the same O(Σ outdeg²) comparisons but runs inside whole-stage
-      codegen per edge instead of shuffling a wedge row per candidate;
-    - corners: a + b get the intersection size, each c one count — the
-      explode is exactly #triangles rows; one final sum shuffle.
-
-    Every step is an equi-join or aggregate Catalyst plans as ordinary
-    shuffles; AQE splits any residual hot bucket. Deterministic: degree
-    ties broken by node id, so the orientation — and therefore every
-    intermediate — is a pure function of the edge set.
+    - ``canon``: distinct (cu < cv) canonical edges;
+    - ``deg``: (node, deg) undirected degrees;
+    - ``per_edge``: (a, b, cs) — one row per oriented edge whose
+      endpoints share ≥1 out-neighbor; ``cs`` is the array of common
+      out-neighbors, i.e. exactly the third corners of the triangles
+      whose (deg, id)-lowest edge is (a, b). Every triangle appears in
+      exactly one row.
     """
     e = edges.select(F.col(u).alias("eu"), F.col(v).alias("ev")).where(
         F.col("eu") != F.col("ev")
@@ -297,6 +272,52 @@ def triangle_counts(
         .select("a", "b", F.array_intersect("nbrs_a", "nbrs_b").alias("cs"))
         .where(F.size("cs") > 0)
     )
+    return canon, deg, per_edge
+
+
+def triangle_counts(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    ``edges``: (u, v) pairs in either orientation, self-loops and
+    duplicates tolerated. Returns (node, n_triangles) for every node in at
+    least one triangle; each triangle contributes exactly one count to
+    each of its three corners.
+
+    Scale shape — degree-ordered orientation + adjacency-list
+    intersection, with the global ordering expressed as a plain
+    (degree, id) tuple comparison instead of a rank window, so NO global
+    sort or single-partition stage exists anywhere in the plan:
+
+    - canonicalize + distinct: one shuffle on the edge key;
+    - degrees: one explode + count shuffle (map-side partial);
+    - orient each edge from the (deg, id)-smaller endpoint to the larger:
+      two hash joins against the degree table. Out-degree after this
+      orientation is bounded by O(√m) — a node of degree d only keeps
+      edges to neighbors of degree ≥ d, and there are at most 2√m nodes
+      of degree ≥ √m;
+    - out-adjacency lists: one collect_list shuffle. The O(√m) out-degree
+      bound caps every list at √m elements, so rows stay bounded even on
+      power-law graphs (at 10⁹ edges: ≤ ~30k-element arrays);
+    - per-edge intersection: join each oriented edge (a, b) to the two
+      adjacency lists and take ``array_intersect`` — the triangle
+      {a, b, c} is found exactly once, at its (deg, id)-lowest edge.
+      This replaces materializing the Σ out-deg² wedge set (the classic
+      3-way self-join) with m rows carrying small arrays — the total work
+      is the same O(Σ outdeg²) comparisons but runs inside whole-stage
+      codegen per edge instead of shuffling a wedge row per candidate;
+    - corners: a + b get the intersection size, each c one count — the
+      explode is exactly #triangles rows; one final sum shuffle.
+
+    Every step is an equi-join or aggregate Catalyst plans as ordinary
+    shuffles; AQE splits any residual hot bucket. Deterministic: degree
+    ties broken by node id, so the orientation — and therefore every
+    intermediate — is a pure function of the edge set.
+    """
+    _, _, per_edge = _edge_triangle_lists(edges, u, v)
     corners = (
         per_edge.select(F.col("a").alias("node"), F.size("cs").cast("long").alias("cnt"))
         .unionAll(
@@ -311,6 +332,69 @@ def triangle_counts(
         )
     )
     return corners.groupBy("node").agg(F.sum("cnt").alias("n_triangles"))
+
+
+def common_neighbor_counts(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Link-prediction features per existing edge: common-neighbor and
+    neighborhood-union counts (the Jaccard numerator/denominator, kept as
+    exact integers — the ratio is the caller's float).
+
+    For each canonical edge (u < v) with ≥1 shared neighbor:
+    (u, v, common_cnt, union_cnt), where common_cnt = |N(u) ∩ N(v)| and
+    union_cnt = |N(u)| + |N(v)| − common_cnt (note u ∈ N(v) and v ∈ N(u),
+    so both endpoints are counted in the union — the standard convention
+    when Jaccard scores existing edges).
+
+    Same scale shape as ``triangle_counts``: |N(u) ∩ N(v)| for an edge is
+    exactly the number of triangles through that edge, so the per-edge
+    completion lists from the degree-oriented adjacency intersection
+    attribute each triangle to its three edges — one explode of
+    #triangles rows, one sum shuffle, never a wedge-sized intermediate
+    and never a full-neighborhood array (which power-law graphs make
+    unbounded).
+    """
+    canon, deg, per_edge = _edge_triangle_lists(edges, u, v)
+    k = F.size("cs").cast("long").alias("cnt")
+    one = F.lit(1).cast("long").alias("cnt")
+    with_c = per_edge.select("a", "b", F.explode("cs").alias("c"))
+    contrib = (
+        per_edge.select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"), k
+        )
+        .unionAll(
+            with_c.select(
+                F.least("a", "c").alias("x"), F.greatest("a", "c").alias("y"), one
+            )
+        )
+        .unionAll(
+            with_c.select(
+                F.least("b", "c").alias("x"), F.greatest("b", "c").alias("y"), one
+            )
+        )
+    )
+    common = contrib.groupBy("x", "y").agg(F.sum("cnt").alias("common_cnt"))
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("deg_y"))
+    return (
+        canon.join(
+            common,
+            (F.col("cu") == F.col("x")) & (F.col("cv") == F.col("y")),
+        )
+        .join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("cu").alias(u),
+            F.col("cv").alias(v),
+            "common_cnt",
+            (F.col("deg_x") + F.col("deg_y") - F.col("common_cnt")).alias(
+                "union_cnt"
+            ),
+        )
+    )
 
 
 def pagerank_int(

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ram_datapipeline_spark.catalog import load_tables
-from ram_datapipeline_spark.operators.graph import pagerank_int, triangle_counts
+from ram_datapipeline_spark.operators.graph import (
+    common_neighbor_counts,
+    pagerank_int,
+    triangle_counts,
+)
 from ram_datapipeline_spark.registry import query
 
 
@@ -142,4 +146,64 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank_int(edges, iters=3).select(
         F.col("node").alias("part_key"), "rank_fp"
+    )
+
+
+@query(
+    "graph_common_neighbors",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS cu, b.pk AS cv
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT cu AS node FROM edges UNION ALL SELECT cv AS node FROM edges)
+      GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.cu < e.cv)
+                  THEN e.cu ELSE e.cv END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.cu < e.cv)
+                  THEN e.cv ELSE e.cu END AS dst
+      FROM edges e
+      JOIN deg du ON e.cu = du.node
+      JOIN deg dv ON e.cv = dv.node
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.dst = e2.src
+      JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    contrib AS (
+      SELECT least(a, b) AS x, greatest(a, b) AS y FROM tri
+      UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+      UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+    ),
+    common AS (SELECT x, y, count(*) AS common_cnt FROM contrib GROUP BY x, y)
+    SELECT c.x AS part_a, c.y AS part_b, c.common_cnt,
+           du.d + dv.d - c.common_cnt AS union_cnt
+    FROM common c
+    JOIN deg du ON c.x = du.node
+    JOIN deg dv ON c.y = dv.node
+    """,
+    survey="graph analytics: per-edge common-neighbor / Jaccard counts (link prediction, beyond ref)",
+    tags=("graph",),
+)
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction features on the co-order part graph: for each
+    co-ordered part pair with a shared co-order neighbor, the exact
+    integer Jaccard numerator (common neighbors = triangles through the
+    edge) and denominator (neighborhood union). Reuses the degree-oriented
+    triangle machinery — never a full-neighborhood array, never a
+    wedge-sized shuffle (``operators/graph.py::common_neighbor_counts``)."""
+    return common_neighbor_counts(_co_order_edges(spark, sf_dir)).select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        "common_cnt",
+        "union_cnt",
     )

@@ -173,3 +173,31 @@ def test_pagerank_int_matches_python_replay(spark):
     df = spark.createDataFrame(edge_list, ["src", "dst"])
     got = {r["node"]: r["rank_fp"] for r in pagerank_int(df, iters=iters).collect()}
     assert got == ranks
+
+
+def test_common_neighbor_counts_match_bruteforce(spark):
+    """Per-edge (common, union) vs set arithmetic on the same ring+chords
+    graph used for the triangle test."""
+    from ram_datapipeline_spark.operators.graph import common_neighbor_counts
+
+    raw = [
+        (1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 1),
+        (2, 1), (2, 3), (6, 6), (6, 7),
+    ]
+    edges = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for a, b in edges:
+        common = len(nbrs[a] & nbrs[b])
+        if common:
+            want[(a, b)] = (common, len(nbrs[a] | nbrs[b]))
+
+    df = spark.createDataFrame(raw, "u long, v long")
+    got = {
+        (r["u"], r["v"]): (r["common_cnt"], r["union_cnt"])
+        for r in common_neighbor_counts(df).collect()
+    }
+    assert got == want
