@@ -459,3 +459,61 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+@query(
+    "ev_rolling_active",
+    oracle="""
+    WITH per_ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM per_ud),
+    contrib AS (
+      SELECT p.user_id, p.day + (o.off * INTERVAL 1 DAY) AS day
+      FROM per_ud p
+      CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) o(off)
+    )
+    SELECT s.day,
+           (SELECT count(DISTINCT p.user_id) FROM per_ud p WHERE p.day = s.day)
+             AS active_1d,
+           count(DISTINCT c.user_id) AS active_7d
+    FROM spine s JOIN contrib c ON c.day = s.day
+    GROUP BY s.day
+    """,
+    survey="event analytics: trailing-7-day rolling distinct users (beyond ref)",
+    tags=("analytic",),
+)
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct active users (DAU/WAU). A
+    distinct count over a sliding window has no window-function form;
+    the naive range join (events × day spine, BETWEEN predicate) is a
+    nested loop over fact-sized data. The scale shape used here: reduce
+    to distinct (user, day) FIRST, then each row contributes to exactly
+    the 7 target days it can affect via a bounded sequence explode, and
+    one distinct aggregate per target day finishes — fact data crosses
+    the wire once, the explode is a fixed ×7 on the already-reduced
+    (user, day) set, and no nested-loop join exists in the plan."""
+    t = load_tables(spark, sf_dir)
+    per_ud = (
+        t["events"]
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    spine = per_ud.select("day").distinct()
+    contrib = per_ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        F.col("day").alias("src_day"),
+    ).select(
+        "user_id",
+        F.expr("src_day + make_dt_interval(off)").alias("day"),
+    )
+    daily = per_ud.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_1d")
+    )
+    rolling = (
+        contrib.join(spine, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+    return daily.join(rolling, "day").select("day", "active_1d", "active_7d")
