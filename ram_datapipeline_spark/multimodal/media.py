@@ -9,10 +9,13 @@ Design rules for 100 TB:
 - Frame sampling is an ``explode`` of an index sequence — pure JVM,
   one output row per sampled frame, payload carried by reference not copy.
 
-The decode boundary is stubbed: ``_decode_image_batch`` computes
+The IMAGE decode boundary is stubbed: ``_decode_image_batch`` computes
 deterministic stats from the raw bytes instead of invoking a codec. The
 function is the single drop-in point for PIL/libvips; its signature,
 batching, and output schema are exactly what the real kernel uses.
+The AUDIO decode boundary is REAL: ``decode_wav_stats`` parses
+RIFF/WAVE containers with the stdlib ``wave`` module and extracts exact
+integer PCM statistics (no external codec library needed).
 """
 
 from __future__ import annotations
@@ -178,6 +181,72 @@ def audio_frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
     audio = media.filter(F.col("kind") == "audio").select("media_id", "payload")
     return audio.mapInPandas(
         gen, schema="media_id long, frame_idx long, energy long"
+    )
+
+
+def decode_wav_stats(media: DataFrame) -> DataFrame:
+    """REAL audio codec decode (not a stub): parse RIFF/WAVE containers
+    with the stdlib ``wave`` module and compute exact integer PCM
+    statistics per clip. Output: (media_id, sample_rate, n_channels,
+    n_samples, peak_abs, energy).
+
+    This is the genuine decode shape the image stub documents: payload
+    bytes enter Python through one Arrow batch, a container parser runs
+    per clip, and only small per-clip features exit — the payload never
+    reaches the driver and never re-crosses the boundary. Rows whose
+    payload is not a parseable WAV yield a null-stats row (n_samples
+    NULL) instead of failing the task — at corpus scale malformed media
+    is data, not an error.
+
+    Stats are exact integers (peak |sample|, Σ sample² over 16-bit PCM),
+    so results are bit-reproducible anywhere; verified in
+    tests/test_multimodal.py against locally-computed PCM.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    _WIDTH_DTYPE = {1: np.uint8, 2: "<i2", 4: "<i4"}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "peak_abs": [], "energy": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    with wave.open(io.BytesIO(bytes(payload))) as w:
+                        sw = w.getsampwidth()
+                        dtype = _WIDTH_DTYPE[sw]
+                        raw = w.readframes(w.getnframes())
+                        samples = np.frombuffer(raw, dtype=dtype).astype(
+                            np.int64
+                        )
+                        if sw == 1:  # 8-bit WAV is unsigned, centre at 0
+                            samples = samples - 128
+                        out["sample_rate"].append(w.getframerate())
+                        out["n_channels"].append(w.getnchannels())
+                        out["n_samples"].append(len(samples))
+                        out["peak_abs"].append(
+                            int(np.abs(samples).max()) if len(samples) else 0
+                        )
+                        out["energy"].append(int((samples * samples).sum()))
+                except (wave.Error, EOFError, KeyError, ValueError):
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "peak_abs", "energy"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    src = media.select("media_id", "payload")
+    return src.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, sample_rate int, n_channels int, "
+            "n_samples long, peak_abs long, energy long"
+        ),
     )
 
 

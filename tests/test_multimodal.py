@@ -131,3 +131,50 @@ def test_payload_embedding_binary_safe(spark, duck):
     assert got == want
     # byte 0xFF lands as 255.0, not a >255 codepoint or a dropped char
     assert got[(1, 0)] == 0.0 and got[(0, 0)] == 255.0
+
+
+def test_decode_wav_stats_real_codec(spark):
+    """decode_wav_stats parses GENUINE RIFF/WAVE bytes (built with the
+    stdlib wave writer) and returns exact integer PCM stats; malformed
+    payloads yield a null-stats row instead of failing the task."""
+    import io
+    import struct
+    import wave
+
+    from ram_datapipeline_spark.multimodal import decode_wav_stats
+
+    def wav_bytes(samples, rate=8000, width=2, channels=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            if width == 2:
+                w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            else:
+                w.writeframes(bytes((s + 128) % 256 for s in samples))
+        return buf.getvalue()
+
+    ramp = list(range(-50, 50))          # 100 samples, 16-bit
+    square = [100, -100] * 32            # 64 samples, 16-bit
+    tiny8 = [0, 10, -10, 127, -128]      # 5 samples, 8-bit (stored unsigned)
+    rows = [
+        (1, wav_bytes(ramp)),
+        (2, wav_bytes(square, rate=16000)),
+        (3, wav_bytes(tiny8, width=1)),
+        (4, b"not a wav at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in decode_wav_stats(df).collect()}
+
+    assert got[1]["sample_rate"] == 8000
+    assert got[1]["n_samples"] == 100
+    assert got[1]["peak_abs"] == 50
+    assert got[1]["energy"] == sum(s * s for s in ramp)
+    assert got[2]["sample_rate"] == 16000
+    assert got[2]["energy"] == 64 * 100 * 100
+    assert got[3]["n_channels"] == 1
+    assert got[3]["n_samples"] == 5
+    assert got[3]["peak_abs"] == 128
+    assert got[3]["energy"] == sum(s * s for s in tiny8)
+    assert got[4]["n_samples"] is None and got[4]["energy"] is None
