@@ -16,6 +16,7 @@ from ram_datapipeline_spark.multimodal.media import (  # noqa: F401
     MEDIA_META_SCHEMA,
     audio_frame_energy,
     decode_image_stats,
+    decode_png_stats,
     decode_wav_stats,
     payload_embedding,
     resize_images,

@@ -9,13 +9,13 @@ Design rules for 100 TB:
 - Frame sampling is an ``explode`` of an index sequence — pure JVM,
   one output row per sampled frame, payload carried by reference not copy.
 
-The IMAGE decode boundary is stubbed: ``_decode_image_batch`` computes
-deterministic stats from the raw bytes instead of invoking a codec. The
-function is the single drop-in point for PIL/libvips; its signature,
-batching, and output schema are exactly what the real kernel uses.
-The AUDIO decode boundary is REAL: ``decode_wav_stats`` parses
-RIFF/WAVE containers with the stdlib ``wave`` module and extracts exact
-integer PCM statistics (no external codec library needed).
+Two REAL stdlib codec paths exist: ``decode_wav_stats`` parses RIFF/WAVE
+containers (``wave`` module, exact integer PCM statistics) and
+``decode_png_stats`` decodes PNGs end-to-end (``zlib`` inflate + full
+five-filter scanline reconstruction). The generic byte-level kernels
+(``_decode_image_batch``, ``_resize_batch``) remain deterministic
+stand-ins whose single-function bodies are the drop-in point for
+PIL/libvips/ffmpeg codecs this environment doesn't ship.
 """
 
 from __future__ import annotations
@@ -246,6 +246,125 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
         schema=(
             "media_id long, sample_rate int, n_channels int, "
             "n_samples long, peak_abs long, energy long"
+        ),
+    )
+
+
+def _decode_png_bytes(data: bytes):
+    """Minimal REAL PNG decoder (stdlib only): 8-bit-depth greyscale /
+    RGB / RGBA / grey+alpha, non-interlaced. Parses the chunk stream,
+    inflates IDAT with ``zlib``, and inverts all five scanline filters
+    (None/Sub/Up/Average/Paeth). Returns (width, height, channels,
+    pixel ndarray of shape (height, width*channels)). Raises ValueError
+    on anything that is not such a PNG."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat, header = 8, b"", None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            header = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if header is None:
+        raise ValueError("missing IHDR")
+    w, h, bit_depth, color, _comp, _filt, interlace = header
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNGs supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported color type {color}")
+    stride = w * channels
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    bpp = channels  # bytes per pixel at bit depth 8
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 2:  # Up — vectorized across the row
+            line = bytearray(
+                (np.frombuffer(bytes(line), dtype=np.uint8) + prev).astype(
+                    np.uint8
+                ).tobytes()
+            )
+        else:  # Sub/Average/Paeth carry a left-recurrence — per byte
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:  # Sub
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return w, h, channels, out
+
+
+def decode_png_stats(media: DataFrame) -> DataFrame:
+    """REAL image codec decode (not a stub): ``_decode_png_bytes`` above —
+    stdlib zlib inflate + full five-filter scanline reconstruction —
+    applied per payload through one Arrow batch. Output: (media_id,
+    width, height, channels, pixel_sum, pixel_max) with exact integer
+    pixel statistics. Non-PNG / unsupported payloads yield a null-stats
+    row (width NULL) — at corpus scale malformed media is data, not an
+    error. Verified against independently-constructed PNGs (every filter
+    type) in tests/test_multimodal.py.
+
+    The per-byte left-recurrence loop is the documented C/numba rewrite
+    point for throughput; the distribution shape (Arrow batch in, scalar
+    features out, payload never re-crossing the boundary) is final."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "channels": [], "pixel_sum": [], "pixel_max": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    w, h, ch, px = _decode_png_bytes(bytes(payload))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(ch)
+                    out["pixel_sum"].append(int(px.astype(np.int64).sum()))
+                    out["pixel_max"].append(int(px.max()) if px.size else 0)
+                except Exception:  # noqa: BLE001 — malformed media row
+                    # (bad signature, truncated chunks, zlib.error, ...)
+                    for k in ("width", "height", "channels", "pixel_sum",
+                              "pixel_max"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    src = media.select("media_id", "payload")
+    return src.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, width int, height int, channels int, "
+            "pixel_sum long, pixel_max int"
         ),
     )
 

@@ -178,3 +178,89 @@ def test_decode_wav_stats_real_codec(spark):
     assert got[3]["peak_abs"] == 128
     assert got[3]["energy"] == sum(s * s for s in tiny8)
     assert got[4]["n_samples"] is None and got[4]["energy"] is None
+
+
+def _png_bytes(pixels, channels, filters):
+    """Independent minimal PNG ENCODER for the decoder test: forward-filters
+    row y with filters[y % len(filters)] and assembles a spec-compliant
+    chunk stream (struct + zlib only — no shared code with the decoder)."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0]) // channels
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bpp = channels
+
+    def flt(y):
+        cur = pixels[y]
+        prev = pixels[y - 1] if y else [0] * len(cur)
+        t = filters[y % len(filters)]
+        out = bytearray([t])
+        for i, x in enumerate(cur):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if t == 0:
+                pred = 0
+            elif t == 1:
+                pred = a
+            elif t == 2:
+                pred = b
+            elif t == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((x - pred) & 0xFF)
+        return bytes(out)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(flt(y) for y in range(h)))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_stats_real_codec(spark):
+    """decode_png_stats inverts ALL five PNG scanline filters on RGB,
+    greyscale, and RGBA images built by an independent encoder; non-PNG
+    payloads yield null-stat rows."""
+    import random
+
+    from ram_datapipeline_spark.multimodal import decode_png_stats
+
+    rng = random.Random(42)
+
+    def img(h, w, ch):
+        return [[rng.randrange(256) for _ in range(w * ch)] for _ in range(h)]
+
+    rgb = img(7, 5, 3)      # 7 rows → every filter type used at least once
+    grey = img(6, 9, 1)
+    rgba = img(5, 4, 4)
+    rows = [
+        (1, _png_bytes(rgb, 3, [0, 1, 2, 3, 4])),
+        (2, _png_bytes(grey, 1, [4, 3, 2, 1, 0])),
+        (3, _png_bytes(rgba, 4, [4])),          # all-Paeth
+        (4, b"definitely not a png"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in decode_png_stats(df).collect()}
+
+    for mid, (px, ch, w, h) in {
+        1: (rgb, 3, 5, 7), 2: (grey, 1, 9, 6), 3: (rgba, 4, 4, 5)
+    }.items():
+        flat = [v for row in px for v in row]
+        assert got[mid]["width"] == w and got[mid]["height"] == h
+        assert got[mid]["channels"] == ch
+        assert got[mid]["pixel_sum"] == sum(flat)
+        assert got[mid]["pixel_max"] == max(flat)
+    assert got[4]["width"] is None and got[4]["pixel_sum"] is None
