@@ -18,6 +18,7 @@ from ram_datapipeline_spark.multimodal.media import (  # noqa: F401
     decode_image_stats,
     decode_png_stats,
     decode_wav_stats,
+    encode_pcm8_wav,
     payload_embedding,
     resize_images,
     sample_frames,

