@@ -220,3 +220,39 @@ def repetition_ratio(
         distinct.alias("distinct_grams"),
         rep.alias("repetition"),
     )
+
+
+def bigram_familiarity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-statistics quality signal: per document, the sum over its
+    bigram OCCURRENCES of each bigram's corpus-wide frequency — documents
+    full of corpus-common constructions score high, novel/garbled text
+    scores low (the integer-exact analog of an n-gram LM likelihood;
+    log-prob variants drift across engines, integer count-sums don't).
+
+    Output: (id, n_bigrams, familiarity) for documents with ≥2 tokens.
+
+    Scale shape: a two-pass corpus statistic — (1) explode bigrams and
+    count per distinct bigram (map-side partial combine; vocabulary-sized
+    result), (2) join the document bigram stream back to the counts on
+    the bigram key and sum per document. The bigram table follows a zipf
+    distribution, so the join's hot keys are exactly what AQE skew-split
+    handles; nothing driver-side, no collect of the vocabulary.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = df.select(F.col(id_col), F.explode(grams).alias("bigram"))
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(counts, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("familiarity"),
+        )
+    )

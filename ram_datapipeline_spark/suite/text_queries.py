@@ -784,3 +784,33 @@ def q_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return sparse_tfidf_pairs(t["documents"], threshold=0.9)
+
+
+@query(
+    "text_bigram_familiarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ),
+    cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(c.c) AS BIGINT) AS familiarity
+    FROM bg g JOIN cnt c ON g.bigram = c.bigram
+    GROUP BY g.doc_id
+    """,
+    survey="text: corpus-statistics bigram familiarity score (n-gram LM analog, north star)",
+    tags=("text",),
+)
+def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact n-gram-LM-style quality signal: per document, the
+    sum of corpus-wide frequencies over its bigram occurrences. Two-pass
+    corpus statistic — vocabulary-sized count table, zipf-hot join keys
+    left to AQE skew handling (``operators/text_ops.py::bigram_familiarity``)."""
+    t = load_tables(spark, sf_dir)
+    return T.bigram_familiarity(t["documents"])
