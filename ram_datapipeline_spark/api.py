@@ -87,6 +87,9 @@ from ram_datapipeline_spark.operators.text_ops import (  # noqa: F401
 from ram_datapipeline_spark.multimodal import (  # noqa: F401
     audio_frame_energy,
     decode_image_stats,
+    decode_png_stats,
+    decode_wav_stats,
+    encode_pcm8_wav,
     payload_embedding,
     resize_images,
     sample_frames,
@@ -145,6 +148,7 @@ from ram_datapipeline_spark.operators.vectors import (  # noqa: F401
 from ram_datapipeline_spark.operators.graph import (  # noqa: F401
     common_neighbor_counts,
     hub_closure_rows,
+    kcore_peel,
     make_hub_routing_kernel,
     min_plus_closure,
     pagerank_int,

@@ -447,3 +447,51 @@ def pagerank_int(
             .select(F.col("dst").alias("node"), "r")
         )
     return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """k-core peeling, ``rounds`` iterations: repeatedly drop nodes of
+    degree < k (and their edges). Returns (node, core_deg) — the degree
+    table of the surviving edge set. With rounds ≥ the peel depth this is
+    the exact k-core; a fixed round count keeps the operator a pure
+    function of (edge set, k, rounds) that a SQL oracle can replay
+    unrolled. Full convergence needs peel-depth rounds — loop externally
+    on the surviving-edge count if the exact core is required.
+
+    Scale shape (the third iterative pattern next to min-label
+    propagation and PageRank — filter-refinement): each round is one
+    count aggregate (map-side combined) + two semi joins of the edge list
+    against the (node-sized) keep set; the edge list shrinks
+    monotonically, rounds are a fixed hyperparameter, and no action or
+    driver-side data exists anywhere.
+    """
+    e0 = edges.select(F.col(u).alias("a"), F.col(v).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    e = sym
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select(F.col("src").alias("node"))
+        e = (
+            e.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+            # each round reads its predecessor TWICE (degree pass + the
+            # semi-join filter); lazy per-round persist keeps the
+            # recompute tree linear in rounds instead of 2^rounds
+            .persist()
+        )
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg")).select(
+        F.col("src").alias("node"), "core_deg"
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.operators.graph import (
     common_neighbor_counts,
+    kcore_peel,
     pagerank_int,
     triangle_counts,
 )
@@ -206,4 +207,42 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("part_b"),
         "common_cnt",
         "union_cnt",
+    )
+
+
+@query(
+    "graph_kcore",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    und AS (
+      SELECT DISTINCT a.pk AS cu, b.pk AS cv
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    e0 AS (
+      SELECT cu AS src, cv AS dst FROM und
+      UNION ALL SELECT cv AS src, cu AS dst FROM und
+    ),
+    k1 AS (SELECT src AS node FROM e0 GROUP BY src HAVING count(*) >= 90),
+    e1 AS (SELECT e.src, e.dst FROM e0 e
+           JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
+    k2 AS (SELECT src AS node FROM e1 GROUP BY src HAVING count(*) >= 90),
+    e2 AS (SELECT e.src, e.dst FROM e1 e
+           JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node),
+    k3 AS (SELECT src AS node FROM e2 GROUP BY src HAVING count(*) >= 90),
+    e3 AS (SELECT e.src, e.dst FROM e2 e
+           JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node)
+    SELECT src AS part_key, count(*) AS core_deg FROM e3 GROUP BY src
+    """,
+    survey="graph analytics: k-core peeling, 3 rounds (beyond ref)",
+    tags=("graph",),
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-community extraction: three rounds of degree-<90 peeling on
+    the co-order part graph, surviving nodes with their in-core degree.
+    Fixed round count ⇒ a pure function of the edge set the unrolled-CTE
+    oracle replays exactly (``operators/graph.py::kcore_peel``)."""
+    return kcore_peel(_co_order_edges(spark, sf_dir), k=90, rounds=3).select(
+        F.col("node").alias("part_key"), "core_deg"
     )

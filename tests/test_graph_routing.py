@@ -201,3 +201,34 @@ def test_common_neighbor_counts_match_bruteforce(spark):
         for r in common_neighbor_counts(df).collect()
     }
     assert got == want
+
+
+def test_kcore_peel_matches_bruteforce(spark):
+    """Fixed-round peel vs a set-based replay on a graph with a clear
+    core (K4 clique + pendant chain)."""
+    from ram_datapipeline_spark.operators.graph import kcore_peel
+
+    raw = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4 — the 3-core
+        (4, 5), (5, 6), (6, 7),                           # chain peels away
+    ]
+    k, rounds = 3, 3
+    edges = {tuple(sorted(e)) for e in raw}
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for s, _d in sym:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        sym = {(s, d) for s, d in sym if s in keep and d in keep}
+    want: dict[int, int] = {}
+    for s, _d in sym:
+        want[s] = want.get(s, 0) + 1
+
+    df = spark.createDataFrame(raw, "u long, v long")
+    got = {
+        r["node"]: r["core_deg"]
+        for r in kcore_peel(df, k=k, rounds=rounds).collect()
+    }
+    assert got == want
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # exactly the K4 clique
