@@ -171,3 +171,37 @@ def test_plan_stats_helper_agrees_with_guards(spark):
     assert stats["exchanges"] == 1
     assert stats["pushed_filter_scans"] >= 2
     assert stats["python_eval"] == 0
+
+
+def test_graph_family_no_cartesian_or_global_sort(spark):
+    """Graph analytics never fall back to a cartesian product, and the
+    only Sort operators are sort-merge-join locals — no global (single
+    partition) sort exists since the degeneracy order is a tuple
+    comparison, not a rank window."""
+    for name in (
+        "graph_triangle_count",
+        "graph_pagerank",
+        "graph_common_neighbors",
+        "graph_kcore",
+    ):
+        p = plan_text(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert n_ops(p, "Window") == 0, name
+
+
+def test_rolling_active_no_range_join(spark):
+    """DAU/WAU uses the bounded explode, never a nested-loop range join
+    against the day spine."""
+    p = plan_text(spark, "ev_rolling_active")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert n_ops(p, "Generate") >= 1  # the sequence explode is the fan-out
+
+
+def test_bigram_familiarity_two_pass_shape(spark):
+    """Corpus-statistic shape: the bigram stream is exploded (Generate),
+    counted, and joined back — no cartesian anything."""
+    p = plan_text(spark, "text_bigram_familiarity")
+    assert "CartesianProduct" not in p
+    assert n_ops(p, "Generate") >= 1
