@@ -246,3 +246,70 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(_co_order_edges(spark, sf_dir), k=90, rounds=3).select(
         F.col("node").alias("part_key"), "core_deg"
     )
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS cu, b.pk AS cv
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT cu AS node FROM edges UNION ALL SELECT cv AS node FROM edges)
+      GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.cu < e.cv)
+                  THEN e.cu ELSE e.cv END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.cu < e.cv)
+                  THEN e.cv ELSE e.cu END AS dst
+      FROM edges e
+      JOIN deg du ON e.cu = du.node
+      JOIN deg dv ON e.cv = dv.node
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.dst = e2.src
+      JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tc AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node)
+    SELECT d.node AS part_key,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(d.d * (d.d - 1) // 2 AS BIGINT) AS n_wedges
+    FROM deg d LEFT JOIN tc t ON d.node = t.node
+    """,
+    survey="graph analytics: local clustering coefficient as exact integer pair (beyond ref)",
+    tags=("graph",),
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient kept exact: per node, triangle count
+    and wedge count (deg·(deg−1)/2) as integers — the coefficient is the
+    caller's division, so the gate stays bit-exact. Every node appears,
+    zero-triangle nodes included (LEFT join against the triangle table)."""
+    edges = _co_order_edges(spark, sf_dir)
+    tri = triangle_counts(edges)
+    canon = edges.select(
+        F.least("u", "v").alias("cu"), F.greatest("u", "v").alias("cv")
+    ).distinct()
+    deg = (
+        canon.select(F.col("cu").alias("node"))
+        .unionAll(canon.select(F.col("cv").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.join(tri, "node", "left").select(
+        F.col("node").alias("part_key"),
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.expr("d * (d - 1) div 2").cast("long").alias("n_wedges"),
+    )
