@@ -29,7 +29,7 @@ handled by AQE skew-join splitting. Nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ram_datapipeline_spark.operators.text_ops import shingles

@@ -225,6 +225,11 @@ def _edge_triangle_lists(
 
     - ``canon``: distinct (cu < cv) canonical edges;
     - ``deg``: (node, deg) undirected degrees;
+    Caching contract: the oriented edge list stays persisted until
+    ``spark.catalog.clearCache()`` or session end; drivers running many
+    operators in one session should clear between queries (bench.py and
+    scripts/verify_driver_contract.py do).
+
     - ``per_edge``: (a, b, cs) — one row per oriented edge whose
       endpoints share ≥1 out-neighbor; ``cs`` is the array of common
       out-neighbors, i.e. exactly the third corners of the triangles
@@ -424,9 +429,19 @@ def pagerank_int(
     round count is fixed (a hyperparameter, not data-dependent), so there
     is no convergence COUNT action at all.
 
-    Nodes with no in-edges still receive ``base`` (they appear via their
-    out-edges' degree table); isolated nodes (no edges) are out of scope —
-    an edge list defines the graph.
+    Output-domain caveat (deliberate, oracle-replayed): after round 1 the
+    rank table is rebuilt from the dst-side aggregate only, so ONLY nodes
+    with at least one in-edge appear in the output, and source-only nodes
+    (out-edges but no in-edges) stop contributing mass from round 2
+    onward. This deviates from textbook PageRank on graphs with
+    source-only nodes; left-join the result back onto the full node set
+    with ``base`` if standard semantics are wanted. Isolated nodes (no
+    edges) are out of scope — an edge list defines the graph.
+
+    Caching contract: ``annotated`` stays persisted until
+    ``spark.catalog.clearCache()`` or session end; drivers running many
+    operators in one session should clear between queries (bench.py and
+    scripts/verify_driver_contract.py do).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -463,6 +478,11 @@ def kcore_peel(
     function of (edge set, k, rounds) that a SQL oracle can replay
     unrolled. Full convergence needs peel-depth rounds — loop externally
     on the surviving-edge count if the exact core is required.
+
+    Caching contract: the per-round lazy persists (see inline comment)
+    live until ``spark.catalog.clearCache()`` or session end; clear
+    between operators in long-lived sessions (bench.py and
+    scripts/verify_driver_contract.py do).
 
     Scale shape (the third iterative pattern next to min-label
     propagation and PageRank — filter-refinement): each round is one

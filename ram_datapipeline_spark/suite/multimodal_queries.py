@@ -25,6 +25,7 @@ from ram_datapipeline_spark.multimodal import (
     synthesize_media,
 )
 from ram_datapipeline_spark.registry import query
+from ram_datapipeline_spark.session import ensure_parallelism
 
 # hex digit d<i> (1-based position i in md5(text)) as an integer, DuckDB-side
 def _hexd(i: int) -> str:
@@ -196,9 +197,14 @@ def q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_payload_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature vector per payload, exploded long-format for the oracle
-    compare (array columns don't sort in the hash normalizer)."""
+    compare (array columns don't sort in the hash normalizer).
+
+    ``ensure_parallelism`` spreads the single scan partition of the small
+    documents file across cores BEFORE the per-byte fold — without it the
+    whole fold ran on one core (VERDICT r2 "what's wrong" #1)."""
     t = load_tables(spark, sf_dir)
-    emb = payload_embedding(synthesize_media(t["documents"]), dim=16)
+    media = ensure_parallelism(synthesize_media(t["documents"]))
+    emb = payload_embedding(media, dim=16)
     return emb.select(
         "media_id", F.posexplode("embedding").alias("bucket", "val")
     )

@@ -79,6 +79,10 @@ def main() -> int:
             continue
         t0 = time.time()
         spark_pdf = fn(spark, args.sf_dir).toPandas()
+        # iterative operators (graph, kcore, CC) persist intermediates for
+        # the duration of the session by contract — drop them between
+        # queries so the 134-query sweep doesn't accumulate cache
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"[rows-only] {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
             continue
