@@ -168,3 +168,81 @@ def road_edges(nation: DataFrame) -> DataFrame:
             w.alias("w"),
         )
     )
+
+
+# --- OSM road-network fixture (SURVEY S7 → U4 end-to-end: .osm → graph) ---
+#
+# The reference compiles a real `.osm` extract into its routing graph
+# offline (scripts/osm2osrm.sh:32-33) and routes over it
+# (tasks.js:246-283). To exercise that whole path in-engine — XML scan →
+# way→edge extraction → closure → kernel — the hub network above is
+# round-tripped THROUGH the OSM format: nodes at the hub coordinates, a
+# closed ring way (highway=trunk, 90 km/h) linking adjacent slabs, and one
+# way per region (highway=motorway, 120 km/h) chaining the region's hubs
+# in key order. Everything is a pure function of the `nation` table, so a
+# SQL oracle can re-derive the identical edge list without reading XML.
+
+OSM_RING_HIGHWAY = "trunk"       # 90 km/h in sources.osm.HIGHWAY_SPEED_KMH
+OSM_REGION_HIGHWAY = "motorway"  # 120 km/h
+
+
+def hub_coords(k: int) -> tuple[float, float]:
+    """Hub/node coordinates for nation key ``k`` — the same IEEE doubles
+    as HUBS_SQL / ``hubs()`` (identical operation order in Python, SQL,
+    and Spark: * then - then +)."""
+    return (k * 14.4 - 180.0 + 7.2, float((k * 53) % 170) - 85.0)
+
+
+def synthesize_osm_xml(nation_rows: list[tuple[int, int]]) -> str:
+    """Deterministic `.osm` XML document for the hub road network.
+
+    ``nation_rows``: [(n_nationkey, n_regionkey)]. Coordinates are printed
+    with ``repr`` (shortest round-trip form), so the XML scan parses back
+    the exact doubles ``hub_coords`` computed — the text hop loses
+    nothing.
+    """
+    keys = sorted(k for k, _ in nation_rows)
+    regions: dict[int, list[int]] = {}
+    for k, r in sorted(nation_rows):
+        regions.setdefault(r, []).append(k)
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    for k in keys:
+        lon, lat = hub_coords(k)
+        lines.append(f'  <node id="{k}" lon="{lon!r}" lat="{lat!r}"/>')
+    ring_refs = "".join(f'    <nd ref="{k}"/>\n' for k in keys + keys[:1])
+    lines.append(
+        f'  <way id="1000">\n{ring_refs}'
+        f'    <tag k="highway" v="{OSM_RING_HIGHWAY}"/>\n  </way>'
+    )
+    for r, members in sorted(regions.items()):
+        refs = "".join(f'    <nd ref="{k}"/>\n' for k in members)
+        lines.append(
+            f'  <way id="{2000 + r}">\n{refs}'
+            f'    <tag k="highway" v="{OSM_REGION_HIGHWAY}"/>\n  </way>'
+        )
+    lines.append("</osm>")
+    return "\n".join(lines) + "\n"
+
+
+def osm_fixture_path(nation: DataFrame) -> str:
+    """Materialize the synthesized `.osm` document to a content-addressed
+    temp file (once per content; concurrent-safe via write-then-rename)
+    and return its path. The collect is the 25-row nation dimension —
+    metadata-sized, same class as the hub collects."""
+    import hashlib
+    import os
+    import tempfile
+
+    rows = [
+        (r["n_nationkey"], r["n_regionkey"])
+        for r in nation.select("n_nationkey", "n_regionkey").collect()
+    ]
+    xml = synthesize_osm_xml(rows)
+    digest = hashlib.md5(xml.encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"ram_osm_fixture_{digest}.osm")
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(xml)
+        os.replace(tmp, path)
+    return path

@@ -10,7 +10,7 @@ construction — a DAG, not a subprocess, so it scales with input size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # OSM XML attribute columns arrive prefixed with "_" (XML-source convention).
@@ -104,3 +104,94 @@ def osm_ways_to_geojson(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     return coords.select(
         "way_id", feature.alias("feature_json")
     )
+
+
+# ---------------------------------------------------------------------------
+# OSM → routing edge list (the osrm-extract analog, SURVEY U4 input side)
+# ---------------------------------------------------------------------------
+
+# Free-flow speeds per highway class, the speed-profile role of
+# osrm's car.lua (referenced by scripts/osm2osrm.sh:32-33). Values are
+# engine configuration, not OSM data.
+HIGHWAY_SPEED_KMH: dict[str, float] = {
+    "motorway": 120.0,
+    "trunk": 90.0,
+    "primary": 80.0,
+    "secondary": 60.0,
+    "tertiary": 50.0,
+    "residential": 30.0,
+}
+DEFAULT_SPEED_KMH = 40.0
+
+
+def osm_ways_to_road_edges(
+    nodes: DataFrame,
+    ways: DataFrame,
+    speeds: dict[str, float] | None = None,
+    default_speed_kmh: float = DEFAULT_SPEED_KMH,
+    km_per_deg: float = 111.0,
+) -> DataFrame:
+    """OSM ways → directed routing edge list (src, dst, w seconds): the
+    in-engine analog of ``osrm-extract`` (scripts/osm2osrm.sh:32 — which
+    compiles `.osm` into a weighted node graph offline; here it is one
+    declarative DAG over the distributed XML scan).
+
+    Each way contributes one edge per CONSECUTIVE ``nd``-ref pair, in both
+    directions (the reference's car profile treats these fixture-class
+    roads as bidirectional), weighted by planar drive seconds at the
+    highway-class speed:
+
+        w = sqrt(dx² + dy²) · km_per_deg / speed_kmh · 3600
+
+    — IEEE-exact operation order (matches functions.geo.eta_seconds), so a
+    SQL oracle deriving the same pairs reproduces every weight
+    bit-for-bit. No haversine: libm transcendentals differ across engines
+    and would break oracle determinism; at routing-graph scale the planar
+    metric under a fixed deg→km factor is the engine-wide convention.
+
+    Scale shape: posexplode + ONE window (lead over pos within way_id — a
+    single shuffle on way_id, partitions bounded by way length) + ONE
+    equi-join on node_id for coordinates (shuffles at planet scale,
+    broadcasts when nodes are small — Catalyst/AQE decide). No
+    collect, no per-way driver work.
+    """
+    spd = dict(HIGHWAY_SPEED_KMH if speeds is None else speeds)
+    speed_col = F.lit(default_speed_kmh)
+    for k, v in sorted(spd.items()):
+        speed_col = F.when(
+            F.col("tags").getItem("highway") == k, F.lit(v)
+        ).otherwise(speed_col)
+
+    refs = ways.select(
+        "way_id",
+        speed_col.alias("speed_kmh"),
+        F.posexplode("node_refs").alias("pos", "node_id"),
+    )
+    pts = refs.join(nodes.select("node_id", "lon", "lat"), "node_id")
+    nxt = Window.partitionBy("way_id").orderBy("pos")
+    seg = pts.select(
+        "way_id",
+        "speed_kmh",
+        F.col("node_id").alias("src"),
+        F.col("lon").alias("src_lon"),
+        F.col("lat").alias("src_lat"),
+        F.lead("node_id").over(nxt).alias("dst"),
+        F.lead("lon").over(nxt).alias("dst_lon"),
+        F.lead("lat").over(nxt).alias("dst_lat"),
+    ).where(F.col("dst").isNotNull())
+    w = (
+        F.sqrt(
+            (F.col("src_lon") - F.col("dst_lon"))
+            * (F.col("src_lon") - F.col("dst_lon"))
+            + (F.col("src_lat") - F.col("dst_lat"))
+            * (F.col("src_lat") - F.col("dst_lat"))
+        )
+        * km_per_deg
+        / F.col("speed_kmh")
+        * 3600.0
+    )
+    fwd = seg.select("src", "dst", w.alias("w"))
+    rev = seg.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
+    )
+    return fwd.unionAll(rev)

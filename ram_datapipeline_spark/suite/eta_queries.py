@@ -225,3 +225,110 @@ def q_eta_routed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("origin_id", "poi_type").agg(
         F.min("duration_s").alias("eta_s")
     )
+
+
+# OSM-derived edge list, re-derived in SQL from `nation` (the same pure
+# function of the table that synthesize_osm_xml prints): ring-way
+# consecutive pairs (trunk, 90 km/h) by hub rank with the closing edge,
+# plus region-way consecutive pairs (motorway, 120 km/h) by in-region
+# rank. Both orientations via the symmetric ON conditions — exactly the
+# pairs osm_ways_to_road_edges emits from the XML scan.
+_OSM_EDGE_W = (
+    "sqrt((a.lon - b.lon) * (a.lon - b.lon)"
+    " + (a.lat - b.lat) * (a.lat - b.lat)) * 111.0 / {spd} * 3600.0"
+)
+_OSM_EDGES_SQL = f"""
+    ha AS (SELECT hub_id, lon, lat,
+                  row_number() OVER (ORDER BY hub_id) AS rn,
+                  count(*) OVER () AS n
+           FROM h),
+    hr AS (SELECT hub_id, region_id, lon, lat,
+                  row_number() OVER (PARTITION BY region_id
+                                     ORDER BY hub_id) AS rn
+           FROM h),
+    e AS (
+      SELECT a.hub_id AS src, b.hub_id AS dst,
+             {_OSM_EDGE_W.format(spd='90.0')} AS w
+      FROM ha a JOIN ha b
+        ON (b.rn = a.rn % a.n + 1) OR (a.rn = b.rn % b.n + 1)
+      UNION ALL
+      SELECT a.hub_id AS src, b.hub_id AS dst,
+             {_OSM_EDGE_W.format(spd='120.0')} AS w
+      FROM hr a JOIN hr b
+        ON a.region_id = b.region_id
+       AND ((b.rn = a.rn + 1) OR (a.rn = b.rn + 1))
+    )"""
+
+
+@query(
+    "eta_routed_osm",
+    oracle=f"""
+    WITH o AS ({ram_domain.ORIGINS_SQL}), p AS ({ram_domain.POIS_SQL}),
+    h AS ({ram_domain.HUBS_SQL}),
+    {_OSM_EDGES_SQL},
+    verts AS (SELECT hub_id AS v FROM h),
+    {_graph_closure_sql(5)},
+    oc AS (SELECT *, CAST(floor(lon / 4.0) AS BIGINT) AS cx,
+                     CAST(floor(lat / 4.0) AS BIGINT) AS cy FROM o),
+    pc AS (SELECT *, CAST(floor(lon / 4.0) AS BIGINT) AS cx,
+                     CAST(floor(lat / 4.0) AS BIGINT) AS cy FROM p)
+    SELECT oc.origin_id, pc.poi_type,
+           min({_HUB_LEG_O} + d5.w + {_HUB_LEG_P}) AS eta_s
+    FROM oc JOIN pc
+      ON pc.cx BETWEEN oc.cx - 1 AND oc.cx + 1
+     AND pc.cy BETWEEN oc.cy - 1 AND oc.cy + 1
+    JOIN h ho ON ho.hub_id = CAST(floor((oc.lon + 180.0) / 14.4) AS BIGINT)
+    JOIN h hp ON hp.hub_id = CAST(floor((pc.lon + 180.0) / 14.4) AS BIGINT)
+    JOIN d5 ON d5.src = ho.hub_id AND d5.dst = hp.hub_id
+    GROUP BY oc.origin_id, pc.poi_type
+    """,
+    survey=(
+        "S7+U4+U1 end-to-end: .osm XML scan → way→edge extraction "
+        "(osrm-extract analog, osm2osrm.sh:32-33) → min-plus closure → "
+        "routed kernel (tasks.js:246-283)"
+    ),
+    tags=("eta", "graph", "osm", "pandas-udf"),
+)
+def q_eta_routed_osm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing over an OSM-DERIVED network (VERDICT r2 next-round #3): the
+    road graph is no longer handed to the router as an edge table — it is
+    compiled from an `.osm` XML document through the engine's own scan +
+    extraction DAG, the full reference path (osm2osrm.sh compiles `.osm`,
+    tasks.js routes over it) in one plan:
+
+      nation → synthesize_osm_xml (deterministic fixture, repr-exact
+      coordinates) → spark.read.format("xml") via read_osm_nodes/ways →
+      osm_ways_to_road_edges (consecutive nd-ref pairs, highway-class
+      speeds: trunk 90, motorway 120) → hub_closure_rows (5 min-plus
+      squarings; numpy under 512 verts, distributed above, bit-identical)
+      → broadcast kernel over the 3×3 grid-neighborhood candidates.
+
+    The oracle re-derives the identical edge list from `nation` in SQL
+    (rank-consecutive pairs replay the way synthesis) and replays the same
+    5 squarings — every weight, closure distance, and leg is bit-exact."""
+    from ram_datapipeline_spark.operators.graph import (
+        hub_closure_rows,
+        make_hub_routing_kernel,
+    )
+    from ram_datapipeline_spark.sources.osm import (
+        osm_ways_to_road_edges,
+        read_osm_nodes,
+        read_osm_ways,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o = ram_domain.origins(t["customer"])
+    p = ram_domain.pois(t["supplier"])
+    path = ram_domain.osm_fixture_path(t["nation"])
+    nodes = read_osm_nodes(spark, path)
+    ways = read_osm_ways(spark, path)
+    edges = osm_ways_to_road_edges(nodes, ways)
+    closure_rows = hub_closure_rows(edges, n_squarings=5)
+    node_rows = [
+        (r["node_id"], r["lon"], r["lat"]) for r in nodes.collect()
+    ]
+    kernel = make_hub_routing_kernel(closure_rows, node_rows)
+    m = eta_ops.routed_duration_matrix(o, p, cell_deg=4.0, kernel=kernel)
+    return m.groupBy("origin_id", "poi_type").agg(
+        F.min("duration_s").alias("eta_s")
+    )

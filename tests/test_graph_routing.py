@@ -232,3 +232,82 @@ def test_kcore_peel_matches_bruteforce(spark):
     }
     assert got == want
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # exactly the K4 clique
+
+
+# ---------------------------------------------------------------------------
+# OSM-derived routing network (sources/osm.py::osm_ways_to_road_edges +
+# ram_domain.synthesize_osm_xml → eta_routed_osm's graph)
+# ---------------------------------------------------------------------------
+
+def _tiny_osm(tmp_path):
+    from ram_datapipeline_spark.ram_domain import synthesize_osm_xml
+
+    # 5 nations over 2 regions: ring 0-1-2-3-4-0 + region chains [0,2,4], [1,3]
+    xml = synthesize_osm_xml([(0, 0), (1, 1), (2, 0), (3, 1), (4, 0)])
+    p = tmp_path / "net.osm"
+    p.write_text(xml)
+    return str(p)
+
+
+def test_osm_fixture_roundtrip_exact_coords(spark, tmp_path):
+    from ram_datapipeline_spark.ram_domain import hub_coords
+    from ram_datapipeline_spark.sources.osm import read_osm_nodes, read_osm_ways
+
+    path = _tiny_osm(tmp_path)
+    nodes = {r["node_id"]: (r["lon"], r["lat"])
+             for r in read_osm_nodes(spark, path).collect()}
+    # the text hop loses nothing: parsed doubles ARE hub_coords' doubles
+    for k in range(5):
+        assert nodes[k] == hub_coords(k)
+    ways = {r["way_id"]: (list(r["node_refs"]), dict(r["tags"]))
+            for r in read_osm_ways(spark, path).collect()}
+    assert ways[1000] == ([0, 1, 2, 3, 4, 0], {"highway": "trunk"})
+    assert ways[2000] == ([0, 2, 4], {"highway": "motorway"})
+    assert ways[2001] == ([1, 3], {"highway": "motorway"})
+
+
+def test_osm_ways_to_road_edges_pairs_and_weights(spark, tmp_path):
+    from ram_datapipeline_spark.ram_domain import hub_coords
+    from ram_datapipeline_spark.sources.osm import (
+        osm_ways_to_road_edges,
+        read_osm_nodes,
+        read_osm_ways,
+    )
+
+    path = _tiny_osm(tmp_path)
+    nodes = read_osm_nodes(spark, path)
+    ways = read_osm_ways(spark, path)
+    got = {(r["src"], r["dst"]): r["w"]
+           for r in osm_ways_to_road_edges(nodes, ways).collect()}
+
+    def w(a, b, spd):
+        ax, ay = hub_coords(a)
+        bx, by = hub_coords(b)
+        return (
+            math.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+            * 111.0 / spd * 3600.0
+        )
+
+    expect = {}
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]:  # ring way
+        expect[(a, b)] = w(a, b, 90.0)
+        expect[(b, a)] = w(a, b, 90.0)
+    for a, b in [(0, 2), (2, 4), (1, 3)]:  # region chains
+        expect[(a, b)] = w(a, b, 120.0)
+        expect[(b, a)] = w(a, b, 120.0)
+    assert got == expect  # exact doubles, both orientations, no extras
+
+
+def test_osm_edges_highway_speed_default(spark):
+    from ram_datapipeline_spark.sources.osm import osm_ways_to_road_edges
+
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 3.0, 4.0)], "node_id long, lon double, lat double"
+    )
+    ways = spark.createDataFrame(
+        [(7, [1, 2], {"highway": "unclassified_xyz"})],
+        "way_id long, node_refs array<long>, tags map<string,string>",
+    )
+    rows = osm_ways_to_road_edges(nodes, ways).collect()
+    # dist 5 deg * 111 km/deg at the 40 km/h fallback
+    assert {r["w"] for r in rows} == {5.0 * 111.0 / 40.0 * 3600.0}
