@@ -23,15 +23,30 @@ def test_builders_yield_window_first():
     assert first == [n for n in GATE_ORDER if n in Q.REGISTRY]
 
 
-def test_every_family_has_a_gated_representative():
+def _driver_proven_names() -> set[str]:
+    """Names with a green row in any past driver CORRECTNESS record."""
+    import json
+    import pathlib
+
+    names: set[str] = set()
+    root = pathlib.Path(__file__).resolve().parents[1]
+    for rec in sorted(root.glob("CORRECTNESS_r*.json")):
+        names.update(json.loads(rec.read_text()))
+    return names
+
+
+def test_every_family_has_a_driver_proven_representative():
     """One driver-visible row per SURVEY §2 operator family and per
-    north-star family (the round-1 lesson: green-locally but out-of-window
-    means 'not proven' to the judge)."""
-    gated = set(GATE_ORDER)
+    north-star family — CUMULATIVELY across rounds (the round-2 verdict's
+    rule: a query is proven once it is green in at least one
+    CORRECTNESS_r*.json; round 3 spends the window on the 44 queries no
+    round had gated yet, so displaced families count via their past
+    records)."""
+    gated = set(GATE_ORDER) | _driver_proven_names()
     families: dict[str, tuple[str, ...]] = {
         "scans": ("s1_", "s2_", "s3_", "s4_"),
         "predicates": ("p3_", "p4_", "p6_"),
-        "joins": ("j1_", "j6_", "j_asof"),
+        "joins": ("j1_", "j6_", "j_asof", "j_band"),
         "spatial-joins": ("j2_", "j3_", "j7_"),
         "aggregates": ("a2_", "a3_", "a4_", "a5_", "a6_", "agg_"),
         "windows": ("w1_", "w2_", "w3_"),
@@ -62,3 +77,12 @@ def test_gated_queries_all_have_oracles():
     # a gated slot spent on a rows-only query wastes driver signal
     oracleless = [n for n in GATE_ORDER if Q.REGISTRY[n].oracle is None]
     assert not oracleless, oracleless
+
+
+def test_every_registered_query_driver_proven_or_gated():
+    """The round-3 'done' criterion (VERDICT r2 next-round #1): every
+    registered query has either a past driver CORRECTNESS row or a slot in
+    this round's window — nothing stays invisible to the hard signal."""
+    proven = _driver_proven_names() | set(GATE_ORDER)
+    invisible = [n for n in Q.REGISTRY if n not in proven]
+    assert not invisible, f"never driver-checked and not gated: {invisible}"
