@@ -40,6 +40,9 @@ HEADLINE = [
     "eta_nearest_poi",       # flagship: duration matrix + min-reduce (J4/A1)
     "eta_routed_kernel_grid",  # mapInPandas routing kernel, grid-pruned (U1)
     "eta_routed_graph",      # graph-routed ETA: hub closure + kernel (U1/U4)
+    "eta_routed_osm",        # .osm scan → edge extraction → closure (S7/U4)
+    "j2_point_in_geojson",   # general-polygon PIP, vectorized ray cast (J2)
+    "mm_payload_embedding",  # single-pass byte-fold embedding (north star)
     "j_asof_click_view",     # as-of temporal join over events
     "st_sessionize",         # gap sessionization (stateful twin)
     "dedup_exact",           # content-hash dedup (north star)

@@ -386,3 +386,34 @@ def split_assign(
         .when(u < v_thr, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+# --- per-domain quota (source balancing) -------------------------------------
+
+
+def domain_quota(
+    df: DataFrame,
+    quota: int,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    rank_col: str = "domain_rank",
+) -> DataFrame:
+    """Cap each domain's contribution at ``quota`` documents, keeping the
+    top ones by ``order_col`` (ties broken by ``id_col`` — fully
+    deterministic). The source-balancing staple of corpus curation: a
+    handful of giant crawl domains otherwise dominate the token budget.
+
+    Scale shape: ONE hash shuffle on the domain key + a bounded per-domain
+    sort window (row_number, no global sort). Skewed domains are exactly
+    the expected case — a single domain's partition is the max unit of
+    work; for pathological single-domain corpora pre-aggregate with a
+    (domain, salt) two-phase top-k instead.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= quota)
+    )

@@ -29,7 +29,7 @@ synchronization barrier — is what hurts at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -515,3 +515,53 @@ def kcore_peel(
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg")).select(
         F.col("src").alias("node"), "core_deg"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Synchronous label propagation (community detection), ``rounds``
+    fixed iterations: labels start as node ids; each round every node
+    adopts its neighbors' most frequent label, ties broken by the
+    SMALLEST label — a total order, so the result is a pure function of
+    (edge set, rounds) any SQL engine can replay unrolled (float-free by
+    construction; the standard async/random LPA is neither deterministic
+    nor oracle-checkable).
+
+    The fourth iterative pattern in this module (after min-label
+    propagation, PageRank, and k-core filter-refinement): per round ONE
+    equi-join of the symmetric edge list against the (node-sized) label
+    table + ONE count aggregate + ONE bounded per-node window (partition =
+    a node's distinct neighbor labels, bounded by degree — no global
+    sort). No driver-side data, no convergence action; nodes are
+    edge-defined (isolated nodes are out of scope).
+
+    Emits ``(node, community)``.
+    """
+    e0 = edges.select(F.col(u).alias("a"), F.col(v).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()  # read once per round; caching contract as pagerank_int
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(rounds):
+        votes = sym.join(
+            labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+        )
+        counts = votes.groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

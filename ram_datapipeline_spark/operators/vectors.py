@@ -232,3 +232,66 @@ def kmeans_q8(
         F.col("best")["cid"].alias("cluster"),
         F.col("best")["dist"].alias("dist"),
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` contiguous
+    subvectors and encode every subvector as the id of its nearest of
+    ``k`` per-subspace centroids — the code layout behind IVF-PQ ANN
+    indexes (compresses a 64-dim float vector to ``m`` small ints while
+    keeping distances approximable per subspace).
+
+    Centroids: subspace j's codebook is the j-th subvector of the ``k``
+    hash-stratified seed rows (smallest ``md5(id)`` — the same
+    deterministic draw as ``kmeans_q8``), over corpus-global int8 codes,
+    so every distance is an exact BIGINT and the whole encoding is a pure
+    function of the corpus — bit-reproducible in any engine.
+
+    Scale shape: the (k × dim) codebook is ONE broadcast row; assignment
+    is a per-row transform over m subspaces × k centroids with an
+    ``array_min`` struct argmin — zero shuffle, whole plan stays in
+    codegen. Emits long format ``(id, subspace, code, dist)`` (array
+    outputs don't sort under the oracle hash normalizer).
+    """
+    c = quantize_global_q8(df, vec_col=vec_col).select(id_col, "codes")
+    seed_pool = (
+        c.select(
+            F.md5(F.col(id_col).cast("string")).alias("h"), F.col(id_col), "codes"
+        )
+        .orderBy("h", id_col)
+        .limit(k)
+    )
+    seed_w = Window.orderBy("h", id_col)  # k rows — single tiny partition
+    seeds = seed_pool.select(
+        (F.row_number().over(seed_w) - 1).alias("cid"),
+        F.col("codes").alias("cent"),
+    )
+    packed = seeds.agg(F.collect_list(F.struct("cid", "cent")).alias("cents"))
+    # per row: for each subspace j, argmin over the k centroid subvectors;
+    # slice bounds derive from size(codes) so dim never needs declaring
+    per_sub = F.expr(
+        f"""transform(sequence(0, {m - 1}), j -> array_min(
+          transform(cents, s -> struct(
+            aggregate(zip_with(
+                slice(codes, j * (size(codes) div {m}) + 1, size(codes) div {m}),
+                slice(s.cent, j * (size(codes) div {m}) + 1, size(codes) div {m}),
+                (a, b) -> (a - b) * (a - b)),
+              0L, (acc, x) -> acc + x) as dist,
+            s.cid as cid))))"""
+    )
+    return (
+        c.join(F.broadcast(packed))
+        .select(id_col, F.posexplode(per_sub).alias("subspace", "best"))
+        .select(
+            id_col,
+            "subspace",
+            F.col("best")["cid"].alias("code"),
+            F.col("best")["dist"].alias("dist"),
+        )
+    )

@@ -130,11 +130,10 @@ GATE_ORDER: tuple[str, ...] = (
     "eta_routed_osm",        # new: .osm scan → edges → closure → kernel
     "mm_payload_embedding",  # rewritten single-pass fold (perf fix)
     "j2_point_in_geojson",   # vectorized ray-cast kernel (perf fix)
-    # spare slots (swap for further round-3 additions; currently re-proving
-    # unchanged r1/r2-green representatives of displaced families)
-    "s1_config_scan_filter",
-    "p6_nullsafe_round",
-    "f_scalar_kit",
+    # round-3 NEW operators (took the spare slots)
+    "pipe_domain_quota",        # per-domain caps / source balancing
+    "vec_pq_codes",             # product quantization (IVF-PQ block)
+    "graph_label_propagation",  # deterministic synchronous LPA
 )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.operators.graph import (
     common_neighbor_counts,
+    label_propagation,
     kcore_peel,
     pagerank_int,
     triangle_counts,
@@ -313,3 +314,64 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
         F.expr("d * (d - 1) div 2").cast("long").alias("n_wedges"),
     )
+
+
+@query(
+    "graph_label_propagation",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    und AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM und
+      UNION
+      SELECT v AS src, u AS dst FROM und
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+    v1 AS (
+      SELECT s.src, l.lbl, count(*) AS cnt
+      FROM sym s JOIN l0 l ON s.dst = l.node
+      GROUP BY s.src, l.lbl
+    ),
+    l1 AS (
+      SELECT src AS node, lbl FROM (
+        SELECT src, lbl,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM v1
+      ) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT s.src, l.lbl, count(*) AS cnt
+      FROM sym s JOIN l1 l ON s.dst = l.node
+      GROUP BY s.src, l.lbl
+    ),
+    l2 AS (
+      SELECT src AS node, lbl FROM (
+        SELECT src, lbl,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM v2
+      ) WHERE rn = 1
+    )
+    SELECT node AS part_key, lbl AS community FROM l2
+    """,
+    survey=(
+        "graph analytics: deterministic synchronous label propagation, 2 "
+        "unrolled rounds (community detection; fourth iterative pattern)"
+    ),
+    tags=("graph",),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities on the co-order part graph by 2-round synchronous LPA
+    with (max count, min label) tie-break — fully deterministic, the
+    oracle replays both rounds unrolled
+    (operators/graph.py::label_propagation)."""
+    lp = label_propagation(
+        _co_order_edges(spark, sf_dir), rounds=2, u="u", v="v"
+    )
+    return lp.select(F.col("node").alias("part_key"), "community")

@@ -585,3 +585,89 @@ def q_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= 5)
     )
+
+
+@query(
+    "pipe_domain_quota",
+    oracle="""
+    SELECT doc_id, source, n_chars, domain_rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS domain_rank
+      FROM documents
+    )
+    WHERE domain_rank <= 40
+    """,
+    survey="corpus curation: per-domain document caps / source balancing (north star)",
+    tags=("pipeline",),
+)
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source's contribution at 40 documents, keeping the
+    longest (ties by doc_id) — one domain-key shuffle + bounded per-domain
+    window, no global sort (operators/corpus.py::domain_quota)."""
+    t = load_tables(spark, sf_dir)
+    return C.domain_quota(
+        t["documents"], quota=40, domain_col="source",
+        order_col="n_chars", id_col="doc_id",
+    ).select("doc_id", "source", "n_chars", "domain_rank")
+
+
+@query(
+    "vec_pq_codes",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    g AS (SELECT min(list_min(e)) AS gmn, max(list_max(e)) AS gmx FROM d),
+    c AS (
+      SELECT vec_id,
+             CASE WHEN gmx > gmn
+                  THEN list_transform(e, x -> least(
+                         CAST(floor((x - gmn) * 255.0 / (gmx - gmn)) AS BIGINT),
+                         CAST(255 AS BIGINT)))
+                  ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+             END AS codes
+      FROM d, g
+    ),
+    seeds AS (
+      SELECT codes AS cent,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM c
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+    ),
+    sub AS (
+      SELECT v.vec_id, j.j AS subspace, s.cid,
+             list_reduce(list_transform(generate_series(1, len(v.codes) // 4),
+               i -> (v.codes[j.j * (len(v.codes) // 4) + i]
+                     - s.cent[j.j * (len(v.codes) // 4) + i])
+                  * (v.codes[j.j * (len(v.codes) // 4) + i]
+                     - s.cent[j.j * (len(v.codes) // 4) + i])),
+               (x, y) -> x + y) AS dist
+      FROM c v, seeds s, (SELECT unnest(generate_series(0, 3)) AS j) j
+    )
+    SELECT vec_id, CAST(subspace AS INT) AS subspace, CAST(cid AS INT) AS code, dist
+    FROM (
+      SELECT vec_id, subspace, cid, dist,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY dist, cid) AS rn
+      FROM sub
+    )
+    WHERE rn = 1
+    """,
+    survey="product quantization codes (IVF-PQ building block) over global q8 — exact (north star)",
+    tags=("pipeline",),
+)
+def q_vec_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the embedding corpus: m=4 subspaces × k=16 hash-seeded
+    centroids over corpus-global int8 codes; broadcast codebook,
+    zero-shuffle argmin assignment (operators/vectors.py::pq_codes)."""
+    t = load_tables(spark, sf_dir)
+    out = V.pq_codes(t["embeddings"], m=4, k=16)
+    return out.select(
+        "vec_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+        "dist",
+    )

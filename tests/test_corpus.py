@@ -275,3 +275,74 @@ def test_snapshot_diff_statuses(spark):
     assert out[4].status == "added" and out[4].old_v is None
     withu = snapshot_diff(old, new, ["k"], ["v"], include_unchanged=True)
     assert withu.filter(F.col("status") == "unchanged").count() == 1
+
+
+def test_domain_quota_caps_and_tiebreak(spark):
+    from ram_datapipeline_spark.operators.corpus import domain_quota
+
+    rows = [
+        # source a: 3 docs, two tied on length (ids 2 < 5 break the tie)
+        (1, "a", 100), (2, "a", 50), (5, "a", 50),
+        # source b: under quota
+        (7, "b", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.doc_id: r.domain_rank
+           for r in domain_quota(df, quota=2).collect()}
+    assert out == {1: 1, 2: 2, 7: 1}  # id 5 loses the tie and the quota
+
+
+def test_pq_codes_matches_numpy_replay(spark):
+    import numpy as np
+
+    from ram_datapipeline_spark.operators.vectors import pq_codes
+
+    rng = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(10)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    got = {(r.vec_id, r.subspace): (r.code, r.dist)
+           for r in pq_codes(df, m=2, k=3).collect()}
+
+    # independent replay: global q8, md5-ordered seeds, per-subspace argmin
+    import hashlib
+
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rng}
+    gmn = min(v.min() for v in vecs.values())
+    gmx = max(v.max() for v in vecs.values())
+    codes = {
+        i: np.minimum(np.floor((v - gmn) * 255.0 / (gmx - gmn)), 255).astype(np.int64)
+        for i, v in vecs.items()
+    }
+    seed_ids = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:3]
+    for (vid, sub), (code, dist) in got.items():
+        cands = []
+        for cid, sid in enumerate(seed_ids):
+            d = int(((codes[vid][sub * 4:(sub + 1) * 4]
+                      - codes[sid][sub * 4:(sub + 1) * 4]) ** 2).sum())
+            cands.append((d, cid))
+        assert (dist, code) == min(cands)
+
+
+def test_label_propagation_two_cliques(spark):
+    from ram_datapipeline_spark.operators.graph import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} bridged by 3-10
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.community
+           for r in label_propagation(df, rounds=2).collect()}
+
+    # hand replay of 2 synchronous rounds, (max count, min label) tie-break
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    lbl = {n: n for n in sym}
+    for _ in range(2):
+        nxt = {}
+        for n, nbrs in sym.items():
+            cnt = {}
+            for x in nbrs:
+                cnt[lbl[x]] = cnt.get(lbl[x], 0) + 1
+            nxt[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        lbl = nxt
+    assert got == lbl
