@@ -20,6 +20,7 @@ from ram_datapipeline_spark.multimodal.media import (  # noqa: F401
     decode_wav_stats,
     encode_pcm8_wav,
     payload_embedding,
+    payload_embedding_long,
     resize_images,
     sample_frames,
     synthesize_media,

@@ -19,7 +19,7 @@ from ram_datapipeline_spark.multimodal import (
     decode_image_stats,
     decode_wav_stats,
     encode_pcm8_wav,
-    payload_embedding,
+    payload_embedding_long,
     resize_images,
     sample_frames,
     synthesize_media,
@@ -196,18 +196,17 @@ def q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal",),
 )
 def q_payload_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature vector per payload, exploded long-format for the oracle
-    compare (array columns don't sort in the hash normalizer).
+    """Feature vector per payload, long-format for the oracle compare
+    (array columns don't sort in the hash normalizer) — built long-form
+    directly: exploding the array output re-evaluates the fold per output
+    row (see payload_embedding_long).
 
     ``ensure_parallelism`` spreads the single scan partition of the small
     documents file across cores BEFORE the per-byte fold — without it the
     whole fold ran on one core (VERDICT r2 "what's wrong" #1)."""
     t = load_tables(spark, sf_dir)
     media = ensure_parallelism(synthesize_media(t["documents"]))
-    emb = payload_embedding(media, dim=16)
-    return emb.select(
-        "media_id", F.posexplode("embedding").alias("bucket", "val")
-    )
+    return payload_embedding_long(media, dim=16)
 
 
 @query(
