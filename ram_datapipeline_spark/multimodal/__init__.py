@@ -5,11 +5,14 @@ with a typed metadata struct alongside — the schema a 100 TB training-data
 lake uses (payload stays columnar, metadata prunes without touching bytes).
 
 Everything Spark-side is real: schemas, partitioning, Arrow batch shapes,
-``mapInPandas`` signatures. The codec boundary (actual JPEG/PCM/H.264
-decode) is NOT real — the container ships no image/audio libraries — so
-decode kernels run a clearly-marked deterministic fake derived from the
-payload bytes (see ``media.FAKE_DECODE_NOTE``), with the real library
-drop-in point isolated to one function per modality.
+``mapInPandas`` signatures. Codec reality (no image/audio libraries ship in this container):
+WAV (RIFF/WAVE encode+decode, stdlib ``wave``) and PNG (full encode +
+five-filter decode + real nearest-neighbor resize, stdlib ``zlib``) are
+REAL end-to-end paths. Only the generic any-format kernels
+(``_decode_image_batch``, ``resize_images``'s byte transform — e.g.
+JPEG/H.264) remain clearly-marked deterministic stand-ins (see
+``media.FAKE_DECODE_NOTE``), with the library drop-in point isolated to
+one function per modality.
 """
 
 from ram_datapipeline_spark.multimodal.media import (  # noqa: F401
@@ -18,10 +21,12 @@ from ram_datapipeline_spark.multimodal.media import (  # noqa: F401
     decode_image_stats,
     decode_png_stats,
     decode_wav_stats,
+    encode_gray8_png_media,
     encode_pcm8_wav,
     payload_embedding,
     payload_embedding_long,
     resize_images,
+    resize_png_images,
     sample_frames,
     synthesize_media,
 )

@@ -107,8 +107,10 @@ def resize_images(media: DataFrame, max_side: int = 128) -> DataFrame:
     transform is a STUB (truncation to a deterministic length proportional
     to the area ratio — see FAKE_DECODE_NOTE); a real implementation
     replaces only the body of ``_resize_batch`` with PIL's
-    ``Image.resize``. Output schema mirrors the input (media_id, payload,
-    width, height) so resized batches re-enter the catalog."""
+    ``Image.resize``. For the PNG class a REAL decode→resample→re-encode
+    path exists: ``resize_png_images``. Output schema mirrors the input
+    (media_id, payload, width, height) so resized batches re-enter the
+    catalog."""
 
     def _resize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         w = pdf["width"].astype("float64")
@@ -471,4 +473,117 @@ def payload_embedding_long(media: DataFrame, dim: int = 16) -> DataFrame:
             "_nb",
         )
         .select("media_id", "bucket", val.alias("val"))
+    )
+
+
+def _encode_gray8_png(px: "np.ndarray") -> bytes:
+    """Minimal REAL PNG encoder (stdlib only): 8-bit greyscale,
+    non-interlaced, every scanline filter type 0. ``px``: uint8 ndarray of
+    shape (h, w). The exact inverse domain of ``_decode_png_bytes`` —
+    decode(encode(px)) == px for any uint8 array (asserted in
+    tests/test_multimodal.py)."""
+    import struct
+    import zlib
+
+    h, w = px.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray8, no interlace
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_gray8_png_media(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+) -> DataFrame:
+    """REAL image encode (the PNG twin of ``encode_pcm8_wav``): each
+    document's utf-8 bytes become the row-major pixels of a ``width``-wide
+    8-bit greyscale PNG (last row zero-padded), through the genuine
+    encoder above. (media_id, payload binary, width, height). Every pixel
+    is a pure function of the source text, so SQL oracles can replay any
+    downstream pixel arithmetic without parsing PNG."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, heights = [], []
+            for txt in pdf[text_col]:
+                b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                h = max(1, -(-len(b) // width))
+                px = np.zeros(h * width, dtype=np.uint8)
+                px[: len(b)] = b
+                payloads.append(_encode_gray8_png(px.reshape(h, width)))
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "width": width,
+                    "height": heights,
+                }
+            )
+
+    return documents.select(id_col, text_col).mapInPandas(
+        gen, schema="media_id long, payload binary, width int, height int"
+    )
+
+
+def resize_png_images(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """REAL image resize (replaces the byte-truncation stand-in of
+    ``resize_images`` for the PNG class): decode the PNG, nearest-neighbor
+    sample to a fixed (out_h, out_w) thumbnail — source index
+    ``(dst * src_len) // out_len``, pure integer arithmetic any SQL engine
+    replays — and re-encode through the real encoder. Multi-channel
+    inputs are sampled per channel. Output mirrors the input catalog
+    schema (media_id, payload, width, height); rows whose payload is not
+    a decodable PNG yield a null-payload row (malformed media is data,
+    not an error). One Arrow batch in/out; only thumbnail-sized bytes
+    leave Python."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "width": [], "height": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    w, h, ch, px = _decode_png_bytes(bytes(payload))
+                    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                    if ch == 1:
+                        small = px[ys][:, xs]
+                    else:
+                        cube = px.reshape(h, w, ch)[ys][:, xs]
+                        # re-encode channel-0 plane (thumbnail contract is
+                        # single-plane; extend to a color encoder if needed)
+                        small = np.ascontiguousarray(cube[:, :, 0])
+                    out["payload"].append(_encode_gray8_png(small.astype(np.uint8)))
+                    out["width"].append(out_w)
+                    out["height"].append(out_h)
+                except Exception:  # noqa: BLE001 — malformed media row
+                    out["payload"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+            yield pd.DataFrame(out)
+
+    src = media.select("media_id", "payload")
+    return src.mapInPandas(
+        gen, schema="media_id long, payload binary, width int, height int"
     )

@@ -17,10 +17,13 @@ from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.multimodal import (
     audio_frame_energy,
     decode_image_stats,
+    decode_png_stats,
     decode_wav_stats,
+    encode_gray8_png_media,
     encode_pcm8_wav,
     payload_embedding_long,
     resize_images,
+    resize_png_images,
     sample_frames,
     synthesize_media,
 )
@@ -245,3 +248,49 @@ def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     wavs = encode_pcm8_wav(t["documents"])
     return decode_wav_stats(wavs)
+
+
+@query(
+    "mm_png_resize_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS nb,
+             greatest(1, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT)) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT d.media_id,
+             CASE WHEN ((s.s // 8) * d.h // 8) * 16 + (s.s % 8) * 2 < d.nb
+                  THEN ascii(substr(d.text,
+                       CAST(((s.s // 8) * d.h // 8) * 16 + (s.s % 8) * 2 + 1 AS INT), 1))
+                  ELSE 0 END AS v
+      FROM dims d, (SELECT unnest(generate_series(0, 63)) AS s) s
+    )
+    SELECT media_id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(max(v) AS INT) AS pixel_max
+    FROM px GROUP BY media_id
+    """,
+    survey=(
+        "multimodal: REAL PNG encode → nearest-neighbor resize → decode "
+        "round trip through three chained Arrow stages (north star)"
+    ),
+    tags=("multimodal", "pandas-udf"),
+)
+def q_png_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proves the full REAL image path: documents' bytes become 16-wide
+    gray8 PNG pixels (real encoder), thumbnails are nearest-neighbor
+    resampled to 8×8 (``(dst · src) // out`` integer indices) and
+    re-encoded, then the real decoder recovers pixel statistics. The
+    oracle never parses PNG — it replays the pixel arithmetic straight
+    from the source text (ASCII fixture: utf-8 bytes == code points), so
+    a hash match proves encode → resize → decode inverted exactly through
+    three chained mapInPandas stages."""
+    t = load_tables(spark, sf_dir)
+    docs = ensure_parallelism(t["documents"])
+    png = encode_gray8_png_media(docs, width=16)
+    small = resize_png_images(png, out_w=8, out_h=8)
+    return decode_png_stats(small)

@@ -29,7 +29,10 @@ from ram_datapipeline_spark.session import get_spark  # noqa: E402
 BASE = "/root/testdata/sf0.1"
 PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "w3_topk_per_group", "dedup_exact", "pipe_segment_dedup",
-          "vec_kmeans_q8", "ts_gapfill_locf"]
+          "vec_kmeans_q8", "ts_gapfill_locf",
+          # round-3 additions: the changed/new plans with scale risk
+          "mm_payload_embedding", "j2_point_in_geojson", "eta_routed_osm",
+          "graph_label_propagation", "pipe_domain_quota", "vec_pq_codes"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -264,3 +264,45 @@ def test_decode_png_stats_real_codec(spark):
         assert got[mid]["pixel_sum"] == sum(flat)
         assert got[mid]["pixel_max"] == max(flat)
     assert got[4]["width"] is None and got[4]["pixel_sum"] is None
+
+
+def test_encode_gray8_png_roundtrips_through_decoder():
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.media import (
+        _decode_png_bytes,
+        _encode_gray8_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (3, 16), (40, 16), (7, 5)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, ch, got = _decode_png_bytes(_encode_gray8_png(px))
+        assert (w, h, ch) == (shape[1], shape[0], 1)
+        assert np.array_equal(got, px)
+
+
+def test_resize_png_images_nearest_neighbor_exact(spark):
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.media import (
+        _decode_png_bytes,
+        _encode_gray8_png,
+        resize_png_images,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(30, 16), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(_encode_gray8_png(px))), (2, bytearray(b"not a png"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in resize_png_images(media, 8, 8).collect()}
+
+    ys = (np.arange(8) * 30) // 8
+    xs = (np.arange(8) * 16) // 8
+    expect = px[ys][:, xs]
+    w, h, ch, got = _decode_png_bytes(bytes(rows[1].payload))
+    assert (w, h, ch) == (8, 8, 1)
+    assert np.array_equal(got, expect)
+    assert rows[2].payload is None and rows[2].width is None  # malformed row
