@@ -253,45 +253,65 @@ def pq_codes(
     so every distance is an exact BIGINT and the whole encoding is a pure
     function of the corpus — bit-reproducible in any engine.
 
-    Scale shape: the (k × dim) codebook is ONE broadcast row; assignment
-    is a per-row transform over m subspaces × k centroids with an
-    ``array_min`` struct argmin — zero shuffle, whole plan stays in
-    codegen. Emits long format ``(id, subspace, code, dist)`` (array
-    outputs don't sort under the oracle hash normalizer).
+    Scale shape: quantization stays JVM-side; the (k × dim) codebook is
+    collected (metadata-sized — the same class as kmeans' seed pass) and
+    broadcast into ONE Arrow kernel that computes all n × m × k squared
+    distances as an int64 einsum-style batch op — zero shuffle. A pure
+    higher-order-function formulation was 80× slower per row: Catalyst
+    HOF lambdas are interpreted per element, and n·m·k·(dim/m) lambda
+    steps dominate; numpy over the Arrow batch is the sanctioned fast
+    path for dense per-row arithmetic. ``np.argmin`` takes the FIRST
+    minimum, which is exactly the (dist, cid) tie-break the SQL oracle's
+    ``row_number() ORDER BY dist, cid`` replays. Emits long format
+    ``(id, subspace, code, dist)`` (array outputs don't sort under the
+    oracle hash normalizer).
     """
+    import numpy as np
+
     c = quantize_global_q8(df, vec_col=vec_col).select(id_col, "codes")
-    seed_pool = (
+    seed_rows = (
         c.select(
             F.md5(F.col(id_col).cast("string")).alias("h"), F.col(id_col), "codes"
         )
         .orderBy("h", id_col)
         .limit(k)
+        .collect()
     )
-    seed_w = Window.orderBy("h", id_col)  # k rows — single tiny partition
-    seeds = seed_pool.select(
-        (F.row_number().over(seed_w) - 1).alias("cid"),
-        F.col("codes").alias("cent"),
+    cents = np.asarray([r["codes"] for r in seed_rows], dtype=np.int64)  # (k, dim)
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+
+    def gen(batches):
+        import pandas as pd
+
+        cb = bc.value
+        kk, dim = cb.shape
+        sub = dim // m
+        cb3 = cb.reshape(kk, m, sub)  # (k, m, sub)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            codes = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["codes"]]
+            ).reshape(n, m, sub)
+            # (n, k, m) exact int64 squared distances
+            diff = codes[:, None, :, :] - cb3[None, :, :, :]
+            d = np.einsum("nkms,nkms->nkm", diff, diff)
+            best = d.argmin(axis=1)  # first min == lowest cid on ties
+            dist = np.take_along_axis(d, best[:, None, :], axis=1)[:, 0, :]
+            ids = np.repeat(pdf[pdf.columns[0]].to_numpy(), m)
+            yield pd.DataFrame(
+                {
+                    "_id": ids,
+                    "subspace": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": best.astype(np.int32).ravel(),
+                    "dist": dist.ravel(),
+                }
+            )
+
+    out = c.mapInPandas(
+        gen, schema=f"_id long, subspace int, code int, dist long"
     )
-    packed = seeds.agg(F.collect_list(F.struct("cid", "cent")).alias("cents"))
-    # per row: for each subspace j, argmin over the k centroid subvectors;
-    # slice bounds derive from size(codes) so dim never needs declaring
-    per_sub = F.expr(
-        f"""transform(sequence(0, {m - 1}), j -> array_min(
-          transform(cents, s -> struct(
-            aggregate(zip_with(
-                slice(codes, j * (size(codes) div {m}) + 1, size(codes) div {m}),
-                slice(s.cent, j * (size(codes) div {m}) + 1, size(codes) div {m}),
-                (a, b) -> (a - b) * (a - b)),
-              0L, (acc, x) -> acc + x) as dist,
-            s.cid as cid))))"""
-    )
-    return (
-        c.join(F.broadcast(packed))
-        .select(id_col, F.posexplode(per_sub).alias("subspace", "best"))
-        .select(
-            id_col,
-            "subspace",
-            F.col("best")["cid"].alias("code"),
-            F.col("best")["dist"].alias("dist"),
-        )
+    return out.select(
+        F.col("_id").alias(id_col), "subspace", "code", "dist"
     )
