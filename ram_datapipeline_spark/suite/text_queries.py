@@ -814,3 +814,47 @@ def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     left to AQE skew handling (``operators/text_ops.py::bigram_familiarity``)."""
     t = load_tables(spark, sf_dir)
     return T.bigram_familiarity(t["documents"])
+
+
+# ANN quality evaluation: compose the EXACT top-k oracle and the IVF
+# top-k oracle (fetched from the registry, so the three queries can never
+# drift apart) into a per-query recall count.
+from ram_datapipeline_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "sim_recall_at_k",
+    oracle=f"""
+    WITH exact AS ({_REG["sim_cosine_topk"].oracle}),
+    approx AS ({_REG["sim_cosine_topk_ivf"].oracle})
+    SELECT e.query_id, count(a.neighbor_id) AS hits, CAST(5 AS INT) AS k
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+    survey=(
+        "similarity search: recall@k evaluation harness — IVF ANN vs the "
+        "exact baseline in one plan (north star)"
+    ),
+    tags=("similarity",),
+)
+def q_sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality as a QUERY: per query vector, how many of the
+    exact top-5 the IVF index recovered (hits/k = recall@5). Both sides
+    run in one DAG; the oracle nests the two registered oracles verbatim,
+    so the measurement is bit-exactly the same contest DuckDB replays.
+    The index-quality contracts in tests/test_similarity.py set the
+    floor; this gate makes recall OBSERVABLE per corpus, the way a
+    production embedding pipeline monitors its index."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk(q, e, k=5).select("query_id", "neighbor_id")
+    approx = SIM.cosine_topk_ivf(q, e, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("m")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce("m", F.lit(0))).cast("long").alias("hits"),
+        F.lit(5).cast("int").alias("k"),
+    )

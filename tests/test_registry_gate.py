@@ -85,6 +85,7 @@ def test_gated_queries_all_have_oracles():
 # candidates for the next round's window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "mm_png_resize_roundtrip",
+    "sim_recall_at_k",
 )
 
 
