@@ -89,9 +89,12 @@ from ram_datapipeline_spark.multimodal import (  # noqa: F401
     decode_image_stats,
     decode_png_stats,
     decode_wav_stats,
+    encode_gray8_png_media,
     encode_pcm8_wav,
     payload_embedding,
+    payload_embedding_long,
     resize_images,
+    resize_png_images,
     sample_frames,
     synthesize_media,
 )
@@ -99,6 +102,7 @@ from ram_datapipeline_spark.multimodal import (  # noqa: F401
 # sources / sinks (SURVEY §2.1)
 from ram_datapipeline_spark.sources import (  # noqa: F401
     osm_ways_to_geojson,
+    osm_ways_to_road_edges,
     read_geojson_features,
     read_geojson_points,
     read_osm_nodes,
@@ -129,6 +133,7 @@ from ram_datapipeline_spark.streaming import (  # noqa: F401
 from ram_datapipeline_spark.operators.corpus import (  # noqa: F401
     chunk_with_overlap,
     decontaminate,
+    domain_quota,
     hash_sample,
     quality_funnel,
     segment_dedup,
@@ -140,6 +145,7 @@ from ram_datapipeline_spark.operators.corpus import (  # noqa: F401
 from ram_datapipeline_spark.operators.vectors import (  # noqa: F401
     kmeans_q8,
     l2_norm,
+    pq_codes,
     label_centroids,
     normalize,
     quantize_global_q8,
@@ -149,6 +155,7 @@ from ram_datapipeline_spark.operators.graph import (  # noqa: F401
     common_neighbor_counts,
     hub_closure_rows,
     kcore_peel,
+    label_propagation,
     make_hub_routing_kernel,
     min_plus_closure,
     pagerank_int,

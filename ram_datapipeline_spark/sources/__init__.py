@@ -14,6 +14,7 @@ from ram_datapipeline_spark.sources.geojson import (  # noqa: F401
 )
 from ram_datapipeline_spark.sources.osm import (  # noqa: F401
     osm_ways_to_geojson,
+    osm_ways_to_road_edges,
     read_osm_nodes,
     read_osm_ways,
 )
