@@ -71,3 +71,25 @@ def test_assemble_corpus_exact_dedup_drops_clones(spark):
     out = assemble_corpus(doubled)
     assert out.count() == base.count()
     assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_media_pipeline_end_to_end(spark, tmp_path):
+    from ram_datapipeline_spark.plans import run_media_pipeline
+
+    out = str(tmp_path / "media_out")
+    counts = run_media_pipeline(spark, "/root/testdata/sf0.001", out)
+    assert counts["catalog"] > 0
+    # every document produced one image-stat and one audio-stat row
+    assert counts["image_stats"] == counts["catalog"]
+    assert counts["audio_stats"] == counts["catalog"]
+    assert 0 < counts["kept_after_dedup"] <= counts["features"]
+
+    # partitioned layout by modality exists and reads back
+    feats = spark.read.parquet(f"{out}/media_features")
+    assert set(feats.columns) == {"media_id", "kind", "embedding"}
+    assert feats.count() == counts["kept_after_dedup"]
+
+    # all image stats decoded successfully (8x8 thumbnails, gray8)
+    st = spark.read.parquet(f"{out}/image_stats")
+    bad = st.filter("width is null or width != 8 or height != 8").count()
+    assert bad == 0
