@@ -24,3 +24,6 @@ from ram_datapipeline_spark.streaming.oplog import OperationLog  # noqa: F401
 from ram_datapipeline_spark.streaming.stateful import (  # noqa: F401
     running_user_totals,
 )
+from ram_datapipeline_spark.streaming.stateful_v2 import (  # noqa: F401
+    running_user_totals_v2,
+)

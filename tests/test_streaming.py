@@ -339,3 +339,56 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     got = spark.sql("SELECT * FROM enrich_static")
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
+
+
+def test_transform_with_state_twin_matches_v1(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) produces the
+    SAME per-user final totals as the applyInPandasWithState operator and
+    the batch groupBy, with state carried across ≥2 micro-batches.
+
+    The transformWithState runtime speaks protobuf to its state server;
+    this container ships no google.protobuf, so the test (not the
+    operator) is gated on it."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state server requires protobuf",
+    )
+    from ram_datapipeline_spark.streaming import running_user_totals_v2
+
+    events_dir = tmp_path / "ev2"
+    events_dir.mkdir()
+    batch_events = load_tables(spark, SF_DIR)["events"]
+    half1 = batch_events.filter(F.col("event_id") % 2 == 0)
+    half2 = batch_events.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(str(events_dir / "b1"))
+    half2.coalesce(1).write.parquet(str(events_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(events_dir) + "/*/")
+    )
+    q = (
+        running_user_totals_v2(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals_v2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_v2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM user_totals_v2")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    want = batch_events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert g == w
