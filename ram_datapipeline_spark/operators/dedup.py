@@ -347,3 +347,47 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact ASYMMETRIC n-gram containment for ordered pairs sharing ≥1
+    shingle: (doc_a, doc_b, inter, n_a, containment ≥ threshold), where
+
+        containment(A → B) = |A ∩ B| / |A|
+
+    The asymmetric companion to ``ngram_jaccard_pairs``: a short document
+    quoted whole inside a much longer one scores containment ≈ 1 while
+    its Jaccard ≈ |A|/|B| washes out toward 0 — the standard
+    quotation/boilerplate/inclusion detector a dedup stack runs next to
+    symmetric near-dup (both directions emitted, one ordered row each).
+
+    Same scale shape as Jaccard: inverted-index equi-join on the shingle
+    key (never all-pairs), integer counts, ONE final division. Hot
+    shingles are the skew risk — AQE splits the skewed join partitions;
+    at corpus scale drop stop-gram shingles above a document-frequency
+    cap first.
+    """
+    sh = shingles(df, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    out = (
+        inter.join(sa, "doc_a")
+        .withColumn(
+            "containment", F.col("inter").cast("double") / F.col("n_a")
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "n_a", "containment")

@@ -858,3 +858,32 @@ def q_sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("m", F.lit(0))).cast("long").alias("hits"),
         F.lit(5).cast("int").alias("k"),
     )
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, inter, sa.n AS n_a,
+           CAST(inter AS DOUBLE) / sa.n AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE CAST(inter AS DOUBLE) / sa.n >= 0.6
+    """,
+    survey=(
+        "dedup tier 2b: asymmetric n-gram containment (quotation/"
+        "inclusion detector) via the same inverted index (north star)"
+    ),
+    tags=("dedup",),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered containment pairs (threshold 0.6): catches a short doc
+    quoted inside a long one where Jaccard washes out — integer set
+    algebra, one division (operators/dedup.py::ngram_containment_pairs)."""
+    t = load_tables(spark, sf_dir)
+    return D.ngram_containment_pairs(t["documents"], threshold=0.6)

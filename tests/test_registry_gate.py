@@ -86,6 +86,7 @@ def test_gated_queries_all_have_oracles():
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "mm_png_resize_roundtrip",
     "sim_recall_at_k",
+    "dedup_ngram_containment",
 )
 
 
