@@ -517,3 +517,53 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )
     return daily.join(rolling, "day").select("day", "active_1d", "active_7d")
+
+
+# 52-bit md5-derived uniform draw, DuckDB-side (13 hex digits folded to a
+# BIGINT < 2^52 — exactly representable in double, division exact).
+_KMV_U_SQL = (
+    "list_reduce(list_transform(generate_series(1, 13), "
+    "i -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b) / 4503599627370496.0"
+)
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, {_KMV_U_SQL} AS u FROM events
+    ),
+    counts AS (
+      SELECT event_type, count(*) AS n_exact FROM d GROUP BY event_type
+    ),
+    kth AS (
+      SELECT event_type, u AS kth_u FROM (
+        SELECT event_type, u,
+               row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+        FROM d
+      ) WHERE rn = 64
+    )
+    SELECT c.event_type, c.n_exact, k2.kth_u,
+           CASE WHEN k2.kth_u IS NOT NULL THEN 63 / k2.kth_u
+                ELSE CAST(c.n_exact AS DOUBLE) END AS estimate
+    FROM counts c LEFT JOIN kth k2 USING (event_type)
+    """,
+    survey=(
+        "deterministic KMV distinct-count sketch — the oracle-checkable "
+        "companion to HLL's rows-only agg_approx_distinct (north star)"
+    ),
+    tags=("analytic", "sketch"),
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the k-minimum-values sketch
+    (k=64). Because the randomness IS the md5 order, the estimate is a
+    pure function of the value set — DuckDB replays it bit-for-bit,
+    which no HLL can offer (operators/sketches.py)."""
+    from ram_datapipeline_spark.operators.sketches import kmv_distinct_estimate
+
+    t = load_tables(spark, sf_dir)
+    return kmv_distinct_estimate(
+        t["events"], group_cols=["event_type"], value_col="user_id", k=64
+    )

@@ -174,3 +174,56 @@ def test_repetition_ratio_bounds(spark):
     assert out[1]["repetition"] > 0.5
     assert out[2]["repetition"] == 0.0
     assert out[3]["n_grams"] == 0 and out[3]["repetition"] is None
+
+
+def test_kmv_estimate_accuracy_and_exact_fallback(spark):
+    from pyspark.sql import functions as SF
+
+    from ram_datapipeline_spark.operators.sketches import kmv_distinct_estimate
+
+    # group "big": 5000 distinct values; group "small": 10 (< k)
+    df = spark.range(5000).select(
+        SF.lit("big").alias("g"), SF.col("id").alias("v")
+    ).unionAll(
+        spark.range(10).select(SF.lit("small").alias("g"), SF.col("id").alias("v"))
+    )
+    rows = {r.g: r for r in kmv_distinct_estimate(df, ["g"], "v", k=64).collect()}
+    assert rows["small"].estimate == 10.0 and rows["small"].kth_u is None
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 13%; allow 3σ
+    assert abs(rows["big"].estimate - 5000) / 5000 < 0.4
+    assert rows["big"].n_exact == 5000
+
+
+def test_kmv_sketch_merges_across_shards(spark):
+    """The union sketch == k smallest of the concatenated shard minima:
+    estimating the union from two shard sketches must equal the estimate
+    computed over the union directly (mergeability, the property
+    sketches exist for)."""
+    from pyspark.sql import functions as SF
+
+    from ram_datapipeline_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_uniform,
+    )
+
+    k = 64
+    shard1 = spark.range(0, 3000).select(SF.lit("g").alias("g"), SF.col("id").alias("v"))
+    shard2 = spark.range(2000, 6000).select(SF.lit("g").alias("g"), SF.col("id").alias("v"))
+
+    def minima(df):
+        return [
+            r.u
+            for r in df.select(kmv_uniform(SF.col("v")).alias("u"))
+            .distinct()
+            .orderBy("u")
+            .limit(k)
+            .collect()
+        ]
+
+    merged = sorted(set(minima(shard1)) | set(minima(shard2)))[:k]
+    est_merged = (k - 1) / merged[k - 1]
+
+    direct = kmv_distinct_estimate(
+        shard1.unionAll(shard2), ["g"], "v", k=k
+    ).collect()[0]
+    assert est_merged == direct.estimate  # bit-identical, not approximately

@@ -87,6 +87,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "mm_png_resize_roundtrip",
     "sim_recall_at_k",
     "dedup_ngram_containment",
+    "agg_kmv_distinct",
 )
 
 
