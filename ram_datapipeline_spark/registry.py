@@ -134,6 +134,9 @@ GATE_ORDER: tuple[str, ...] = (
     "pipe_domain_quota",        # per-domain caps / source balancing
     "vec_pq_codes",             # product quantization (IVF-PQ block)
     "graph_label_propagation",  # deterministic synchronous LPA
+    # queries registered after this window froze are queued in
+    # tests/test_registry_gate.py::NEXT_ROUND_ROTATION — rotate them in
+    # first next round (mirror-green meanwhile, artifacts/VERIFY_r03.txt)
 )
 
 
