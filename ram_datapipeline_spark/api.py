@@ -87,6 +87,7 @@ from ram_datapipeline_spark.operators.text_ops import (  # noqa: F401
 from ram_datapipeline_spark.multimodal import (  # noqa: F401
     audio_frame_energy,
     decode_image_stats,
+    decode_jpeg_stats,
     decode_png_stats,
     decode_wav_stats,
     encode_gray8_png_media,

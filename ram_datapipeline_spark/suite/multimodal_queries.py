@@ -294,3 +294,37 @@ def q_png_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     png = encode_gray8_png_media(docs, width=16)
     small = resize_png_images(png, out_w=8, out_h=8)
     return decode_png_stats(small)
+
+
+@query(
+    "mm_jpeg_flat_roundtrip",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(((doc_id * 37) % 256) * 256 AS BIGINT) AS pixel_sum,
+           CAST((doc_id * 37) % 256 AS INT) AS pixel_max
+    FROM documents
+    """,
+    survey=(
+        "multimodal: REAL baseline JPEG encode → decode round trip — "
+        "lossy codec, provably lossless on the DC-only class, so the "
+        "oracle replays the stats analytically (north star)"
+    ),
+    tags=("multimodal", "pandas-udf"),
+)
+def q_jpeg_flat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document becomes a real 16×16 flat JPEG (markers, Annex-K
+    Huffman, DC-difference chain all exercised), decoded back by the real
+    baseline decoder. Flat blocks are pure DC and the q90 DC
+    quantization error is < 1/2, so decode is EXACT — the oracle
+    computes the statistics analytically and a hash match proves the
+    whole marker+Huffman+DCT chain inverts (multimodal/jpeg.py)."""
+    from ram_datapipeline_spark.multimodal.jpeg import (
+        decode_jpeg_stats,
+        encode_flat_jpeg_media,
+    )
+
+    t = load_tables(spark, sf_dir)
+    jpg = encode_flat_jpeg_media(ensure_parallelism(t["documents"]))
+    return decode_jpeg_stats(jpg)

@@ -306,3 +306,72 @@ def test_resize_png_images_nearest_neighbor_exact(spark):
     assert (w, h, ch) == (8, 8, 1)
     assert np.array_equal(got, expect)
     assert rows[2].payload is None and rows[2].width is None  # malformed row
+
+
+def test_jpeg_flat_roundtrip_exact_all_values():
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.jpeg import (
+        decode_jpeg_bytes,
+        encode_gray_jpeg,
+    )
+
+    # flat images are pure DC; q90 DC quantization error < 1/2 → EXACT
+    for v in [0, 1, 37, 127, 128, 200, 254, 255]:
+        px = np.full((16, 16), v, dtype=np.uint8)
+        w, h, ch, got = decode_jpeg_bytes(encode_gray_jpeg(px, 90))
+        assert (w, h, ch) == (16, 16, 1)
+        assert np.abs(got.astype(int) - v).max() == 0, f"value {v} drifted"
+
+
+def test_jpeg_random_image_psnr_floor():
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.jpeg import (
+        decode_jpeg_bytes,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)  # worst case
+    w, h, ch, got = decode_jpeg_bytes(encode_gray_jpeg(px, quality=90))
+    assert (w, h) == (56, 40)
+    mse = ((got.astype(float) - px) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 30.0, f"PSNR {psnr:.1f} dB below floor"
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from ram_datapipeline_spark.multimodal.jpeg import (
+        decode_jpeg_bytes,
+        encode_gray_jpeg,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_bytes(b"not a jpeg at all")
+    data = bytearray(encode_gray_jpeg(np.full((8, 8), 9, np.uint8)))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # masquerade as progressive
+    with _pytest.raises(ValueError):
+        decode_jpeg_bytes(bytes(data))
+
+
+def test_jpeg_stats_operator_null_on_malformed(spark):
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.jpeg import (
+        decode_jpeg_stats,
+        encode_gray_jpeg,
+    )
+
+    good = encode_gray_jpeg(np.full((16, 16), 50, np.uint8), 90)
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"\xff\xd8garbage"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_jpeg_stats(media).collect()}
+    assert rows[1].pixel_sum == 50 * 256 and rows[1].channels == 1
+    assert rows[2].pixel_sum is None and rows[2].width is None

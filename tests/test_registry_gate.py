@@ -88,6 +88,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "sim_recall_at_k",
     "dedup_ngram_containment",
     "agg_kmv_distinct",
+    "mm_jpeg_flat_roundtrip",
 )
 
 
