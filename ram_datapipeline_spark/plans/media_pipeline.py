@@ -9,8 +9,9 @@ only the end-to-end composition):
                     (metadata filter, payload pages untouched at the scan)
 3. real codecs    — images: PNG encode → nearest-neighbor thumbnail →
                     decode stats (three Arrow stages, thumbnail-sized
-                    bytes only after stage one); audio: RIFF/WAVE encode
-                    → REAL parse → exact integer PCM stats
+                    bytes only after stage one) plus a baseline JPEG
+                    encode → decode leg; audio: RIFF/WAVE encode →
+                    REAL parse → exact integer PCM stats
 4. features       — byte-level payload embedding (long format, strided
                     fold — the encoder stand-in)
 5. near-dedup     — embedding-cosine survivors over the feature vectors
@@ -33,7 +34,9 @@ from pyspark.sql import functions as F
 
 from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.multimodal import (
+    decode_jpeg_stats,
     decode_png_stats,
+    encode_flat_jpeg_media,
     decode_wav_stats,
     encode_gray8_png_media,
     encode_pcm8_wav,
@@ -97,6 +100,9 @@ def run_media_pipeline(
     img_stats = decode_png_stats(thumbs)
     wav = encode_pcm8_wav(ensure_parallelism(docs))
     wav_stats = decode_wav_stats(wav)
+    jpg_stats = decode_jpeg_stats(
+        encode_flat_jpeg_media(ensure_parallelism(docs))
+    )
 
     feats = media_features(docs, dim=dim)
     kept = media_near_dedup(feats)
@@ -112,11 +118,15 @@ def run_media_pipeline(
     wav_stats.write.mode("overwrite").parquet(
         os.path.join(out_dir, "audio_stats")
     )
+    jpg_stats.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "jpeg_stats")
+    )
 
     counts = {
         "catalog": docs.count(),
         "image_stats": img_stats.count(),
         "audio_stats": wav_stats.count(),
+        "jpeg_stats": jpg_stats.count(),
         "features": feats.count(),
         "kept_after_dedup": kept.count(),
     }

@@ -82,6 +82,7 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     # every document produced one image-stat and one audio-stat row
     assert counts["image_stats"] == counts["catalog"]
     assert counts["audio_stats"] == counts["catalog"]
+    assert counts["jpeg_stats"] == counts["catalog"]
     assert 0 < counts["kept_after_dedup"] <= counts["features"]
 
     # partitioned layout by modality exists and reads back
@@ -92,4 +93,11 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     # all image stats decoded successfully (8x8 thumbnails, gray8)
     st = spark.read.parquet(f"{out}/image_stats")
     bad = st.filter("width is null or width != 8 or height != 8").count()
+    assert bad == 0
+
+    # all flat JPEGs decoded exactly (16x16, gray, DC-only lossless)
+    jt = spark.read.parquet(f"{out}/jpeg_stats")
+    bad = jt.filter(
+        "width is null or width != 16 or pixel_sum != pixel_max * 256"
+    ).count()
     assert bad == 0
