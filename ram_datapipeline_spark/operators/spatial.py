@@ -382,3 +382,38 @@ def points_in_geojson_areas(points: DataFrame, areas: DataFrame) -> DataFrame:
             yield pdf
 
     return cand.mapInPandas(kernel, out_schema)
+
+
+def polygon_shoelace(coords_col: str = "coords"):
+    """Signed area + centroid of a CLOSED polygon ring (turf.area /
+    turf.centroid parity for GENERAL polygons, SURVEY U3 — the F16 gate
+    covers point-cloud centroids; this is the geometry-ring version).
+
+    ``coords_col``: array<array<double>> of [x, y] vertices with the
+    first vertex repeated last. Returns a struct column
+    (area, cx, cy): area = S/2, centroid = (Σ(xᵢ+xⱼ)·crossᵢ, Σ(yᵢ+yⱼ)·
+    crossᵢ) / (3S) with crossᵢ = xᵢ·yⱼ − xⱼ·yᵢ, j = i+1 — one strict
+    left fold over the ring, exclusively IEEE-exact ops (+,−,×,÷), so
+    any SQL engine folding the same vertex order reproduces every double
+    bit-for-bit. Degenerate rings (S = 0) yield NULL centroids, not
+    NaN spray. Pure projection: zero shuffle, whole-stage codegen."""
+    x = lambda i: f"element_at(element_at({coords_col}, {i}), 1)"  # noqa: E731
+    y = lambda i: f"element_at(element_at({coords_col}, {i}), 2)"  # noqa: E731
+    cross = (
+        f"({x('i')} * {y('i + 1')} - {x('i + 1')} * {y('i')})"
+    )
+    return F.expr(
+        f"""aggregate(
+          sequence(1, size({coords_col}) - 1),
+          named_struct('s', 0.0D, 'sx', 0.0D, 'sy', 0.0D),
+          (acc, i) -> named_struct(
+            's', acc.s + {cross},
+            'sx', acc.sx + ({x('i')} + {x('i + 1')}) * {cross},
+            'sy', acc.sy + ({y('i')} + {y('i + 1')}) * {cross}),
+          acc -> named_struct(
+            'area', acc.s / 2.0D,
+            'cx', if(acc.s <> 0.0D, acc.sx / (3.0D * acc.s),
+                     cast(null as double)),
+            'cy', if(acc.s <> 0.0D, acc.sy / (3.0D * acc.s),
+                     cast(null as double))))"""
+    )

@@ -309,3 +309,67 @@ def q_j3_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ram_domain.admin_areas(t["nation"])
     base = 1800.0 / 3600.0 * 120.0 / 111.0
     return S.adaptive_buffer_candidates(p, a, base, min_poi=4, max_doublings=8)
+
+
+@query(
+    "f_polygon_shoelace",
+    oracle=f"""
+    WITH h AS ({ram_domain.HUBS_SQL}),
+    verts AS (
+      SELECT hub_id, i.i AS i,
+             lon + ((hub_id * 7 + i.i * 13) % 9) - 4 AS x,
+             lat + ((hub_id * 11 + i.i * 17) % 9) - 4 AS y
+      FROM h, (SELECT unnest(generate_series(1, 6)) AS i) i
+    ),
+    segs AS (
+      SELECT a.hub_id, a.i,
+             (a.x * b.y - b.x * a.y) AS cross_i,
+             (a.x + b.x) * (a.x * b.y - b.x * a.y) AS sx_i,
+             (a.y + b.y) * (a.x * b.y - b.x * a.y) AS sy_i
+      FROM verts a JOIN verts b
+        ON b.hub_id = a.hub_id AND b.i = a.i % 6 + 1
+    ),
+    folds AS (
+      SELECT hub_id,
+             list_reduce(list(cross_i ORDER BY i), (p, q) -> p + q) AS s,
+             list_reduce(list(sx_i ORDER BY i), (p, q) -> p + q) AS sx,
+             list_reduce(list(sy_i ORDER BY i), (p, q) -> p + q) AS sy
+      FROM segs GROUP BY hub_id
+    )
+    SELECT hub_id AS aa_id, s / 2.0 AS area,
+           CASE WHEN s <> 0.0 THEN sx / (3.0 * s) END AS cx,
+           CASE WHEN s <> 0.0 THEN sy / (3.0 * s) END AS cy
+    FROM folds
+    """,
+    survey="U3 turf.area/turf.centroid on general polygon rings (F16's geometry-ring sibling)",
+    tags=("spatial",),
+)
+def q_polygon_shoelace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area + centroid per synthesized hexagonal admin polygon.
+    The ring is built as a REAL GeoJSON coordinates array (to_json →
+    from_json round trip — the path real GeoJSON geometries take into
+    the engine), then folded once with exclusively IEEE-exact ops; the
+    oracle replays the identical vertex derivation and fold order
+    (operators/spatial.py::polygon_shoelace)."""
+    t = load_tables(spark, sf_dir)
+    h = ram_domain.hubs(t["nation"])
+    vert = (
+        "transform(sequence(1, 7), i -> array("
+        "lon + double((hub_id * 7 + (if(i = 7, 1, i)) * 13) % 9) - 4, "
+        "lat + double((hub_id * 11 + (if(i = 7, 1, i)) * 17) % 9) - 4))"
+    )
+    ring = h.select(
+        F.col("hub_id").alias("aa_id"),
+        F.to_json(F.expr(vert)).alias("geo_json"),
+    )
+    parsed = ring.select(
+        "aa_id",
+        F.from_json("geo_json", "array<array<double>>").alias("coords"),
+    )
+    out = parsed.select("aa_id", S.polygon_shoelace("coords").alias("g"))
+    return out.select(
+        "aa_id",
+        F.col("g.area").alias("area"),
+        F.col("g.cx").alias("cx"),
+        F.col("g.cy").alias("cy"),
+    )

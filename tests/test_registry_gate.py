@@ -89,6 +89,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "dedup_ngram_containment",
     "agg_kmv_distinct",
     "mm_jpeg_flat_roundtrip",
+    "f_polygon_shoelace",
 )
 
 

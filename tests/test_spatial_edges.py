@@ -86,3 +86,24 @@ def test_rect_and_raycast_paths_agree_on_edges(spark):
     # exactly-one-cell property: no point appears twice
     pids = [p for p, _ in via_rect]
     assert len(pids) == len(set(pids))
+
+
+def test_polygon_shoelace_known_shapes(spark):
+    """Shoelace against analytically-known rings: unit square (CCW area
+    +1, centroid center), its CW reverse (area −1), and a degenerate
+    zero-area ring (NULL centroid, no NaN)."""
+    from ram_datapipeline_spark.operators.spatial import polygon_shoelace
+
+    sq = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]
+    rows = spark.createDataFrame(
+        [
+            (1, sq),
+            (2, list(reversed(sq))),
+            (3, [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [0.0, 0.0]]),
+        ],
+        "rid long, coords array<array<double>>",
+    ).select("rid", polygon_shoelace("coords").alias("g")).collect()
+    out = {r.rid: r.g for r in rows}
+    assert out[1].area == 1.0 and (out[1].cx, out[1].cy) == (0.5, 0.5)
+    assert out[2].area == -1.0 and (out[2].cx, out[2].cy) == (0.5, 0.5)
+    assert out[3].area == 0.0 and out[3].cx is None and out[3].cy is None
