@@ -48,6 +48,71 @@ def normalize(
     return df.withColumn("nrm", nrm).withColumn(out_col, unit)
 
 
+def normalize_long(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """``normalize`` in long format: (id, pos, nrm, unit_val), one row per
+    component. Use THIS when the consumer needs exploded rows (e.g. the
+    correctness driver, whose canonicalizer cannot sort array cells):
+    ``posexplode(normalize(...).unit)`` would inline the computed array
+    into the Generate and re-evaluate the whole O(dim) transform per
+    OUTPUT row (the mm_payload_embedding trap, PLANS.md). Here the scalar
+    ``nrm`` is materialized in the Generate's CHILD projection (one
+    strict-left-fold eval per input row), the generator is the RAW
+    embedding attribute, and the per-element division happens after the
+    explode — total work per input row stays O(dim). Zero shuffle."""
+    ex = (
+        df.withColumn("nrm", l2_norm(F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            "nrm",
+            F.posexplode(F.col(vec_col)).alias("pos", "_x"),
+        )
+    )
+    return ex.select(
+        id_col,
+        "pos",
+        "nrm",
+        F.when(
+            F.col("nrm") > 0.0, F.col("_x").cast("double") / F.col("nrm")
+        ).alias("unit_val"),
+    )
+
+
+def quantize_int8_long(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """``quantize_int8`` in long format: (id, pos, scale_min, scale_max,
+    q), one row per component. Same Generate-child-scalar pattern as
+    ``normalize_long``: per-vector mn/mx are computed once per input row
+    in the child projection, the raw array attribute is what explodes,
+    and each output row quantizes only its own element. Zero shuffle."""
+    d = _to_double(F.col(vec_col))
+    ex = (
+        df.withColumn("scale_min", F.array_min(d))
+        .withColumn("scale_max", F.array_max(d))
+        .select(
+            F.col(id_col),
+            "scale_min",
+            "scale_max",
+            F.posexplode(F.col(vec_col)).alias("pos", "_x"),
+        )
+    )
+    xd = F.col("_x").cast("double")
+    code = F.when(
+        F.col("scale_max") > F.col("scale_min"),
+        F.least(
+            F.floor(
+                (xd - F.col("scale_min"))
+                * F.lit(255.0)
+                / (F.col("scale_max") - F.col("scale_min"))
+            ).cast("long"),
+            F.lit(255).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return ex.select(id_col, "pos", "scale_min", "scale_max", code.alias("q"))
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "q"
 ) -> DataFrame:

@@ -161,19 +161,22 @@ from ram_datapipeline_spark.operators import vectors as V  # noqa: E402
              sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
       FROM d
     )
-    SELECT vec_id, nrm,
-           CASE WHEN nrm > 0.0 THEN list_transform(e, x -> x / nrm) END AS unit
-    FROM n
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos, nrm,
+           CASE WHEN nrm > 0.0 THEN e[i] / nrm END AS unit_val
+    FROM n, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) u
     """,
     survey="embedding L2 normalization, zero-shuffle map (north star)",
     tags=("pipeline",),
 )
 def q_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unit vectors + norms: strict left-fold sum of squares, so the fold
-    order (and therefore every bit of the double) matches any engine's
-    left fold."""
+    """Unit vectors + norms in long format (vec_id, pos, nrm, unit_val):
+    strict left-fold sum of squares, so the fold order (and therefore
+    every bit of the double) matches any engine's left fold. Long format
+    because the driver canonicalizer sorts raw columns and cannot hash
+    array cells (CORRECTNESS_r03 TypeError); the array-returning
+    ``V.normalize`` stays the operator API for callers."""
     t = load_tables(spark, sf_dir)
-    return V.normalize(t["embeddings"]).select("vec_id", "nrm", "unit")
+    return V.normalize_long(t["embeddings"])
 
 
 @query(
@@ -184,26 +187,25 @@ def q_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     s AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM d)
-    SELECT vec_id, mn AS scale_min, mx AS scale_max,
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos, mn AS scale_min, mx AS scale_max,
            CASE WHEN mx > mn
-                THEN list_transform(e, x -> least(
-                       CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT),
-                       CAST(255 AS BIGINT)))
-                ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                THEN least(CAST(floor((e[i] - mn) * 255.0 / (mx - mn)) AS BIGINT),
+                           CAST(255 AS BIGINT))
+                ELSE CAST(0 AS BIGINT)
            END AS q
-    FROM s
+    FROM s, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) u
     """,
     survey="embedding scalar int8 quantization (north star)",
     tags=("pipeline",),
 )
 def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector [0,255] codes + dequantization scales. The float
-    divide is the same correctly-rounded IEEE op everywhere; floor makes
-    the output integer-exact."""
+    """Per-component [0,255] codes + dequantization scales in long format
+    (vec_id, pos, scale_min, scale_max, q). The float divide is the same
+    correctly-rounded IEEE op everywhere; floor makes the output
+    integer-exact. Long format for the driver canonicalizer (array cells
+    are unhashable there); ``V.quantize_int8`` keeps the array API."""
     t = load_tables(spark, sf_dir)
-    return V.quantize_int8(t["embeddings"]).select(
-        "vec_id", "scale_min", "scale_max", "q"
-    )
+    return V.quantize_int8_long(t["embeddings"])
 
 
 @query(
