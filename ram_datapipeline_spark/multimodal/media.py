@@ -429,7 +429,12 @@ def payload_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
     which was O(bytes^2) per row), and bucket b folds the strided position
     sequence ``b+1, b+1+dim, ...`` — every byte is visited exactly once
     across all buckets, with no per-bucket filter pass and no
-    struct-array materialization. Total work O(bytes) per row."""
+    struct-array materialization. Total work O(bytes) per row.
+
+    NULL payloads yield a NULL embedding (not all-zeros): the ``if(_nb >=
+    b+1)`` guard's NULL condition would silently take the else branch, so
+    an explicit isNull gate preserves the struct-array formulation's
+    NULL-propagation semantics."""
     # bucket b sums bytes at 1-based positions b+1, b+1+dim, b+1+2*dim, ...
     # (the strided sequence partitions 1..len; an explicit IF guards the
     # empty stride — Spark's sequence(start, stop) would count DOWN when
@@ -444,7 +449,12 @@ def payload_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
     return (
         media.withColumn("_hx", F.hex("payload"))
         .withColumn("_nb", F.length("payload"))
-        .select("media_id", buckets.alias("embedding"))
+        .select(
+            "media_id",
+            F.when(F.col("payload").isNull(), F.lit(None))
+            .otherwise(buckets)
+            .alias("embedding"),
+        )
     )
 
 
@@ -456,12 +466,16 @@ def payload_embedding_long(media: DataFrame, dim: int = 16) -> DataFrame:
     inlines the array expression into the Generate — measured 16× the
     work at dim=16). Here the explode runs over the cheap bucket sequence
     FIRST and each output row folds only its own stride — total work per
-    input row stays O(bytes), same as the array form."""
+    input row stays O(bytes), same as the array form.
+
+    NULL payloads yield NULL ``val`` rows (mirroring ``payload_embedding``'s
+    NULL-embedding convention) rather than silent zeros."""
     val = F.expr(
+        f"if(payload is null, cast(null as double), "
         f"if(_nb >= bucket + 1, "
         f"aggregate(sequence(bucket + 1, _nb, {dim}), 0.0D, (acc, p) -> "
         "acc + cast(conv(substring(_hx, 2 * p - 1, 2), 16, 10) as double)), "
-        "0.0D)"
+        "0.0D))"
     )
     return (
         media.withColumn("_hx", F.hex("payload"))
@@ -469,6 +483,7 @@ def payload_embedding_long(media: DataFrame, dim: int = 16) -> DataFrame:
         .select(
             "media_id",
             F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("bucket"),
+            "payload",
             "_hx",
             "_nb",
         )

@@ -396,14 +396,18 @@ def polygon_shoelace(coords_col: str = "coords"):
     left fold over the ring, exclusively IEEE-exact ops (+,−,×,÷), so
     any SQL engine folding the same vertex order reproduces every double
     bit-for-bit. Degenerate rings (S = 0) yield NULL centroids, not
-    NaN spray. Pure projection: zero shuffle, whole-stage codegen."""
+    NaN spray; rings with fewer than 2 vertices (where ``sequence(1,
+    size-1)`` would run DESCENDING through index 0 and ``element_at(_, 0)``
+    throws) short-circuit to (area 0, NULL centroid) instead of crashing —
+    the same guard shape text_ops.shingles uses. Pure projection: zero
+    shuffle, whole-stage codegen."""
     x = lambda i: f"element_at(element_at({coords_col}, {i}), 1)"  # noqa: E731
     y = lambda i: f"element_at(element_at({coords_col}, {i}), 2)"  # noqa: E731
     cross = (
         f"({x('i')} * {y('i + 1')} - {x('i + 1')} * {y('i')})"
     )
     return F.expr(
-        f"""aggregate(
+        f"""CASE WHEN size({coords_col}) >= 2 THEN aggregate(
           sequence(1, size({coords_col}) - 1),
           named_struct('s', 0.0D, 'sx', 0.0D, 'sy', 0.0D),
           (acc, i) -> named_struct(
@@ -415,5 +419,7 @@ def polygon_shoelace(coords_col: str = "coords"):
             'cx', if(acc.s <> 0.0D, acc.sx / (3.0D * acc.s),
                      cast(null as double)),
             'cy', if(acc.s <> 0.0D, acc.sy / (3.0D * acc.s),
-                     cast(null as double))))"""
+                     cast(null as double))))
+        ELSE named_struct('area', 0.0D, 'cx', cast(null as double),
+                          'cy', cast(null as double)) END"""
     )

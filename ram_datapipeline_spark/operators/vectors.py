@@ -334,6 +334,13 @@ def pq_codes(
     import numpy as np
 
     c = quantize_global_q8(df, vec_col=vec_col).select(id_col, "codes")
+    first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if first and first[0]["d"] % m != 0:
+        raise ValueError(
+            f"pq_codes: embedding dim {first[0]['d']} is not divisible by "
+            f"m={m} (each of the m subvectors must have equal length)"
+        )
+    id_sql_type = df.schema[id_col].dataType.simpleString()
     seed_rows = (
         c.select(
             F.md5(F.col(id_col).cast("string")).alias("h"), F.col(id_col), "codes"
@@ -375,7 +382,7 @@ def pq_codes(
             )
 
     out = c.mapInPandas(
-        gen, schema=f"_id long, subspace int, code int, dist long"
+        gen, schema=f"_id {id_sql_type}, subspace int, code int, dist long"
     )
     return out.select(
         F.col("_id").alias(id_col), "subspace", "code", "dist"

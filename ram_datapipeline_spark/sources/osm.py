@@ -169,16 +169,24 @@ def osm_ways_to_road_edges(
     )
     pts = refs.join(nodes.select("node_id", "lon", "lat"), "node_id")
     nxt = Window.partitionBy("way_id").orderBy("pos")
+    # A ref whose node is absent from ``nodes`` (clipped extract) vanishes
+    # in the inner join above; requiring lead(pos) == pos + 1 breaks the
+    # segment chain at the gap instead of bridging the missing node with a
+    # phantom straight-line edge — osrm-extract drops such segments too.
     seg = pts.select(
         "way_id",
         "speed_kmh",
+        F.col("pos"),
         F.col("node_id").alias("src"),
         F.col("lon").alias("src_lon"),
         F.col("lat").alias("src_lat"),
+        F.lead("pos").over(nxt).alias("nxt_pos"),
         F.lead("node_id").over(nxt).alias("dst"),
         F.lead("lon").over(nxt).alias("dst_lon"),
         F.lead("lat").over(nxt).alias("dst_lat"),
-    ).where(F.col("dst").isNotNull())
+    ).where(
+        F.col("dst").isNotNull() & (F.col("nxt_pos") == F.col("pos") + 1)
+    )
     w = (
         F.sqrt(
             (F.col("src_lon") - F.col("dst_lon"))

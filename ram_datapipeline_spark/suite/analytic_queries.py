@@ -142,17 +142,17 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_approx_distinct",
-    oracle=None,  # HLL sketch — approximate by definition; accuracy bound
-    # asserted against the exact count in tests/test_analytic.py
-    survey="approximate aggregation: HLL distinct sketch (scale path)",
-    tags=("analytic", "rows-only"),
-)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct of customers per nation — the shuffle carries
     one HLL sketch per group instead of the distinct key set; the 100 TB
-    path when exact cardinality isn't required."""
+    path when exact cardinality isn't required.
+
+    Deliberately NOT registered as a driver query (de-registered round 4,
+    VERDICT r3 item #3): an HLL estimate cannot be replayed bit-exact in
+    DuckDB, so it sat as a permanent ``no_oracle`` red row. The sketch
+    class is oracle-gated through ``agg_kmv_distinct`` (deterministic KMV,
+    full DuckDB replay); this HLL path stays as engine API with its 5%
+    accuracy band asserted in tests/test_analytic.py."""
     t = load_tables(spark, sf_dir)
     j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
     return j.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
