@@ -1,0 +1,352 @@
+"""Partitioned (CRP-style) routing: many-to-many shortest paths on road
+networks too large for an all-pairs closure (SURVEY U1/U4 at country scale).
+
+The reference contracts a full OSM extract offline (``osrm-extract`` +
+``osrm-contract``, scripts/osm2osrm.sh:32-33) and answers ``osrm.table``
+many-to-many calls over the contracted hierarchy (app/calculate-eta/
+tasks.js:260). The hub closure in operators/graph.py is the exact in-engine
+analog for SMALL graphs, but it is all-pairs: V×V closure rows — fine for
+hub cores (≤512 verts, its documented gate), infeasible on a country
+extract (10⁶⁺ nodes). This module is the scale path (VERDICT r3 next-round
+#5): the customizable-route-planning (CRP / partition-based CH) shape,
+re-expressed as Spark stages:
+
+1. **Cell partition.** Every node gets a cell id (grid tiling or any
+   deterministic function). Edges split into in-cell and inter-cell.
+2. **Per-cell exact closure** — the data-parallel heavy step. Each cell's
+   subgraph is independent: ``groupBy(cell).applyInPandas`` runs a dense
+   min-plus squaring per cell (⌈log2(cell_nodes)⌉ rounds, numpy int64).
+   Output stays DISTRIBUTED: Σ n_c² rows ≈ V·n_c, linear-ish in V.
+3. **Boundary overlay** — the contracted core. Boundary nodes (endpoints
+   of inter-cell edges) + overlay edges (inter-cell edges ∪ in-cell
+   boundary→boundary closure rows). Size O(V / √n_c · n_c-perimeter) —
+   the CRP overlay, collected + broadcast exactly like the reference
+   holds its contracted ``.osrm`` core in memory. NOT V×V and NOT a
+   function of |origins|·|destinations|.
+4. **Multi-source relaxation on the overlay**: a fixed number of
+   Bellman-Ford rounds over the overlay edge list, vectorized in ONE
+   numpy kernel over the dense (n_sources × n_boundary) state (int64;
+   ``np.minimum.at`` is an unordered elementwise min, so the result is
+   a pure function of the round count — replayable row-for-row by a SQL
+   engine running the same rounds). A convergence probe round asserts
+   the fixed round count reached the fixed point, so the bounded-round
+   replay IS the exact distance.
+5. **Entry/exit legs** are distributed joins against the per-cell closure
+   rows; the same-cell direct term is a third join. Final distances are
+   min over the three-leg decomposition — EXACT, by the standard CRP
+   argument: any shortest path decomposes at its cell-boundary crossings
+   into maximal within-cell segments, each of which is a within-cell
+   shortest path between boundary nodes (or source/target), all of which
+   the overlay ∪ in-cell closures contain.
+
+Weights are **integers** (seconds): every min-plus sum is integer-exact,
+so cross-engine replay has no floating-point caveats at all.
+
+Scale notes (100 TB / planet-sized extract): steps 1, 2, 5 shuffle on
+cell / node ids only — no all-pairs anything, no driver-side V-sized
+state. Step 3-4's overlay for a planet extract at 10⁴-node cells is
+~10⁵-10⁶ rows — the same memory class the reference's contracted planet
+``.osrm`` occupies (tens of GB for planet; per-country far less), held
+once per executor via broadcast, not per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Unreachable sentinel for int64 min-plus: large enough to never be a real
+# distance, small enough that sentinel + sentinel cannot overflow int64.
+INF_I64 = 1 << 40
+
+# Per-cell closure runs a dense n³ numpy squaring; this caps the memory a
+# single cell may demand (n³ · 8 bytes — 512³ = 1 GiB). Partition the
+# network into smaller cells rather than raising it.
+MAX_CELL_NODES = 512
+
+# Collected overlay rows are the broadcast "contracted core"; beyond this
+# the partition is too coarse (use smaller cells → smaller per-cell
+# perimeter → fewer overlay rows) or a second overlay level is needed.
+MAX_OVERLAY_ROWS = 5_000_000
+
+
+def in_cell_closures(
+    edges: DataFrame,
+    cells: DataFrame,
+    n_squarings: int,
+) -> DataFrame:
+    """Exact per-cell all-pairs closure: (cell, src, dst, w) for every
+    ordered node pair of each cell connected WITHIN the cell (diagonal
+    included, w=0).
+
+    ``edges``: directed (src, dst, w:int). ``cells``: (node_id, cell).
+    Only edges with both endpoints in the same cell participate. Each
+    cell is closed independently by ``n_squarings`` dense min-plus
+    squarings (exact for in-cell paths of ≤ 2**n_squarings edges — use
+    ⌈log2(max cell node count − 1)⌉). One shuffle on cell; per-cell work
+    is a numpy kernel — the embarrassingly parallel step that carries
+    the data-scale cost.
+    """
+    sc = cells.select(F.col("node_id").alias("src"), F.col("cell"))
+    dc = cells.select(
+        F.col("node_id").alias("dst"), F.col("cell").alias("_dcell")
+    )
+    ice = (
+        edges.join(sc, "src")
+        .join(dc, "dst")
+        .where(F.col("cell") == F.col("_dcell"))
+        .select("cell", "src", "dst", "w")
+    )
+
+    def close(pdf):
+        import numpy as np
+        import pandas as pd
+
+        nodes = sorted(set(pdf["src"]) | set(pdf["dst"]))
+        n = len(nodes)
+        if n > MAX_CELL_NODES:
+            raise ValueError(
+                f"in_cell_closures: cell {int(pdf['cell'].iloc[0])} has "
+                f"{n} nodes > MAX_CELL_NODES={MAX_CELL_NODES}; use a "
+                "finer partition"
+            )
+        ix = {v: i for i, v in enumerate(nodes)}
+        d = np.full((n, n), INF_I64, dtype=np.int64)
+        np.fill_diagonal(d, 0)
+        si = pdf["src"].map(ix).to_numpy()
+        di = pdf["dst"].map(ix).to_numpy()
+        np.minimum.at(d, (si, di), pdf["w"].to_numpy(dtype=np.int64))
+        for _ in range(n_squarings):
+            d = (d[:, :, None] + d[None, :, :]).min(axis=1)
+        s_idx, d_idx = np.nonzero(d < INF_I64)
+        arr = np.asarray(nodes, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(s_idx), int(pdf["cell"].iloc[0]),
+                                dtype=np.int64),
+                "src": arr[s_idx],
+                "dst": arr[d_idx],
+                "w": d[s_idx, d_idx],
+            }
+        )
+
+    return ice.groupBy("cell").applyInPandas(
+        close, schema="cell long, src long, dst long, w long"
+    )
+
+
+def inter_cell_edges(edges: DataFrame, cells: DataFrame) -> DataFrame:
+    """Edges whose endpoints lie in different cells: (src, dst, w,
+    src_cell, dst_cell)."""
+    sc = cells.select(F.col("node_id").alias("src"),
+                      F.col("cell").alias("src_cell"))
+    dc = cells.select(F.col("node_id").alias("dst"),
+                      F.col("cell").alias("dst_cell"))
+    return (
+        edges.join(sc, "src")
+        .join(dc, "dst")
+        .where(F.col("src_cell") != F.col("dst_cell"))
+        .select("src", "dst", "w", "src_cell", "dst_cell")
+    )
+
+
+def overlay_rows(
+    incell: DataFrame, inter: DataFrame
+) -> list[tuple[int, int, int]]:
+    """Collect the CRP overlay edge list: inter-cell edges ∪ in-cell
+    boundary→boundary closure rows (src ≠ dst). Boundary nodes are the
+    endpoints of inter-cell edges. The collect is the contracted-core
+    broadcast (see module docstring) — gated by MAX_OVERLAY_ROWS."""
+    b = (
+        inter.select(F.col("src").alias("node_id"))
+        .union(inter.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    bb = (
+        incell.join(b.withColumnRenamed("node_id", "src"), "src")
+        .join(b.withColumnRenamed("node_id", "dst"), "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", "w")
+    )
+    ovl = inter.select("src", "dst", "w").union(bb)
+    n = ovl.count()
+    if n > MAX_OVERLAY_ROWS:
+        raise ValueError(
+            f"overlay_rows: {n} overlay rows > MAX_OVERLAY_ROWS="
+            f"{MAX_OVERLAY_ROWS}; partition with smaller cells or add an "
+            "overlay level"
+        )
+    return [(r["src"], r["dst"], r["w"]) for r in ovl.collect()]
+
+
+def multi_source_overlay_dist(
+    ovl: list[tuple[int, int, int]],
+    seed_rows: list[tuple[int, int, int]],
+    n_rounds: int,
+    check_converged: bool = True,
+) -> list[tuple[int, int, int]]:
+    """Fixed-round multi-source Bellman-Ford over the overlay edge list.
+
+    ``ovl``: [(src, dst, w)] overlay edges. ``seed_rows``: [(source_key,
+    node, w0)] initial distances (a source's in-cell legs to its cell's
+    boundary). Returns [(source_key, node, dist)] for every reached
+    overlay node after EXACTLY ``n_rounds`` relaxation rounds — the value
+    a SQL engine replaying the same rounds produces row-for-row. With
+    ``check_converged`` a probe round asserts the fixed point was reached
+    (making the bounded-round result the exact distance); the probe never
+    changes the output.
+
+    Vectorized: state is a dense (n_sources × n_overlay_nodes) int64
+    matrix; each round relaxes every edge via ``np.minimum.at`` (unordered
+    elementwise min → round-count-deterministic). Cost per round:
+    n_sources · |ovl| int adds — millions per round even for country-scale
+    overlays, far below the per-cell closure cost.
+    """
+    import numpy as np
+
+    nodes = sorted(
+        {s for s, _, _ in ovl} | {d for _, d, _ in ovl} | {n for _, n, _ in seed_rows}
+    )
+    ix = {v: i for i, v in enumerate(nodes)}
+    keys = sorted({k for k, _, _ in seed_rows})
+    kix = {k: i for i, k in enumerate(keys)}
+    # state indexed (node, source): ufunc scatter-min on the FIRST axis
+    st = np.full((len(nodes), len(keys)), INF_I64, dtype=np.int64)
+    for k, v, w0 in seed_rows:
+        ki, vi = kix[k], ix[v]
+        if w0 < st[vi, ki]:
+            st[vi, ki] = w0
+    es = np.asarray([ix[s] for s, _, _ in ovl], dtype=np.int64)
+    ed = np.asarray([ix[d] for _, d, _ in ovl], dtype=np.int64)
+    ew = np.asarray([w for _, _, w in ovl], dtype=np.int64)
+    # pre-sort edges by destination: each round's per-destination min is
+    # then one vectorized np.minimum.reduceat instead of a scatter-min
+    # (ufunc.at is ~30× slower at this edge count)
+    order = np.argsort(ed, kind="stable")
+    es, ed, ew = es[order], ed[order], ew[order]
+    grp_dst, grp_start = np.unique(ed, return_index=True)
+
+    def relax(state):
+        cand = state[es] + ew[:, None]
+        nxt = state.copy()
+        nxt[grp_dst] = np.minimum(
+            nxt[grp_dst], np.minimum.reduceat(cand, grp_start, axis=0)
+        )
+        return nxt
+
+    for _ in range(n_rounds):
+        st = relax(st)
+    if check_converged:
+        probe = relax(st)
+        if not np.array_equal(probe, st):
+            raise RuntimeError(
+                f"multi_source_overlay_dist: not converged after "
+                f"{n_rounds} rounds — raise n_rounds (overlay hop "
+                "diameter exceeds the bound)"
+            )
+    vi_idx, ki_idx = np.nonzero(st < INF_I64)
+    karr = np.asarray(keys, dtype=np.int64)
+    varr = np.asarray(nodes, dtype=np.int64)
+    return list(
+        zip(
+            karr[ki_idx].tolist(),
+            varr[vi_idx].tolist(),
+            st[vi_idx, ki_idx].tolist(),
+        )
+    )
+
+
+def partitioned_many_to_many(
+    edges: DataFrame,
+    cells: DataFrame,
+    sources: DataFrame,
+    targets: DataFrame,
+    n_cell_squarings: int,
+    n_overlay_rounds: int,
+) -> DataFrame:
+    """Exact many-to-many shortest-path distances (the ``osrm.table``
+    semantic, tasks.js:260) over a cell-partitioned network.
+
+    ``edges``: directed (src, dst, w:int ≥ 0). ``cells``: (node_id, cell).
+    ``sources``: (src_id, node_id); ``targets``: (tgt_id, node_id) — both
+    assumed AT network nodes (snapping is a separate operator,
+    operators/eta.nearest_snap_distance_grid). Returns (src_id, tgt_id,
+    dist:int) for every reachable pair.
+
+    dist = min( in-cell direct [same cell only],
+                min over boundary b_t of target's cell:
+                    overlayDist(src → b_t) + inCell(b_t → target) )
+    where overlayDist itself starts from the source's in-cell legs — the
+    exact CRP three-leg decomposition (module docstring). All joins are
+    distributed; only the overlay (contracted core) and the seed legs
+    (n_sources × per-cell boundary) pass through the driver.
+    """
+    spark = edges.sparkSession
+    # Materialize the extracted graph once: edges/cells feed four subplans
+    # (in-cell closure, inter-cell split, seed legs, exit legs), and
+    # lineage-heavy inputs (an XML scan + explode + window, as from
+    # sources.osm) make Catalyst re-analysis of each branch quadratic —
+    # observed as an optimizer stall on the 10⁴-node fixture. This is the
+    # osrm-extract artifact boundary: compile once, route many.
+    edges = edges.localCheckpoint()
+    cells = cells.localCheckpoint()
+    # incell is consumed by four branches (overlay, seeds, exits, direct);
+    # checkpointing (not just persist) truncates its grouped-map lineage so
+    # the final union's analysis stays linear.
+    incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint()
+    inter = inter_cell_edges(edges, cells)
+    ovl = overlay_rows(incell, inter)
+    bset = sorted({s for s, _, _ in ovl} | {d for _, d, _ in ovl})
+    bdf = spark.createDataFrame(
+        [(v,) for v in bset], schema="node_id long"
+    )
+
+    # seed legs: source → boundary nodes of its own cell (in-cell exact);
+    # n_sources × per-cell boundary rows — metadata-sized collect.
+    s_cell = sources.join(cells, "node_id").select(
+        "src_id", F.col("node_id").alias("s_node"), "cell"
+    )
+    seeds = (
+        s_cell.join(
+            incell,
+            (s_cell["cell"] == incell["cell"])
+            & (s_cell["s_node"] == incell["src"]),
+        )
+        .join(bdf, incell["dst"] == bdf["node_id"])
+        .select("src_id", incell["dst"].alias("b"), "w")
+    )
+    seed_rows = [(r["src_id"], r["b"], r["w"]) for r in seeds.collect()]
+    od = multi_source_overlay_dist(ovl, seed_rows, n_overlay_rounds)
+    od_df = spark.createDataFrame(od, schema="src_id long, b long, ow long")
+
+    # exit legs: boundary of target's cell → target (distributed join).
+    t_cell = targets.join(cells, "node_id").select(
+        "tgt_id", F.col("node_id").alias("t_node"), "cell"
+    )
+    via_b = (
+        t_cell.join(
+            incell,
+            (t_cell["cell"] == incell["cell"])
+            & (t_cell["t_node"] == incell["dst"]),
+        )
+        .join(bdf, incell["src"] == bdf["node_id"])
+        .select("tgt_id", incell["src"].alias("b"), F.col("w").alias("xw"))
+        .join(od_df, "b")
+        .select("src_id", "tgt_id", (F.col("ow") + F.col("xw")).alias("d"))
+    )
+    # same-cell direct term (paths that never leave the shared cell).
+    direct = (
+        s_cell.join(t_cell, "cell")
+        .join(
+            incell,
+            (s_cell["cell"] == incell["cell"])
+            & (s_cell["s_node"] == incell["src"])
+            & (t_cell["t_node"] == incell["dst"]),
+        )
+        .select("src_id", "tgt_id", F.col("w").alias("d"))
+    )
+    return (
+        via_b.union(direct)
+        .groupBy("src_id", "tgt_id")
+        .agg(F.min("d").alias("dist"))
+    )

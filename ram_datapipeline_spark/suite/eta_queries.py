@@ -332,3 +332,247 @@ def q_eta_routed_osm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("origin_id", "poi_type").agg(
         F.min("duration_s").alias("eta_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Country-scale partitioned routing (VERDICT r3 next-round #5): the CRP
+# backend over a 10,816-node OSM grid network — no driver-side V×V.
+# ---------------------------------------------------------------------------
+
+_CRP_CELL_SQ = 6     # 2^6 = 64 ≥ max in-cell path length (8×8-node cells)
+_CRP_ROUNDS = 56     # ≥ overlay hop diameter (13×13 cells ⇒ ~49 hops) + margin
+
+_GRID_SPEED_CASE = (
+    "CASE {idx} % 5 WHEN 0 THEN 30.0 WHEN 1 THEN 50.0 "
+    "WHEN 2 THEN 60.0 WHEN 3 THEN 90.0 ELSE 120.0 END"
+)
+_GRID_EDGE_W = (
+    "CAST(floor(sqrt((a.lon - b.lon) * (a.lon - b.lon)"
+    " + (a.lat - b.lat) * (a.lat - b.lat))"
+    " * 111.0 / {spd} * 3600.0 + 0.5) AS BIGINT)"
+)
+
+
+def _crp_grid_oracle_sql() -> str:
+    """DuckDB replay of the full partitioned-routing pipeline: grid
+    re-derivation (generate_series ≡ the synthesized `.osm` content) →
+    in-cell block closures (6 block-diagonal min-plus squarings) →
+    boundary overlay → 56 relaxation rounds → entry/exit/same-cell
+    assembly. All-integer weights, so every row is exact by construction.
+
+    Two SQL-engine mechanics keep the replay tractable:
+
+    - every round CTE is ``AS MATERIALIZED``: DuckDB otherwise INLINES a
+      CTE per reference, and a round chain referencing its predecessor
+      twice re-executes the whole prefix — observed as 2× cost per level;
+    - rounds are **delta-driven**: only rows that CHANGED in the previous
+      round (``dl{k}`` / ``sd{k}``, via EXCEPT) generate new candidates.
+      This produces the IDENTICAL per-round state as the full relaxation
+      the engine's numpy kernels run: a candidate built only from entries
+      unchanged since round k−1 was already a candidate at round k−1, so
+      the state min already absorbed it. Full-candidate rounds redo
+      |state|·degree work every round; delta rounds do total work
+      proportional to the number of improvements — the difference between
+      a ~10⁹-row and a ~10⁷-row replay here."""
+    w_h = _GRID_EDGE_W.format(spd=f"({_GRID_SPEED_CASE.format(idx='a.r')})")
+    w_v = _GRID_EDGE_W.format(spd=f"({_GRID_SPEED_CASE.format(idx='a.c')})")
+    parts = [
+        f"""
+    gn AS MATERIALIZED (SELECT r * 104 + c AS node_id, r, c,
+                  10.0 + CAST(c AS DOUBLE) * 0.015625 AS lon,
+                  10.0 + CAST(r AS DOUBLE) * 0.015625 AS lat
+           FROM range(0, 104) tr(r) CROSS JOIN range(0, 104) tc(c)),
+    ge AS MATERIALIZED (
+      SELECT a.node_id AS src, b.node_id AS dst, {w_h} AS w
+      FROM gn a JOIN gn b ON a.r = b.r AND abs(a.c - b.c) = 1
+      UNION ALL
+      SELECT a.node_id AS src, b.node_id AS dst, {w_v} AS w
+      FROM gn a JOIN gn b ON a.c = b.c AND abs(a.r - b.r) = 1),
+    gc AS MATERIALIZED (SELECT node_id, (r // 8) * 13 + (c // 8) AS cell FROM gn),
+    ic0 AS MATERIALIZED (
+      SELECT cs.cell, ge.src, ge.dst, min(ge.w) AS w
+      FROM ge JOIN gc cs ON ge.src = cs.node_id
+              JOIN gc cd ON ge.dst = cd.node_id
+      WHERE cs.cell = cd.cell
+      GROUP BY cs.cell, ge.src, ge.dst
+      UNION ALL
+      SELECT cell, node_id, node_id, CAST(0 AS BIGINT) FROM gc)"""
+    ]
+    parts.append("\n    dl0 AS MATERIALIZED (SELECT * FROM ic0)")
+    for k in range(1, _CRP_CELL_SQ + 1):
+        parts.append(
+            f"""
+    ic{k} AS MATERIALIZED (
+      SELECT cell, src, dst, min(w) AS w FROM (
+        SELECT cell, src, dst, w FROM ic{k - 1}
+        UNION ALL
+        SELECT a.cell, a.src, b.dst, a.w + b.w AS w
+        FROM dl{k - 1} a JOIN ic{k - 1} b
+          ON a.cell = b.cell AND a.dst = b.src
+        UNION ALL
+        SELECT a.cell, a.src, b.dst, a.w + b.w AS w
+        FROM ic{k - 1} a JOIN dl{k - 1} b
+          ON a.cell = b.cell AND a.dst = b.src
+      ) u GROUP BY cell, src, dst)"""
+        )
+        if k < _CRP_CELL_SQ:
+            parts.append(
+                f"""
+    dl{k} AS MATERIALIZED (
+      SELECT cell, src, dst, w FROM ic{k}
+      EXCEPT SELECT cell, src, dst, w FROM ic{k - 1})"""
+            )
+    ic = f"ic{_CRP_CELL_SQ}"
+    parts.append(
+        f"""
+    inter AS MATERIALIZED (
+      SELECT ge.src, ge.dst, ge.w
+      FROM ge JOIN gc cs ON ge.src = cs.node_id
+              JOIN gc cd ON ge.dst = cd.node_id
+      WHERE cs.cell <> cd.cell),
+    bnd AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM inter),
+    oe AS MATERIALIZED (
+      SELECT src, dst, w FROM inter
+      UNION ALL
+      SELECT ic.src, ic.dst, ic.w
+      FROM {ic} ic JOIN bnd bs ON ic.src = bs.node_id
+                   JOIN bnd bd ON ic.dst = bd.node_id
+      WHERE ic.src <> ic.dst),
+    gp AS MATERIALIZED (SELECT s_suppkey AS poi_id, {ram_domain.POI_TYPE_CASE} AS poi_type,
+                  (s_suppkey * 2246822519) % 10816 AS pnode FROM supplier),
+    gt AS MATERIALIZED (SELECT c_custkey AS origin_id,
+                  (c_custkey * 2654435761) % 10816 AS onode FROM customer),
+    st0 AS MATERIALIZED (
+      SELECT gp.poi_id AS sid, ic.dst AS b, min(ic.w) AS w
+      FROM gp JOIN gc cp ON gp.pnode = cp.node_id
+              JOIN {ic} ic ON ic.cell = cp.cell AND ic.src = gp.pnode
+              JOIN bnd ON ic.dst = bnd.node_id
+      GROUP BY gp.poi_id, ic.dst)"""
+    )
+    parts.append("\n    sd0 AS MATERIALIZED (SELECT * FROM st0)")
+    for k in range(1, _CRP_ROUNDS + 1):
+        parts.append(
+            f"""
+    st{k} AS MATERIALIZED (
+      SELECT sid, b, min(w) AS w FROM (
+        SELECT sid, b, w FROM st{k - 1}
+        UNION ALL
+        SELECT s.sid, e.dst AS b, s.w + e.w AS w
+        FROM sd{k - 1} s JOIN oe e ON s.b = e.src
+      ) u GROUP BY sid, b)"""
+        )
+        if k < _CRP_ROUNDS:
+            parts.append(
+                f"""
+    sd{k} AS MATERIALIZED (
+      SELECT sid, b, w FROM st{k}
+      EXCEPT SELECT sid, b, w FROM st{k - 1})"""
+            )
+    st = f"st{_CRP_ROUNDS}"
+    parts.append(
+        f"""
+    legs AS (
+      SELECT st.sid, gt.origin_id, st.w + ic.w AS d
+      FROM gt JOIN gc ct ON gt.onode = ct.node_id
+              JOIN {ic} ic ON ic.cell = ct.cell AND ic.dst = gt.onode
+              JOIN bnd ON ic.src = bnd.node_id
+              JOIN {st} st ON st.b = ic.src
+      UNION ALL
+      SELECT gp.poi_id AS sid, gt.origin_id, ic.w AS d
+      FROM gp JOIN gc cp ON gp.pnode = cp.node_id
+              CROSS JOIN gt
+              JOIN gc ct ON gt.onode = ct.node_id
+              JOIN {ic} ic ON ic.cell = cp.cell AND ct.cell = cp.cell
+                           AND ic.src = gp.pnode AND ic.dst = gt.onode)"""
+    )
+    return (
+        "WITH" + ",".join(parts) + """
+    SELECT legs.origin_id, gp2.poi_type, min(legs.d) AS eta_s
+    FROM legs JOIN gp gp2 ON legs.sid = gp2.poi_id
+    GROUP BY legs.origin_id, gp2.poi_type
+    """
+    )
+
+
+@query(
+    "eta_routed_osm_large",
+    oracle=None,  # assigned right below (the SQL is generated)
+    survey=(
+        "U4 at country scale: partitioned CRP routing over a 10,816-node "
+        "OSM grid — per-cell closures distributed, overlay = contracted "
+        "core, no driver-side V×V (osm2osrm.sh:32-33 + tasks.js:260)"
+    ),
+    tags=("eta", "graph", "osm", "crp"),
+)
+def q_eta_routed_osm_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-POI ETA routed over a country-scale network (10,816 nodes —
+    21× the hub backend's 512-vertex gate) through the partitioned CRP
+    pipeline (operators/routing.py): `.osm` XML scan → way→edge extraction
+    (integer-second weights) → 169 independent per-cell closures
+    (applyInPandas, distributed) → ~4k-node boundary overlay (the
+    contracted core, collected exactly like the reference holds its
+    `.osrm` artifact) → 56 fixed relaxation rounds with a convergence
+    probe (so the bounded-round replay is the exact distance) → entry /
+    exit / same-cell assembly as distributed joins. Origins (customers)
+    and POIs (suppliers) live at hash-assigned network nodes; output is
+    all-integer seconds. The oracle replays every stage in SQL — grid
+    re-derivation, block-diagonal closure squarings, the same 56 rounds —
+    row-for-row."""
+    from ram_datapipeline_spark.operators.routing import (
+        partitioned_many_to_many,
+    )
+    from ram_datapipeline_spark.sources.osm import (
+        osm_ways_to_road_edges,
+        read_osm_nodes,
+        read_osm_ways,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = ram_domain.osm_grid_fixture_path()
+    nodes = read_osm_nodes(spark, path)
+    ways = read_osm_ways(spark, path)
+    edges = osm_ways_to_road_edges(nodes, ways).select(
+        "src", "dst", F.floor(F.col("w") + 0.5).cast("long").alias("w")
+    )
+    w = ram_domain.GRID_W
+    cells = nodes.select(
+        "node_id",
+        F.expr(
+            f"(node_id div {w} div {ram_domain.GRID_CELL}) * "
+            f"{ram_domain.GRID_CELLS_X} + "
+            f"(node_id % {w} div {ram_domain.GRID_CELL})"
+        ).alias("cell"),
+    )
+    n_nodes = w * ram_domain.GRID_H
+    pois = ram_domain.pois(t["supplier"]).select(
+        F.col("poi_id").alias("src_id"),
+        "poi_type",
+    ).withColumn(
+        "node_id",
+        F.expr(f"(src_id * {ram_domain.GRID_POI_MULT}) % {n_nodes}"),
+    )
+    origins = t["customer"].select(
+        F.col("c_custkey").alias("tgt_id"),
+        F.expr(
+            f"(c_custkey * {ram_domain.GRID_ORIGIN_MULT}) % {n_nodes}"
+        ).alias("node_id"),
+    )
+    dist = partitioned_many_to_many(
+        edges,
+        cells,
+        pois.select("src_id", "node_id"),
+        origins,
+        n_cell_squarings=_CRP_CELL_SQ,
+        n_overlay_rounds=_CRP_ROUNDS,
+    )
+    return (
+        dist.join(pois.select("src_id", "poi_type"), "src_id")
+        .groupBy(F.col("tgt_id").alias("origin_id"), "poi_type")
+        .agg(F.min("dist").alias("eta_s"))
+    )
+
+
+# generated SQL is large; assign after definition to keep the decorator tidy
+from ram_datapipeline_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["eta_routed_osm_large"].oracle = _crp_grid_oracle_sql()
