@@ -102,33 +102,78 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, max_side: int = 128) -> DataFrame:
-    """Image 'resize' over mapInPandas: payload flows through Python as
-    bytes, metadata is rewritten to the clamped dimensions. The byte
-    transform is a STUB (truncation to a deterministic length proportional
-    to the area ratio — see FAKE_DECODE_NOTE); a real implementation
-    replaces only the body of ``_resize_batch`` with PIL's
-    ``Image.resize``. For the PNG class a REAL decode→resample→re-encode
-    path exists: ``resize_png_images``. Output schema mirrors the input
-    (media_id, payload, width, height) so resized batches re-enter the
-    catalog."""
+    """Image resize over mapInPandas, dispatching on payload magic bytes
+    (VERDICT r3 next-round #6):
+
+    - ``\\x89PNG`` → REAL path: ``_decode_png_bytes`` → nearest-neighbor
+      clamp of the longest side to ``max_side`` (integer source index
+      ``(dst * src) // out`` per axis) → re-encode via the real PNG
+      encoder (channel-0 plane for multi-channel inputs, the same
+      single-plane thumbnail contract as ``resize_png_images``).
+    - ``\\xff\\xd8`` → REAL path: baseline-JPEG decode (jpeg.py) →
+      the same resample → re-encode via the real baseline JPEG encoder.
+    - anything else → deterministic stand-in (prefix truncation
+      proportional to the area ratio, dims from catalog metadata) — the
+      drop-in point for codecs this container lacks (PIL/ffmpeg), clearly
+      a stub and only ever reached for non-PNG/JPEG payloads.
+
+    Output schema mirrors the input (media_id, payload, width, height) so
+    resized batches re-enter the catalog; undecodable PNG/JPEG payloads
+    yield null-payload rows (malformed media is data, not an error)."""
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.jpeg import (
+        decode_jpeg_bytes,
+        encode_gray_jpeg,
+    )
+
+    def _clamp(n: int) -> int:
+        return max(1, min(n, max_side))
+
+    def _nn_gray(px, w: int, h: int, ch: int):
+        scale = min(1.0, max_side / max(w, h))
+        ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+        ys = (np.arange(oh, dtype=np.int64) * h) // oh
+        xs = (np.arange(ow, dtype=np.int64) * w) // ow
+        if ch == 1:
+            small = px[ys][:, xs]
+        else:
+            small = np.ascontiguousarray(px.reshape(h, w, ch)[ys][:, xs][:, :, 0])
+        return small.astype(np.uint8), ow, oh
 
     def _resize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        w = pdf["width"].astype("float64")
-        scale = (max_side / w).clip(upper=1.0)
-        new_w = (w * scale).astype("int32")
-        # stub byte transform: keep a prefix proportional to the area ratio
-        frac = (scale * scale).tolist()
-        payload = [
-            b[: max(1, int(len(b) * f))] for b, f in zip(pdf["payload"], frac)
-        ]
-        return pd.DataFrame(
-            {
-                "media_id": pdf["media_id"],
-                "payload": payload,
-                "width": new_w,
-                "height": new_w,
-            }
-        )
+        out = {"media_id": [], "payload": [], "width": [], "height": []}
+        for mid, payload, meta_w in zip(
+            pdf["media_id"], pdf["payload"], pdf["width"]
+        ):
+            out["media_id"].append(mid)
+            b = bytes(payload) if payload is not None else b""
+            try:
+                if b.startswith(b"\x89PNG"):
+                    w, h, ch, px = _decode_png_bytes(b)
+                    small, ow, oh = _nn_gray(px, w, h, ch)
+                    out["payload"].append(_encode_gray8_png(small))
+                    out["width"].append(ow)
+                    out["height"].append(oh)
+                elif b.startswith(b"\xff\xd8"):
+                    w, h, ch, px = decode_jpeg_bytes(b)
+                    small, ow, oh = _nn_gray(px, w, h, ch)
+                    out["payload"].append(encode_gray_jpeg(small))
+                    out["width"].append(ow)
+                    out["height"].append(oh)
+                else:
+                    # unknown codec: documented stand-in (see docstring)
+                    scale = min(1.0, max_side / max(1, int(meta_w)))
+                    out["payload"].append(
+                        b[: max(1, int(len(b) * scale * scale))]
+                    )
+                    out["width"].append(_clamp(int(meta_w)))
+                    out["height"].append(_clamp(int(meta_w)))
+            except Exception:  # noqa: BLE001 — malformed media row
+                out["payload"].append(None)
+                out["width"].append(None)
+                out["height"].append(None)
+        return pd.DataFrame(out)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

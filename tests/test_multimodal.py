@@ -375,3 +375,53 @@ def test_jpeg_stats_operator_null_on_malformed(spark):
     rows = {r.media_id: r for r in decode_jpeg_stats(media).collect()}
     assert rows[1].pixel_sum == 50 * 256 and rows[1].channels == 1
     assert rows[2].pixel_sum is None and rows[2].width is None
+
+
+def test_resize_images_dispatches_real_codecs(spark):
+    """Default resize path (VERDICT r3 #6): PNG and JPEG payloads route
+    through the REAL codecs — output is decodable, dims clamped, aspect
+    kept; unknown formats still take the documented stand-in; garbage
+    claiming a real magic yields a null-payload row."""
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.jpeg import (
+        decode_jpeg_bytes,
+        encode_gray_jpeg,
+    )
+    from ram_datapipeline_spark.multimodal.media import (
+        _decode_png_bytes,
+        _encode_gray8_png,
+        resize_images,
+    )
+
+    png_px = (np.arange(40 * 200, dtype=np.int64) % 251).astype(np.uint8)
+    png = _encode_gray8_png(png_px.reshape(40, 200))
+    jpg = encode_gray_jpeg(
+        ((np.arange(64 * 256) * 7) % 256).astype(np.uint8).reshape(64, 256)
+    )
+    rows = [
+        (1, "image", bytearray(png), (200, 40)),
+        (2, "image", bytearray(jpg), (256, 64)),
+        (3, "image", bytearray(b"custom-codec-payload" * 10), (256, 256)),
+        (4, "image", bytearray(b"\xff\xd8garbage-not-a-jpeg"), (64, 64)),
+    ]
+    media = spark.createDataFrame(
+        [(i, k, p, {"width": wh[0], "height": wh[1]}) for i, k, p, wh in rows],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int>",
+    )
+    got = {r["media_id"]: r for r in resize_images(media, max_side=128).collect()}
+
+    w, h, ch, px = _decode_png_bytes(bytes(got[1]["payload"]))
+    assert (got[1]["width"], got[1]["height"]) == (128, 25) == (w, h)
+    # nearest-neighbor exactness on the PNG plane
+    src = png_px.reshape(40, 200)
+    ys = (np.arange(25, dtype=np.int64) * 40) // 25
+    xs = (np.arange(128, dtype=np.int64) * 200) // 128
+    assert (np.asarray(px).reshape(25, 128) == src[ys][:, xs]).all()
+
+    w2, h2, ch2, _ = decode_jpeg_bytes(bytes(got[2]["payload"]))
+    assert (got[2]["width"], got[2]["height"]) == (128, 32) == (w2, h2)
+
+    assert bytes(got[3]["payload"]).startswith(b"custom-codec")  # stub path
+    assert got[4]["payload"] is None and got[4]["width"] is None
