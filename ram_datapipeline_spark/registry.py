@@ -63,80 +63,71 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-3 ROTATION (VERDICT r2 next-round #1): the 44 queries that had
-    # never appeared in any driver CORRECTNESS file (r1 ∪ r2 covered 90 of
-    # 134) take the window, so that by end of round 3 EVERY registered
-    # query has a green row in at least one CORRECTNESS_r*.json. The
-    # §2 families this displaces (scans, predicates, aggregates, windows,
-    # scalar functions, geo functions) are all r1/r2-proven and unchanged;
-    # tests/test_registry_gate.py now asserts family coverage over
-    # GATE_ORDER ∪ past-round records, the cumulative rule the judge
-    # grades by.
+    # ROUND-4 ROTATION. Priorities (VERDICT r3 next-round #1/#2): the six
+    # r3-new queries that have never appeared in a driver CORRECTNESS
+    # file, the two vec_* queries fixed to long format (the round's only
+    # hard-signal reds), everything NEW in round 4 (CRP routing gate,
+    # K2/K3/K4 sink round-trips), and every query whose code CHANGED in
+    # round 4 (shoelace guard, OSM gap fix, payload NULL guard, pq_codes
+    # schema derivation, resize dispatch). Remaining slots re-prove
+    # queries whose only green row is the round-1 record — the stalest
+    # evidence in the cumulative rule.
     #
-    # TPC-H composite sweep (17)
-    "q2_correlated_min",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_value",
-    "q12_priority_split",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q19_or_of_ands",
-    "q20_bulk_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "j_band_price",
-    "sim_sparse_tfidf_pairs",
-    # graph analytics (4)
-    "graph_pagerank",
-    "graph_kcore",
-    "graph_clustering_coeff",
-    "graph_common_neighbors",
-    # event analytics (3)
-    "ev_cohort_retention",
-    "ev_cumulative_users",
-    "ev_rolling_active",
-    # timeseries (2)
-    "ts_cdc_apply",
-    "ts_moving_avg",
-    # vectors (3)
+    # never driver-checked (r3-new) — VERDICT #2
+    "agg_kmv_distinct",
+    "dedup_ngram_containment",
+    "f_polygon_shoelace",        # also r4-changed: degenerate-ring guard
+    "mm_jpeg_flat_roundtrip",
+    "mm_png_resize_roundtrip",
+    "sim_recall_at_k",
+    # fixed long-format vec gates — VERDICT #1
     "vec_normalize",
     "vec_quantize_int8",
-    "vec_label_centroids",
-    # corpus pipeline (7)
-    "pipe_segment_dedup",
-    "pipe_chunk_overlap",
-    "pipe_quality_funnel",
-    "pipe_snapshot_diff",
-    "pipe_split_assign",
-    "pipe_incremental_dedup",
-    "pipe_reservoir_topk",
-    # streaming batch-twins (3)
-    "st_click_attribution",
-    "st_dedup_replay",
-    "st_enrich_static",
-    # text (3)
-    "text_pii_scrub",
-    "text_repetition",
-    "text_bigram_familiarity",
-    # dedup + multimodal stragglers (2)
-    "dedup_fuzzy_name",
-    "mm_wav_roundtrip",
-    # round-3 CHANGED or NEW queries — re-proven under the new code
-    "eta_routed_osm",        # new: .osm scan → edges → closure → kernel
-    "mm_payload_embedding",  # rewritten single-pass fold (perf fix)
-    "j2_point_in_geojson",   # vectorized ray-cast kernel (perf fix)
-    # round-3 NEW operators (took the spare slots)
-    "pipe_domain_quota",        # per-domain caps / source balancing
-    "vec_pq_codes",             # product quantization (IVF-PQ block)
-    "graph_label_propagation",  # deterministic synchronous LPA
-    # queries registered after this window froze are queued in
-    # tests/test_registry_gate.py::NEXT_ROUND_ROTATION — rotate them in
-    # first next round (mirror-green meanwhile, artifacts/VERIFY_r03.txt)
+    # round-4 NEW: partitioned CRP routing + sink round-trip gates
+    "eta_routed_osm_large",
+    "k2_csv_roundtrip",
+    "k3_json_roundtrip",
+    "k4_geojson_roundtrip",
+    # round-4 CHANGED — re-proven under the new code
+    "eta_routed_osm",        # way→edge gap-break at missing node refs
+    "mm_payload_embedding",  # NULL payload → NULL embedding
+    "vec_pq_codes",          # id-type derivation + dim%m validation
+    "mm_resize_meta",        # resize_images codec dispatch (also r1-only)
+    # r1-only evidence, re-proven (stalest first by family)
+    "q1_pricing_summary",
+    "q4_exists_correlated",
+    "q6_pushdown_revenue",
+    "q13_outer_join_custdist",
+    "q18_having_join_back",
+    "p3_negated_predicate",
+    "p4_first_row",
+    "p7_scalar_subquery",
+    "s2_origins_scan",
+    "s3_settings_json_decode",
+    "s4_admin_scan_inlist",
+    "j1_inner_equijoin",
+    "j6_positional_explode",
+    "j_full_outer_reconcile",
+    "semi_anti_join",
+    "set_intersect_except",
+    "a3_unpivot_stack",
+    "a4_group_nested",
+    "a5_union_all",
+    "a6_grouped_count",
+    "agg_cube_orders",
+    "agg_distinct_count",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup_revenue",
+    "w1_latest_per_key",
+    "w2_sort_limit_topk",
+    "w4_moving_window_frame",
+    "w5_lag_lead_gaps",
+    "w6_rank_family",
+    "f7_date_parts",
+    "f_date_arithmetic",
+    "f_string_kit",
+    "hof_array_kit",
 )
 
 

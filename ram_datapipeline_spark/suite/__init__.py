@@ -12,6 +12,7 @@ from ram_datapipeline_spark.suite import (  # noqa: F401
     multimodal_queries,
     pipeline_queries,
     relational_queries,
+    sink_queries,
     spatial_queries,
     streaming_queries,
     text_queries,

@@ -79,18 +79,11 @@ def test_gated_queries_all_have_oracles():
     assert not oracleless, oracleless
 
 
-# Queries registered AFTER this round's 50-slot window was frozen (the 44
-# never-checked rotations + round-3 changed/new queries filled it). They are
+# Queries registered AFTER this round's 50-slot window was frozen. They are
 # oracle-green in the full mirror sweep and are the FIRST rotation
-# candidates for the next round's window.
-NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    "mm_png_resize_roundtrip",
-    "sim_recall_at_k",
-    "dedup_ngram_containment",
-    "agg_kmv_distinct",
-    "mm_jpeg_flat_roundtrip",
-    "f_polygon_shoelace",
-)
+# candidates for the next round's window. (Empty at the r4 freeze: every
+# registered query is either past-proven or in the current window.)
+NEXT_ROUND_ROTATION: tuple[str, ...] = ()
 
 
 def test_every_registered_query_driver_proven_or_gated():
