@@ -189,10 +189,15 @@ def segment_dedup(
     ``kept_segments = 0`` and an empty rebuilt text.
 
     Plan shape: split/slice segmentation is a zero-shuffle projection;
-    the only corpus-sized exchange hashes segments by md5 for the
-    first-occurrence window (one shuffle); the rebuild re-groups by
-    document (second shuffle) carrying only surviving segments. Nothing
-    is pairwise, nothing reaches the driver.
+    first occurrence per segment hash is ``min(struct(id, seg_idx, seg))``
+    — an AGGREGATE, not a window: partial aggregation collapses duplicate
+    segments map-side, so the corpus-sized exchange carries at most one
+    candidate per (hash, map task) and needs no sort (the r3 window
+    formulation shipped and sorted every segment row; the struct-min is
+    the same first-by-(id, seg_idx) winner because (id, seg_idx) is
+    unique per row). The rebuild re-groups by document (second shuffle)
+    carrying only surviving segments. Nothing is pairwise, nothing
+    reaches the driver.
     """
     words = F.split(F.col(text_col), " ")
     n_seg = F.expr(f"(size({text_col}_words) + {seg_words - 1}) div {seg_words}")
@@ -212,8 +217,15 @@ def segment_dedup(
             )
         ).alias("seg_idx", "seg"),
     )
-    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy(id_col, "seg_idx")
-    kept = segs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    kept = (
+        segs.groupBy(F.md5(F.col("seg")).alias("_h"))
+        .agg(F.min(F.struct(id_col, "seg_idx", "seg")).alias("_first"))
+        .select(
+            F.col(f"_first.{id_col}").alias(id_col),
+            F.col("_first.seg_idx").alias("seg_idx"),
+            F.col("_first.seg").alias("seg"),
+        )
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").alias("kept_segments"),
         F.array_join(
