@@ -57,6 +57,12 @@ HEADLINE = [
     "vec_kmeans_q8",         # two-round distributed k-means (north star)
     "ts_gapfill_locf",       # time-series spine + LOCF windows
     "graph_triangle_count",  # degree-oriented wedge join, shuffle-heavy
+    # round-4 additions (bench set is add-only so cross-round deltas stay
+    # interpretable; the 27 rows above are the frozen comparison basis)
+    "eta_routed_osm_large",  # partitioned CRP routing, 10,816-node network
+    "k2_csv_roundtrip",      # sink write + re-read through real file I/O
+    "dedup_semantic",        # embedding-space dedup, bucket-local pairs
+    "sim_cosine_topk_ivfpq",  # IVF-PQ ANN over compressed codes
 ]
 
 

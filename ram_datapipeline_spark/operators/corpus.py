@@ -429,3 +429,4 @@ def domain_quota(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= quota)
     )
+

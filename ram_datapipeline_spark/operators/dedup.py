@@ -391,3 +391,72 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
     )
     return out.select("doc_a", "doc_b", "inter", "n_a", "containment")
+
+
+# --- semantic (embedding-space) dedup ----------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style embedding-space dedup: partition the corpus into
+    LSH buckets (the deterministic stand-in for k-means clusters), then
+    inside each bucket drop every vector that has a LOWER-id neighbor
+    with cosine ≥ ``tau`` (the greedy leader criterion — the kept set is
+    unique and order-independent because "lower id" is a total order).
+
+    Emits one row per vector: (id, bucket, n_close_lower, kept) — the
+    audit-friendly form: downstream filters ``kept``, analysts read the
+    near-duplicate counts.
+
+    Scale shape: the only corpus-sized exchange hashes on the bucket
+    signature; pair work is bucket-local (LSH plane count scales as
+    ⌈log2(n/64)⌉, keeping buckets ~64 vectors — never a global cross
+    join). Same index determinism as ``similarity.cosine_topk_lsh``
+    (md5-derived ±1 hyperplanes), so an ANSI-SQL oracle replays bucket
+    membership, every cosine, and the kept set bit-for-bit.
+    """
+    from ram_datapipeline_spark.operators.similarity import (
+        _dot,
+        lsh_bucket_signature,
+        scaled_plane_count,
+        with_norm,
+    )
+
+    if n_planes is None:
+        n_planes = scaled_plane_count(emb.count())
+    c = with_norm(emb, vec_col).withColumn(
+        "bucket", lsh_bucket_signature(F.col("_e"), n_planes, dim)
+    )
+    a = c.select(
+        F.col(id_col).alias("_aid"), F.col("_e").alias("_ea"),
+        F.col("_nrm").alias("_na"), "bucket",
+    )
+    b = c.select(
+        F.col(id_col).alias("_bid"), F.col("_e").alias("_eb"),
+        F.col("_nrm").alias("_nb"), "bucket",
+    )
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    close = (
+        a.join(b, "bucket")
+        .filter(F.col("_bid") < F.col("_aid"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= tau)
+        .groupBy(F.col("_aid").alias(id_col))
+        .agg(F.count("*").alias("n_close_lower"))
+    )
+    return (
+        c.select(id_col, "bucket")
+        .join(close, id_col, "left")
+        .select(
+            id_col,
+            "bucket",
+            F.coalesce("n_close_lower", F.lit(0)).alias("n_close_lower"),
+            (F.coalesce("n_close_lower", F.lit(0)) == 0).alias("kept"),
+        )
+    )

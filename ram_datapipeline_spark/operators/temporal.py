@@ -100,3 +100,94 @@ def cdc_apply(
         .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("_rn")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse a change stream
+    into validity intervals per key — (key, value, valid_from, valid_to,
+    is_current), one row per RUN of equal consecutive values (the
+    dimension-history table a warehouse MERGE maintains incrementally;
+    here derived in one pass from the raw event log).
+
+    Ordering is (ts, tiebreak) so same-timestamp changes have a
+    deterministic sequence (oracle requirement). Consecutive duplicates
+    extend the current interval instead of opening a new one.
+
+    Shape: two windows over the SAME (key, order) partitioning — Catalyst
+    plans one Exchange + one sort for both; nothing global, nothing on
+    the driver.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            F.col(key_col),
+            F.col(attr_col).alias("value"),
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def late_data_drop(
+    events: DataFrame,
+    delay: str = "1 hour",
+    arrival_col: str = "event_id",
+    ts_col: str = "ts",
+    range_size: int = 1024,
+) -> DataFrame:
+    """Batch twin of Structured Streaming's watermark drop rule: an event
+    is LATE iff its event time is older than (max event time seen at any
+    earlier ARRIVAL) − delay — exactly what `withWatermark(ts, delay)`
+    discards. Emits every event with its verdict: (event_id, user_id, ts,
+    is_late).
+
+    The watermark is a GLOBAL running max over arrival order; a naive
+    window over one global ordering is a single-partition sort. Scalable
+    two-phase shape instead: per-range running max (distributed windows
+    over ``arrival div range_size``) + a metadata-sized prefix-max over
+    the per-range maxima (#ranges rows) broadcast back — the standard
+    distributed prefix-aggregate decomposition. First-arrival events
+    (no predecessor) are never late, via an epoch floor instead of
+    null-propagating max.
+    """
+    epoch = F.lit("1900-01-01 00:00:00").cast("timestamp")
+    rng = events.withColumn(
+        "_rng", F.expr(f"{arrival_col} div {range_size}")
+    )
+    w_local = (
+        Window.partitionBy("_rng")
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = rng.withColumn(
+        "_local_max", F.max(ts_col).over(w_local)
+    )
+    per_range = rng.groupBy("_rng").agg(F.max(ts_col).alias("_rng_max"))
+    w_prefix = (
+        Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = per_range.withColumn(
+        "_prefix_max", F.max("_rng_max").over(w_prefix)
+    ).select("_rng", "_prefix_max")
+    seen_max = F.greatest(
+        F.coalesce(F.col("_local_max"), epoch),
+        F.coalesce(F.col("_prefix_max"), epoch),
+    )
+    out = local.join(F.broadcast(prefixes), "_rng").withColumn(
+        "is_late",
+        F.col(ts_col) < seen_max - F.expr(f"INTERVAL {delay}"),
+    )
+    return out.select(arrival_col, "user_id", ts_col, "is_late")

@@ -93,6 +93,12 @@ GATE_ORDER: tuple[str, ...] = (
     "mm_payload_embedding",  # NULL payload → NULL embedding
     "vec_pq_codes",          # id-type derivation + dim%m validation
     "mm_resize_meta",        # resize_images codec dispatch (also r1-only)
+    # round-4 NEW operators (coverage widening)
+    "dedup_semantic",           # SemDeDup-style embedding-space dedup
+    "sim_cosine_topk_ivfpq",    # IVF-PQ ANN (compressed-code scoring)
+    "ts_scd2_intervals",        # SCD type-2 dimension-history build
+    "st_late_data_drop",        # watermark drop rule, scalable batch twin
+    "j_salted_skew_join",       # salted join in the hard signal
     # r1-only evidence, re-proven (stalest first by family)
     "q1_pricing_summary",
     "q4_exists_correlated",
@@ -100,11 +106,9 @@ GATE_ORDER: tuple[str, ...] = (
     "q13_outer_join_custdist",
     "q18_having_join_back",
     "p3_negated_predicate",
-    "p4_first_row",
     "p7_scalar_subquery",
     "s2_origins_scan",
     "s3_settings_json_decode",
-    "s4_admin_scan_inlist",
     "j1_inner_equijoin",
     "j6_positional_explode",
     "j_full_outer_reconcile",
@@ -112,15 +116,12 @@ GATE_ORDER: tuple[str, ...] = (
     "set_intersect_except",
     "a3_unpivot_stack",
     "a4_group_nested",
-    "a5_union_all",
-    "a6_grouped_count",
     "agg_cube_orders",
     "agg_distinct_count",
     "agg_grouping_sets",
     "agg_percentiles",
     "agg_rollup_revenue",
     "w1_latest_per_key",
-    "w2_sort_limit_topk",
     "w4_moving_window_frame",
     "w5_lag_lead_gaps",
     "w6_rank_family",

@@ -871,3 +871,46 @@ def q_band_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("max_price"),
         )
     )
+
+
+@query(
+    "j_salted_skew_join",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    survey=(
+        "skew-resistant salted equi-join in the hard signal: result-"
+        "identical to the plain join (operators/skew.py discipline)"
+    ),
+    tags=("join", "skew"),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue through ``salted_join``: the big side scatters each
+    row across 8 salt sub-keys, the small side replicates once per salt,
+    the join runs on (key, salt) — the discipline for hot keys AQE can't
+    split. The oracle is the PLAIN join: salting must be invisible in the
+    result, which is exactly what the gate proves. (Salt values come from
+    monotonically_increasing_id — nondeterministic row→salt placement,
+    deterministic result.)"""
+    from ram_datapipeline_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    big = t["lineitem"].select(
+        F.col("l_partkey").alias("partkey"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    small = t["part"].select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    j = salted_join(big, small, on=["partkey"], n_salts=8)
+    return j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.count("*").alias("n_items"),
+    )

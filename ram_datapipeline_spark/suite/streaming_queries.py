@@ -173,3 +173,36 @@ def q_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return enrich_with_dim(t["events"], t["customer"])
+
+
+@query(
+    "st_late_data_drop",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ts < coalesce(
+                  max(ts) OVER (ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                  TIMESTAMP '1900-01-01 00:00:00')
+                - INTERVAL 1 HOUR AS is_late
+    FROM events
+    """,
+    survey=(
+        "watermark late-data drop rule as a batch twin: event late iff "
+        "older than (max event time at any earlier arrival) - delay "
+        "(beyond-reference streaming surface)"
+    ),
+    tags=("streaming",),
+)
+def q_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming's `withWatermark(ts, '1 hour')` drop verdict
+    for every event, computed in batch: the watermark is a GLOBAL running
+    max over arrival order (event_id), decomposed scalably as per-range
+    running maxima + a metadata-sized prefix-max over range maxima (the
+    naive global window is a single-partition sort). The oracle replays
+    the naive global window — same values, which is the point of the
+    decomposition."""
+    from ram_datapipeline_spark.operators.temporal import late_data_drop
+
+    t = load_tables(spark, sf_dir)
+    return late_data_drop(t["events"], delay="1 hour")

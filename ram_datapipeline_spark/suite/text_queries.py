@@ -887,3 +887,183 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra, one division (operators/dedup.py::ngram_containment_pairs)."""
     t = load_tables(spark, sf_dir)
     return D.ngram_containment_pairs(t["documents"], threshold=0.6)
+
+
+def _semantic_dedup_oracle(max_planes: int = 24, dim: int = 64, tau: float = 0.25) -> str:
+    """DuckDB replay of semantic_dedup: the same md5-derived hyperplanes,
+    scaled plane count, bucket-local lower-id cosine test."""
+    weights = SIM.lsh_plane_weights(max_planes, dim)
+    proj = lambda p: (  # noqa: E731
+        "list_reduce(list_transform(list_zip(e, ["
+        + ", ".join(f"{w:.1f}" for w in weights[p])
+        + "]::DOUBLE[]), x -> x[1] * x[2]), (a, b) -> a + b)"
+    )
+    full_sig = " || ".join(
+        f"(CASE WHEN {proj(p)} >= 0 THEN '1' ELSE '0' END)" for p in range(max_planes)
+    )
+    return f"""
+    WITH {_COSINE_CTE},
+    params AS (
+      SELECT greatest(4, CAST(ceil(log2(greatest(2.0, count(*) / 64.0))) AS INT)) AS np
+      FROM v
+    ),
+    sig AS (
+      SELECT vec_id, e, nrm, left({full_sig}, (SELECT np FROM params)) AS bucket
+      FROM n
+    ),
+    close AS (
+      SELECT a.vec_id, count(*) AS n_close_lower
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+      WHERE list_reduce(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]),
+                        (p, q) -> p + q) / (a.nrm * b.nrm) >= {tau}
+      GROUP BY a.vec_id
+    )
+    SELECT sig.vec_id, sig.bucket,
+           coalesce(close.n_close_lower, 0) AS n_close_lower,
+           coalesce(close.n_close_lower, 0) = 0 AS kept
+    FROM sig LEFT JOIN close ON sig.vec_id = close.vec_id
+    """
+
+
+@query(
+    "dedup_semantic",
+    oracle=_semantic_dedup_oracle(),
+    survey=(
+        "semantic (embedding-space) dedup: SemDeDup-style cluster-then-"
+        "drop, LSH buckets as deterministic clusters (north star)"
+    ),
+    tags=("dedup", "similarity"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate removal: bucket-local greedy leader
+    criterion (drop a vector iff a lower-id bucket-mate has cosine ≥
+    0.25). The whole index — scaled plane count, bucket membership,
+    every cosine — is deterministic and replayed by the SQL oracle."""
+    from ram_datapipeline_spark.operators.dedup import semantic_dedup
+
+    t = load_tables(spark, sf_dir)
+    return semantic_dedup(t["embeddings"], tau=0.25)
+
+
+_IVFPQ_ORACLE = f"""
+    WITH {_COSINE_CTE},
+    params AS (
+      SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc,
+             CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS INT) AS npr
+      FROM v
+    ),
+    seed_rk AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS srk
+      FROM v
+    ),
+    iseeds AS (
+      SELECT n.vec_id AS cell, n.e AS es, n.nrm AS ns
+      FROM n JOIN seed_rk USING (vec_id) CROSS JOIN params
+      WHERE srk <= nc
+    ),
+    c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_reduce(list_transform(list_zip(c.e, s.es), x -> x[1] * x[2]),
+                                      (p, q) -> p + q) / (c.nrm * s.ns) DESC,
+                          s.cell) AS rk
+        FROM n c, iseeds s
+      ) WHERE rk = 1
+    ),
+    q_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY qv.vec_id
+                 ORDER BY list_reduce(list_transform(list_zip(qv.e, s.es), x -> x[1] * x[2]),
+                                      (p, q) -> p + q) / (qv.nrm * s.ns) DESC,
+                          s.cell) AS rk
+        FROM n qv, iseeds s WHERE qv.vec_id < 20
+      ) CROSS JOIN params WHERE rk <= npr
+    ),
+    cand AS (
+      SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+      FROM q_assign qa JOIN c_assign ca
+        ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+    ),
+    g AS (SELECT min(list_min(e)) AS gmn, max(list_max(e)) AS gmx FROM v),
+    c8 AS (
+      SELECT vec_id,
+             CASE WHEN gmx > gmn
+                  THEN list_transform(e, x -> least(
+                         CAST(floor((x - gmn) * 255.0 / (gmx - gmn)) AS BIGINT),
+                         CAST(255 AS BIGINT)))
+                  ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+             END AS codes
+      FROM v, g
+    ),
+    pseeds AS (
+      SELECT codes AS cent,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM c8
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+    ),
+    nsub AS (
+      SELECT vec_id, subspace, cid FROM (
+        SELECT v2.vec_id, j.j AS subspace, s.cid,
+               list_reduce(list_transform(generate_series(1, len(v2.codes) // 4),
+                 i -> (v2.codes[j.j * (len(v2.codes) // 4) + i]
+                       - s.cent[j.j * (len(v2.codes) // 4) + i])
+                    * (v2.codes[j.j * (len(v2.codes) // 4) + i]
+                       - s.cent[j.j * (len(v2.codes) // 4) + i])),
+                 (x, y) -> x + y) AS dist,
+               row_number() OVER (PARTITION BY v2.vec_id, j.j
+                                  ORDER BY list_reduce(list_transform(generate_series(1, len(v2.codes) // 4),
+                 i -> (v2.codes[j.j * (len(v2.codes) // 4) + i]
+                       - s.cent[j.j * (len(v2.codes) // 4) + i])
+                    * (v2.codes[j.j * (len(v2.codes) // 4) + i]
+                       - s.cent[j.j * (len(v2.codes) // 4) + i])),
+                 (x, y) -> x + y), s.cid) AS rn
+        FROM c8 v2, pseeds s, (SELECT unnest(generate_series(0, 3)) AS j) j
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(sum(list_reduce(list_transform(generate_series(1, len(q8.codes) // 4),
+               i -> (q8.codes[ns.subspace * (len(q8.codes) // 4) + i]
+                     - ps.cent[ns.subspace * (len(q8.codes) // 4) + i])
+                  * (q8.codes[ns.subspace * (len(q8.codes) // 4) + i]
+                     - ps.cent[ns.subspace * (len(q8.codes) // 4) + i])),
+               (x, y) -> x + y)) AS BIGINT) AS adc_dist
+      FROM cand
+      JOIN nsub ns ON ns.vec_id = cand.neighbor_id
+      JOIN pseeds ps ON ps.cid = ns.cid
+      JOIN c8 q8 ON q8.vec_id = cand.query_id
+      GROUP BY cand.query_id, cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rk FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+"""
+
+
+@query(
+    "sim_cosine_topk_ivfpq",
+    oracle=_IVFPQ_ORACLE,
+    survey=(
+        "IVF-PQ ANN: cell-pruned candidates scored on compressed PQ "
+        "codes — the billion-scale index shape (north star)"
+    ),
+    tags=("similarity",),
+)
+def q_cos_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ retrieval: IVF cells prune (⌈√n⌉ cells, ⌈√nc⌉
+    probes), then candidates rank by symmetric PQ distance over m=4
+    subspace codes from the 16-seed codebook — integers end to end, so
+    the oracle replays every score. The PQ payload (m small ints per
+    vector) is what a billion-vector deployment scans instead of raw
+    embeddings."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return SIM.cosine_topk_ivfpq(e.filter(F.col("vec_id") < 20), e, k=5)

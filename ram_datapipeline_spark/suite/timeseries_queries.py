@@ -144,3 +144,41 @@ def q_ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").over(w).cast("double")
         ).alias("ma3"),
     )
+
+
+@query(
+    "ts_scd2_intervals",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts, event_id FROM ch
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS value, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL AS is_current
+    FROM runs
+    """,
+    survey=(
+        "SCD type-2 dimension-history build from a change stream "
+        "(beyond-reference temporal surface)"
+    ),
+    tags=("timeseries",),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each user's event-type stream into validity intervals —
+    one row per run of equal consecutive values, (ts, event_id) ordering
+    for deterministic same-timestamp sequences. The SCD2 table a
+    warehouse MERGE maintains, derived in one pass (two windows over one
+    Exchange)."""
+    from ram_datapipeline_spark.operators.temporal import scd2_intervals
+
+    t = load_tables(spark, sf_dir)
+    return scd2_intervals(t["events"])

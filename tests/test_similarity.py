@@ -99,3 +99,50 @@ def test_cosine_pairs_scale_fence(spark):
     # lifted fence still works
     out = cosine_pairs(big.limit(5), max_rows=None, threshold=0.9)
     assert out.count() == 10  # all 5C2 identical unit vectors
+
+
+def test_semantic_dedup_leader_criterion(spark):
+    """Identical vectors in one bucket: lowest id survives, the rest
+    drop; an orthogonal vector survives regardless of bucket."""
+    from ram_datapipeline_spark.operators.dedup import semantic_dedup
+
+    base = [1.0] * 64
+    ortho = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+    rows = [(1, base), (2, base), (3, base), (9, ortho)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in semantic_dedup(df, tau=0.9, n_planes=4).collect()}
+    assert got[1]["kept"] is True and got[1]["n_close_lower"] == 0
+    assert got[2]["kept"] is False and got[2]["n_close_lower"] == 1
+    assert got[3]["kept"] is False and got[3]["n_close_lower"] == 2
+    assert got[9]["kept"] is True  # cos(base, ortho) = 0 < tau
+    assert got[1]["bucket"] == got[2]["bucket"] == got[3]["bucket"]
+
+
+def test_ivfpq_recovers_cluster_structure(spark):
+    """On clusterable data (the regime PQ exists for) IVF-PQ must rank
+    same-cluster vectors first. The parquet fixture's near-random vectors
+    are PQ's worst case — 16 centroids x 4 subspaces of white noise carry
+    ~no ranking signal, so recall there measures the data, not the
+    operator; cluster recovery is the meaningful contract. Exactness of
+    every score is separately hash-gated by sim_cosine_topk_ivfpq's
+    DuckDB oracle."""
+    import numpy as np
+
+    from ram_datapipeline_spark.operators.similarity import cosine_topk_ivfpq
+
+    rng = [0.0] * 64
+    def member(cluster, i):
+        # three well-separated cluster centers + tiny deterministic jitter
+        base = {0: 10.0, 1: -10.0, 2: 30.0}[cluster]
+        return [base + ((i * 7 + j) % 5) * 0.01 + (3.0 if j % 3 == cluster else 0.0)
+                for j in range(64)]
+    rows = [(c * 20 + i, member(c, i)) for c in range(3) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id").isin([0, 20, 40]))
+    got = {}
+    for r in cosine_topk_ivfpq(q, df, k=5).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, neigh in got.items():
+        want_cluster = qid // 20
+        same = [n for n in neigh if n // 20 == want_cluster]
+        assert len(same) == len(neigh) == 5, (qid, neigh)

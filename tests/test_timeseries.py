@@ -72,3 +72,67 @@ def test_cdc_apply_plan_is_single_window_shuffle(spark):
         changes, key_col="k", ts_col="ts", op_col="op", tiebreak_col="event_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_intervals_runs_and_tiebreak(spark):
+    """Consecutive equal values merge into one interval; same-timestamp
+    changes order by event_id; last interval is open/current."""
+    from ram_datapipeline_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        # user 1: a, a (merge), b, then same-ts flip ordered by event_id
+        (1, "a", _ts(1), 10),
+        (1, "a", _ts(2), 11),
+        (1, "b", _ts(3), 12),
+        (1, "c", _ts(4), 13),
+        (1, "d", _ts(4), 14),  # same ts as 13 → ordered after by event_id
+        # user 2: single value
+        (2, "x", _ts(5), 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        (r["user_id"], r["value"]): (
+            r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in scd2_intervals(df).collect()
+    }
+    assert got[(1, "a")] == (_ts(1), _ts(3), False)
+    assert got[(1, "b")] == (_ts(3), _ts(4), False)
+    assert got[(1, "c")] == (_ts(4), _ts(4), False)
+    assert got[(1, "d")] == (_ts(4), None, True)
+    assert got[(2, "x")] == (_ts(5), None, True)
+    assert len(got) == 5
+
+
+def test_late_data_drop_matches_naive_global_window(spark):
+    """The two-phase range decomposition must equal the naive global
+    cumulative max — including events that are late only because of a
+    maximum seen in an EARLIER range."""
+    from ram_datapipeline_spark.operators.temporal import late_data_drop
+
+    rows = []
+    # arrival 0..9 in range 0 (range_size=8 splits at 8): a spike at
+    # arrival 3 (ts 10:00) makes later small-ts events late, including
+    # arrivals 8, 9 which sit in range 1 and need the prefix max.
+    seq = [
+        (0, _ts(1)), (1, _ts(2)), (2, _ts(2, 30)), (3, _ts(10)),
+        (4, _ts(3)), (5, _ts(9, 30)), (6, _ts(9)), (7, _ts(8, 59)),
+        (8, _ts(8, 30)), (9, _ts(9, 1)),
+    ]
+    rows = [(eid, 1, ts) for eid, ts in seq]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["is_late"]
+        for r in late_data_drop(df, delay="1 hour", range_size=8).collect()
+    }
+    # naive reference
+    seen = None
+    want = {}
+    for eid, ts in seq:
+        want[eid] = seen is not None and ts < seen - dt.timedelta(hours=1)
+        seen = ts if seen is None else max(seen, ts)
+    assert got == want
+    assert want[3] is False and want[4] is True and want[8] is True
+    assert want[9] is False  # 9:01 ≥ 10:00 − 1h → on time
