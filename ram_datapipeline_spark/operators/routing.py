@@ -234,9 +234,18 @@ def multi_source_overlay_dist(
         )
         return nxt
 
+    converged = False
     for _ in range(n_rounds):
-        st = relax(st)
-    if check_converged:
+        nxt = relax(st)
+        if np.array_equal(nxt, st):
+            # fixed point: every remaining round is the identity, so
+            # stopping here produces exactly the round-n_rounds state the
+            # SQL replay computes — and the convergence probe is free
+            converged = True
+            st = nxt
+            break
+        st = nxt
+    if check_converged and not converged:
         probe = relax(st)
         if not np.array_equal(probe, st):
             raise RuntimeError(
