@@ -204,6 +204,11 @@ def multi_source_overlay_dist(
     """
     import numpy as np
 
+    if not ovl or not seed_rows:
+        # no overlay (single-cell components) or no sources touching it:
+        # nothing to relax; same-cell direct terms carry the result
+        return [(k, v, w0) for k, v, w0 in seed_rows]
+
     nodes = sorted(
         {s for s, _, _ in ovl} | {d for _, d, _ in ovl} | {n for _, n, _ in seed_rows}
     )
@@ -322,26 +327,80 @@ def partitioned_many_to_many(
             & (s_cell["s_node"] == incell["src"]),
         )
         .join(bdf, incell["dst"] == bdf["node_id"])
-        .select("src_id", incell["dst"].alias("b"), "w")
+        # a src_id may own SEVERAL nodes (osrm-style multiple access
+        # points; also how callers min-fuse groups of sources — every
+        # downstream step is min-plus, so per-group minima commute):
+        # seed with the best leg per (source, boundary)
+        .groupBy("src_id", incell["dst"].alias("b"))
+        .agg(F.min("w").alias("w"))
     )
     seed_rows = [(r["src_id"], r["b"], r["w"]) for r in seeds.collect()]
     od = multi_source_overlay_dist(ovl, seed_rows, n_overlay_rounds)
-    od_df = spark.createDataFrame(od, schema="src_id long, b long, ow long")
 
-    # exit legs: boundary of target's cell → target (distributed join).
+    # exit legs: min over the target cell's boundary of (overlay dist +
+    # in-cell leg), folded INSIDE a per-cell numpy kernel. The join+agg
+    # formulation materializes |targets| × per-cell-boundary × |sources|
+    # candidate rows (≈420M at sf0.1 — measured 10× the whole query);
+    # here the overlay distance matrix (n_sources × n_boundary — the
+    # osrm.table working set, the same broadcast class as the overlay
+    # itself) ships once, each cell co-groups its targets with its
+    # boundary→node closure rows, and the fold is one (S × B_c × n_t)
+    # min-plus per cell in numpy. Output is the true many-to-many
+    # matrix: S rows per reachable target.
+    import numpy as np
+
+    skeys = sorted({k for k, _, _ in od})
+    kix = {k: i for i, k in enumerate(skeys)}
+    bix = {v: i for i, v in enumerate(bset)}
+    od_mat = np.full((len(skeys), len(bset)), INF_I64, dtype=np.int64)
+    for k, v, w0 in od:
+        od_mat[kix[k], bix[v]] = w0
+    od_bc = spark.sparkContext.broadcast((skeys, bix, od_mat))
+
     t_cell = targets.join(cells, "node_id").select(
         "tgt_id", F.col("node_id").alias("t_node"), "cell"
     )
-    via_b = (
-        t_cell.join(
-            incell,
-            (t_cell["cell"] == incell["cell"])
-            & (t_cell["t_node"] == incell["dst"]),
+    exit_legs = incell.join(
+        bdf.withColumnRenamed("node_id", "src"), "src"
+    ).select("cell", F.col("src").alias("b"), "dst", "w")
+
+    def fold(tgts, legs):
+        import pandas as pd
+
+        if len(tgts) == 0 or len(legs) == 0:
+            return pd.DataFrame(
+                {
+                    "src_id": np.empty(0, dtype=np.int64),
+                    "tgt_id": np.empty(0, dtype=np.int64),
+                    "d": np.empty(0, dtype=np.int64),
+                }
+            )
+        keys, bixx, mat = od_bc.value
+        b_loc = sorted(set(legs["b"]))
+        b_l = {v: i for i, v in enumerate(b_loc)}
+        nodes = sorted(set(legs["dst"]))
+        n_l = {v: i for i, v in enumerate(nodes)}
+        L = np.full((len(b_loc), len(nodes)), INF_I64, dtype=np.int64)
+        L[
+            legs["b"].map(b_l).to_numpy(), legs["dst"].map(n_l).to_numpy()
+        ] = legs["w"].to_numpy(dtype=np.int64)
+        D = mat[:, [bixx[v] for v in b_loc]]  # (S, B_c)
+        best = (D[:, :, None] + L[None, :, :]).min(axis=1)  # (S, n_nodes)
+        t_idx = tgts["t_node"].map(n_l).to_numpy()
+        best = best[:, t_idx]  # (S, n_t)
+        si, ti = np.nonzero(best < INF_I64)
+        return pd.DataFrame(
+            {
+                "src_id": np.asarray(keys, dtype=np.int64)[si],
+                "tgt_id": tgts["tgt_id"].to_numpy()[ti],
+                "d": best[si, ti],
+            }
         )
-        .join(bdf, incell["src"] == bdf["node_id"])
-        .select("tgt_id", incell["src"].alias("b"), F.col("w").alias("xw"))
-        .join(od_df, "b")
-        .select("src_id", "tgt_id", (F.col("ow") + F.col("xw")).alias("d"))
+
+    via_b = (
+        t_cell.groupby("cell")
+        .cogroup(exit_legs.groupby("cell"))
+        .applyInPandas(fold, schema="src_id long, tgt_id long, d long")
     )
     # same-cell direct term (paths that never leave the shared cell).
     direct = (

@@ -544,12 +544,17 @@ def q_eta_routed_osm_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cell"),
     )
     n_nodes = w * ram_domain.GRID_H
-    pois = ram_domain.pois(t["supplier"]).select(
-        F.col("poi_id").alias("src_id"),
-        "poi_type",
-    ).withColumn(
-        "node_id",
-        F.expr(f"(src_id * {ram_domain.GRID_POI_MULT}) % {n_nodes}"),
+    # Min-fusion: the output is min-per-poi-TYPE, and every stage after
+    # the seed legs is min-plus (monotone), so per-type minima commute
+    # all the way through — merge each type's POIs into ONE multi-node
+    # source before routing (src_id = type index). The osrm.table
+    # working set drops from |pois| × boundary to 3 × boundary; the
+    # per-source path stays exercised by tests/test_crp_routing.py.
+    pois = t["supplier"].select(
+        F.expr("s_suppkey % 3").alias("src_id"),
+        F.expr(
+            f"(s_suppkey * {ram_domain.GRID_POI_MULT}) % {n_nodes}"
+        ).alias("node_id"),
     )
     origins = t["customer"].select(
         F.col("c_custkey").alias("tgt_id"),
@@ -560,15 +565,19 @@ def q_eta_routed_osm_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = partitioned_many_to_many(
         edges,
         cells,
-        pois.select("src_id", "node_id"),
+        pois,
         origins,
         n_cell_squarings=_CRP_CELL_SQ,
         n_overlay_rounds=_CRP_ROUNDS,
     )
-    return (
-        dist.join(pois.select("src_id", "poi_type"), "src_id")
-        .groupBy(F.col("tgt_id").alias("origin_id"), "poi_type")
-        .agg(F.min("dist").alias("eta_s"))
+    poi_type = F.expr(
+        "CASE src_id WHEN 0 THEN 'hospital' WHEN 1 THEN 'school'"
+        " ELSE 'bank' END"
+    )
+    return dist.select(
+        F.col("tgt_id").alias("origin_id"),
+        poi_type.alias("poi_type"),
+        F.col("dist").alias("eta_s"),
     )
 
 
