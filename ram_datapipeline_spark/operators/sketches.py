@@ -75,3 +75,47 @@ def kmv_distinct_estimate(
         .withColumn("estimate", est)
         .select(*group_cols, "n_exact", "kth_u", "estimate")
     )
+
+
+def hash_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Deterministic mergeable quantile sketch (the KMV idea applied to
+    quantiles): per group, the sketch is the ``k`` rows with smallest
+    ``md5(key)`` — a uniform, hash-defined sample — and quantile q is
+    order statistic ``ceil(q · n_s)`` of the sample's sorted values.
+
+    Why this over t-digest/KLL: the hash order IS the randomness, so two
+    engines (and any shard split) agree on the exact sample — fully
+    oracle-checkable, and mergeable by construction (the k smallest
+    hashes of a union are a subset of the shards' k smallest — asserted
+    in tests). Accuracy is the standard sample-quantile bound (~1/√k).
+
+    Plan: one window shuffle on the group (WindowGroupLimit prunes to k
+    per group map-side), then a group-local sort of k values — never a
+    global sort, never a full-group sort.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    sample = (
+        df.select(group_col, value_col, key_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    agg = sample.groupBy(group_col).agg(
+        F.count("*").alias("n_sample"),
+        F.array_sort(F.collect_list(value_col)).alias("_vals"),
+    )
+    cols = [F.col(group_col), F.col("n_sample")]
+    for q in quantiles:
+        idx = F.expr(f"CAST(ceil({q} * n_sample) AS INT)")
+        cols.append(
+            F.element_at("_vals", idx).alias(f"p{int(q * 100)}")
+        )
+    return agg.select(*cols)

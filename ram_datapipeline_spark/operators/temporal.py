@@ -191,3 +191,60 @@ def late_data_drop(
         F.col(ts_col) < seen_max - F.expr(f"INTERVAL {delay}"),
     )
     return out.select(arrival_col, "user_id", ts_col, "is_late")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    bucket_seconds: int = 1800,
+) -> DataFrame:
+    """Interval × interval overlap join (strict overlap: ``a.s < b.e AND
+    b.s < a.e``) — the temporal join a naive formulation turns into a
+    per-key cross join. Both sides carry (id, key, s, e timestamps).
+
+    Scale shape: time is tiled into ``bucket_seconds`` buckets; every
+    interval registers in each bucket it touches (a bounded explode —
+    ⌈len/bucket⌉+1 rows), the join runs as a plain EQUI-join on
+    (key, bucket) with the overlap predicate as a post-filter, and
+    double-matched pairs (overlap spanning a bucket border) collapse
+    with one distinct. Candidate count is bucket-local — the standard
+    interval-bucketing discipline; pick ``bucket_seconds`` ≈ the typical
+    interval length (correctness never depends on it).
+
+    Returns (key, a_id, b_id, overlap_s:int, total seconds of overlap).
+    """
+    bw = bucket_seconds * 1_000_000  # micros
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col("id").alias(f"{side}_id"),
+            F.col(key_col),
+            F.unix_micros("s").alias(f"{side}_s"),
+            F.unix_micros("e").alias(f"{side}_e"),
+        ).withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{side}_s div {bw}"), F.expr(f"{side}_e div {bw}")
+                )
+            ),
+        )
+
+    pa = prep(a, "a")
+    pb = prep(b, "b")
+    overlap = (F.col("b_s") < F.col("a_e")) & (F.col("a_s") < F.col("b_e"))
+    pairs = (
+        pa.join(pb, [key_col, "bucket"])
+        .where(overlap)
+        .select(
+            key_col,
+            "a_id",
+            "b_id",
+            F.expr(
+                "(least(a_e, b_e) - greatest(a_s, b_s)) div 1000000"
+            ).alias("overlap_s"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -99,6 +99,8 @@ GATE_ORDER: tuple[str, ...] = (
     "ts_scd2_intervals",        # SCD type-2 dimension-history build
     "st_late_data_drop",        # watermark drop rule, scalable batch twin
     "j_salted_skew_join",       # salted join in the hard signal
+    "j_interval_overlap",       # bucketized interval-overlap join
+    "agg_quantile_sketch",      # deterministic mergeable quantile sketch
     # r1-only evidence, re-proven (stalest first by family)
     "q1_pricing_summary",
     "q4_exists_correlated",
@@ -114,8 +116,6 @@ GATE_ORDER: tuple[str, ...] = (
     "j_full_outer_reconcile",
     "semi_anti_join",
     "set_intersect_except",
-    "a3_unpivot_stack",
-    "a4_group_nested",
     "agg_cube_orders",
     "agg_distinct_count",
     "agg_grouping_sets",

@@ -567,3 +567,55 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_estimate(
         t["events"], group_cols=["event_type"], value_col="user_id", k=64
     )
+
+
+@query(
+    "agg_quantile_sketch",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rn
+      FROM orders
+    ),
+    g AS (
+      SELECT priority, count(*) AS n_sample,
+             list(cents ORDER BY cents) AS vals
+      FROM s WHERE rn <= 64 GROUP BY priority
+    )
+    SELECT priority, n_sample,
+           vals[CAST(ceil(0.5 * n_sample) AS INT)] AS p50,
+           vals[CAST(ceil(0.9 * n_sample) AS INT)] AS p90
+    FROM g
+    """,
+    survey=(
+        "deterministic mergeable quantile sketch (hash-defined sample, "
+        "KMV idea applied to quantiles) — the oracle-checkable cousin of "
+        "t-digest/KLL (scale path)"
+    ),
+    tags=("analytic", "sketch"),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90 of order price cents per priority from the 64-smallest-
+    md5 sample per group: the hash order IS the randomness, so the
+    sample — and therefore every estimate — is bit-reproducible in any
+    engine, and shard sketches merge exactly (k smallest of a union).
+    Accuracy band vs exact quantiles asserted in tests/test_analytic.py."""
+    from ram_datapipeline_spark.operators.sketches import (
+        hash_quantile_sketch,
+    )
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        "o_orderkey",
+    )
+    return hash_quantile_sketch(
+        orders, "priority", "cents", "o_orderkey", k=64
+    )

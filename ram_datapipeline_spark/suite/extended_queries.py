@@ -914,3 +914,59 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("revenue_cents"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "j_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS a_id, user_id,
+             epoch_us(ts) AS a_s,
+             epoch_us(ts + INTERVAL 30 MINUTE) AS a_e
+      FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+      SELECT event_id AS b_id, user_id,
+             epoch_us(ts) AS b_s,
+             epoch_us(ts + INTERVAL 5 MINUTE) AS b_e
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT a.user_id, a.a_id, b.b_id,
+           (least(a_e, b_e) - greatest(a_s, b_s)) // 1000000 AS overlap_s
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a.a_s < b.b_e AND b.b_s < a.a_e
+    """,
+    survey=(
+        "interval × interval overlap join via time bucketing — the "
+        "equi-join restatement of a range join (beyond-reference "
+        "temporal surface)"
+    ),
+    tags=("join", "timeseries"),
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (view-window × click-window) pairs per user: views
+    open a 30-minute interval, clicks a 5-minute one; strict overlap.
+    The engine tiles time into 30-minute buckets and joins on (user,
+    bucket) — a plain equi-join with bounded fan-out — where the naive
+    formulation is a per-user cross join; the oracle IS that naive
+    join, proving the bucketing complete (border-spanning pairs dedup
+    to one row)."""
+    from ram_datapipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("e"),
+    )
+    return interval_overlap_join(a, b, "user_id", bucket_seconds=1800)

@@ -227,3 +227,59 @@ def test_kmv_sketch_merges_across_shards(spark):
         shard1.unionAll(shard2), ["g"], "v", k=k
     ).collect()[0]
     assert est_merged == direct.estimate  # bit-identical, not approximately
+
+
+def test_quantile_sketch_merge_and_accuracy(spark):
+    """Hash-sample quantile sketch: (1) merging shard sketches equals the
+    global sketch (k smallest hashes of a union are among the shards' k
+    smallest); (2) estimates sit within the ~1/sqrt(k) sample-quantile
+    band of the exact quantiles."""
+    from ram_datapipeline_spark.catalog import load_tables as _lt
+    from ram_datapipeline_spark.operators.sketches import hash_quantile_sketch
+    from tests.conftest import SF_DIR
+
+    orders = _lt(spark, SF_DIR)["orders"].select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias("v"),
+        "o_orderkey",
+    )
+    whole = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in hash_quantile_sketch(orders, "g", "v", "o_orderkey").collect()
+    }
+    # shard split by key parity, sketch each, merge = sketch of the
+    # union of both shards' SAMPLES (not raw rows)
+    from pyspark.sql import functions as SF
+
+    shards = [
+        orders.filter(SF.col("o_orderkey") % 2 == p) for p in (0, 1)
+    ]
+    sampled = None
+    for sh in shards:
+        w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        win = w.partitionBy("g").orderBy(
+            SF.md5(SF.col("o_orderkey").cast("string")), SF.col("o_orderkey")
+        )
+        s = sh.withColumn("_rn", SF.row_number().over(win)).filter(
+            SF.col("_rn") <= 64
+        ).drop("_rn")
+        sampled = s if sampled is None else sampled.unionByName(s)
+    merged = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in hash_quantile_sketch(sampled, "g", "v", "o_orderkey").collect()
+    }
+    assert merged == whole
+    exact = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in orders.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for g, (p50, p90) in whole.items():
+        e50, e90 = exact[g]
+        # generous band: 64-sample quantiles on ~skewless price data
+        assert abs(p50 - e50) / e50 < 0.35, (g, p50, e50)
+        assert abs(p90 - e90) / e90 < 0.35, (g, p90, e90)

@@ -136,3 +136,30 @@ def test_late_data_drop_matches_naive_global_window(spark):
     assert got == want
     assert want[3] is False and want[4] is True and want[8] is True
     assert want[9] is False  # 9:01 ≥ 10:00 − 1h → on time
+
+
+def test_interval_overlap_bucketing_complete(spark):
+    """Bucketized overlap join equals the naive per-key cross-join filter,
+    including pairs whose overlap spans a bucket border and intervals
+    longer than one bucket."""
+    from ram_datapipeline_spark.operators.temporal import interval_overlap_join
+
+    A = [
+        (1, 7, _ts(1, 0), _ts(1, 40)),    # spans 30-min buckets
+        (2, 7, _ts(2, 50), _ts(3, 5)),    # crosses a border
+        (3, 8, _ts(1, 0), _ts(5, 0)),     # 4-hour interval >> bucket
+    ]
+    B = [
+        (10, 7, _ts(1, 35), _ts(1, 50)),  # overlaps a1 by 5 min
+        (11, 7, _ts(3, 0), _ts(3, 10)),   # overlaps a2 by 5 min
+        (12, 7, _ts(4, 0), _ts(4, 1)),    # no same-key interval there
+        (13, 8, _ts(4, 59), _ts(6, 0)),   # overlaps a3 by 1 min
+        (14, 9, _ts(1, 0), _ts(2, 0)),    # key with no A intervals
+    ]
+    a = spark.createDataFrame(A, "id long, k long, s timestamp, e timestamp")
+    b = spark.createDataFrame(B, "id long, k long, s timestamp, e timestamp")
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap_s"]
+        for r in interval_overlap_join(a, b, "k", bucket_seconds=1800).collect()
+    }
+    assert got == {(1, 10): 300, (2, 11): 300, (3, 13): 60}
