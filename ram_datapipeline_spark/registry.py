@@ -101,6 +101,7 @@ GATE_ORDER: tuple[str, ...] = (
     "j_salted_skew_join",       # salted join in the hard signal
     "j_interval_overlap",       # bucketized interval-overlap join
     "agg_quantile_sketch",      # deterministic mergeable quantile sketch
+    "mm_wav_downsample",        # real 2:1 WAV resample through the codec
     # r1-only evidence, re-proven (stalest first by family)
     "q1_pricing_summary",
     "q4_exists_correlated",
@@ -116,7 +117,6 @@ GATE_ORDER: tuple[str, ...] = (
     "j_full_outer_reconcile",
     "semi_anti_join",
     "set_intersect_except",
-    "agg_cube_orders",
     "agg_distinct_count",
     "agg_grouping_sets",
     "agg_percentiles",

@@ -328,3 +328,58 @@ def q_jpeg_flat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     jpg = encode_flat_jpeg_media(ensure_parallelism(t["documents"]))
     return decode_jpeg_stats(jpg)
+
+
+_BYTE_AT = (
+    "((strpos('0123456789ABCDEF', substr(h, 2 * ({p}) - 1, 1)) - 1) * 16"
+    " + strpos('0123456789ABCDEF', substr(h, 2 * ({p}), 1)) - 1)"
+)
+
+
+@query(
+    "mm_wav_downsample",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    ds AS (
+      SELECT media_id, nb // 2 AS n_samples,
+             list_transform(generate_series(1, nb // 2),
+               i -> ({_BYTE_AT.format(p='2 * i - 1')}
+                     + {_BYTE_AT.format(p='2 * i')}) // 2 - 128) AS v
+      FROM hx
+    )
+    SELECT media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(COALESCE(list_max(list_transform(v, x -> abs(x))), 0)
+                AS BIGINT) AS peak_abs,
+           CAST(COALESCE(list_sum(list_transform(v, x -> x * x)), 0)
+                AS BIGINT) AS energy
+    FROM ds
+    """,
+    survey=(
+        "multimodal: REAL WAV 2:1 downsample through the codec "
+        "(decode → integer box filter → re-encode → decode), north star"
+    ),
+    tags=("multimodal",),
+)
+def q_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document bytes → real RIFF/WAVE container → REAL 2:1 resample
+    (pair-average on raw unsigned samples — integer-exact, engine-
+    portable) → re-encode at 8 kHz → REAL decode + stats. The oracle
+    derives the same averaged samples from the source text's hex, so a
+    hash match proves the whole decode→filter→encode→decode chain."""
+    from ram_datapipeline_spark.multimodal.media import (
+        decode_wav_stats,
+        downsample_wav_media,
+        encode_pcm8_wav,
+    )
+
+    t = load_tables(spark, sf_dir)
+    wav = encode_pcm8_wav(t["documents"])
+    small = downsample_wav_media(wav, factor=2)
+    return decode_wav_stats(small)
