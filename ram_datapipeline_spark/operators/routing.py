@@ -60,9 +60,10 @@ from pyspark.sql import functions as F
 INF_I64 = 1 << 40
 
 # Per-cell closure runs a dense n³ numpy squaring; this caps the memory a
-# single cell may demand (n³ · 8 bytes — 512³ = 1 GiB). Partition the
-# network into smaller cells rather than raising it.
-MAX_CELL_NODES = 512
+# single cell may demand (n³ · 8 bytes — 256³ = 128 MiB of temp, bounded
+# even with a full executor's worth of concurrent cell tasks). Partition
+# the network into smaller cells rather than raising it.
+MAX_CELL_NODES = 256
 
 # Collected overlay rows are the broadcast "contracted core"; beyond this
 # the partition is too coarse (use smaller cells → smaller per-cell

@@ -32,7 +32,12 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "vec_kmeans_q8", "ts_gapfill_locf",
           # round-3 additions: the changed/new plans with scale risk
           "mm_payload_embedding", "j2_point_in_geojson", "eta_routed_osm",
-          "graph_label_propagation", "pipe_domain_quota", "vec_pq_codes"]
+          "graph_label_propagation", "pipe_domain_quota", "vec_pq_codes",
+          # round-4 additions: CRP routing (fixed-size network, scaled
+          # origins/POIs), semantic dedup (scaled corpus → more LSH
+          # planes), IVF-PQ, interval bucketing, watermark drop
+          "eta_routed_osm_large", "dedup_semantic", "sim_cosine_topk_ivfpq",
+          "j_interval_overlap", "st_late_data_drop"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000
