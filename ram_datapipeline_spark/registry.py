@@ -102,6 +102,7 @@ GATE_ORDER: tuple[str, ...] = (
     "j_interval_overlap",       # bucketized interval-overlap join
     "agg_quantile_sketch",      # deterministic mergeable quantile sketch
     "mm_wav_downsample",        # real 2:1 WAV resample through the codec
+    "j_bucketed_colocated",     # zero-exchange bucketed join, plan-asserted
     # r1-only evidence, re-proven (stalest first by family)
     "q1_pricing_summary",
     "q4_exists_correlated",
@@ -118,7 +119,6 @@ GATE_ORDER: tuple[str, ...] = (
     "semi_anti_join",
     "set_intersect_except",
     "agg_distinct_count",
-    "agg_grouping_sets",
     "agg_percentiles",
     "agg_rollup_revenue",
     "w1_latest_per_key",

@@ -178,3 +178,65 @@ def q_k4_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("properties.eta_hospital").alias("eta_hospital"),
         F.col("properties.eta_school").alias("eta_school"),
     )
+
+
+@query(
+    "j_bucketed_colocated",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey=(
+        "bucketed co-located join in the hard signal: both sides "
+        "hash-bucketed + sorted at write time, the equi-join runs with "
+        "ZERO exchange on either side (asserted on the executed plan) — "
+        "the amortized answer for keys joined every run (100 TB join "
+        "discipline, operators/skew.py)"
+    ),
+    tags=("sink", "join", "skew"),
+)
+def q_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment order counts through BUCKETED tables: orders and customer
+    are written bucketed(8) + sorted on the join key, re-read as tables,
+    and joined under a disabled broadcast threshold; the builder asserts
+    the executed join plan contains a SortMergeJoin and NO
+    hash-partitioning Exchange (a silent re-shuffle would defeat the
+    point — fail loudly instead). The oracle is the plain join."""
+    from ram_datapipeline_spark.operators import skew
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = _rt_path("bucketed", sf_dir)
+    skew.write_bucketed(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        f"b_orders_{tag}", os.path.join(base, "orders"), ["o_custkey"], 8,
+    )
+    skew.write_bucketed(
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        f"b_customer_{tag}", os.path.join(base, "customer"),
+        ["c_custkey"], 8,
+    )
+    j = spark.table(f"b_orders_{tag}").join(
+        spark.table(f"b_customer_{tag}"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if "SortMergeJoin" not in plan or "Exchange hashpartitioning" in plan:
+            raise AssertionError(
+                "bucketed join plan re-introduced an exchange:\n" + plan
+            )
+        return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+            ).alias("cents"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
