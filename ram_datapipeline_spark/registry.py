@@ -103,6 +103,7 @@ GATE_ORDER: tuple[str, ...] = (
     "agg_quantile_sketch",      # deterministic mergeable quantile sketch
     "mm_wav_downsample",        # real 2:1 WAV resample through the codec
     "j_bucketed_colocated",     # zero-exchange bucketed join, plan-asserted
+    "ram_full_job",             # §3.1 end-to-end pipeline parity gate
     # r1-only evidence, re-proven (stalest first by family)
     "q1_pricing_summary",
     "q4_exists_correlated",
@@ -119,7 +120,6 @@ GATE_ORDER: tuple[str, ...] = (
     "semi_anti_join",
     "set_intersect_except",
     "agg_distinct_count",
-    "agg_percentiles",
     "agg_rollup_revenue",
     "w1_latest_per_key",
     "w4_moving_window_frame",

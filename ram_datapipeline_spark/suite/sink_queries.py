@@ -240,3 +240,66 @@ def q_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@query(
+    "ram_full_job",
+    oracle=f"""
+    WITH o AS ({ram_domain.ORIGINS_SQL}), p AS ({ram_domain.POIS_SQL}),
+    a AS ({ram_domain.ADMIN_AREAS_SQL}),
+    ind AS (SELECT c_custkey AS origin_id,
+                   CAST(c_acctbal AS DOUBLE) AS pop FROM customer),
+    ia AS (
+      SELECT o.origin_id, a.aa_id, o.lon, o.lat, ind.pop
+      FROM o JOIN a ON o.lon >= a.xmin AND o.lon < a.xmax
+                   AND o.lat >= a.ymin AND o.lat < a.ymax
+           JOIN ind ON ind.origin_id = o.origin_id
+    ),
+    eta AS (
+      SELECT ia.origin_id, ia.aa_id, p.poi_type,
+             min(CASE WHEN sqrt((ia.lon - p.lon) * (ia.lon - p.lon)
+                                + (ia.lat - p.lat) * (ia.lat - p.lat))
+                           * 111.0 / 120.0 * 3600.0 <= 1800.0
+                      THEN sqrt((ia.lon - p.lon) * (ia.lon - p.lon)
+                                + (ia.lat - p.lat) * (ia.lat - p.lat))
+                           * 111.0 / 120.0 * 3600.0 END) AS eta_s
+      FROM ia CROSS JOIN p
+      GROUP BY ia.origin_id, ia.aa_id, p.poi_type
+    )
+    SELECT ia.origin_id, ia.aa_id, ia.lon, ia.lat, ia.pop,
+           min(CASE WHEN poi_type = 'bank' THEN eta_s END) AS eta_bank,
+           min(CASE WHEN poi_type = 'hospital' THEN eta_s END) AS eta_hospital,
+           min(CASE WHEN poi_type = 'school' THEN eta_s END) AS eta_school
+    FROM ia JOIN eta ON ia.origin_id = eta.origin_id AND ia.aa_id = eta.aa_id
+    GROUP BY ia.origin_id, ia.aa_id, ia.lon, ia.lat, ia.pop
+    """,
+    survey=(
+        "§3.1 END-TO-END pipeline parity in the hard signal: the full "
+        "ram-analysis job (S1-S5 inputs → A2 indicator pivot → J2 area "
+        "join → J4/A1 matrix+min with the maxTime cutoff → result "
+        "assembly → ALL K1-K5 sinks + operation log), returning the CSV "
+        "sink re-read (index.js:36-191)"
+    ),
+    tags=("sink", "pipeline", "flagship"),
+)
+def q_ram_full_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs ``plans.run_ram_pipeline`` — the whole reference lifecycle in
+    one DAG, including the operation log and all four data sinks under a
+    temp prefix (overwrite = K7) — then reads the CSV sink back and
+    returns it. The oracle replays indicator pivot, half-open rect
+    containment, the 1800 s unreachable cutoff (null ETAs survive the
+    CSV round trip as nulls), and the eta_<type> flatten; a hash match
+    is pipeline parity end to end, not per-operator."""
+    import shutil
+
+    from ram_datapipeline_spark.plans import run_ram_pipeline
+
+    out = _rt_path("ramjob", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    dfs = run_ram_pipeline(spark, sf_dir, out, selected_aa_ids=None)
+    flat_schema = sinks.flatten_poi_map(dfs["results"]).schema
+    return (
+        spark.read.schema(flat_schema)
+        .option("header", "true")
+        .csv(os.path.join(out, "csv"))
+    )
