@@ -104,6 +104,7 @@ GATE_ORDER: tuple[str, ...] = (
     "mm_wav_downsample",        # real 2:1 WAV resample through the codec
     "j_bucketed_colocated",     # zero-exchange bucketed join, plan-asserted
     "ram_full_job",             # §3.1 end-to-end pipeline parity gate
+    "s8_osm_to_geojson",        # S8 conversion path (ram-vt) hard-gated
     # r1-only evidence, re-proven (stalest first by family)
     "q1_pricing_summary",
     "q4_exists_correlated",
@@ -125,7 +126,6 @@ GATE_ORDER: tuple[str, ...] = (
     "w4_moving_window_frame",
     "w5_lag_lead_gaps",
     "w6_rank_family",
-    "f7_date_parts",
     "f_date_arithmetic",
     "f_string_kit",
     "hof_array_kit",

@@ -585,3 +585,68 @@ def q_eta_routed_osm_large(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ram_datapipeline_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["eta_routed_osm_large"].oracle = _crp_grid_oracle_sql()
+
+
+@query(
+    "s8_osm_to_geojson",
+    oracle=f"""
+    WITH h AS ({ram_domain.HUBS_SQL}),
+    hmin AS (SELECT lon, lat FROM h ORDER BY hub_id LIMIT 1),
+    reg AS (SELECT region_id, count(*) AS n, min(hub_id) AS mn,
+                   max(hub_id) AS mx
+            FROM h GROUP BY region_id)
+    SELECT CAST(1000 AS BIGINT) AS way_id, 'LineString' AS geometry_type,
+           'trunk' AS highway,
+           (SELECT count(*) + 1 FROM h) AS n_points,
+           hmin.lon AS first_lon, hmin.lat AS first_lat,
+           hmin.lon AS last_lon, hmin.lat AS last_lat
+    FROM hmin
+    UNION ALL
+    SELECT CAST(2000 + reg.region_id AS BIGINT), 'LineString', 'motorway',
+           reg.n, f.lon, f.lat, l.lon, l.lat
+    FROM reg JOIN h f ON f.hub_id = reg.mn JOIN h l ON l.hub_id = reg.mx
+    """,
+    survey=(
+        "S8 in the hard signal: OSM XML → GeoJSON LineString features "
+        "(the ram-vt osmtogeojson conversion, ram-vt/app/index.js:121-131)"
+        " as a join + JSON DAG; the gate parses the emitted Feature JSON "
+        "back and checks geometry/properties against a re-derivation"
+    ),
+    tags=("osm", "source"),
+)
+def q_s8_osm_to_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ram-vt conversion path end-to-end: synthesized `.osm` → XML
+    scan → way→GeoJSON assembly (posexplode + node join + re-collect in
+    ref order) → parse the emitted Feature JSON back out. Coordinate
+    order through collect/sort, the tag map → properties hop, and the
+    exact doubles all survive; the oracle re-derives every field from
+    `nation`."""
+    from ram_datapipeline_spark.sources.osm import (
+        osm_ways_to_geojson,
+        read_osm_nodes,
+        read_osm_ways,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = ram_domain.osm_fixture_path(t["nation"])
+    nodes = read_osm_nodes(spark, path)
+    ways = read_osm_ways(spark, path)
+    g = osm_ways_to_geojson(nodes, ways)
+    feat = F.from_json(
+        "feature_json",
+        "struct<type:string,"
+        "geometry:struct<type:string,coordinates:array<array<double>>>,"
+        "properties:map<string,string>>",
+    )
+    parsed = g.select("way_id", feat.alias("f"))
+    coords = F.col("f.geometry.coordinates")
+    return parsed.select(
+        "way_id",
+        F.col("f.geometry.type").alias("geometry_type"),
+        F.element_at("f.properties", "highway").alias("highway"),
+        F.size(coords).cast("long").alias("n_points"),
+        F.element_at(F.element_at(coords, 1), 1).alias("first_lon"),
+        F.element_at(F.element_at(coords, 1), 2).alias("first_lat"),
+        F.element_at(F.element_at(coords, -1), 1).alias("last_lon"),
+        F.element_at(F.element_at(coords, -1), 2).alias("last_lat"),
+    )
