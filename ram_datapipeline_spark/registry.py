@@ -105,6 +105,7 @@ GATE_ORDER: tuple[str, ...] = (
     "j_bucketed_colocated",     # zero-exchange bucketed join, plan-asserted
     "ram_full_job",             # §3.1 end-to-end pipeline parity gate
     "s8_osm_to_geojson",        # S8 conversion path (ram-vt) hard-gated
+    "k1_normalized_roundtrip",  # K1 two-table FK round trip (caught a real bug)
     # r1-only evidence, re-proven (stalest first by family)
     "q1_pricing_summary",
     "q4_exists_correlated",
@@ -126,7 +127,6 @@ GATE_ORDER: tuple[str, ...] = (
     "w4_moving_window_frame",
     "w5_lag_lead_gaps",
     "w6_rank_family",
-    "f_date_arithmetic",
     "f_string_kit",
     "hof_array_kit",
 )

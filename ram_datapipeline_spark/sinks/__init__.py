@@ -48,8 +48,19 @@ def split_results_normalized(
     `poi` map exploded to (result_id, poi_type, eta_s) rows (SURVEY A3).
     Null map entries (unreachable) survive the explode as null eta — same
     semantics as `o.poi[k] === null` handling at `index.js:111-114`.
+
+    The keyed frame is MATERIALIZED (localCheckpoint) before splitting:
+    parent and child are written by separate jobs, and
+    ``monotonically_increasing_id`` depends on the physical row layout a
+    shuffle upstream does not reproduce run-to-run — without the
+    materialization the two writes can assign DIFFERENT keys to the same
+    logical row, silently breaking the FK relation (caught by the
+    ``k1_normalized_roundtrip`` gate re-joining the written tables). This
+    is the engine's analog of the reference serializing through
+    `RETURNING id` (index.js:122-135): key assignment must happen exactly
+    once.
     """
-    keyed = with_surrogate_keys(results, key_col)
+    keyed = with_surrogate_keys(results, key_col).localCheckpoint()
     parent = keyed.drop(poi_map_col)
     child = keyed.select(
         key_col, F.explode_outer(poi_map_col).alias("poi_type", "eta_s")

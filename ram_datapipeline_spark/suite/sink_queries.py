@@ -303,3 +303,44 @@ def q_ram_full_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", "true")
         .csv(os.path.join(out, "csv"))
     )
+
+
+@query(
+    "k1_normalized_roundtrip",
+    oracle=_FLAT_ETA_SQL
+    + """
+    SELECT f.origin_id, f.admin_id, pt.poi_type,
+           CASE pt.poi_type WHEN 'bank' THEN f.eta_bank
+                            WHEN 'hospital' THEN f.eta_hospital
+                            ELSE f.eta_school END AS eta_i
+    FROM flat f CROSS JOIN (VALUES ('bank'), ('hospital'), ('school')) pt(poi_type)
+    """,
+    survey=(
+        "K1+K7: normalized two-table sink round-trip — parent/child "
+        "parquet with pre-generated surrogate keys, re-read and re-joined "
+        "on the FK (index.js:104-135)"
+    ),
+    tags=("sink",),
+)
+def q_k1_normalized_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transactional results/results_poi insert as two
+    parquet appends: the poi map splits into a parent row + child
+    (result_id, poi_type, eta) rows keyed by a pre-generated surrogate
+    (the `RETURNING id` replacement). The gate re-reads BOTH tables and
+    re-joins on the key — key VALUES are job-nondeterministic, but the
+    reconstructed (origin, type, eta) relation must be exact, which is
+    precisely the FK-integrity contract."""
+    results = _results_with_poi_map(spark, sf_dir)
+    base = _rt_path("k1", sf_dir)
+    sinks.write_results_normalized(
+        results,
+        os.path.join(base, "results"),
+        os.path.join(base, "results_poi"),
+        mode="overwrite",
+    )
+    parent = spark.read.parquet(os.path.join(base, "results"))
+    child = spark.read.parquet(os.path.join(base, "results_poi"))
+    return parent.join(child, "result_id").select(
+        "origin_id", "admin_id", "poi_type",
+        F.col("eta_s").alias("eta_i"),
+    )
