@@ -413,16 +413,20 @@ def cosine_topk_ivfpq(
         .distinct()
     )
 
-    # PQ payload: (neighbor_id, subspace, code) + the broadcast codebook
-    codes = pq_codes(corpus, m=m, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "subspace", "code"
-    )
-    qq = quantize_global_q8(corpus, vec_col=vec_col).select(
+    # PQ payload: (neighbor_id, subspace, code) + the broadcast codebook.
+    # One shared global-q8 pass feeds all three consumers (PQ encoding,
+    # query codes, codebook seeds) instead of three corpus scans.
+    c8 = quantize_global_q8(corpus, vec_col=vec_col).select(
+        id_col, "codes"
+    ).persist()
+    codes = pq_codes(
+        corpus, m=m, id_col=id_col, vec_col=vec_col, codes_df=c8
+    ).select(F.col(id_col).alias("neighbor_id"), "subspace", "code")
+    qq = c8.select(
         F.col(id_col).alias("query_id"), F.col("codes").alias("_qcodes")
     )
     seed_rows = (
-        quantize_global_q8(corpus, vec_col=vec_col)
-        .select(
+        c8.select(
             F.md5(F.col(id_col).cast("string")).alias("h"),
             F.col(id_col),
             "codes",

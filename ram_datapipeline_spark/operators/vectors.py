@@ -305,6 +305,7 @@ def pq_codes(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Product quantization: split each vector into ``m`` contiguous
     subvectors and encode every subvector as the id of its nearest of
@@ -333,7 +334,14 @@ def pq_codes(
     """
     import numpy as np
 
-    c = quantize_global_q8(df, vec_col=vec_col).select(id_col, "codes")
+    # ``codes_df``: optionally reuse a precomputed (id, codes) global-q8
+    # frame (callers composing several PQ consumers — e.g. IVF-PQ — avoid
+    # re-running the corpus min/max + projection per consumer)
+    c = (
+        codes_df.select(id_col, "codes")
+        if codes_df is not None
+        else quantize_global_q8(df, vec_col=vec_col).select(id_col, "codes")
+    )
     first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     if first and first[0]["d"] % m != 0:
         raise ValueError(
