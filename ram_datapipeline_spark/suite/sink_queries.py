@@ -344,3 +344,46 @@ def q_k1_normalized_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "origin_id", "admin_id", "poi_type",
         F.col("eta_s").alias("eta_i"),
     )
+
+
+@query(
+    "s5_geojson_source",
+    oracle=ram_domain.ORIGINS_SQL,
+    survey=(
+        "S5 in the hard signal: whole-document GeoJSON FeatureCollection "
+        "source (getJSONFileContents, s3/utils.js:31-49 → index.js:289) — "
+        "write the reference-exact document, re-read through the engine's "
+        "multiline JSON reader, re-project points + dynamic properties"
+    ),
+    tags=("source", "sink"),
+)
+def q_s5_geojson_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origins → ONE FeatureCollection document (the reference's wire
+    format, built by the collect-form sink — driver-sized by the
+    reference's own design) → S5 reader (`read_geojson_points`,
+    multiLine) → (origin_id, admin_id, lon, lat) re-extracted from
+    geometry + the dynamic properties bag. Hash-matching the origins
+    view proves the full document write → parse → project cycle,
+    including shortest-repr doubles through JSON text."""
+    from ram_datapipeline_spark.sources.geojson import read_geojson_points
+
+    t = load_tables(spark, sf_dir)
+    o = ram_domain.origins(t["customer"])
+    doc = sinks.geojson_feature_collection(
+        o, prop_cols=["origin_id", "admin_id"]
+    )
+    path = _rt_path("s5", sf_dir) + ".geojson"
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(doc)
+    os.replace(tmp, path)
+    pts = read_geojson_points(spark, path, multiline=True)
+    props = F.from_json(
+        "properties_json", "struct<origin_id:bigint,admin_id:int>"
+    )
+    return pts.select(
+        props["origin_id"].alias("origin_id"),
+        props["admin_id"].alias("admin_id"),
+        "lon",
+        "lat",
+    )
