@@ -321,18 +321,28 @@ def partitioned_many_to_many(
     s_cell = sources.join(cells, "node_id").select(
         "src_id", F.col("node_id").alias("s_node"), "cell"
     )
-    seeds = (
+    seeds_in = (
         s_cell.join(
             incell,
             (s_cell["cell"] == incell["cell"])
             & (s_cell["s_node"] == incell["src"]),
         )
         .join(bdf, incell["dst"] == bdf["node_id"])
+        .select("src_id", incell["dst"].alias("b"), "w")
+    )
+    # a source sitting ON a boundary node of a cell with no in-cell edges
+    # has no closure rows (not even its diagonal — the closure is built
+    # from in-cell edges); seed it with the implicit zero leg to itself
+    seeds_self = s_cell.join(
+        bdf, s_cell["s_node"] == bdf["node_id"]
+    ).select("src_id", F.col("s_node").alias("b"), F.lit(0).alias("w"))
+    seeds = (
+        seeds_in.union(seeds_self)
         # a src_id may own SEVERAL nodes (osrm-style multiple access
         # points; also how callers min-fuse groups of sources — every
         # downstream step is min-plus, so per-group minima commute):
         # seed with the best leg per (source, boundary)
-        .groupBy("src_id", incell["dst"].alias("b"))
+        .groupBy("src_id", "b")
         .agg(F.min("w").alias("w"))
     )
     seed_rows = [(r["src_id"], r["b"], r["w"]) for r in seeds.collect()]
@@ -368,7 +378,7 @@ def partitioned_many_to_many(
     def fold(tgts, legs):
         import pandas as pd
 
-        if len(tgts) == 0 or len(legs) == 0:
+        if len(tgts) == 0:
             return pd.DataFrame(
                 {
                     "src_id": np.empty(0, dtype=np.int64),
@@ -377,14 +387,40 @@ def partitioned_many_to_many(
                 }
             )
         keys, bixx, mat = od_bc.value
-        b_loc = sorted(set(legs["b"]))
+        # target nodes may be absent from the closure rows (a boundary
+        # node in a cell with no in-cell edges has none, not even its
+        # diagonal) — include them, with the implicit zero self-leg for
+        # boundary nodes, so such targets resolve instead of crashing
+        # the index map or silently dropping
+        b_loc = sorted(
+            set(legs["b"]) | (set(tgts["t_node"]) & set(bixx))
+        )
+        if not b_loc:
+            # no boundary touches this cell: no via-boundary paths here
+            # (same-cell pairs are the direct term's job)
+            return pd.DataFrame(
+                {
+                    "src_id": np.empty(0, dtype=np.int64),
+                    "tgt_id": np.empty(0, dtype=np.int64),
+                    "d": np.empty(0, dtype=np.int64),
+                }
+            )
         b_l = {v: i for i, v in enumerate(b_loc)}
-        nodes = sorted(set(legs["dst"]))
+        nodes = sorted(set(legs["dst"]) | set(tgts["t_node"]))
         n_l = {v: i for i, v in enumerate(nodes)}
         L = np.full((len(b_loc), len(nodes)), INF_I64, dtype=np.int64)
-        L[
-            legs["b"].map(b_l).to_numpy(), legs["dst"].map(n_l).to_numpy()
-        ] = legs["w"].to_numpy(dtype=np.int64)
+        if len(legs):
+            np.minimum.at(
+                L,
+                (
+                    legs["b"].map(b_l).to_numpy(),
+                    legs["dst"].map(n_l).to_numpy(),
+                ),
+                legs["w"].to_numpy(dtype=np.int64),
+            )
+        for v in b_loc:
+            if v in n_l:
+                L[b_l[v], n_l[v]] = min(L[b_l[v], n_l[v]], 0)
         D = mat[:, [bixx[v] for v in b_loc]]  # (S, B_c)
         best = (D[:, :, None] + L[None, :, :]).min(axis=1)  # (S, n_nodes)
         t_idx = tgts["t_node"].map(n_l).to_numpy()

@@ -161,3 +161,27 @@ def test_in_cell_closure_exact_within_cell(spark):
     for s in range(16):
         for d in range(16):
             assert got[(s, d)] == ref[s][d]
+
+
+def test_crp_single_node_cells(spark):
+    """Boundary nodes in single-node cells (no in-cell edges, hence no
+    closure rows at all): sources and targets sitting on them must still
+    route — via implicit zero legs — including source == target."""
+    # chain 0-1-2, one cell per node: every edge is inter-cell
+    rows = [(0, 1, 5), (1, 0, 5), (1, 2, 7), (2, 1, 7)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    cells = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2)], "node_id long, cell long"
+    )
+    sources = spark.createDataFrame([(0, 0)], "src_id long, node_id long")
+    targets = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2)], "tgt_id long, node_id long"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.partitioned_many_to_many(
+            edges, cells, sources, targets,
+            n_cell_squarings=1, n_overlay_rounds=4,
+        ).collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 5, (0, 2): 12}
