@@ -118,7 +118,23 @@ def in_cell_closures(
         di = pdf["dst"].map(ix).to_numpy()
         np.minimum.at(d, (si, di), pdf["w"].to_numpy(dtype=np.int64))
         for _ in range(n_squarings):
-            d = (d[:, :, None] + d[None, :, :]).min(axis=1)
+            nxt = (d[:, :, None] + d[None, :, :]).min(axis=1)
+            if np.array_equal(nxt, d):
+                d = nxt
+                break
+            d = nxt
+        else:
+            # ran all rounds without reaching a fixed point: probe once
+            # more — an under-specified n_squarings must fail loudly
+            # instead of returning bounded-hop overestimates (the same
+            # guard the overlay relaxation carries)
+            probe = (d[:, :, None] + d[None, :, :]).min(axis=1)
+            if not np.array_equal(probe, d):
+                raise ValueError(
+                    f"in_cell_closures: cell {int(pdf['cell'].iloc[0])} "
+                    f"not closed after {n_squarings} squarings — use "
+                    "ceil(log2(max cell node count - 1))"
+                )
         s_idx, d_idx = np.nonzero(d < INF_I64)
         arr = np.asarray(nodes, dtype=np.int64)
         return pd.DataFrame(

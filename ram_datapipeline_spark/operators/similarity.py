@@ -416,12 +416,28 @@ def cosine_topk_ivfpq(
     # PQ payload: (neighbor_id, subspace, code) + the broadcast codebook.
     # One shared global-q8 pass feeds all three consumers (PQ encoding,
     # query codes, codebook seeds) instead of three corpus scans.
+    # localCheckpoint (not persist): materialized once for the three
+    # consumers below, and freed by the ContextCleaner when the returned
+    # frame is garbage — persist() would leak a cached frame per call
     c8 = quantize_global_q8(corpus, vec_col=vec_col).select(
         id_col, "codes"
-    ).persist()
+    ).localCheckpoint()
     codes = pq_codes(
         corpus, m=m, id_col=id_col, vec_col=vec_col, codes_df=c8
     ).select(F.col(id_col).alias("neighbor_id"), "subspace", "code")
+    # query codes come from the corpus-side table: queries MUST be drawn
+    # from the corpus (their PQ comparison is only meaningful under the
+    # corpus quantization scale) — fail loudly instead of silently
+    # returning no neighbors for unknown query ids
+    n_unknown = queries.select(id_col).join(
+        c8.select(id_col), id_col, "left_anti"
+    ).count()
+    if n_unknown:
+        raise ValueError(
+            f"cosine_topk_ivfpq: {n_unknown} query ids absent from the "
+            "corpus — out-of-corpus queries need corpus-scale "
+            "quantization first (quantize_global_q8 bounds)"
+        )
     qq = c8.select(
         F.col(id_col).alias("query_id"), F.col("codes").alias("_qcodes")
     )

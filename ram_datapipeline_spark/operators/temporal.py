@@ -117,16 +117,27 @@ def scd2_intervals(
 
     Ordering is (ts, tiebreak) so same-timestamp changes have a
     deterministic sequence (oracle requirement). Consecutive duplicates
-    extend the current interval instead of opening a new one.
+    extend the current interval instead of opening a new one; NULL
+    attribute values form their own runs (null-safe comparison), so a
+    NULL period is never silently attributed to the preceding value.
 
     Shape: two windows over the SAME (key, order) partitioning — Catalyst
     plans one Exchange + one sort for both; nothing global, nothing on
     the driver.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # null-safe change detection: lag() yields NULL both for "no previous
+    # row" and "previous value was NULL", so a plain != would drop
+    # transitions INTO a NULL value (the row filters to NULL) and a plain
+    # eqNullSafe would drop a key's FIRST row when its value is NULL —
+    # row_number disambiguates the two cases
     changes = (
         df.withColumn("_prev", F.lag(attr_col).over(w))
-        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            | ~F.col("_prev").eqNullSafe(F.col(attr_col))
+        )
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     return (
@@ -147,6 +158,7 @@ def late_data_drop(
     arrival_col: str = "event_id",
     ts_col: str = "ts",
     range_size: int = 1024,
+    carry_cols: tuple[str, ...] = ("user_id",),
 ) -> DataFrame:
     """Batch twin of Structured Streaming's watermark drop rule: an event
     is LATE iff its event time is older than (max event time seen at any
@@ -190,7 +202,7 @@ def late_data_drop(
         "is_late",
         F.col(ts_col) < seen_max - F.expr(f"INTERVAL {delay}"),
     )
-    return out.select(arrival_col, "user_id", ts_col, "is_late")
+    return out.select(arrival_col, *carry_cols, ts_col, "is_late")
 
 
 def interval_overlap_join(

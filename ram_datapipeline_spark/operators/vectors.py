@@ -343,9 +343,12 @@ def pq_codes(
         else quantize_global_q8(df, vec_col=vec_col).select(id_col, "codes")
     )
     first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if first and first[0]["d"] % m != 0:
+    dim0 = first[0]["d"] if first else None
+    # size() yields -1/NULL for a NULL array — skip those rather than
+    # raising a misleading divisibility error
+    if dim0 is not None and dim0 >= 0 and dim0 % m != 0:
         raise ValueError(
-            f"pq_codes: embedding dim {first[0]['d']} is not divisible by "
+            f"pq_codes: embedding dim {dim0} is not divisible by "
             f"m={m} (each of the m subvectors must have equal length)"
         )
     id_sql_type = df.schema[id_col].dataType.simpleString()

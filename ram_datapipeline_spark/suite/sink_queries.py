@@ -232,12 +232,18 @@ def q_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 "bucketed join plan re-introduced an exchange:\n" + plan
             )
-        return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        # EXECUTE the aggregate while the broadcast threshold is still
+        # disabled (localCheckpoint materializes here), so the asserted
+        # zero-exchange SortMergeJoin is the plan that actually ran —
+        # restoring the conf first would let the returned frame re-plan
+        # with a broadcast join at collection time
+        agg = j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
             F.count("*").alias("n_orders"),
             F.sum(
                 F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
             ).alias("cents"),
         )
+        return agg.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

@@ -163,3 +163,31 @@ def test_interval_overlap_bucketing_complete(spark):
         for r in interval_overlap_join(a, b, "k", bucket_seconds=1800).collect()
     }
     assert got == {(1, 10): 300, (2, 11): 300, (3, 13): 60}
+
+
+def test_scd2_null_values_form_their_own_runs(spark):
+    """Transitions into and out of NULL values must open/close intervals
+    (null-safe comparison), including a key whose FIRST value is NULL."""
+    from ram_datapipeline_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, "a", _ts(1), 1),
+        (1, None, _ts(2), 2),
+        (1, None, _ts(3), 3),   # merges into the NULL run
+        (1, "b", _ts(4), 4),
+        (2, None, _ts(5), 5),   # first value NULL
+        (2, "x", _ts(6), 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        (r["user_id"], r["value"]): (r["valid_from"], r["valid_to"])
+        for r in scd2_intervals(df).collect()
+    }
+    assert got[(1, "a")] == (_ts(1), _ts(2))
+    assert got[(1, None)] == (_ts(2), _ts(4))
+    assert got[(1, "b")] == (_ts(4), None)
+    assert got[(2, None)] == (_ts(5), _ts(6))
+    assert got[(2, "x")] == (_ts(6), None)
+    assert len(got) == 5
