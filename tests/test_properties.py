@@ -304,3 +304,96 @@ def test_pagerank_int_matches_replay(spark, raw, iters):
     df = spark.createDataFrame(edge_list, "src long, dst long")
     got = {r["node"]: r["rank_fp"] for r in pagerank_int(df, iters=iters).collect()}
     assert got == ranks
+
+
+interval_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # key
+        st.integers(min_value=0, max_value=20000),  # start second
+        st.integers(min_value=0, max_value=7000),   # length seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(a_raw=interval_strategy, b_raw=interval_strategy,
+       bucket=st.sampled_from([60, 600, 1800]))
+@SETTINGS
+def test_interval_overlap_bucketing_equals_naive(spark, a_raw, b_raw, bucket):
+    """Bucketized overlap join ≡ the naive per-key cross-join filter for
+    ANY bucket width (completeness and dedup never depend on it),
+    including intervals much longer than a bucket and zero-length
+    intervals."""
+    from ram_datapipeline_spark.operators.temporal import interval_overlap_join
+
+    import datetime as dt
+
+    def frame(raw, id0):
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (id0 + i, k, base + dt.timedelta(seconds=s),
+             base + dt.timedelta(seconds=s + ln))
+            for i, (k, s, ln) in enumerate(raw)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "id long, k long, s timestamp, e timestamp"
+        )
+
+    ar, adf = frame(a_raw, 0)
+    br, bdf = frame(b_raw, 1000)
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap_s"]
+        for r in interval_overlap_join(adf, bdf, "k", bucket_seconds=bucket).collect()
+    }
+    want = {}
+    for aid, ak, as_, ae in ar:
+        for bid, bk, bs, be in br:
+            if ak == bk and as_ < be and bs < ae:
+                want[(aid, bid)] = int(
+                    (min(ae, be) - max(as_, bs)).total_seconds()
+                )
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),       # group
+            st.integers(min_value=0, max_value=10**6),   # value
+        ),
+        min_size=1, max_size=60,
+    ),
+    n_shards=st.sampled_from([2, 3]),
+)
+@SETTINGS
+def test_quantile_sketch_shard_merge_invariant(spark, rows, n_shards):
+    """Sketching the union of per-shard SAMPLES equals sketching the
+    whole input, for any shard split — the KMV mergeability law."""
+    from pyspark.sql.window import Window
+
+    from ram_datapipeline_spark.operators.sketches import hash_quantile_sketch
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, v long, key long")
+    whole = {
+        r["g"]: (r["n_sample"], r["p50"], r["p90"])
+        for r in hash_quantile_sketch(df, "g", "v", "key", k=8).collect()
+    }
+    win = Window.partitionBy("g").orderBy(
+        F.md5(F.col("key").cast("string")), F.col("key")
+    )
+    union = None
+    for p in range(n_shards):
+        s = (
+            df.filter(F.col("key") % n_shards == p)
+            .withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= 8)
+            .drop("_rn")
+        )
+        union = s if union is None else union.unionByName(s)
+    merged = {
+        r["g"]: (r["n_sample"], r["p50"], r["p90"])
+        for r in hash_quantile_sketch(union, "g", "v", "key", k=8).collect()
+    }
+    assert merged == whole
