@@ -86,3 +86,46 @@ def resample_gapfill_locf(
             F.last("last_v", ignorenulls=True).over(locf_w).alias("locf_value"),
         )
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Downsample a value stream to OHLC bars: per (key, time bucket) the
+    opening value (first by (ts, tiebreak)), high, low, closing value
+    (last), and tick count — the canonical series-compaction shape
+    (candles, sensor rollups, metric downsampling).
+
+    Open/close are struct-min/max over (ts, tiebreak, value): a pure
+    aggregate with map-side combine and a DETERMINISTIC winner under
+    same-timestamp ticks (the min_by/max_by builtins tie-break
+    arbitrarily — unusable under an exact oracle). One shuffle on
+    (key, bucket); high/low/count ride the same aggregate.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    first_s = F.min(F.struct(ts_col, tiebreak_col, value_col))
+    last_s = F.max(F.struct(ts_col, tiebreak_col, value_col))
+    return (
+        df.groupBy(F.col(key_col), b)
+        .agg(
+            first_s.alias("_f"),
+            last_s.alias("_l"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            F.col(f"_f.{value_col}").alias("open"),
+            "high",
+            "low",
+            F.col(f"_l.{value_col}").alias("close"),
+            "n_ticks",
+        )
+    )

@@ -107,6 +107,7 @@ GATE_ORDER: tuple[str, ...] = (
     "s8_osm_to_geojson",        # S8 conversion path (ram-vt) hard-gated
     "k1_normalized_roundtrip",  # K1 two-table FK round trip (caught a real bug)
     "s5_geojson_source",        # S5 FeatureCollection source hard-gated
+    "ts_ohlc_bars",             # OHLC downsampling, deterministic ties
     # r1-only evidence, re-proven (stalest first by family)
     "q1_pricing_summary",
     "q4_exists_correlated",
@@ -128,7 +129,6 @@ GATE_ORDER: tuple[str, ...] = (
     "w4_moving_window_frame",
     "w5_lag_lead_gaps",
     "w6_rank_family",
-    "hof_array_kit",
 )
 
 

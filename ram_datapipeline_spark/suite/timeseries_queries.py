@@ -182,3 +182,40 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return scd2_intervals(t["events"])
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_f,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_l
+      FROM events
+    )
+    SELECT event_type, bucket,
+           min(CASE WHEN rn_f = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_l = 1 THEN value END) AS close,
+           count(*) AS n_ticks
+    FROM r GROUP BY event_type, bucket
+    """,
+    survey=(
+        "OHLC downsampling bars — series compaction with deterministic "
+        "open/close under same-timestamp ticks (beyond-reference "
+        "timeseries surface)"
+    ),
+    tags=("timeseries",),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close via struct-min/max
+    over (ts, event_id, value) — one aggregate with map-side combine,
+    deterministic ties (min_by/max_by would not be). The oracle replays
+    first/last via dual row_number windows."""
+    from ram_datapipeline_spark.operators.timeseries import ohlc_bars
+
+    t = load_tables(spark, sf_dir)
+    return ohlc_bars(t["events"])
