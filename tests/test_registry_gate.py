@@ -79,11 +79,32 @@ def test_gated_queries_all_have_oracles():
     assert not oracleless, oracleless
 
 
-# Queries registered AFTER this round's 50-slot window was frozen. They are
-# oracle-green in the full mirror sweep and are the FIRST rotation
-# candidates for the next round's window. (Empty at the r4 freeze: every
-# registered query is either past-proven or in the current window.)
-NEXT_ROUND_ROTATION: tuple[str, ...] = ()
+# Rotation candidates for the NEXT round's window. Every registered query
+# is past-proven or in the current window (nothing invisible), but these
+# r1-only-proven queries were displaced from the r4 window by round-4's
+# new operators and now carry the stalest evidence — re-prove them first
+# in r5 (all are oracle-green in the full mirror sweep,
+# artifacts/VERIFY_r04.txt).
+NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    "a3_unpivot_stack",
+    "a4_group_nested",
+    "a5_union_all",
+    "a6_grouped_count",
+    "p4_first_row",
+    "s4_admin_scan_inlist",
+    "w2_sort_limit_topk",
+    "agg_cube_orders",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "f7_date_parts",
+    "f_date_arithmetic",
+    "f_string_kit",
+    "hof_array_kit",
+    "mm_audio_frame_energy",
+    "mm_decode_image_stats",
+    "mm_frame_sample",
+    "mm_media_catalog",
+)
 
 
 def test_every_registered_query_driver_proven_or_gated():
