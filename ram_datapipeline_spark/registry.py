@@ -108,6 +108,7 @@ GATE_ORDER: tuple[str, ...] = (
     "k1_normalized_roundtrip",  # K1 two-table FK round trip (caught a real bug)
     "s5_geojson_source",        # S5 FeatureCollection source hard-gated
     "ts_ohlc_bars",             # OHLC downsampling, deterministic ties
+    "a7_operation_log",         # A7 lifecycle (operations/operations_logs)
     # r1-only evidence, re-proven (stalest first by family)
     "q1_pricing_summary",
     "q4_exists_correlated",
@@ -125,7 +126,6 @@ GATE_ORDER: tuple[str, ...] = (
     "set_intersect_except",
     "agg_distinct_count",
     "agg_rollup_revenue",
-    "w1_latest_per_key",
     "w4_moving_window_frame",
     "w5_lag_lead_gaps",
     "w6_rank_family",

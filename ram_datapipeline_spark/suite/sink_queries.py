@@ -393,3 +393,67 @@ def q_s5_geojson_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon",
         "lat",
     )
+
+
+@query(
+    "a7_operation_log",
+    oracle="""
+    WITH reg AS (
+      SELECT r.r_regionkey AS rk, r.r_name AS rname, count(*) AS n
+      FROM region r JOIN nation ON n_regionkey = r.r_regionkey
+      GROUP BY r.r_regionkey, r.r_name
+    )
+    SELECT CAST(0 AS BIGINT) AS op_id, CAST(0 AS BIGINT) AS log_id,
+           'start' AS code, '{"message": "Analysis started"}' AS data,
+           'generate-analysis' AS name, 'complete' AS status
+    UNION ALL
+    SELECT 0, 1 + rk, 'process:region',
+           '{"region": "' || rname || '", "n_nations": ' || CAST(n AS VARCHAR) || '}',
+           'generate-analysis', 'complete'
+    FROM reg
+    UNION ALL
+    SELECT 0, 6, 'success', '{"message": "Operation complete"}',
+           'generate-analysis', 'complete'
+    """,
+    survey=(
+        "A7 in the hard signal: operation/progress accounting — the "
+        "reference's operations + operations_logs lifecycle "
+        "(app/utils/operation.js:87-230) as append-only events, re-read "
+        "and joined latest-status-per-op"
+    ),
+    tags=("sink", "streaming"),
+)
+def q_a7_operation_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full operation lifecycle against a fresh log root: start (status
+    event + uniqueness guard), one progress event per region carrying a
+    data-derived JSON payload, finish (success log + complete status).
+    The gate re-reads BOTH tables and joins each log row with its
+    operation's LATEST status (the W1 read the reference does with
+    ORDER BY id DESC LIMIT 1) — ids, codes, payload JSON, and the status
+    fold must all replay exactly."""
+    import shutil
+
+    from ram_datapipeline_spark.streaming import OperationLog
+
+    t = load_tables(spark, sf_dir)
+    base = _rt_path("a7", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    ol = OperationLog(spark, base)
+    op = ol.start("generate-analysis", project_id=1, scenario_id=1)
+    ol.log(op, "start", {"message": "Analysis started"})
+    regions = sorted(
+        (r["r_regionkey"], r["r_name"], r["n"])
+        for r in t["region"]
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for rk, rname, n in regions:
+        ol.log(op, "process:region", {"region": rname, "n_nations": int(n)})
+    ol.finish(op)
+    logs = spark.read.parquet(os.path.join(base, "operations_logs"))
+    status = ol.current_status().select("op_id", "name", "status")
+    return logs.join(status, "op_id").select(
+        "op_id", "log_id", "code", "data", "name", "status"
+    )

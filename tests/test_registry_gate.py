@@ -100,6 +100,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "f_date_arithmetic",
     "f_string_kit",
     "hof_array_kit",
+    "w1_latest_per_key",
     "mm_audio_frame_energy",
     "mm_decode_image_stats",
     "mm_frame_sample",
