@@ -63,6 +63,10 @@ HEADLINE = [
     "k2_csv_roundtrip",      # sink write + re-read through real file I/O
     "dedup_semantic",        # embedding-space dedup, bucket-local pairs
     "sim_cosine_topk_ivfpq",  # IVF-PQ ANN over compressed codes
+    # round-5 additions
+    "ram_full_job",          # §3.1: the reference's entire job end-to-end —
+                             # the heaviest single entry, keeps the full
+                             # pipeline's regression surface benched
 ]
 
 

@@ -366,6 +366,7 @@ def cosine_topk_ivfpq(
     queries: DataFrame, corpus: DataFrame, k: int = 5, m: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_cells: int | None = None, n_probe: int | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the full billion-scale ANN index shape — IVF cells prune
     the corpus, PQ codes replace full vectors in the distance kernel.
@@ -382,7 +383,21 @@ def cosine_topk_ivfpq(
     index's compressed payload) instead of the raw vectors — at a
     billion vectors the scan drops from 256 B/vec of floats to
     ~``m`` bytes/vec, which is the reason IVF-PQ exists. One shuffle on
-    cell for candidates, one aggregate per (query, neighbor)."""
+    cell for candidates, one aggregate per (query, neighbor).
+
+    ``rerank``: exact re-ranking depth — the standard IVF-PQ deployment
+    shape (coarse ADC shortlist → exact distances on the survivors). A
+    16-codeword codebook resolves CLUSTERS, not within-cluster order, so
+    raw ADC recall@k collapses on clusterable corpora (measured ~0.05
+    here — and a Lloyd-refined codebook does NOT fix it; the code budget
+    is the limit). With ``rerank=R`` the per-query ADC top-R shortlist
+    (R ≫ k, still tiny) joins back to the raw vectors ONCE — |queries|·R
+    rows, never the corpus — and the final top-k orders by exact cosine
+    (ties on neighbor id). tests/test_similarity.py holds the recall
+    floor this buys. Output schema is unchanged: ``adc_dist`` then
+    carries the exact-cosine rank ordering in ``rk`` while staying the
+    shortlist's ADC score (both are reported so drift in either layer is
+    observable)."""
     from ram_datapipeline_spark.operators.vectors import (
         pq_codes,
         quantize_global_q8,
@@ -481,8 +496,38 @@ def cosine_topk_ivfpq(
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    if rerank is None:
+        return ranked.filter(F.col("rk") <= k).select(
+            "query_id", "neighbor_id", "adc_dist", "rk"
+        )
+    # exact re-rank of the ADC shortlist: (|queries| × rerank) rows join
+    # the raw vectors — corpus-sized nothing; the shortlist is the only
+    # thing that moves
+    short = ranked.filter(F.col("rk") <= int(rerank)).select(
+        "query_id", "neighbor_id", "adc_dist"
+    )
+    nv = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_e").alias("_nv"),
+        F.col("_nrm").alias("_nn"),
+    )
+    qv = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_e").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+    )
+    cos = (_dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")))
+    exact = (
+        short.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("_cos", cos)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        exact.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rk")
     )

@@ -322,3 +322,119 @@ def osm_grid_fixture_path() -> str:
             f.write(xml)
         os.replace(tmp, path)
     return path
+
+
+# --- xlarge OSM grid with a road HIERARCHY (VERDICT r4 next-round #4) ---
+#
+# A 128×128 network (16,384 nodes) whose border crossings are SPARSE, the
+# property that makes real road networks partition well (and the reason
+# CRP works): every road runs freely inside its 8×8-node cell, but only
+# motorway rows/columns (every 4th line) cross cell borders, and only
+# every 4th motorway (lines ≡ 0 mod 16) crosses SUPERCELL borders (4×4
+# cells). Single-level overlay ≈ 16k rows (256 boundary cliques of ~8);
+# the two-level core ≈ 2k rows — the order-of-magnitude drop a second
+# overlay level buys, provable at test scale. Coordinates are exact
+# binary; weights integerize to whole seconds.
+
+GRID2_W = 128
+GRID2_H = 128
+GRID2_LON0 = 40.0
+GRID2_LAT0 = 10.0
+GRID2_CELL = 8            # 8×8-node cells → 16×16 = 256 cells
+GRID2_CELLS_X = GRID2_W // GRID2_CELL
+GRID2_SUPER = 4           # 4×4-cell supercells → 4×4 = 16 supercells
+# line classes: motorway arterials every 4th line (they alone cross cell
+# borders; every 4th arterial crosses supercell borders), local tiers
+# cycling 30/50/60 km/h elsewhere
+GRID2_LOCAL_HIGHWAYS = ("residential", "tertiary", "secondary")
+
+
+def _grid2_highway(line_idx: int) -> str:
+    if line_idx % 4 == 0:
+        return "motorway"
+    return GRID2_LOCAL_HIGHWAYS[line_idx % 3]
+
+
+def _grid2_step_exists(step_to: int, cross_idx: int) -> bool:
+    """Does the edge arriving at index ``step_to`` along a line with
+    perpendicular index ``cross_idx`` exist? Border crossings thin out
+    up the hierarchy: supercell borders (mult of 32) need a major
+    arterial (cross_idx ≡ 0 mod 16), cell borders (mult of 8) a minor
+    one (≡ 0 mod 4); interior steps always exist."""
+    if step_to % (GRID2_CELL * GRID2_SUPER) == 0:
+        return cross_idx % 16 == 0
+    if step_to % GRID2_CELL == 0:
+        return cross_idx % 4 == 0
+    return True
+
+
+def synthesize_osm_grid2_xml() -> str:
+    """Deterministic `.osm` document for the hierarchical grid. Nodes are
+    ``node_id = r * GRID2_W + c``; each row/column emits one way per
+    maximal run of existing consecutive edges (so a way never bridges a
+    border its class cannot cross), tagged with the line's highway
+    class."""
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    for r in range(GRID2_H):
+        lat = GRID2_LAT0 + r * GRID_STEP
+        for c in range(GRID2_W):
+            lon = GRID2_LON0 + c * GRID_STEP
+            lines.append(
+                f'  <node id="{r * GRID2_W + c}" lon="{lon!r}" lat="{lat!r}"/>'
+            )
+
+    def emit_ways(n_lines, n_steps, way_base, node_of, hw_of):
+        for li in range(n_lines):
+            run: list[int] = [node_of(li, 0)]
+            seg = 0
+            for s in range(1, n_steps):
+                if _grid2_step_exists(s, li):
+                    run.append(node_of(li, s))
+                else:
+                    if len(run) > 1:
+                        refs = "".join(
+                            f'    <nd ref="{n}"/>\n' for n in run
+                        )
+                        lines.append(
+                            f'  <way id="{way_base + li * 32 + seg}">\n'
+                            f'{refs}    <tag k="highway" '
+                            f'v="{hw_of(li)}"/>\n  </way>'
+                        )
+                    seg += 1
+                    run = [node_of(li, s)]
+            if len(run) > 1:
+                refs = "".join(f'    <nd ref="{n}"/>\n' for n in run)
+                lines.append(
+                    f'  <way id="{way_base + li * 32 + seg}">\n'
+                    f'{refs}    <tag k="highway" v="{hw_of(li)}"/>\n'
+                    "  </way>"
+                )
+
+    emit_ways(
+        GRID2_H, GRID2_W, 100_000,
+        lambda r, c: r * GRID2_W + c, _grid2_highway,
+    )
+    emit_ways(
+        GRID2_W, GRID2_H, 200_000,
+        lambda c, r: r * GRID2_W + c, _grid2_highway,
+    )
+    lines.append("</osm>")
+    return "\n".join(lines) + "\n"
+
+
+def osm_grid2_fixture_path() -> str:
+    """Materialize the hierarchical grid `.osm` (same content-addressed
+    write-then-rename contract as ``osm_grid_fixture_path``)."""
+    import hashlib
+    import os
+    import tempfile
+
+    xml = synthesize_osm_grid2_xml()
+    digest = hashlib.md5(xml.encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"ram_osm_grid2_{digest}.osm")
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(xml)
+        os.replace(tmp, path)
+    return path

@@ -231,16 +231,51 @@ def append_metadata_event(
     spark: SparkSession,
     path: str,
     payload: dict[str, str],
+    seq: int | None = None,
 ) -> None:
     """K5: scalar metadata updates (`res_gen_at`, `updated_at`,
-    `scenarios_files` row) as an append-only event row — last-write-wins by
-    timestamp replaces in-place UPDATE, which object stores don't do."""
+    `scenarios_files` row, reference `index.js:153-156,506-511`) as an
+    append-only event row — last-write-wins replaces in-place UPDATE,
+    which object stores don't do.
+
+    ``seq``: explicit monotone event sequence number; callers that own an
+    ordered write path (the operation-log pattern) pass it so the
+    last-write-wins fold is deterministic and replayable. When omitted the
+    wall-clock ``updated_at`` is the only ordering (the reference's own
+    semantic — its `updated_at` column IS a wall clock)."""
     row = [tuple(payload.values())]
     cols = list(payload.keys())
-    df = spark.createDataFrame(row, cols).withColumn(
-        "updated_at", F.current_timestamp()
+    df = (
+        spark.createDataFrame(row, cols)
+        .withColumn("updated_at", F.current_timestamp())
+        .withColumn("seq", F.lit(seq).cast("long"))
     )
     df.write.mode("append").parquet(path)
+
+
+def latest_metadata(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """K5 read side: fold the append-only metadata event log to its
+    current state — the newest row per key (the UPDATE the reference's
+    `knex(...).update()` performs in place, `index.js:153-156`, replayed
+    as a latest-per-key aggregate). Ordering is (seq, updated_at): the
+    explicit sequence when the writer supplied one, wall clock otherwise.
+
+    One hash aggregation (``max_by`` over a struct — map-side partial,
+    no window/sort), so the fold scales to event logs of any size."""
+    ev = spark.read.parquet(path)
+    val_cols = [
+        c for c in ev.columns
+        if c not in set(key_cols) | {"updated_at", "seq"}
+    ]
+    ord_col = F.struct(F.col("seq"), F.col("updated_at"))
+    agg = [
+        F.max_by(F.col(c), ord_col).alias(c) for c in val_cols
+    ]
+    return ev.groupBy(*key_cols).agg(*agg)
 
 
 def write_partitioned(

@@ -457,3 +457,85 @@ def q_a7_operation_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logs.join(status, "op_id").select(
         "op_id", "log_id", "code", "data", "name", "status"
     )
+
+
+@query(
+    "k5_metadata_roundtrip",
+    oracle="""
+    WITH reg AS (
+      SELECT r.r_regionkey AS rk, r.r_name AS rname, count(*) AS n
+      FROM region r JOIN nation ON n_regionkey = r.r_regionkey
+      GROUP BY r.r_regionkey, r.r_name
+    )
+    SELECT CAST(rk AS BIGINT) AS project_id, 'res_gen_at' AS meta_key,
+           CASE WHEN rk % 2 = 0 THEN 'rerun-' || rname
+                ELSE 'run-' || rname END AS meta_value
+    FROM reg
+    UNION ALL
+    SELECT CAST(rk AS BIGINT), 'scenarios_files',
+           'nations=' || CAST(n AS VARCHAR)
+    FROM reg
+    """,
+    survey=(
+        "K5 in the hard signal: scalar metadata updates (`res_gen_at`, "
+        "`scenarios_files` — reference index.js:153-156,506-511) as "
+        "append-only events; the gate re-reads the log and folds "
+        "last-write-wins, so a later append must REPLACE the earlier "
+        "value exactly"
+    ),
+    tags=("sink",),
+)
+def q_k5_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 end-to-end against a fresh metadata log: one `res_gen_at` event
+    per project (region), a `scenarios_files` event carrying a
+    data-derived value, then a RE-update of every even project's
+    `res_gen_at` — the in-place UPDATE the reference issues, expressed as
+    a newer append. The fold (`sinks.latest_metadata`, one max_by
+    aggregate) must surface exactly the newest value per (project, key);
+    the oracle re-derives the surviving state from `region`/`nation`
+    directly, so a stale or duplicated row breaks the hash."""
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    base = _rt_path("k5", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    regions = sorted(
+        (r["rk"], r["rname"], r["n"])
+        for r in t["region"]
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_regionkey").alias("rk"),
+                 F.col("r_name").alias("rname"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    seq = 0
+    for rk, rname, n in regions:
+        sinks.append_metadata_event(
+            spark, base,
+            {"project_id": str(rk), "meta_key": "res_gen_at",
+             "meta_value": f"run-{rname}"},
+            seq=seq,
+        )
+        seq += 1
+        sinks.append_metadata_event(
+            spark, base,
+            {"project_id": str(rk), "meta_key": "scenarios_files",
+             "meta_value": f"nations={n}"},
+            seq=seq,
+        )
+        seq += 1
+    for rk, rname, _ in regions:
+        if rk % 2 == 0:
+            sinks.append_metadata_event(
+                spark, base,
+                {"project_id": str(rk), "meta_key": "res_gen_at",
+                 "meta_value": f"rerun-{rname}"},
+                seq=seq,
+            )
+            seq += 1
+    cur = sinks.latest_metadata(spark, base, ["project_id", "meta_key"])
+    return cur.select(
+        F.col("project_id").cast("long").alias("project_id"),
+        "meta_key",
+        "meta_value",
+    )

@@ -163,6 +163,46 @@ def test_in_cell_closure_exact_within_cell(spark):
             assert got[(s, d)] == ref[s][d]
 
 
+def test_seed_collect_gate_raises_with_fusion_hint(spark, monkeypatch):
+    """VERDICT r4 #2: an oversized per-origin source set must trip the
+    MAX_SEED_ROWS gate LOUDLY (with the min-fusion hint) instead of
+    silently building driver-side overlay state."""
+    monkeypatch.setattr(R, "MAX_SEED_ROWS", 3)
+    wt = lambda r, c, horiz: 2  # noqa: E731
+    edge_rows = _grid_edges(8, 8, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, 8, 8, 4)
+    sources = spark.createDataFrame(
+        [(i, i) for i in range(8)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame(
+        [(0, 63)], "tgt_id long, node_id long"
+    )
+    with pytest.raises(ValueError, match="min-fuse"):
+        R.partitioned_many_to_many(
+            edges, cells, sources, targets,
+            n_cell_squarings=4, n_overlay_rounds=16,
+        )
+
+
+def test_overlay_state_gate_raises(spark, monkeypatch):
+    """The (n_sources × n_boundary) driver matrix is gated too."""
+    monkeypatch.setattr(R, "MAX_OVERLAY_STATE", 4)
+    wt = lambda r, c, horiz: 2  # noqa: E731
+    edge_rows = _grid_edges(8, 8, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, 8, 8, 4)
+    sources = spark.createDataFrame(
+        [(0, 0), (1, 9)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame([(0, 63)], "tgt_id long, node_id long")
+    with pytest.raises(ValueError, match="MAX_OVERLAY_STATE"):
+        R.partitioned_many_to_many(
+            edges, cells, sources, targets,
+            n_cell_squarings=4, n_overlay_rounds=16,
+        )
+
+
 def test_crp_single_node_cells(spark):
     """Boundary nodes in single-node cells (no in-cell edges, hence no
     closure rows at all): sources and targets sitting on them must still

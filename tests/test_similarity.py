@@ -118,6 +118,48 @@ def test_semantic_dedup_leader_criterion(spark):
     assert got[1]["bucket"] == got[2]["bucket"] == got[3]["bucket"]
 
 
+def test_ivfpq_rerank_recall_floor(spark):
+    """VERDICT r4 #7: the recall@k contract for the IVF-PQ deployment
+    path, at sf0.1 scale (2000×64) on clusterable data (the regime PQ
+    exists for — the parquet fixture is white noise, where recall
+    measures the data: within-label cosine ≈ cross-label ≈ 0).
+
+    Layer-by-layer measurement on this fixture (deterministic seed):
+    IVF candidate recall = 1.00; raw ADC top-5 recall ≈ 0.05 (a
+    16-codeword codebook resolves clusters, not within-cluster order —
+    and a Lloyd-refined codebook does NOT fix it, measured 0.03-0.07);
+    ADC top-100 shortlist → exact re-rank = 0.63. The contract pins the
+    production shape (shortlist + exact re-rank) so PQ quantization
+    error or a candidate-generation regression shows up as a recall
+    drop; exactness of every score is separately hash-gated by
+    sim_cosine_topk_ivfpq's DuckDB oracle."""
+    import numpy as np
+
+    from ram_datapipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivfpq,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (10, 64))
+    rows = [
+        (i, [float(x) for x in centers[i % 10] + rng.normal(0, 0.55, 64)])
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, df, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivfpq(q, df, k=5, rerank=100).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"IVF-PQ rerank recall {recall:.2f} below floor"
+
+
 def test_ivfpq_recovers_cluster_structure(spark):
     """On clusterable data (the regime PQ exists for) IVF-PQ must rank
     same-cluster vectors first. The parquet fixture's near-random vectors
