@@ -787,15 +787,18 @@ def route_many_to_many(
             n_squarings = max(1, (max(n_verts - 1, 1) - 1).bit_length())
         rows = hub_closure_rows(edges, n_squarings=n_squarings)
         spark = edges.sparkSession
+        # closure rows come back as Python floats regardless of the edge
+        # weight type; integer-weighted closures are integral-valued, so
+        # casting back to the input type is exact
         w_type = dict(edges.dtypes)["w"]
         cl = spark.createDataFrame(
-            rows, schema=f"src long, dst long, w {w_type}"
+            rows, schema="src long, dst long, w double"
         )
         return (
             sources.join(cl, sources["node_id"] == cl["src"])
             .join(targets, cl["dst"] == targets["node_id"])
             .groupBy("src_id", "tgt_id")
-            .agg(F.min("w").alias("dist"))
+            .agg(F.min("w").cast(w_type).alias("dist"))
         )
     if cells is None:
         raise ValueError(

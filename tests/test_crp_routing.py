@@ -225,3 +225,183 @@ def test_crp_single_node_cells(spark):
         ).collect()
     }
     assert got == {(0, 0): 0, (0, 1): 5, (0, 2): 12}
+
+
+def _supercells_df(spark, w, h, cell, super_):
+    cx = (w + cell - 1) // cell
+    scx = (cx + super_ - 1) // super_
+    rows = [
+        (cr * cx + cc, (cr // super_) * scx + cc // super_)
+        for cr in range((h + cell - 1) // cell)
+        for cc in range(cx)
+    ]
+    return spark.createDataFrame(rows, "cell long, supercell long")
+
+
+def test_two_level_matches_dijkstra_heterogeneous_grid(spark):
+    """16×16 grid, 4×4 cells, 2×2-cell supercells, corridor weights that
+    force paths out of (and back into) cells AND supercells: every
+    distance must equal plain Dijkstra."""
+    w = h = 16
+    wt = lambda r, c, horiz: 1 if (horiz and r % 3 == 0) or (not horiz and c % 3 == 0) else 9  # noqa: E731
+    edge_rows = _grid_edges(w, h, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, w, h, 4)
+    supercells = _supercells_df(spark, w, h, 4, 2)
+    src_nodes = [0, 37, 255, 120]
+    tgt_nodes = list(range(0, w * h, 11)) + [255]
+    sources = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(src_nodes)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tgt_nodes)], "tgt_id long, node_id long"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.two_level_many_to_many(
+            edges, cells, supercells, sources, targets,
+            n_cell_squarings=4, n_super_squarings=6, n_overlay_rounds=32,
+        ).collect()
+    }
+    ref = _dijkstra_all(edge_rows, src_nodes)
+    for si, sn in enumerate(src_nodes):
+        for ti, tn in enumerate(tgt_nodes):
+            assert got[(si, ti)] == ref[sn][tn], (sn, tn)
+    assert len(got) == len(src_nodes) * len(tgt_nodes)
+
+
+def test_two_level_single_node_cells_and_disconnects(spark):
+    """Chain across single-node cells grouped into two supercells, plus a
+    disconnected node: zero-leg seeds, cross-supercell hops, and absent
+    rows for unreachable pairs."""
+    rows = [(0, 1, 5), (1, 0, 5), (1, 2, 7), (2, 1, 7), (2, 3, 2), (3, 2, 2)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    cells = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2), (3, 3), (9, 4)], "node_id long, cell long"
+    )
+    supercells = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2)], "cell long, supercell long"
+    )
+    sources = spark.createDataFrame(
+        [(0, 0), (1, 9)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame(
+        [(0, 0), (1, 3), (2, 9)], "tgt_id long, node_id long"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.two_level_many_to_many(
+            edges, cells, supercells, sources, targets,
+            n_cell_squarings=1, n_super_squarings=2, n_overlay_rounds=8,
+        ).collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 14}
+
+
+def test_two_level_overlay_gate_raises(spark):
+    wt = lambda r, c, horiz: 2  # noqa: E731
+    edge_rows = _grid_edges(8, 8, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, 8, 8, 4)
+    # one cell per supercell: every inter-cell edge is inter-supercell,
+    # so the level-2 overlay is non-trivial and must trip the budget
+    supercells = _supercells_df(spark, 8, 8, 4, 1)
+    sources = spark.createDataFrame([(0, 0)], "src_id long, node_id long")
+    targets = spark.createDataFrame([(0, 63)], "tgt_id long, node_id long")
+    with pytest.raises(ValueError, match="level-2 overlay"):
+        R.two_level_many_to_many(
+            edges, cells, supercells, sources, targets,
+            n_cell_squarings=4, n_super_squarings=4, n_overlay_rounds=16,
+            max_overlay_rows=3,
+        )
+
+
+def test_dispatcher_small_graph_uses_closure(spark):
+    """≤512 verts: the dispatcher answers from the exact all-pairs
+    closure — same distances as Dijkstra, no cells needed."""
+    wt = lambda r, c, horiz: 1 + (r + c) % 4  # noqa: E731
+    edge_rows = _grid_edges(6, 6, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    sources = spark.createDataFrame(
+        [(0, 0), (1, 35)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame(
+        [(0, 14), (1, 21)], "tgt_id long, node_id long"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.route_many_to_many(edges, sources, targets).collect()
+    }
+    ref = _dijkstra_all(edge_rows, [0, 35])
+    assert got == {
+        (0, 0): ref[0][14], (0, 1): ref[0][21],
+        (1, 0): ref[35][14], (1, 1): ref[35][21],
+    }
+
+
+def test_dispatcher_refuses_vxv_on_big_graph(spark):
+    """>512 verts without a cell partition: loud refusal, never a V×V
+    closure by accident (VERDICT r4 next-round #5)."""
+    wt = lambda r, c, horiz: 1  # noqa: E731
+    edge_rows = _grid_edges(24, 24, wt)  # 576 verts
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    sources = spark.createDataFrame([(0, 0)], "src_id long, node_id long")
+    targets = spark.createDataFrame([(0, 575)], "tgt_id long, node_id long")
+    with pytest.raises(ValueError, match="MAX_CLOSURE_VERTS"):
+        R.route_many_to_many(edges, sources, targets)
+
+
+def test_dispatcher_big_graph_routes_through_crp(spark):
+    """>512 verts WITH cells: the single-level CRP backend answers; spot
+    distances equal Dijkstra."""
+    wt = lambda r, c, horiz: 1 if r % 5 == 0 or c % 5 == 0 else 4  # noqa: E731
+    edge_rows = _grid_edges(24, 24, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, 24, 24, 6)
+    sources = spark.createDataFrame(
+        [(0, 0), (1, 300)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame(
+        [(0, 575), (1, 42)], "tgt_id long, node_id long"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.route_many_to_many(
+            edges, sources, targets, cells=cells,
+            n_cell_squarings=6, n_overlay_rounds=40,
+        ).collect()
+    }
+    ref = _dijkstra_all(edge_rows, [0, 300])
+    assert got == {
+        (0, 0): ref[0][575], (0, 1): ref[0][42],
+        (1, 0): ref[300][575], (1, 1): ref[300][42],
+    }
+
+
+def test_dispatcher_escalates_to_two_level(spark):
+    """Big graph + tiny overlay budget: the dispatcher escalates to the
+    two-level hierarchy (supercells provided) and still matches
+    Dijkstra; without supercells it refuses loudly."""
+    wt = lambda r, c, horiz: 1 if r % 5 == 0 or c % 5 == 0 else 4  # noqa: E731
+    edge_rows = _grid_edges(24, 24, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, 24, 24, 4)
+    supercells = _supercells_df(spark, 24, 24, 4, 3)
+    sources = spark.createDataFrame([(0, 50)], "src_id long, node_id long")
+    targets = spark.createDataFrame(
+        [(0, 555), (1, 0)], "tgt_id long, node_id long"
+    )
+    with pytest.raises(ValueError, match="supercells"):
+        R.route_many_to_many(
+            edges, sources, targets, cells=cells, max_overlay_rows=100,
+        )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.route_many_to_many(
+            edges, sources, targets, cells=cells, supercells=supercells,
+            n_cell_squarings=4, n_super_squarings=6, n_overlay_rounds=40,
+            max_overlay_rows=100_000,
+        ).collect()
+    }
+    ref = _dijkstra_all(edge_rows, [50])
+    assert got == {(0, 0): ref[50][555], (0, 1): ref[50][0]}
