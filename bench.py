@@ -67,6 +67,7 @@ HEADLINE = [
     "ram_full_job",          # §3.1: the reference's entire job end-to-end —
                              # the heaviest single entry, keeps the full
                              # pipeline's regression surface benched
+    "eta_routed_osm_xlarge",  # two-level CRP hierarchy, 16,384-node network
 ]
 
 

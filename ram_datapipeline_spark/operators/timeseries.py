@@ -129,3 +129,51 @@ def ohlc_bars(
             "n_ticks",
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    val_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key as an ORDERED left
+    fold: s₁ = x₁, sₜ = (1−α)·sₜ₋₁ + α·xₜ, with α = alpha_num/alpha_den
+    restricted to exact binary fractions (default ½) so every step is two
+    correctly-rounded multiplies and one add — the same IEEE sequence any
+    engine replays when folding in the same order (the smoothing analog
+    of the engine-wide "strict left fold" rule for dot products).
+
+    Emits ``(key_cols…, n_points, ewma)`` — the final smoothed level per
+    key (the signal a metrics pipeline alerts on).
+
+    Scale shape: one hash aggregate; each key's series is gathered with
+    ``collect_list(struct(order, val))``, sorted IN the row
+    (``array_sort`` — no window, no second shuffle), and folded by
+    ``F.aggregate``. Per-key series length is the only memory bound —
+    the right shape when keys are plentiful and series are bounded
+    (resample first if a key's raw series is unbounded)."""
+    if alpha_den & (alpha_den - 1) or not (0 < alpha_num < alpha_den):
+        raise ValueError(
+            "ewma_smooth: alpha must be a proper exact-binary fraction "
+            f"(got {alpha_num}/{alpha_den})"
+        )
+    a = alpha_num / alpha_den
+    series = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                    F.col(val_col).alias("v")))
+        ),
+        lambda s: s["v"].cast("double"),
+    )
+    fold = F.aggregate(
+        F.slice(series, 2, F.size(series) - 1),
+        F.element_at(series, 1),
+        lambda acc, x: F.lit(1.0 - a) * acc + F.lit(a) * x,
+    )
+    return df.groupBy(*key_cols).agg(
+        F.count("*").alias("n_points"),
+        fold.alias("ewma"),
+    )

@@ -63,72 +63,69 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-4 ROTATION. Priorities (VERDICT r3 next-round #1/#2): the six
-    # r3-new queries that have never appeared in a driver CORRECTNESS
-    # file, the two vec_* queries fixed to long format (the round's only
-    # hard-signal reds), everything NEW in round 4 (CRP routing gate,
-    # K2/K3/K4 sink round-trips), and every query whose code CHANGED in
-    # round 4 (shoelace guard, OSM gap fix, payload NULL guard, pq_codes
-    # schema derivation, resize dispatch). Remaining slots re-prove
-    # queries whose only green row is the round-1 record — the stalest
-    # evidence in the cumulative rule.
+    # ROUND-5 ROTATION (VERDICT r4 next-round #1): the driver window is
+    # spent on (a) everything NEW or CHANGED in round 5 — the two-level
+    # CRP gate, the K5 metadata gate, and the three queries rewired
+    # through route_many_to_many / the rerank-capable IVF-PQ module —
+    # then (b) the 19 queries whose only driver proof was round 1 (the
+    # NEXT_ROUND_ROTATION queue published in round 4), then (c) the
+    # stalest 26 of the 48 queries whose latest proof is round 2. The
+    # 22 r2-proven queries that did not fit are queued below for r6.
     #
-    # never driver-checked (r3-new) — VERDICT #2
-    "agg_kmv_distinct",
-    "dedup_ngram_containment",
-    "f_polygon_shoelace",        # also r4-changed: degenerate-ring guard
-    "mm_jpeg_flat_roundtrip",
-    "mm_png_resize_roundtrip",
-    "sim_recall_at_k",
-    # fixed long-format vec gates — VERDICT #1
-    "vec_normalize",
-    "vec_quantize_int8",
-    # round-4 NEW: partitioned CRP routing + sink round-trip gates
-    "eta_routed_osm_large",
-    "k2_csv_roundtrip",
-    "k3_json_roundtrip",
-    "k4_geojson_roundtrip",
-    # round-4 CHANGED — re-proven under the new code
-    "eta_routed_osm",        # way→edge gap-break at missing node refs
-    "mm_payload_embedding",  # NULL payload → NULL embedding
-    "vec_pq_codes",          # id-type derivation + dim%m validation
-    "mm_resize_meta",        # resize_images codec dispatch (also r1-only)
-    # round-4 NEW operators (coverage widening)
-    "dedup_semantic",           # SemDeDup-style embedding-space dedup
-    "sim_cosine_topk_ivfpq",    # IVF-PQ ANN (compressed-code scoring)
-    "ts_scd2_intervals",        # SCD type-2 dimension-history build
-    "st_late_data_drop",        # watermark drop rule, scalable batch twin
-    "j_salted_skew_join",       # salted join in the hard signal
-    "j_interval_overlap",       # bucketized interval-overlap join
-    "agg_quantile_sketch",      # deterministic mergeable quantile sketch
-    "mm_wav_downsample",        # real 2:1 WAV resample through the codec
-    "j_bucketed_colocated",     # zero-exchange bucketed join, plan-asserted
-    "ram_full_job",             # §3.1 end-to-end pipeline parity gate
-    "s8_osm_to_geojson",        # S8 conversion path (ram-vt) hard-gated
-    "k1_normalized_roundtrip",  # K1 two-table FK round trip (caught a real bug)
-    "s5_geojson_source",        # S5 FeatureCollection source hard-gated
-    "ts_ohlc_bars",             # OHLC downsampling, deterministic ties
-    "a7_operation_log",         # A7 lifecycle (operations/operations_logs)
-    # r1-only evidence, re-proven (stalest first by family)
-    "q1_pricing_summary",
-    "q4_exists_correlated",
-    "q6_pushdown_revenue",
-    "q13_outer_join_custdist",
-    "q18_having_join_back",
-    "p3_negated_predicate",
-    "p7_scalar_subquery",
-    "s2_origins_scan",
-    "s3_settings_json_decode",
-    "j1_inner_equijoin",
-    "j6_positional_explode",
-    "j_full_outer_reconcile",
-    "semi_anti_join",
-    "set_intersect_except",
-    "agg_distinct_count",
-    "agg_rollup_revenue",
-    "w4_moving_window_frame",
-    "w5_lag_lead_gaps",
-    "w6_rank_family",
+    # round-5 NEW
+    "eta_routed_osm_xlarge",    # two-level CRP hierarchy (VERDICT r4 #4)
+    "k5_metadata_roundtrip",    # K5 into the hard signal (VERDICT r4 #3)
+    "sim_ivfpq_rerank",         # ANN deployment shape: ADC shortlist + exact re-rank
+    "k_partitioned_prune",      # hive layout + PartitionFilters plan assert
+    "ts_ewma_smooth",           # ordered-left-fold EWMA, cross-engine exact
+    # round-5 CHANGED — re-proven under the new code
+    "eta_routed_osm_large",     # now via route_many_to_many (VERDICT #5)
+    "eta_routed_graph",         # now via route_many_to_many (VERDICT #5)
+    "sim_cosine_topk_ivfpq",    # module gained the exact-rerank path
+    # r1-only evidence (the published r5 rotation queue), re-proven
+    "a3_unpivot_stack",
+    "a4_group_nested",
+    "a5_union_all",
+    "a6_grouped_count",
+    "agg_cube_orders",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "f7_date_parts",
+    "f_date_arithmetic",
+    "f_string_kit",
+    "hof_array_kit",
+    "mm_audio_frame_energy",
+    "mm_decode_image_stats",
+    "mm_frame_sample",
+    "mm_media_catalog",
+    "p4_first_row",
+    "s4_admin_scan_inlist",
+    "w1_latest_per_key",
+    "w2_sort_limit_topk",
+    # r2-latest evidence, stalest 26 re-proven
+    "a2_pivot_eav",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "eta_nearest_poi",
+    "eta_routed_kernel_grid",
+    "eta_with_walk_penalty",
+    "ev_user_funnel",
+    "f11_bbox_per_admin",
+    "f16_centroid_per_admin",
+    "f17_geometry_type_inference",
+    "f_scalar_kit",
+    "graph_triangle_count",
+    "j2_point_in_admin",
+    "j3_adaptive_buffer",
+    "j3_buffer_semi_join",
+    "j3_knn_candidates",
+    "j7_square_grid_clip",
 )
 
 

@@ -203,9 +203,9 @@ def q_eta_routed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-region cliques — and 2^3 = 8 covers that with margin; the
     generic bound is ceil(log2(V-1)) squarings)."""
     from ram_datapipeline_spark.operators.graph import (
-        hub_closure_rows,
         make_hub_routing_kernel,
     )
+    from ram_datapipeline_spark.operators.routing import route_many_to_many
 
     t = load_tables(spark, sf_dir)
     o = ram_domain.origins(t["customer"])
@@ -213,9 +213,21 @@ def q_eta_routed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ram_domain.road_edges(t["nation"])
     # hub-level artifacts are tiny by construction (one hub per admin
     # slab); collect + broadcast is the CH-style "contracted core in
-    # memory" pattern, not a data-scale collect. hub_closure_rows picks
-    # numpy vs distributed squaring by vertex count (bit-identical).
-    closure_rows = hub_closure_rows(edges, n_squarings=3)
+    # memory" pattern, not a data-scale collect. The many-to-many runs
+    # through the dispatcher (VERDICT r4 #5): ≤512 verts → the exact
+    # all-pairs closure backend, bit-identical to hub_closure_rows
+    # (identity source/target maps make the result the closure itself).
+    hubs = ram_domain.hubs(t["nation"])
+    h_src = hubs.select(
+        F.col("hub_id").alias("src_id"), F.col("hub_id").alias("node_id")
+    )
+    h_tgt = hubs.select(
+        F.col("hub_id").alias("tgt_id"), F.col("hub_id").alias("node_id")
+    )
+    mm = route_many_to_many(edges, h_src, h_tgt, n_squarings=3)
+    closure_rows = [
+        (r["src_id"], r["tgt_id"], r["dist"]) for r in mm.collect()
+    ]
     hub_rows = [
         (r["hub_id"], r["lon"], r["lat"])
         for r in ram_domain.hubs(t["nation"]).collect()
@@ -518,9 +530,7 @@ def q_eta_routed_osm_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-integer seconds. The oracle replays every stage in SQL — grid
     re-derivation, block-diagonal closure squarings, the same 56 rounds —
     row-for-row."""
-    from ram_datapipeline_spark.operators.routing import (
-        partitioned_many_to_many,
-    )
+    from ram_datapipeline_spark.operators.routing import route_many_to_many
     from ram_datapipeline_spark.sources.osm import (
         osm_ways_to_road_edges,
         read_osm_nodes,
@@ -562,11 +572,13 @@ def q_eta_routed_osm_large(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(c_custkey * {ram_domain.GRID_ORIGIN_MULT}) % {n_nodes}"
         ).alias("node_id"),
     )
-    dist = partitioned_many_to_many(
+    # through the dispatcher (VERDICT r4 #5): >512 verts + an overlay
+    # estimate inside the default budget → the single-level CRP backend
+    dist = route_many_to_many(
         edges,
-        cells,
         pois,
         origins,
+        cells=cells,
         n_cell_squarings=_CRP_CELL_SQ,
         n_overlay_rounds=_CRP_ROUNDS,
     )
@@ -585,6 +597,273 @@ def q_eta_routed_osm_large(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ram_datapipeline_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["eta_routed_osm_large"].oracle = _crp_grid_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Beyond-country scale: the TWO-level CRP hierarchy (VERDICT r4 #4) over a
+# 16,384-node network with a road hierarchy — sparse border crossings, the
+# property that makes real extracts partition well.
+# ---------------------------------------------------------------------------
+
+_CRP2_CELL_SQ = 6      # 2^6 = 64 ≥ max in-cell path length (8×8-node cells)
+_CRP2_SUPER_SQ = 7     # 2^7 = 128 ≥ any simple path in a ~100-node
+#                        supercell boundary graph — provably sufficient
+_CRP2_ROUNDS = 48      # level-2 overlay hop diameter ~20 (4×4 supercells,
+#                        shortcut+edge alternation) + margin; probe-guarded
+_CRP2_ORACLE_ROUNDS = 96  # the ORACLE replays single-level: 16×16 cells ⇒
+#                           ~64 boundary-graph hops + margin (delta rounds
+#                           past the fixed point are empty ⇒ ~free)
+
+# speed of line idx (row for horizontal edges, column for vertical):
+# motorway arterials every 4th line, local tiers 30/50/60 elsewhere
+_GRID2_SPEED_CASE = (
+    "CASE WHEN {idx} % 4 = 0 THEN 120.0 ELSE "
+    "CASE {idx} % 3 WHEN 0 THEN 30.0 WHEN 1 THEN 50.0 ELSE 60.0 END END"
+)
+# does a step arriving at index m (= greatest of the two positions along
+# the line) exist, given the perpendicular line index? Supercell borders
+# (mult of 32) need a major arterial, cell borders (mult of 8) a minor one
+_GRID2_STEP_RULE = (
+    "((({m}) % 32 = 0 AND ({cross}) % 16 = 0)"
+    " OR (({m}) % 32 <> 0 AND ({m}) % 8 = 0 AND ({cross}) % 4 = 0)"
+    " OR (({m}) % 8 <> 0))"
+)
+
+
+def _crp_grid2_oracle_sql() -> str:
+    """DuckDB replay of the xlarge gate — deliberately via the
+    SINGLE-level pipeline (cell closures + one boundary overlay + delta
+    rounds), while the ENGINE runs the two-level hierarchy: both are
+    exact (each asserts its own convergence), so agreement here is a
+    two-independent-algorithms check, stronger than replaying the same
+    staging. Same delta-driven ``AS MATERIALIZED`` mechanics as
+    ``_crp_grid_oracle_sql`` (see its docstring for why). POIs are
+    min-fused by type on BOTH sides (minima commute through min-plus)."""
+    w = ram_domain.GRID2_W
+    n_nodes = w * ram_domain.GRID2_H
+    w_h = _GRID2_SPEED_CASE.format(idx="a.r")
+    w_v = _GRID2_SPEED_CASE.format(idx="a.c")
+    parts = [
+        f"""
+    gn AS MATERIALIZED (SELECT r * {w} + c AS node_id, r, c,
+                  {ram_domain.GRID2_LON0!r} + CAST(c AS DOUBLE) * {ram_domain.GRID_STEP!r} AS lon,
+                  {ram_domain.GRID2_LAT0!r} + CAST(r AS DOUBLE) * {ram_domain.GRID_STEP!r} AS lat
+           FROM range(0, {w}) tr(r) CROSS JOIN range(0, {ram_domain.GRID2_H}) tc(c)),
+    ge AS MATERIALIZED (
+      SELECT a.node_id AS src, b.node_id AS dst,
+             {_GRID_EDGE_W.format(spd=f'({w_h})')} AS w
+      FROM gn a JOIN gn b ON a.r = b.r AND abs(a.c - b.c) = 1
+      WHERE {_GRID2_STEP_RULE.format(m='greatest(a.c, b.c)', cross='a.r')}
+      UNION ALL
+      SELECT a.node_id AS src, b.node_id AS dst,
+             {_GRID_EDGE_W.format(spd=f'({w_v})')} AS w
+      FROM gn a JOIN gn b ON a.c = b.c AND abs(a.r - b.r) = 1
+      WHERE {_GRID2_STEP_RULE.format(m='greatest(a.r, b.r)', cross='a.c')}),
+    gc AS MATERIALIZED (SELECT node_id,
+                  (r // {ram_domain.GRID2_CELL}) * {ram_domain.GRID2_CELLS_X}
+                  + (c // {ram_domain.GRID2_CELL}) AS cell FROM gn),
+    ic0 AS MATERIALIZED (
+      SELECT cs.cell, ge.src, ge.dst, min(ge.w) AS w
+      FROM ge JOIN gc cs ON ge.src = cs.node_id
+              JOIN gc cd ON ge.dst = cd.node_id
+      WHERE cs.cell = cd.cell
+      GROUP BY cs.cell, ge.src, ge.dst
+      UNION ALL
+      SELECT cell, node_id, node_id, CAST(0 AS BIGINT) FROM gc)"""
+    ]
+    parts.append("\n    dl0 AS MATERIALIZED (SELECT * FROM ic0)")
+    for k in range(1, _CRP2_CELL_SQ + 1):
+        parts.append(
+            f"""
+    ic{k} AS MATERIALIZED (
+      SELECT cell, src, dst, min(w) AS w FROM (
+        SELECT cell, src, dst, w FROM ic{k - 1}
+        UNION ALL
+        SELECT a.cell, a.src, b.dst, a.w + b.w AS w
+        FROM dl{k - 1} a JOIN ic{k - 1} b
+          ON a.cell = b.cell AND a.dst = b.src
+        UNION ALL
+        SELECT a.cell, a.src, b.dst, a.w + b.w AS w
+        FROM ic{k - 1} a JOIN dl{k - 1} b
+          ON a.cell = b.cell AND a.dst = b.src
+      ) u GROUP BY cell, src, dst)"""
+        )
+        if k < _CRP2_CELL_SQ:
+            parts.append(
+                f"""
+    dl{k} AS MATERIALIZED (
+      SELECT cell, src, dst, w FROM ic{k}
+      EXCEPT SELECT cell, src, dst, w FROM ic{k - 1})"""
+            )
+    ic = f"ic{_CRP2_CELL_SQ}"
+    parts.append(
+        f"""
+    inter AS MATERIALIZED (
+      SELECT ge.src, ge.dst, ge.w
+      FROM ge JOIN gc cs ON ge.src = cs.node_id
+              JOIN gc cd ON ge.dst = cd.node_id
+      WHERE cs.cell <> cd.cell),
+    bnd AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM inter),
+    oe AS MATERIALIZED (
+      SELECT src, dst, w FROM inter
+      UNION ALL
+      SELECT ic.src, ic.dst, ic.w
+      FROM {ic} ic JOIN bnd bs ON ic.src = bs.node_id
+                   JOIN bnd bd ON ic.dst = bd.node_id
+      WHERE ic.src <> ic.dst),
+    gp AS MATERIALIZED (SELECT s_suppkey % 3 AS sid,
+                  (s_suppkey * {ram_domain.GRID_POI_MULT}) % {n_nodes} AS pnode
+           FROM supplier),
+    gt AS MATERIALIZED (SELECT c_custkey AS origin_id,
+                  (c_custkey * {ram_domain.GRID_ORIGIN_MULT}) % {n_nodes} AS onode
+           FROM customer),
+    st0 AS MATERIALIZED (
+      SELECT gp.sid, ic.dst AS b, min(ic.w) AS w
+      FROM gp JOIN gc cp ON gp.pnode = cp.node_id
+              JOIN {ic} ic ON ic.cell = cp.cell AND ic.src = gp.pnode
+              JOIN bnd ON ic.dst = bnd.node_id
+      GROUP BY gp.sid, ic.dst)"""
+    )
+    parts.append("\n    sd0 AS MATERIALIZED (SELECT * FROM st0)")
+    for k in range(1, _CRP2_ORACLE_ROUNDS + 1):
+        parts.append(
+            f"""
+    st{k} AS MATERIALIZED (
+      SELECT sid, b, min(w) AS w FROM (
+        SELECT sid, b, w FROM st{k - 1}
+        UNION ALL
+        SELECT s.sid, e.dst AS b, s.w + e.w AS w
+        FROM sd{k - 1} s JOIN oe e ON s.b = e.src
+      ) u GROUP BY sid, b)"""
+        )
+        if k < _CRP2_ORACLE_ROUNDS:
+            parts.append(
+                f"""
+    sd{k} AS MATERIALIZED (
+      SELECT sid, b, w FROM st{k}
+      EXCEPT SELECT sid, b, w FROM st{k - 1})"""
+            )
+    st = f"st{_CRP2_ORACLE_ROUNDS}"
+    parts.append(
+        f"""
+    legs AS (
+      SELECT st.sid, gt.origin_id, st.w + ic.w AS d
+      FROM gt JOIN gc ct ON gt.onode = ct.node_id
+              JOIN {ic} ic ON ic.cell = ct.cell AND ic.dst = gt.onode
+              JOIN bnd ON ic.src = bnd.node_id
+              JOIN {st} st ON st.b = ic.src
+      UNION ALL
+      SELECT gp.sid, gt.origin_id, ic.w AS d
+      FROM gp JOIN gc cp ON gp.pnode = cp.node_id
+              CROSS JOIN gt
+              JOIN gc ct ON gt.onode = ct.node_id
+              JOIN {ic} ic ON ic.cell = cp.cell AND ct.cell = cp.cell
+                           AND ic.src = gp.pnode AND ic.dst = gt.onode)"""
+    )
+    return (
+        "WITH" + ",".join(parts) + """
+    SELECT legs.origin_id,
+           CASE legs.sid WHEN 0 THEN 'hospital' WHEN 1 THEN 'school'
+                ELSE 'bank' END AS poi_type,
+           min(legs.d) AS eta_s
+    FROM legs
+    GROUP BY legs.origin_id, legs.sid
+    """
+    )
+
+
+@query(
+    "eta_routed_osm_xlarge",
+    oracle=None,  # assigned right below (the SQL is generated)
+    survey=(
+        "U4 beyond country scale: TWO-level CRP over a 16,384-node "
+        "hierarchical road network — the single-level overlay trips the "
+        "collect budget, the dispatcher escalates, only the level-2 core "
+        "is collected (osm2osrm.sh:32-33 planet contraction analog)"
+    ),
+    tags=("eta", "graph", "osm", "crp"),
+)
+def q_eta_routed_osm_xlarge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-POI ETA over the 16,384-node hierarchical grid (sparse
+    arterial border crossings — the topology of a real extract) through
+    ``route_many_to_many`` with an overlay budget the single-level
+    backend CANNOT meet: its level-1 overlay is ~16k rows (> the 8k
+    budget; tests assert the refusal without supercells), so the
+    dispatcher escalates to ``two_level_many_to_many`` and collects only
+    the ~2k-row level-2 core — an order of magnitude below single-level,
+    the recursion that keeps the collected core bounded at planet scale.
+    The oracle replays the query through the SINGLE-level SQL pipeline
+    (both algorithms are exact and convergence-asserted, so this is an
+    independent-algorithm agreement check). All-integer seconds."""
+    from ram_datapipeline_spark.operators.routing import route_many_to_many
+    from ram_datapipeline_spark.sources.osm import (
+        osm_ways_to_road_edges,
+        read_osm_nodes,
+        read_osm_ways,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = ram_domain.osm_grid2_fixture_path()
+    nodes = read_osm_nodes(spark, path)
+    ways = read_osm_ways(spark, path)
+    edges = osm_ways_to_road_edges(nodes, ways).select(
+        "src", "dst", F.floor(F.col("w") + 0.5).cast("long").alias("w")
+    )
+    w = ram_domain.GRID2_W
+    cell = ram_domain.GRID2_CELL
+    cx = ram_domain.GRID2_CELLS_X
+    cells = nodes.select(
+        "node_id",
+        F.expr(
+            f"(node_id div {w} div {cell}) * {cx} + "
+            f"(node_id % {w} div {cell})"
+        ).alias("cell"),
+    )
+    sup = ram_domain.GRID2_SUPER
+    scx = cx // sup
+    supercells = spark.range(cx * cx).select(
+        F.col("id").alias("cell"),
+        F.expr(
+            f"(id div {cx} div {sup}) * {scx} + (id % {cx} div {sup})"
+        ).alias("supercell"),
+    )
+    n_nodes = w * ram_domain.GRID2_H
+    # min-fusion by POI type (see q_eta_routed_osm_large)
+    pois = t["supplier"].select(
+        F.expr("s_suppkey % 3").alias("src_id"),
+        F.expr(
+            f"(s_suppkey * {ram_domain.GRID_POI_MULT}) % {n_nodes}"
+        ).alias("node_id"),
+    )
+    origins = t["customer"].select(
+        F.col("c_custkey").alias("tgt_id"),
+        F.expr(
+            f"(c_custkey * {ram_domain.GRID_ORIGIN_MULT}) % {n_nodes}"
+        ).alias("node_id"),
+    )
+    dist = route_many_to_many(
+        edges,
+        pois,
+        origins,
+        cells=cells,
+        supercells=supercells,
+        n_cell_squarings=_CRP2_CELL_SQ,
+        n_super_squarings=_CRP2_SUPER_SQ,
+        n_overlay_rounds=_CRP2_ROUNDS,
+        max_overlay_rows=8_000,
+    )
+    poi_type = F.expr(
+        "CASE src_id WHEN 0 THEN 'hospital' WHEN 1 THEN 'school'"
+        " ELSE 'bank' END"
+    )
+    return dist.select(
+        F.col("tgt_id").alias("origin_id"),
+        poi_type.alias("poi_type"),
+        F.col("dist").alias("eta_s"),
+    )
+
+
+_REG["eta_routed_osm_xlarge"].oracle = _crp_grid2_oracle_sql()
 
 
 @query(

@@ -539,3 +539,61 @@ def q_k5_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "meta_key",
         "meta_value",
     )
+
+
+@query(
+    "k_partitioned_prune",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+    GROUP BY o_orderpriority
+    """,
+    survey=(
+        "hive-partitioned layout in the hard signal: directory-per-value "
+        "write (the data-layout half of the 100 TB story) → re-read with "
+        "a partition predicate → PartitionFilters asserted on the "
+        "executed plan, so non-matching directories are never opened"
+    ),
+    tags=("sink", "scan"),
+)
+def q_k_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through ``sinks.write_partitioned``: orders laid out
+    directory-per-priority (with the compaction repartition, so each
+    directory holds few files instead of tasks × partitions shards),
+    re-read with an IN-list partition predicate. The builder asserts the
+    scan's PartitionFilters carry the predicate — a layout or reader
+    regression that silently re-scans every directory fails loudly here,
+    not at 100 TB. The oracle replays the filtered aggregate on the
+    source table, so the write → prune → read cycle must also be
+    lossless."""
+    t = load_tables(spark, sf_dir)
+    base = _rt_path("kprune", sf_dir)
+    sinks.write_partitioned(
+        t["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        ),
+        base,
+        ["o_orderpriority"],
+        target_file_partitions=4,
+    )
+    back = spark.read.parquet(base).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    tail = plan.split("PartitionFilters: [", 1)
+    if len(tail) < 2 or "o_orderpriority" not in tail[1][:300]:
+        raise AssertionError(
+            "partitioned scan lost its PartitionFilters:\n" + plan
+        )
+    return back.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+        ).alias("cents"),
+    )

@@ -1047,6 +1047,33 @@ _IVFPQ_ORACLE = f"""
     ) WHERE rk <= 5
 """
 
+# the deployment shape (similarity.py ``rerank=``): ADC top-25 shortlist,
+# then the final top-5 ordered by EXACT cosine over the raw vectors —
+# same ``scored`` prefix, one extra join back to ``n``
+_IVFPQ_RERANK_ORACLE = _IVFPQ_ORACLE.rsplit("\n    SELECT query_id", 1)[0] + """
+    , short AS (
+      SELECT query_id, neighbor_id, adc_dist FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= 25
+    )
+    SELECT query_id, neighbor_id, adc_dist, rk FROM (
+      SELECT s.query_id, s.neighbor_id, s.adc_dist,
+             row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY list_reduce(
+                          list_transform(list_zip(qn.e, nn.e),
+                                         x -> x[1] * x[2]),
+                          (p, q) -> p + q) / (qn.nrm * nn.nrm) DESC,
+                        s.neighbor_id) AS rk
+      FROM short s
+      JOIN n qn ON qn.vec_id = s.query_id
+      JOIN n nn ON nn.vec_id = s.neighbor_id
+    ) WHERE rk <= 5
+"""
+
 
 @query(
     "sim_cosine_topk_ivfpq",
@@ -1067,3 +1094,27 @@ def q_cos_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     return SIM.cosine_topk_ivfpq(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+@query(
+    "sim_ivfpq_rerank",
+    oracle=_IVFPQ_RERANK_ORACLE,
+    survey=(
+        "IVF-PQ with exact re-ranking in the hard signal: ADC shortlist "
+        "→ raw-vector cosine on the survivors — the production ANN "
+        "deployment shape (north star; recall floor in "
+        "tests/test_similarity.py)"
+    ),
+    tags=("similarity",),
+)
+def q_cos_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r5 rerank path end to end: the ADC top-25 shortlist (compressed
+    codes only) joins back to raw vectors ONCE — |queries| × 25 rows,
+    never the corpus — and the final top-5 orders by exact cosine with
+    id tie-breaks. The oracle replays shortlist AND re-rank, so both the
+    integer ADC layer and the double cosine layer are hash-gated."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return SIM.cosine_topk_ivfpq(
+        e.filter(F.col("vec_id") < 20), e, k=5, rerank=25
+    )

@@ -219,3 +219,40 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return ohlc_bars(t["events"])
+
+
+@query(
+    "ts_ewma_smooth",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_points,
+           list_reduce(
+             list_transform(array_agg(n_events ORDER BY bucket),
+                            x -> CAST(x AS DOUBLE)),
+             (a, x) -> 0.5 * a + 0.5 * x) AS ewma
+    FROM b GROUP BY user_id
+    """,
+    survey=(
+        "EWMA smoothing as an ordered left fold (α = ½, exact-binary): "
+        "the alerting signal of a metrics pipeline, bit-reproducible "
+        "across engines because the fold order is pinned"
+    ),
+    tags=("timeseries",),
+)
+def q_ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA level of each user's hourly event-count series
+    (operators/timeseries.py::ewma_smooth): one hash aggregate, series
+    sorted in-row, folded sₜ = ½sₜ₋₁ + ½xₜ — every double the same
+    correctly-rounded sequence DuckDB's ``list_reduce`` replays."""
+    from ram_datapipeline_spark.operators.timeseries import ewma_smooth
+
+    t = load_tables(spark, sf_dir)
+    b = (
+        t["events"]
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return ewma_smooth(b, ["user_id"], "bucket", "n_events")

@@ -80,31 +80,37 @@ def test_gated_queries_all_have_oracles():
 
 
 # Rotation candidates for the NEXT round's window. Every registered query
-# is past-proven or in the current window (nothing invisible), but these
-# r1-only-proven queries were displaced from the r4 window by round-4's
-# new operators and now carry the stalest evidence — re-prove them first
-# in r5 (all are oracle-green in the full mirror sweep,
-# artifacts/VERIFY_r04.txt).
+# is past-proven or in the current window (nothing invisible). Round 5
+# re-proved the whole r1-only set plus the stalest 23 of the r2-proven
+# set; these are the 25 r2-proven queries that did not fit the r5 window
+# — re-prove them first in r6 (all are oracle-green in the full mirror
+# sweep, artifacts/VERIFY_r05.txt), then continue with the r3-proven
+# tier in r7.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    "a3_unpivot_stack",
-    "a4_group_nested",
-    "a5_union_all",
-    "a6_grouped_count",
-    "p4_first_row",
-    "s4_admin_scan_inlist",
-    "w2_sort_limit_topk",
-    "agg_cube_orders",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "f7_date_parts",
-    "f_date_arithmetic",
-    "f_string_kit",
-    "hof_array_kit",
-    "w1_latest_per_key",
-    "mm_audio_frame_energy",
-    "mm_decode_image_stats",
-    "mm_frame_sample",
-    "mm_media_catalog",
+    "j_asof_click_view",
+    "p6_nullsafe_round",
+    "pipe_decontaminate",
+    "pipe_sequence_packing",
+    "pipe_stratified_sample",
+    "pipe_tfidf_topk",
+    "q3_revenue_topk",
+    "q5_region_revenue",
+    "s1_config_scan_filter",
+    "sim_cosine_pairs",
+    "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_lsh",
+    "st_event_props_decode",
+    "st_sessionize",
+    "st_window_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_rolling_hash",
+    "text_token_counts",
+    "ts_gapfill_locf",
+    "vec_kmeans_q8",
+    "w3_topk_per_group",
 )
 
 
