@@ -197,14 +197,15 @@ def overlay_rows(
         .select("src", "dst", "w")
     )
     ovl = inter.select("src", "dst", "w").union(bb)
-    n = ovl.count()
-    if n > MAX_OVERLAY_ROWS:
+    # gate + collect in ONE evaluation: pull at most MAX+1 rows — a
+    # separate count() would run the whole overlay subplan twice
+    rows = ovl.limit(MAX_OVERLAY_ROWS + 1).collect()
+    if len(rows) > MAX_OVERLAY_ROWS:
         raise ValueError(
-            f"overlay_rows: {n} overlay rows > MAX_OVERLAY_ROWS="
-            f"{MAX_OVERLAY_ROWS}; partition with smaller cells or add an "
-            "overlay level"
+            f"overlay_rows: > MAX_OVERLAY_ROWS={MAX_OVERLAY_ROWS} overlay "
+            "rows; partition with smaller cells or add an overlay level"
         )
-    return [(r["src"], r["dst"], r["w"]) for r in ovl.collect()]
+    return [(r["src"], r["dst"], r["w"]) for r in rows]
 
 
 def multi_source_overlay_dist(
@@ -305,6 +306,7 @@ def partitioned_many_to_many(
     targets: DataFrame,
     n_cell_squarings: int,
     n_overlay_rounds: int,
+    _checkpointed: bool = False,
 ) -> DataFrame:
     """Exact many-to-many shortest-path distances (the ``osrm.table``
     semantic, tasks.js:260) over a cell-partitioned network.
@@ -330,8 +332,11 @@ def partitioned_many_to_many(
     # sources.osm) make Catalyst re-analysis of each branch quadratic —
     # observed as an optimizer stall on the 10⁴-node fixture. This is the
     # osrm-extract artifact boundary: compile once, route many.
-    edges = edges.localCheckpoint()
-    cells = cells.localCheckpoint()
+    # (``_checkpointed``: route_many_to_many already materialized them
+    # for its overlay estimate — skip the redundant copy.)
+    if not _checkpointed:
+        edges = edges.localCheckpoint()
+        cells = cells.localCheckpoint()
     # incell is consumed by four branches (overlay, seeds, exits, direct);
     # checkpointing (not just persist) truncates its grouped-map lineage so
     # the final union's analysis stays linear.
@@ -372,16 +377,16 @@ def partitioned_many_to_many(
         .groupBy("src_id", "b")
         .agg(F.min("w").alias("w"))
     )
-    n_seeds = seeds.count()
-    if n_seeds > MAX_SEED_ROWS:
+    # gate + collect in ONE evaluation (bounded pull, as overlay_rows)
+    seed_pull = seeds.limit(MAX_SEED_ROWS + 1).collect()
+    if len(seed_pull) > MAX_SEED_ROWS:
         raise ValueError(
-            f"partitioned_many_to_many: {n_seeds} seed legs > "
-            f"MAX_SEED_ROWS={MAX_SEED_ROWS}; min-fuse sources that share "
-            "an output key into one multi-node source (per-group minima "
-            "commute through every min-plus stage), or chunk the source "
-            "set across calls"
+            f"partitioned_many_to_many: > MAX_SEED_ROWS={MAX_SEED_ROWS} "
+            "seed legs; min-fuse sources that share an output key into "
+            "one multi-node source (per-group minima commute through "
+            "every min-plus stage), or chunk the source set across calls"
         )
-    seed_rows = [(r["src_id"], r["b"], r["w"]) for r in seeds.collect()]
+    seed_rows = [(r["src_id"], r["b"], r["w"]) for r in seed_pull]
     n_sources = len({k for k, _, _ in seed_rows})
     if n_sources * max(len(bset), 1) > MAX_OVERLAY_STATE:
         raise ValueError(
@@ -511,6 +516,7 @@ def two_level_many_to_many(
     n_super_squarings: int,
     n_overlay_rounds: int,
     max_overlay_rows: int = MAX_OVERLAY_ROWS,
+    _checkpointed: bool = False,
 ) -> DataFrame:
     """Exact many-to-many distances through a TWO-level CRP hierarchy
     (VERDICT r4 next-round #4): for extracts whose single-level overlay
@@ -550,8 +556,9 @@ def two_level_many_to_many(
     inter-edges represent (the CRP argument applied twice). All-integer
     weights, so the cross-engine replay is exact."""
     spark = edges.sparkSession
-    edges = edges.localCheckpoint()
-    cells = cells.localCheckpoint()
+    if not _checkpointed:
+        edges = edges.localCheckpoint()
+        cells = cells.localCheckpoint()
     incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint()
     inter = inter_cell_edges(edges, cells)
 
@@ -614,14 +621,15 @@ def two_level_many_to_many(
         .select("src", "dst", "w")
     )
     ovl2 = cross_sc.select("src", "dst", "w").union(bb2)
-    n2 = ovl2.count()
-    if n2 > max_overlay_rows:
+    # gate + collect in ONE evaluation (bounded pull, as overlay_rows)
+    ovl_pull = ovl2.limit(max_overlay_rows + 1).collect()
+    if len(ovl_pull) > max_overlay_rows:
         raise ValueError(
-            f"two_level_many_to_many: {n2} level-2 overlay rows > "
-            f"max_overlay_rows={max_overlay_rows}; use smaller "
+            f"two_level_many_to_many: > {max_overlay_rows} "
+            "(max_overlay_rows) level-2 overlay rows; use smaller "
             "supercells or add another level"
         )
-    ovl = [(r["src"], r["dst"], r["w"]) for r in ovl2.collect()]
+    ovl = [(r["src"], r["dst"], r["w"]) for r in ovl_pull]
 
     # seeds, level 1: source → boundary of its own cell (in-cell legs +
     # the implicit zero self-leg for sources sitting ON a boundary node)
@@ -666,14 +674,14 @@ def two_level_many_to_many(
         .groupBy("src_id", "b")
         .agg(F.min("w").alias("w"))
     )
-    n_seeds = seeds2.count()
-    if n_seeds > MAX_SEED_ROWS:
+    seed_pull = seeds2.limit(MAX_SEED_ROWS + 1).collect()
+    if len(seed_pull) > MAX_SEED_ROWS:
         raise ValueError(
-            f"two_level_many_to_many: {n_seeds} seed legs > MAX_SEED_ROWS"
-            f"={MAX_SEED_ROWS}; min-fuse sources sharing an output key "
+            f"two_level_many_to_many: > MAX_SEED_ROWS={MAX_SEED_ROWS} "
+            "seed legs; min-fuse sources sharing an output key "
             "(per-group minima commute through every min-plus stage)"
         )
-    seed_rows = [(r["src_id"], r["b"], r["w"]) for r in seeds2.collect()]
+    seed_rows = [(r["src_id"], r["b"], r["w"]) for r in seed_pull]
     od = multi_source_overlay_dist(ovl, seed_rows, n_overlay_rounds)
     od_df = spark.createDataFrame(
         od or [], schema="src_id long, b2 long, d long"
@@ -741,6 +749,41 @@ def two_level_many_to_many(
 MAX_CLOSURE_VERTS = 512
 
 
+def closure_rows_gated(
+    edges: DataFrame,
+    n_squarings: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> list:
+    """Collected all-pairs closure rows [(src, dst, w)] for SMALL graphs,
+    refusing V×V above ``MAX_CLOSURE_VERTS`` — the size policy of
+    ``route_many_to_many``, exposed for kernel consumers that hold the
+    closure driver-side anyway (``make_hub_routing_kernel``). ONE collect
+    of the edge list, then the driver-side numpy squaring
+    (``graph.min_plus_closure_rows`` — bit-identical to the distributed
+    rounds). ``n_squarings`` defaults to ceil(log2(V−1)), always
+    sufficient."""
+    from ram_datapipeline_spark.operators.graph import min_plus_closure_rows
+
+    edge_rows = [
+        (r[src], r[dst], r[w]) for r in edges.select(src, dst, w).collect()
+    ]
+    n_verts = len(
+        {s for s, _, _ in edge_rows} | {d for _, d, _ in edge_rows}
+    )
+    if n_verts > MAX_CLOSURE_VERTS:
+        raise ValueError(
+            f"closure_rows_gated: {n_verts} vertices > MAX_CLOSURE_VERTS="
+            f"{MAX_CLOSURE_VERTS} — the all-pairs closure backend is "
+            "refused at this size; pass a `cells` partition to "
+            "route_many_to_many (CRP backend)"
+        )
+    if n_squarings is None:
+        n_squarings = max(1, max(n_verts - 2, 1).bit_length())
+    return min_plus_closure_rows(edge_rows, n_squarings)
+
+
 def route_many_to_many(
     edges: DataFrame,
     sources: DataFrame,
@@ -755,37 +798,29 @@ def route_many_to_many(
     max_overlay_rows: int = MAX_OVERLAY_ROWS,
 ) -> DataFrame:
     """ONE entry point for many-to-many shortest paths (VERDICT r4
-    next-round #5): picks the backend by graph size so no caller can run
-    the V×V closure on a big graph by accident.
+    next-round #5): picks the backend so no caller can run the V×V
+    closure on a big graph by accident.
 
-    - ≤ ``MAX_CLOSURE_VERTS`` vertices: exact all-pairs min-plus closure
-      (``operators/graph.py`` — the hub backend; the closure is the
-      broadcast artifact the routing kernels consume), joined to
-      sources/targets. ``n_squarings`` defaults to
-      ceil(log2(V−1)) — always sufficient.
-    - larger: the partitioned CRP backends (``cells`` required — the
-      partition IS the scale contract). Single-level while the estimated
-      level-1 overlay (Σ per-cell boundary cliques + inter-cell edges)
-      fits ``max_overlay_rows``; beyond that the two-level hierarchy
+    - no ``cells``: the exact all-pairs min-plus closure backend
+      (``closure_rows_gated`` — REFUSES graphs above
+      ``MAX_CLOSURE_VERTS``), joined to sources/targets.
+    - ``cells`` given (the partition IS the scale contract): the
+      partitioned CRP backends. Single-level while the estimated level-1
+      overlay (Σ per-cell boundary cliques + inter-cell edges) fits
+      ``max_overlay_rows``; beyond that the two-level hierarchy
       (``supercells`` required).
 
     The overlay estimate needs only the inter-cell edge endpoints — no
-    closure work is spent deciding. Returns (src_id, tgt_id, dist); the
-    weight type follows the input (the closure backend routes doubles,
-    the CRP backends are integer-exact by contract).
+    closure work is spent deciding — and runs on checkpointed inputs so
+    a lineage-heavy extraction is compiled once. Returns (src_id,
+    tgt_id, dist); the weight type follows the input (the closure
+    backend routes doubles, the CRP backends are integer-exact by
+    contract).
     """
-    n_verts = (
-        edges.select(F.col("src").alias("v"))
-        .union(edges.select(F.col("dst").alias("v")))
-        .distinct()
-        .count()
-    )
-    if n_verts <= MAX_CLOSURE_VERTS:
-        from ram_datapipeline_spark.operators.graph import hub_closure_rows
-
-        if n_squarings is None:
-            n_squarings = max(1, (max(n_verts - 1, 1) - 1).bit_length())
-        rows = hub_closure_rows(edges, n_squarings=n_squarings)
+    if cells is None:
+        # closure backend: ONE collect of the edge list (the closure is
+        # about to be held driver-side anyway); size-gated inside
+        rows = closure_rows_gated(edges, n_squarings=n_squarings)
         spark = edges.sparkSession
         # closure rows come back as Python floats regardless of the edge
         # weight type; integer-weighted closures are integral-valued, so
@@ -800,12 +835,13 @@ def route_many_to_many(
             .groupBy("src_id", "tgt_id")
             .agg(F.min("w").cast(w_type).alias("dist"))
         )
-    if cells is None:
-        raise ValueError(
-            f"route_many_to_many: {n_verts} vertices > MAX_CLOSURE_VERTS="
-            f"{MAX_CLOSURE_VERTS} — the all-pairs closure backend is "
-            "refused at this size; pass a `cells` partition (CRP backend)"
-        )
+    # CRP backends: materialize the extracted graph ONCE before the
+    # estimator touches it — lineage-heavy inputs (an XML scan + explode
+    # + window, as from sources.osm) would otherwise re-run per probe
+    # (measured ~2× the whole query). The backends' own checkpoints then
+    # re-materialize an already-local table — negligible.
+    edges = edges.localCheckpoint()
+    cells = cells.localCheckpoint()
     inter = inter_cell_edges(edges, cells)
     bc = (
         inter.select(F.col("src").alias("node_id"))
@@ -826,6 +862,7 @@ def route_many_to_many(
             edges, cells, sources, targets,
             n_cell_squarings=n_cell_squarings,
             n_overlay_rounds=n_overlay_rounds,
+            _checkpointed=True,
         )
     if supercells is None:
         raise ValueError(
@@ -839,4 +876,5 @@ def route_many_to_many(
         n_super_squarings=n_super_squarings,
         n_overlay_rounds=n_overlay_rounds,
         max_overlay_rows=max_overlay_rows,
+        _checkpointed=True,
     )

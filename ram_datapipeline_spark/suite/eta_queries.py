@@ -205,7 +205,7 @@ def q_eta_routed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ram_datapipeline_spark.operators.graph import (
         make_hub_routing_kernel,
     )
-    from ram_datapipeline_spark.operators.routing import route_many_to_many
+    from ram_datapipeline_spark.operators.routing import closure_rows_gated
 
     t = load_tables(spark, sf_dir)
     o = ram_domain.origins(t["customer"])
@@ -213,21 +213,12 @@ def q_eta_routed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ram_domain.road_edges(t["nation"])
     # hub-level artifacts are tiny by construction (one hub per admin
     # slab); collect + broadcast is the CH-style "contracted core in
-    # memory" pattern, not a data-scale collect. The many-to-many runs
-    # through the dispatcher (VERDICT r4 #5): ≤512 verts → the exact
-    # all-pairs closure backend, bit-identical to hub_closure_rows
-    # (identity source/target maps make the result the closure itself).
-    hubs = ram_domain.hubs(t["nation"])
-    h_src = hubs.select(
-        F.col("hub_id").alias("src_id"), F.col("hub_id").alias("node_id")
-    )
-    h_tgt = hubs.select(
-        F.col("hub_id").alias("tgt_id"), F.col("hub_id").alias("node_id")
-    )
-    mm = route_many_to_many(edges, h_src, h_tgt, n_squarings=3)
-    closure_rows = [
-        (r["src_id"], r["tgt_id"], r["dist"]) for r in mm.collect()
-    ]
+    # memory" pattern, not a data-scale collect. The closure comes
+    # through the dispatcher module's size-gated path (VERDICT r4 #5):
+    # closure_rows_gated REFUSES graphs past MAX_CLOSURE_VERTS, so this
+    # call site cannot silently go V×V on a big extract; one collect +
+    # the driver-side numpy squaring, exactly the r4 execution.
+    closure_rows = closure_rows_gated(edges, n_squarings=3)
     hub_rows = [
         (r["hub_id"], r["lon"], r["lat"])
         for r in ram_domain.hubs(t["nation"]).collect()

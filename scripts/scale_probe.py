@@ -37,7 +37,11 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # origins/POIs), semantic dedup (scaled corpus → more LSH
           # planes), IVF-PQ, interval bucketing, watermark drop
           "eta_routed_osm_large", "dedup_semantic", "sim_cosine_topk_ivfpq",
-          "j_interval_overlap", "st_late_data_drop"]
+          "j_interval_overlap", "st_late_data_drop",
+          # round-5 additions: two-level CRP (fixed network, scaled
+          # entities), rerank ANN, partitioned-layout round trip, EWMA fold
+          "eta_routed_osm_xlarge", "sim_ivfpq_rerank",
+          "k_partitioned_prune", "ts_ewma_smooth"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000
