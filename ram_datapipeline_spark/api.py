@@ -110,12 +110,15 @@ from ram_datapipeline_spark.sources import (  # noqa: F401
     read_osm_ways,
 )
 from ram_datapipeline_spark.sinks import (  # noqa: F401
+    append_metadata_event,
     flatten_poi_map,
     geojson_feature_collection,
     grouped_json,
+    latest_metadata,
     write_csv,
     write_geojson_seq,
     write_json_grouped,
+    write_partitioned,
     write_results_normalized,
 )
 
@@ -161,6 +164,17 @@ from ram_datapipeline_spark.operators.graph import (  # noqa: F401
     min_plus_closure,
     pagerank_int,
     triangle_counts,
+)
+from ram_datapipeline_spark.operators.routing import (  # noqa: F401
+    closure_rows_gated,
+    partitioned_many_to_many,
+    route_many_to_many,
+    two_level_many_to_many,
+)
+from ram_datapipeline_spark.operators.timeseries import (  # noqa: F401
+    ewma_smooth,
+    ohlc_bars,
+    resample_gapfill_locf,
 )
 from ram_datapipeline_spark.plans import (  # noqa: F401
     assemble_corpus,

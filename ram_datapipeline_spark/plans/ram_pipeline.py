@@ -110,6 +110,13 @@ def run_ram_pipeline(
         in_area.select("origin_id", "aa_id", "lon", "lat", "pop"),
         ["origin_id", "aa_id"],
     )
+    # evaluate the analysis ONCE and fan the materialized rows out to the
+    # four sinks — without this each write re-runs the pivot → PIP → eta
+    # matrix chain (measured ~4× the analysis cost at bench scale). The
+    # result table is output-sized (one row per origin), so the local
+    # checkpoint is the natural artifact boundary the reference's
+    # in-memory result array occupies (index.js:100-120).
+    results = results.localCheckpoint()
 
     # -- sinks (K1-K5) -----------------------------------------------------
     sinks.write_results_normalized(
