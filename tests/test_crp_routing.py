@@ -405,3 +405,47 @@ def test_dispatcher_escalates_to_two_level(spark):
     }
     ref = _dijkstra_all(edge_rows, [50])
     assert got == {(0, 0): ref[50][555], (0, 1): ref[50][0]}
+
+
+@pytest.mark.parametrize("seed", [11, 29, 47])
+def test_backends_agree_on_random_weighted_grids(spark, seed):
+    """Three-way parity on randomized weighted grids: single-level CRP,
+    two-level CRP, and driver Dijkstra must produce identical distance
+    sets (same reachable pairs, same integer distances). Randomized
+    weights exercise detour structures no hand-built corridor covers."""
+    import random
+
+    rng = random.Random(seed)
+    w = h = 12
+    wt = lambda r, c, horiz: rng.randint(1, 9)  # noqa: E731
+    edge_rows = _grid_edges(w, h, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, w, h, 4)
+    supercells = _supercells_df(spark, w, h, 4, 2)
+    src_nodes = [rng.randrange(w * h) for _ in range(3)]
+    tgt_nodes = [rng.randrange(w * h) for _ in range(8)]
+    sources = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(src_nodes)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame(
+        list({(i, n) for i, n in enumerate(tgt_nodes)}),
+        "tgt_id long, node_id long",
+    )
+    one = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.partitioned_many_to_many(
+            edges, cells, sources, targets,
+            n_cell_squarings=4, n_overlay_rounds=24,
+        ).collect()
+    }
+    two = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.two_level_many_to_many(
+            edges, cells, supercells, sources, targets,
+            n_cell_squarings=4, n_super_squarings=6, n_overlay_rounds=24,
+        ).collect()
+    }
+    assert one == two
+    ref = _dijkstra_all(edge_rows, src_nodes)
+    for (si, ti), d in one.items():
+        assert d == ref[src_nodes[si]][tgt_nodes[ti]]
