@@ -649,6 +649,63 @@ def resize_png_images(
     )
 
 
+def image_ahash_bands(
+    media: DataFrame, grid: int = 8, bands: int = 4
+) -> DataFrame:
+    """Perceptual average-hash of each image, emitted as ``bands``
+    integer band values — the image near-dup signature (the visual twin
+    of SimHash for text dedup).
+
+    Per image, through the REAL decoder: nearest-neighbor sample a
+    ``grid×grid`` thumbnail (source index ``(dst·src)//out`` — the same
+    integer rule as ``resize_png_images``), then bit s is
+    ``v_s · grid² > Σv`` (strict integer compare — the mean threshold
+    without any division). The ``grid²`` bits split row-major into
+    ``bands`` words (LSH bands): with ``bands`` words, band-equality
+    candidate generation is COMPLETE for Hamming distance <
+    ``bands`` (pigeonhole), so a downstream join on (band, value)
+    + an exact Hamming filter ≤ bands−1 misses nothing. Every step is
+    integer arithmetic on decoded pixels — a SQL engine replays the
+    whole signature from the source bytes.
+
+    Output: (media_id, band, value) long format. Malformed payloads
+    yield no rows (malformed media is data, not an error). Scale shape:
+    one Arrow pass, only ``bands`` small ints per image leave Python.
+    """
+    import numpy as np
+
+    bits_per_band = grid * grid // bands
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, band_idx, values = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, ch, px = _decode_png_bytes(bytes(payload))
+                    if ch != 1:
+                        px = px.reshape(h, w, ch)[:, :, 0]
+                    ys = (np.arange(grid, dtype=np.int64) * h) // grid
+                    xs = (np.arange(grid, dtype=np.int64) * w) // grid
+                    v = px[ys][:, xs].astype(np.int64).ravel()
+                    bits = (v * (grid * grid) > v.sum()).astype(np.int64)
+                    for b in range(bands):
+                        word = 0
+                        for j in range(bits_per_band):
+                            word |= int(bits[b * bits_per_band + j]) << j
+                        ids.append(mid)
+                        band_idx.append(b)
+                        values.append(word)
+                except Exception:  # noqa: BLE001 — malformed media row
+                    continue
+            yield pd.DataFrame(
+                {"media_id": ids, "band": band_idx, "value": values}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, schema="media_id long, band int, value long"
+    )
+
+
 def downsample_wav_media(media: DataFrame, factor: int = 2) -> DataFrame:
     """REAL audio resample: parse each RIFF/WAVE payload (stdlib ``wave``),
     average each run of ``factor`` consecutive 8-bit samples on the RAW

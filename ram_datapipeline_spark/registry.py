@@ -78,6 +78,7 @@ GATE_ORDER: tuple[str, ...] = (
     "sim_ivfpq_rerank",         # ANN deployment shape: ADC shortlist + exact re-rank
     "k_partitioned_prune",      # hive layout + PartitionFilters plan assert
     "ts_ewma_smooth",           # ordered-left-fold EWMA, cross-engine exact
+    "mm_image_ahash_dedup",     # image near-dup: aHash + LSH bands + Hamming
     # round-5 CHANGED — re-proven under the new code
     "eta_routed_osm_large",     # now via route_many_to_many (VERDICT #5)
     "eta_routed_graph",         # now via route_many_to_many (VERDICT #5)
@@ -125,7 +126,6 @@ GATE_ORDER: tuple[str, ...] = (
     "j3_adaptive_buffer",
     "j3_buffer_semi_join",
     "j3_knn_candidates",
-    "j7_square_grid_clip",
 )
 
 

@@ -383,3 +383,128 @@ def q_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav = encode_pcm8_wav(t["documents"])
     small = downsample_wav_media(wav, factor=2)
     return decode_wav_stats(small)
+
+
+@query(
+    "mm_image_ahash_dedup",
+    oracle="""
+    WITH docs2 AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, substr(text, 1, 1) || '#' || substr(text, 3)
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id, text, octet_length(encode(text)) AS nb,
+             greatest(1, CAST(ceil(octet_length(encode(text)) / 16.0)
+                              AS BIGINT)) AS h
+      FROM docs2
+    ),
+    px AS (
+      SELECT d.media_id, s.s,
+             CASE WHEN ((s.s // 8) * d.h // 8) * 16 + (s.s % 8) * 2 < d.nb
+                  THEN ascii(substr(d.text,
+                       CAST(((s.s // 8) * d.h // 8) * 16
+                            + (s.s % 8) * 2 + 1 AS INT), 1))
+                  ELSE 0 END AS v
+      FROM dims d, (SELECT unnest(generate_series(0, 63)) AS s) s
+    ),
+    tot AS (SELECT media_id, sum(v) AS total FROM px GROUP BY media_id),
+    bits AS (
+      SELECT px.media_id, px.s,
+             CASE WHEN px.v * 64 > tot.total THEN 1 ELSE 0 END AS bit
+      FROM px JOIN tot USING (media_id)
+    ),
+    bandv AS (
+      SELECT media_id, CAST(s // 16 AS INT) AS band,
+             CAST(sum(bit * (1 << CAST(s % 16 AS INT))) AS BIGINT) AS value
+      FROM bits GROUP BY media_id, s // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+      FROM bandv a JOIN bandv b
+        ON a.band = b.band AND a.value = b.value
+       AND a.media_id < b.media_id
+    ),
+    ham AS (
+      SELECT c.media_a, c.media_b,
+             CAST(sum(bit_count(xor(x.value, y.value))) AS BIGINT)
+               AS hamming
+      FROM cand c
+      JOIN bandv x ON x.media_id = c.media_a
+      JOIN bandv y ON y.media_id = c.media_b AND y.band = x.band
+      GROUP BY c.media_a, c.media_b
+    )
+    SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 3
+    """,
+    survey=(
+        "multimodal: image near-dup detection — REAL PNG decode → "
+        "average-hash signature → LSH band buckets → exact Hamming "
+        "filter (the visual SimHash; complete for Hamming < bands by "
+        "pigeonhole) (north star)"
+    ),
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs over a corpus of real PNGs: every document's
+    image plus a perturbed variant (one byte in a never-sampled pixel
+    column overwritten — a visually-identical near-dup by construction,
+    so the gate always has true positives). Signatures come through the
+    REAL decoder (``image_ahash_bands``); candidates are band-equality
+    bucket joins (never all-pairs); survivors pass an exact integer
+    Hamming ≤ 3 filter — which the 4-band split provably cannot miss.
+    The oracle replays pixels → bits → bands → buckets → Hamming from
+    the source text."""
+    from ram_datapipeline_spark.multimodal.media import image_ahash_bands
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 1),
+            F.lit("#"),
+            F.expr("substring(text, 3)"),
+        ).alias("text"),
+    )
+    corpus = ensure_parallelism(docs.unionByName(variants))
+    png = encode_gray8_png_media(corpus, width=16)
+    bands = image_ahash_bands(png, grid=8, bands=4)
+    a = bands.select(
+        F.col("media_id").alias("media_a"),
+        "band",
+        F.col("value").alias("va"),
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"),
+        "band",
+        F.col("value").alias("vb"),
+    )
+    cand = (
+        a.join(b, ["band"])
+        .where(
+            (F.col("va") == F.col("vb"))
+            & (F.col("media_a") < F.col("media_b"))
+        )
+        .select("media_a", "media_b")
+        .distinct()
+    )
+    ax = bands.select(
+        F.col("media_id").alias("media_a"),
+        F.col("band").alias("bx"),
+        F.col("value").alias("xa"),
+    )
+    bx = bands.select(
+        F.col("media_id").alias("media_b"),
+        F.col("band").alias("bx"),
+        F.col("value").alias("xb"),
+    )
+    ham = (
+        cand.join(ax, "media_a")
+        .join(bx, ["media_b", "bx"])
+        .groupBy("media_a", "media_b")
+        .agg(
+            F.sum(F.expr("bit_count(xa ^ xb)")).cast("long").alias("hamming")
+        )
+    )
+    return ham.where(F.col("hamming") <= 3)
