@@ -68,6 +68,7 @@ HEADLINE = [
                              # the heaviest single entry, keeps the full
                              # pipeline's regression surface benched
     "eta_routed_osm_xlarge",  # two-level CRP hierarchy, 16,384-node network
+    "mm_image_ahash_dedup",  # image near-dup: real PNG decode → aHash → LSH
 ]
 
 

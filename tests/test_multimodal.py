@@ -425,3 +425,39 @@ def test_resize_images_dispatches_real_codecs(spark):
 
     assert bytes(got[3]["payload"]).startswith(b"custom-codec")  # stub path
     assert got[4]["payload"] is None and got[4]["width"] is None
+
+
+def test_image_ahash_identical_and_perturbed(spark):
+    """aHash contract: byte-identical images share all four band words;
+    perturbing an UNSAMPLED pixel column changes nothing; perturbing a
+    sampled pixel moves few bits; malformed payloads yield no rows."""
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.media import (
+        _encode_gray8_png,
+        image_ahash_bands,
+    )
+
+    base = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    unsampled = base.copy()
+    unsampled[0, 1] = 255          # odd column: never nearest-neighbor-sampled
+    sampled = base.copy()
+    sampled[0, 0] = 255            # (0,0) IS sampled
+    rows = [
+        (1, bytearray(_encode_gray8_png(base))),
+        (2, bytearray(_encode_gray8_png(base))),
+        (3, bytearray(_encode_gray8_png(unsampled))),
+        (4, bytearray(_encode_gray8_png(sampled))),
+        (9, bytearray(b"not a png")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {}
+    for r in image_ahash_bands(df).collect():
+        got.setdefault(r["media_id"], {})[r["band"]] = r["value"]
+    assert got[1] == got[2] == got[3]          # identical + unsampled-perturb
+    assert 9 not in got                        # malformed → no rows
+    assert len(got[4]) == 4
+    ham = sum(
+        bin(got[1][b] ^ got[4][b]).count("1") for b in range(4)
+    )
+    assert 0 < ham <= 8                        # sampled-pixel perturb: few bits
