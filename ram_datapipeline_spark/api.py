@@ -166,7 +166,9 @@ from ram_datapipeline_spark.operators.graph import (  # noqa: F401
     triangle_counts,
 )
 from ram_datapipeline_spark.operators.routing import (  # noqa: F401
+    build_crp_index,
     closure_rows_gated,
+    crp_many_to_many,
     partitioned_many_to_many,
     route_many_to_many,
     two_level_many_to_many,

@@ -299,6 +299,57 @@ def multi_source_overlay_dist(
     )
 
 
+class CRPIndex:
+    """The compiled routing artifact — the in-engine analog of the
+    ``.osrm`` file ``osrm-contract`` produces (osm2osrm.sh:32-33):
+    checkpointed extracted graph, distributed per-cell closures, and the
+    collected overlay (contracted core). Build ONCE with
+    ``build_crp_index``, answer many ``crp_many_to_many`` calls — graph
+    compilation (the dominant cost: source scan + cell closures) is paid
+    per network, not per query, exactly the reference's operating model
+    (contract offline, ``osrm.table`` many times)."""
+
+    def __init__(self, edges, cells, incell, ovl, bset, bdf):
+        self.edges = edges
+        self.cells = cells
+        self.incell = incell
+        self.ovl = ovl
+        self.bset = bset
+        self.bdf = bdf
+
+
+def build_crp_index(
+    edges: DataFrame,
+    cells: DataFrame,
+    n_cell_squarings: int,
+    _checkpointed: bool = False,
+) -> CRPIndex:
+    """Compile the single-level CRP artifact (see ``CRPIndex``)."""
+    spark = edges.sparkSession
+    # Materialize the extracted graph once: edges/cells feed four subplans
+    # (in-cell closure, inter-cell split, seed legs, exit legs), and
+    # lineage-heavy inputs (an XML scan + explode + window, as from
+    # sources.osm) make Catalyst re-analysis of each branch quadratic —
+    # observed as an optimizer stall on the 10⁴-node fixture. This is the
+    # osrm-extract artifact boundary: compile once, route many.
+    # (``_checkpointed``: route_many_to_many already materialized them
+    # for its overlay estimate — skip the redundant copy.)
+    if not _checkpointed:
+        edges = edges.localCheckpoint()
+        cells = cells.localCheckpoint()
+    # incell is consumed by four branches (overlay, seeds, exits, direct);
+    # checkpointing (not just persist) truncates its grouped-map lineage so
+    # the final union's analysis stays linear.
+    incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint()
+    inter = inter_cell_edges(edges, cells)
+    ovl = overlay_rows(incell, inter)
+    bset = sorted({s for s, _, _ in ovl} | {d for _, d, _ in ovl})
+    bdf = spark.createDataFrame(
+        [(v,) for v in bset], schema="node_id long"
+    )
+    return CRPIndex(edges, cells, incell, ovl, bset, bdf)
+
+
 def partitioned_many_to_many(
     edges: DataFrame,
     cells: DataFrame,
@@ -324,29 +375,30 @@ def partitioned_many_to_many(
     exact CRP three-leg decomposition (module docstring). All joins are
     distributed; only the overlay (contracted core) and the seed legs
     (n_sources × per-cell boundary) pass through the driver.
+
+    One-shot convenience over ``build_crp_index`` + ``crp_many_to_many``
+    — callers routing several source/target sets over one network should
+    build the index once instead.
     """
-    spark = edges.sparkSession
-    # Materialize the extracted graph once: edges/cells feed four subplans
-    # (in-cell closure, inter-cell split, seed legs, exit legs), and
-    # lineage-heavy inputs (an XML scan + explode + window, as from
-    # sources.osm) make Catalyst re-analysis of each branch quadratic —
-    # observed as an optimizer stall on the 10⁴-node fixture. This is the
-    # osrm-extract artifact boundary: compile once, route many.
-    # (``_checkpointed``: route_many_to_many already materialized them
-    # for its overlay estimate — skip the redundant copy.)
-    if not _checkpointed:
-        edges = edges.localCheckpoint()
-        cells = cells.localCheckpoint()
-    # incell is consumed by four branches (overlay, seeds, exits, direct);
-    # checkpointing (not just persist) truncates its grouped-map lineage so
-    # the final union's analysis stays linear.
-    incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint()
-    inter = inter_cell_edges(edges, cells)
-    ovl = overlay_rows(incell, inter)
-    bset = sorted({s for s, _, _ in ovl} | {d for _, d, _ in ovl})
-    bdf = spark.createDataFrame(
-        [(v,) for v in bset], schema="node_id long"
+    idx = build_crp_index(
+        edges, cells, n_cell_squarings, _checkpointed=_checkpointed
     )
+    return crp_many_to_many(idx, sources, targets, n_overlay_rounds)
+
+
+def crp_many_to_many(
+    idx: CRPIndex,
+    sources: DataFrame,
+    targets: DataFrame,
+    n_overlay_rounds: int,
+) -> DataFrame:
+    """Answer one many-to-many query from a compiled ``CRPIndex`` (see
+    ``partitioned_many_to_many`` for the semantics and exactness
+    argument)."""
+    cells, incell, ovl, bset, bdf = (
+        idx.cells, idx.incell, idx.ovl, idx.bset, idx.bdf
+    )
+    spark = cells.sparkSession
 
     # seed legs: source → boundary nodes of its own cell (in-cell exact);
     # n_sources × per-cell boundary rows — metadata-sized collect.

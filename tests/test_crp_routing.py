@@ -449,3 +449,34 @@ def test_backends_agree_on_random_weighted_grids(spark, seed):
     ref = _dijkstra_all(edge_rows, src_nodes)
     for (si, ti), d in one.items():
         assert d == ref[src_nodes[si]][tgt_nodes[ti]]
+
+
+def test_crp_index_reuse_matches_one_shot(spark):
+    """Compile-once-route-many: two different source/target sets answered
+    from ONE CRPIndex must equal the one-shot calls (the osrm operating
+    model — contract offline, osrm.table many times)."""
+    wt = lambda r, c, horiz: 1 if r % 3 == 0 else 6  # noqa: E731
+    edge_rows = _grid_edges(12, 12, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, 12, 12, 4)
+    idx = R.build_crp_index(edges, cells, n_cell_squarings=4)
+    for srcs, tgts in (
+        ([(0, 0), (1, 70)], [(0, 143), (1, 7)]),
+        ([(0, 133)], [(0, 0), (1, 60), (2, 100)]),
+    ):
+        sources = spark.createDataFrame(srcs, "src_id long, node_id long")
+        targets = spark.createDataFrame(tgts, "tgt_id long, node_id long")
+        via_index = {
+            (r["src_id"], r["tgt_id"]): r["dist"]
+            for r in R.crp_many_to_many(
+                idx, sources, targets, n_overlay_rounds=24
+            ).collect()
+        }
+        one_shot = {
+            (r["src_id"], r["tgt_id"]): r["dist"]
+            for r in R.partitioned_many_to_many(
+                edges, cells, sources, targets,
+                n_cell_squarings=4, n_overlay_rounds=24,
+            ).collect()
+        }
+        assert via_index == one_shot and via_index
