@@ -52,9 +52,6 @@ from ram_datapipeline_spark.operators.temporal import (  # noqa: F401
     asof_join,
     cdc_apply,
 )
-from ram_datapipeline_spark.operators.timeseries import (  # noqa: F401
-    resample_gapfill_locf,
-)
 from ram_datapipeline_spark.operators.skew import (  # noqa: F401
     salted_join,
     write_bucketed,
@@ -83,6 +80,10 @@ from ram_datapipeline_spark.operators.text_ops import (  # noqa: F401
     quality_features,
     rolling_hash,
     shingles,
+)
+from ram_datapipeline_spark.multimodal.media import (  # noqa: F401
+    downsample_wav_media,
+    image_ahash_bands,
 )
 from ram_datapipeline_spark.multimodal import (  # noqa: F401
     audio_frame_energy,
