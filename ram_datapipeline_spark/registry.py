@@ -64,13 +64,15 @@ def get(name: str) -> QuerySpec:
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
     # ROUND-5 ROTATION (VERDICT r4 next-round #1): the driver window is
-    # spent on (a) everything NEW or CHANGED in round 5 — the two-level
-    # CRP gate, the K5 metadata gate, and the three queries rewired
-    # through route_many_to_many / the rerank-capable IVF-PQ module —
-    # then (b) the 19 queries whose only driver proof was round 1 (the
+    # spent on (a) the 9 queries NEW or CHANGED in round 5 — the
+    # two-level CRP gate, the K5 / partitioned-prune / rerank / EWMA /
+    # image-dedup gates, and the queries rewired through
+    # route_many_to_many or the rerank-capable IVF-PQ module — then (b)
+    # the 19 queries whose only driver proof was round 1 (the
     # NEXT_ROUND_ROTATION queue published in round 4), then (c) the
-    # stalest 26 of the 48 queries whose latest proof is round 2. The
-    # 22 r2-proven queries that did not fit are queued below for r6.
+    # stalest 22 of the 48 queries whose latest proof is round 2. The
+    # 26 r2-proven queries that did not fit are queued for r6 in
+    # tests/test_registry_gate.py NEXT_ROUND_ROTATION.
     #
     # round-5 NEW
     "eta_routed_osm_xlarge",    # two-level CRP hierarchy (VERDICT r4 #4)
