@@ -674,7 +674,19 @@ def image_ahash_bands(
     """
     import numpy as np
 
+    if bands <= 0 or (grid * grid) % bands != 0:
+        raise ValueError(
+            f"image_ahash_bands: bands={bands} must evenly divide "
+            f"grid²={grid * grid} — a ragged split silently drops the "
+            "trailing hash bits and voids the pigeonhole completeness "
+            "guarantee"
+        )
     bits_per_band = grid * grid // bands
+    if bits_per_band > 62:
+        raise ValueError(
+            f"image_ahash_bands: {bits_per_band} bits per band exceeds "
+            "a signed 64-bit band word; use more bands"
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -179,7 +179,9 @@ def inter_cell_edges(edges: DataFrame, cells: DataFrame) -> DataFrame:
 
 
 def overlay_rows(
-    incell: DataFrame, inter: DataFrame
+    incell: DataFrame,
+    inter: DataFrame,
+    max_overlay_rows: int = MAX_OVERLAY_ROWS,
 ) -> list[tuple[int, int, int]]:
     """Collect the CRP overlay edge list: inter-cell edges ∪ in-cell
     boundary→boundary closure rows (src ≠ dst). Boundary nodes are the
@@ -199,11 +201,12 @@ def overlay_rows(
     ovl = inter.select("src", "dst", "w").union(bb)
     # gate + collect in ONE evaluation: pull at most MAX+1 rows — a
     # separate count() would run the whole overlay subplan twice
-    rows = ovl.limit(MAX_OVERLAY_ROWS + 1).collect()
-    if len(rows) > MAX_OVERLAY_ROWS:
+    rows = ovl.limit(max_overlay_rows + 1).collect()
+    if len(rows) > max_overlay_rows:
         raise ValueError(
-            f"overlay_rows: > MAX_OVERLAY_ROWS={MAX_OVERLAY_ROWS} overlay "
-            "rows; partition with smaller cells or add an overlay level"
+            f"overlay_rows: > {max_overlay_rows} (max_overlay_rows) "
+            "overlay rows; partition with smaller cells or add an "
+            "overlay level"
         )
     return [(r["src"], r["dst"], r["w"]) for r in rows]
 
@@ -322,6 +325,7 @@ def build_crp_index(
     edges: DataFrame,
     cells: DataFrame,
     n_cell_squarings: int,
+    max_overlay_rows: int = MAX_OVERLAY_ROWS,
     _checkpointed: bool = False,
 ) -> CRPIndex:
     """Compile the single-level CRP artifact (see ``CRPIndex``)."""
@@ -342,7 +346,7 @@ def build_crp_index(
     # the final union's analysis stays linear.
     incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint()
     inter = inter_cell_edges(edges, cells)
-    ovl = overlay_rows(incell, inter)
+    ovl = overlay_rows(incell, inter, max_overlay_rows)
     bset = sorted({s for s, _, _ in ovl} | {d for _, d, _ in ovl})
     bdf = spark.createDataFrame(
         [(v,) for v in bset], schema="node_id long"
@@ -357,6 +361,7 @@ def partitioned_many_to_many(
     targets: DataFrame,
     n_cell_squarings: int,
     n_overlay_rounds: int,
+    max_overlay_rows: int = MAX_OVERLAY_ROWS,
     _checkpointed: bool = False,
 ) -> DataFrame:
     """Exact many-to-many shortest-path distances (the ``osrm.table``
@@ -381,7 +386,8 @@ def partitioned_many_to_many(
     build the index once instead.
     """
     idx = build_crp_index(
-        edges, cells, n_cell_squarings, _checkpointed=_checkpointed
+        edges, cells, n_cell_squarings, max_overlay_rows=max_overlay_rows,
+        _checkpointed=_checkpointed,
     )
     return crp_many_to_many(idx, sources, targets, n_overlay_rounds)
 
@@ -599,7 +605,12 @@ def two_level_many_to_many(
        boundary₂), the fixed-round relaxation runs on the level-2
        overlay (``multi_source_overlay_dist`` unchanged, convergence
        probe and all), and exits descend it — all hierarchy hops are
-       distributed joins + min-aggregates.
+       distributed joins + min-aggregates. The exit joins materialize
+       O(n_sources · Σ_c B_c·n_c) candidate rows — linear in network
+       size per source, so MIN-FUSE sources sharing an output key (the
+       MAX_SEED_ROWS / MAX_OVERLAY_STATE gates enforce the bound; the
+       single-level path's cogrouped fold kernel is the alternative
+       when the level-1 boundary fits a broadcast).
 
     Exactness: a shortest path decomposes at its supercell-boundary
     crossings into maximal within-supercell segments; each segment
@@ -734,6 +745,20 @@ def two_level_many_to_many(
             "(per-group minima commute through every min-plus stage)"
         )
     seed_rows = [(r["src_id"], r["b"], r["w"]) for r in seed_pull]
+    # same driver-state gate as the single-level path (VERDICT r4 #3):
+    # the relaxation holds a dense (n_sources × n_overlay_nodes) matrix
+    n_sources = len({k for k, _, _ in seed_rows})
+    n_ovl_nodes = len(
+        {a for a, _, _ in ovl} | {b for _, b, _ in ovl}
+        | {v for _, v, _ in seed_rows}
+    )
+    if n_sources * max(n_ovl_nodes, 1) > MAX_OVERLAY_STATE:
+        raise ValueError(
+            f"two_level_many_to_many: overlay state {n_sources} sources "
+            f"× {n_ovl_nodes} overlay nodes > MAX_OVERLAY_STATE="
+            f"{MAX_OVERLAY_STATE}; min-fuse sources sharing an output "
+            "key or chunk the source set across calls"
+        )
     od = multi_source_overlay_dist(ovl, seed_rows, n_overlay_rounds)
     od_df = spark.createDataFrame(
         od or [], schema="src_id long, b2 long, d long"
@@ -818,9 +843,22 @@ def closure_rows_gated(
     sufficient."""
     from ram_datapipeline_spark.operators.graph import min_plus_closure_rows
 
-    edge_rows = [
-        (r[src], r[dst], r[w]) for r in edges.select(src, dst, w).collect()
-    ]
+    # the refusal must not itself materialize a big graph driver-side:
+    # pull a BOUNDED number of edge rows (a ≤MAX_CLOSURE_VERTS-vertex
+    # graph has ≤ MAX² directed edges, so exceeding the cap proves the
+    # graph too big without ever collecting it all) — one job, ~MB-sized
+    max_edges = MAX_CLOSURE_VERTS * MAX_CLOSURE_VERTS
+    pulled = edges.select(src, dst, w).limit(max_edges + 1).collect()
+    if len(pulled) > max_edges:
+        raise ValueError(
+            f"closure_rows_gated: > {max_edges} edge rows — more than "
+            f"any {MAX_CLOSURE_VERTS}-vertex simple digraph can hold; "
+            "the all-pairs closure backend is refused at this size. "
+            "Pre-aggregate parallel edges (groupBy(src, dst).min(w)) if "
+            "the graph is genuinely small, or pass a `cells` partition "
+            "to route_many_to_many (CRP backend)"
+        )
+    edge_rows = [(r[src], r[dst], r[w]) for r in pulled]
     n_verts = len(
         {s for s, _, _ in edge_rows} | {d for _, d, _ in edge_rows}
     )
@@ -914,6 +952,7 @@ def route_many_to_many(
             edges, cells, sources, targets,
             n_cell_squarings=n_cell_squarings,
             n_overlay_rounds=n_overlay_rounds,
+            max_overlay_rows=max_overlay_rows,
             _checkpointed=True,
         )
     if supercells is None:

@@ -70,9 +70,10 @@ GATE_ORDER: tuple[str, ...] = (
     # route_many_to_many or the rerank-capable IVF-PQ module — then (b)
     # the 19 queries whose only driver proof was round 1 (the
     # NEXT_ROUND_ROTATION queue published in round 4), then (c) the
-    # stalest 22 of the 48 queries whose latest proof is round 2. The
-    # 26 r2-proven queries that did not fit are queued for r6 in
-    # tests/test_registry_gate.py NEXT_ROUND_ROTATION.
+    # stalest of the 48 queries whose latest proof is round 2 — 23 in
+    # the window (the 22 listed under (c) plus eta_routed_graph, which
+    # is r2-proven AND r5-changed). The 25 that did not fit are queued
+    # for r6 in tests/test_registry_gate.py NEXT_ROUND_ROTATION.
     #
     # round-5 NEW
     "eta_routed_osm_xlarge",    # two-level CRP hierarchy (VERDICT r4 #4)
@@ -105,7 +106,7 @@ GATE_ORDER: tuple[str, ...] = (
     "s4_admin_scan_inlist",
     "w1_latest_per_key",
     "w2_sort_limit_topk",
-    # r2-latest evidence, stalest 26 re-proven
+    # r2-latest evidence, stalest re-proven (22 here + eta_routed_graph above)
     "a2_pivot_eav",
     "dedup_connected_components",
     "dedup_embedding_cosine",

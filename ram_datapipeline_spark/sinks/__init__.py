@@ -262,20 +262,28 @@ def latest_metadata(
     current state — the newest row per key (the UPDATE the reference's
     `knex(...).update()` performs in place, `index.js:153-156`, replayed
     as a latest-per-key aggregate). Ordering is (seq, updated_at): the
-    explicit sequence when the writer supplied one, wall clock otherwise.
+    explicit sequence when the writer supplied one, wall clock otherwise
+    — a log should use ONE mode consistently (seq-less events rank below
+    any sequenced event, deterministically, never NULL-order-dependent).
 
-    One hash aggregation (``max_by`` over a struct — map-side partial,
-    no window/sort), so the fold scales to event logs of any size."""
+    One hash aggregation: ONE ``max_by`` picks the whole winning event
+    (never mixing value columns from different events on ordering ties)
+    — map-side partial, no window/sort, so the fold scales to event logs
+    of any size."""
     ev = spark.read.parquet(path)
     val_cols = [
         c for c in ev.columns
         if c not in set(key_cols) | {"updated_at", "seq"}
     ]
-    ord_col = F.struct(F.col("seq"), F.col("updated_at"))
-    agg = [
-        F.max_by(F.col(c), ord_col).alias(c) for c in val_cols
-    ]
-    return ev.groupBy(*key_cols).agg(*agg)
+    ord_col = F.struct(
+        F.coalesce(F.col("seq"), F.lit(-(1 << 62))).alias("s"),
+        F.col("updated_at").alias("t"),
+    )
+    win = F.max_by(F.struct(*[F.col(c) for c in val_cols]), ord_col)
+    agg = ev.groupBy(*key_cols).agg(win.alias("_w"))
+    return agg.select(
+        *key_cols, *[F.col("_w")[c].alias(c) for c in val_cols]
+    )
 
 
 def write_partitioned(

@@ -639,7 +639,7 @@ def _crp_grid2_oracle_sql() -> str:
     gn AS MATERIALIZED (SELECT r * {w} + c AS node_id, r, c,
                   {ram_domain.GRID2_LON0!r} + CAST(c AS DOUBLE) * {ram_domain.GRID_STEP!r} AS lon,
                   {ram_domain.GRID2_LAT0!r} + CAST(r AS DOUBLE) * {ram_domain.GRID_STEP!r} AS lat
-           FROM range(0, {w}) tr(r) CROSS JOIN range(0, {ram_domain.GRID2_H}) tc(c)),
+           FROM range(0, {ram_domain.GRID2_H}) tr(r) CROSS JOIN range(0, {w}) tc(c)),
     ge AS MATERIALIZED (
       SELECT a.node_id AS src, b.node_id AS dst,
              {_GRID_EDGE_W.format(spd=f'({w_h})')} AS w
