@@ -145,6 +145,7 @@ from ram_datapipeline_spark.operators.corpus import (  # noqa: F401
     sequence_packing,
     split_assign,
     stratified_sample,
+    temperature_weights,
     tfidf_topk,
 )
 from ram_datapipeline_spark.operators.vectors import (  # noqa: F401

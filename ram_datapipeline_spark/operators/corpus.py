@@ -430,3 +430,58 @@ def domain_quota(
         .where(F.col(rank_col) <= quota)
     )
 
+
+
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain mixing weights — the sampling-mixture
+    computation multilingual/multi-source pretraining uses (weight each
+    domain ``n_d^α`` with α < 1 to up-sample small domains, then
+    normalize to shares).
+
+    ``alpha`` is restricted to {0.25, 0.5, 0.75, 1.0}: those powers are
+    compositions of IEEE-exact ``sqrt`` and one multiply, so every
+    weight — and the share denominator, folded in PINNED domain order —
+    is bit-reproducible cross-engine (a general ``pow`` routes through
+    libm and is not).
+
+    Output: (domain, n_docs, weight, share). Scale shape: one count
+    aggregate to the domain grain, then a single-row ordered fold over
+    the (few) domains — the corpus is scanned once, nothing else moves.
+    """
+    x = F.col("n_docs").cast("double")
+    powers = {
+        1.0: x,
+        0.5: F.sqrt(x),
+        0.25: F.sqrt(F.sqrt(x)),
+        0.75: F.sqrt(x) * F.sqrt(F.sqrt(x)),
+    }
+    if alpha not in powers:
+        raise ValueError(
+            f"temperature_weights: alpha={alpha} not in "
+            f"{sorted(powers)} (sqrt-composable powers only — libm pow "
+            "is not cross-engine exact)"
+        )
+    c = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = c.withColumn("weight", powers[alpha])
+    total = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("domain", "weight"))),
+                lambda s: s["weight"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("total")
+    )
+    return w.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "weight",
+        (F.col("weight") / F.col("total")).alias("share"),
+    )

@@ -673,3 +673,42 @@ def q_vec_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code").cast("int").alias("code"),
         "dist",
     )
+
+
+@query(
+    "pipe_temperature_weights",
+    oracle="""
+    WITH c AS (
+      SELECT source AS domain, count(*) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT domain, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight FROM c
+    ),
+    t AS (
+      SELECT list_reduce(
+               [CAST(0.0 AS DOUBLE)]
+                 || list_transform(array_agg(weight ORDER BY domain),
+                                   x -> x),
+               (a, b) -> a + b) AS total
+      FROM w
+    )
+    SELECT w.domain, w.n_docs, w.weight, w.weight / t.total AS share
+    FROM w, t
+    """,
+    survey=(
+        "corpus curation: temperature-based domain-mixing weights "
+        "(n^alpha up-sampling of small domains, pinned-order normalize) "
+        "(north star)"
+    ),
+    tags=("pipeline",),
+)
+def q_pipe_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling shares at temperature α=½ — the mixture table
+    a pretraining data loader consumes. sqrt-composed weights and a
+    pinned-order share denominator keep every double bit-exact
+    (operators/corpus.py::temperature_weights)."""
+    from ram_datapipeline_spark.operators.corpus import temperature_weights
+
+    t = load_tables(spark, sf_dir)
+    return temperature_weights(t["documents"], domain_col="source")
