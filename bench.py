@@ -69,6 +69,8 @@ HEADLINE = [
                              # pipeline's regression surface benched
     "eta_routed_osm_xlarge",  # two-level CRP hierarchy, 16,384-node network
     "mm_image_ahash_dedup",  # image near-dup: real PNG decode → aHash → LSH
+    "agg_heavy_hitters",     # two-pass Misra-Gries frequent items
+    "j_bloom_prefilter",     # Bloom-pruned probe side before the join
 ]
 
 

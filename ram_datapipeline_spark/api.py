@@ -53,8 +53,15 @@ from ram_datapipeline_spark.operators.temporal import (  # noqa: F401
     cdc_apply,
 )
 from ram_datapipeline_spark.operators.skew import (  # noqa: F401
+    bloom_prefilter_join,
+    build_bloom_bitmap,
     salted_join,
     write_bucketed,
+)
+from ram_datapipeline_spark.operators.sketches import (  # noqa: F401
+    hash_quantile_sketch,
+    kmv_distinct_estimate,
+    misra_gries_heavy_hitters,
 )
 
 # training-data pipeline (north star)
@@ -65,6 +72,7 @@ from ram_datapipeline_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     near_dedup_survivors,
     ngram_jaccard_pairs,
+    repeated_spans,
     simhash,
     simhash_pairs,
 )

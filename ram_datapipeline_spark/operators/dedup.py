@@ -29,7 +29,7 @@ handled by AQE skew-join splitting. Nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ram_datapipeline_spark.operators.text_ops import shingles
@@ -45,6 +45,76 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact cross-document repeated-substring spans — the substring-level
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL'22), re-expressed for Spark: instead of
+    a corpus-global suffix array (their single-node construction), every
+    ``w``-token window is hashed in place, windows whose hash occurs in
+    ≥ ``min_docs`` DISTINCT documents are flagged, and per document the
+    flagged window starts merge into maximal spans (gaps-and-islands)
+    whenever consecutive starts overlap or touch (start − prev ≤ w).
+
+    Output: (id_col, span_start, span_end, n_windows) with token-index
+    span bounds (1-based, end inclusive).
+
+    Plan shape at 100 TB: the window explode is map-side (~tokens× rows,
+    same budget as the shingle dedups above); ONE hash-keyed exchange
+    finds multi-document hashes (partial count-distinct collapses
+    same-doc repeats map-side); the flagged subset — duplicate text
+    only, a tiny fraction of a real corpus — is what the semi-join and
+    the per-document island window touch. No suffix array, no global
+    sort, nothing corpus-sized on the driver."""
+    arr = f"split({text_col}, ' ')"
+    # Spark's sequence(1, 0) is DESCENDING — short docs must be filtered
+    # before the window generator runs.
+    windows = (
+        df.where(F.expr(f"size({arr}) >= {w}"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({arr}) - {w} + 1), "
+                    f"i -> struct(i AS start, "
+                    f"md5(array_join(slice({arr}, i, {w}), ' ')) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select(id_col, F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+    )
+    dup_hashes = (
+        windows.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = windows.join(dup_hashes, "h", "leftsemi")
+    wdoc = Window.partitionBy(id_col).orderBy("start")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(F.col("start") - F.lag("start").over(wdoc) <= w, F.lit(0))
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "_island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(w - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
     )
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TWO_52 = float(1 << 52)
 
@@ -74,6 +75,68 @@ def kmv_distinct_estimate(
         counts.join(kth, group_cols, "left")
         .withColumn("estimate", est)
         .select(*group_cols, "n_exact", "kth_u", "estimate")
+    )
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    count_col: str = "cnt",
+    total_col: str = "n_total",
+) -> DataFrame:
+    """Exact heavy hitters (keys with non-null frequency · k > n) via the
+    two-pass Misra-Gries pattern — the way a 100 TB engine answers
+    "which keys dominate?" WITHOUT a full groupBy over the raw key
+    domain.
+
+    Pass 1 — candidate generation: each partition streams its Arrow
+    batches through a MERGEABLE Misra-Gries summary (Agarwal et al.,
+    "Mergeable Summaries", PODS'12: combine counts, then subtract the
+    (k+1)-th largest and drop non-positive), holding ≤ k entries no
+    matter how many distinct keys flow past. Pigeonhole gives the
+    guarantee: a key with global count > n/(k+1) must exceed its
+    partition's decrement budget n_p/(k+1) somewhere, so the union of
+    partition summaries is a SUPERSET of every key with count·k > n.
+
+    Pass 2 — exact recount: the candidate union (≤ k per partition —
+    broadcast-sized) semi-join-prunes the input, and only the surviving
+    rows are counted exactly. The final filter count·k > n makes the
+    OUTPUT exact — identical to the plain groupBy/HAVING formulation the
+    oracle runs — while the shuffle only ever carries candidate keys.
+
+    Nulls are ignored (both the summaries and ``total_col`` count
+    non-null keys only). ``total_col`` is carried in the output so the
+    threshold the filter applied is visible to the caller.
+    """
+    key_field = df.schema[key_col]
+
+    def mg_partitions(batches):
+        import pandas as pd
+
+        summary: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].dropna().value_counts().items():
+                summary[key] = summary.get(key, 0) + int(c)
+            if len(summary) > k:
+                # mergeable compress: subtract the (k+1)-th largest
+                # count from everything, keep the strictly-positive
+                m = sorted(summary.values(), reverse=True)[k]
+                summary = {key: c - m for key, c in summary.items() if c > m}
+        yield pd.DataFrame({key_col: list(summary.keys())})
+
+    candidates = (
+        df.select(key_col)
+        .mapInPandas(mg_partitions, schema=T.StructType([key_field]))
+        .distinct()
+    )
+    filtered = df.join(F.broadcast(candidates), key_col, "leftsemi")
+    counts = filtered.groupBy(key_col).agg(F.count(F.lit(1)).alias(count_col))
+    total = df.select(F.count(key_col).alias(total_col))
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col(count_col) * k > F.col(total_col))
+        .select(key_col, count_col, total_col)
     )
 
 

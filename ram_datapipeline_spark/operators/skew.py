@@ -65,6 +65,96 @@ def salted_join(
     return b.join(s, [*on, "_salt"], how).drop("_salt")
 
 
+BLOOM_M_BITS = 1 << 18  # 256 Kbit = 4096 int64 words = 32 KiB bitmap
+
+
+def build_bloom_bitmap(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = 2,
+) -> list[int]:
+    """Distributed Bloom-filter build: every key sets ``n_hashes`` bit
+    positions (xxhash64 salted by hash index, pmod to the bitmap), the
+    positions aggregate to int64 words via bit_or, and the DRIVER
+    collects at most ``m_bits / 64`` (word, bits) rows — a FIXED-size
+    transfer (32 KiB at the default) regardless of build-side
+    cardinality. All integer arithmetic; fully deterministic."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64; got {m_bits}")
+    n_words = m_bits // 64
+    positions = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+    words = (
+        keys.select(F.explode(F.array(*positions)).alias("p"))
+        .select(
+            F.expr("p DIV 64").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()  # bounded: ≤ n_words rows by construction
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["w"]] = r["word"]
+    return bitmap
+
+
+def bloom_prefilter_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = 2,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with an explicit Bloom prune of the probe side —
+    result-identical to ``probe.join(build, on, how)`` because a Bloom
+    filter has false POSITIVES only (survivors the join then drops),
+    never false negatives.
+
+    This is the scale pattern for a build side that is too big to
+    broadcast as ROWS but whose key MEMBERSHIP fits a fixed 32 KiB
+    bitmap: the probe side (the 100 TB fact) is pruned before the
+    shuffle, so the exchange carries only probable matches. Spark's AQE
+    injects a runtime Bloom in some plans
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``); this operator
+    is the explicit form for when the optimizer doesn't — cross-job
+    reuse, persisted filters, or non-SQL probe pipelines.
+
+    Only ``inner`` and ``left_semi`` joins are supported: any
+    probe-preserving join would lose unmatched probe rows to the
+    prefilter."""
+    if how not in ("inner", "leftsemi", "left_semi", "semi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/semi joins; got {how!r}:"
+            " the Bloom prune drops probe rows that an outer join must keep"
+        )
+    bitmap = build_bloom_bitmap(
+        build.select(on).distinct(), on, m_bits, n_hashes
+    )
+    out = probe.withColumn("_bloom", F.lit(bitmap))
+    pcols = []
+    cond = F.lit(True)
+    for i in range(n_hashes):
+        pcols.append(f"_p{i}")
+        out = out.withColumn(
+            f"_p{i}", F.pmod(F.xxhash64(F.col(on), F.lit(i)), F.lit(m_bits))
+        )
+        cond = cond & F.expr(
+            f"(element_at(_bloom, CAST(_p{i} DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT)))"
+            " != 0"
+        )
+    pruned = out.where(cond).drop("_bloom", *pcols)
+    return pruned.join(build, on, how)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

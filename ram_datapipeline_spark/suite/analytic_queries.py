@@ -570,6 +570,50 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(floor(10000 / (event_id % 10000 + 1)) AS BIGINT)
+             AS zipf_key
+      FROM events
+    )
+    SELECT zipf_key, count(*) AS cnt,
+           (SELECT count(*) FROM t) AS n_total
+    FROM t GROUP BY zipf_key
+    HAVING count(*) * 50 > (SELECT count(*) FROM t)
+    """,
+    survey=(
+        "exact heavy hitters via two-pass Misra-Gries (mergeable "
+        "bounded summaries -> broadcast candidates -> exact recount) — "
+        "the frequent-items scale pattern (operators/sketches.py)"
+    ),
+    tags=("analytic", "sketch"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys taking > 1/50 of the event stream, found the 100 TB way:
+    per-partition Misra-Gries summaries bounded at 50 entries (the key
+    domain never shuffles), candidate union broadcast back as a
+    semi-join prune, then an exact recount + threshold filter. The key
+    is a Zipf transform of event_id (floor(10000/(id%10000+1)) — ~200
+    distinct values, counts ~ 1/v²) so the summaries genuinely compress
+    and a handful of keys dominate; the oracle is the plain
+    groupBy/HAVING the two-pass output must equal exactly."""
+    from ram_datapipeline_spark.operators.sketches import (
+        misra_gries_heavy_hitters,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.expr(
+            "CAST(floor(10000 / (event_id % 10000 + 1)) AS BIGINT)"
+        ).alias("zipf_key")
+    )
+    return misra_gries_heavy_hitters(
+        ev, "zipf_key", k=50, count_col="cnt", total_col="n_total"
+    )
+
+
+@query(
     "agg_quantile_sketch",
     oracle="""
     WITH s AS (

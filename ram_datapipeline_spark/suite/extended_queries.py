@@ -917,6 +917,56 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_bloom_prefilter",
+    oracle="""
+    SELECT l.l_returnflag, l.l_linestatus,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag, l.l_linestatus
+    """,
+    survey=(
+        "Bloom-prefiltered equi-join in the hard signal: probe side "
+        "pruned by a fixed 32 KiB key-membership bitmap before the "
+        "join, result-identical to the plain join (operators/skew.py)"
+    ),
+    tags=("join", "skew"),
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order line items through ``bloom_prefilter_join``: the
+    build side (urgent orders) distills to a 2^18-bit Bloom bitmap
+    (xxhash64 × 2, bit_or-aggregated, fixed 4096-word collect), the
+    probe side (lineitem — the 100 TB fact in production) drops
+    definite non-matches BEFORE the join shuffle, and the join removes
+    the Bloom's false positives. The oracle is the PLAIN join: the
+    prefilter must be invisible in the result — exactly what the gate
+    proves."""
+    from ram_datapipeline_spark.operators.skew import bloom_prefilter_join
+
+    t = load_tables(spark, sf_dir)
+    urgent = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("orderkey"))
+    )
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    j = bloom_prefilter_join(li, urgent, on="orderkey")
+    return j.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+@query(
     "j_interval_overlap",
     oracle="""
     WITH a AS (

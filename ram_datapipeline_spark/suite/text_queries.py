@@ -889,6 +889,62 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(t["documents"], threshold=0.6)
 
 
+@query(
+    "dedup_repeated_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    win AS (
+      SELECT doc_id, CAST(i AS INT) AS start,
+             md5(array_to_string(ws[i:i+7], ' ')) AS h
+      FROM toks, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+    ),
+    dup AS (
+      SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, start FROM win WHERE h IN (SELECT h FROM dup)),
+    isl AS (
+      SELECT doc_id, start,
+             CASE WHEN start - lag(start) OVER (
+                    PARTITION BY doc_id ORDER BY start) <= 8
+                  THEN 0 ELSE 1 END AS flag
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, start,
+             sum(flag) OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(start) + 7 AS BIGINT) AS span_end,
+           count(*) AS n_windows
+    FROM grp GROUP BY doc_id, island
+    """,
+    survey=(
+        "dedup tier 2c: exact cross-document repeated-substring spans "
+        "(Lee et al. ACL'22 substring dedup, suffix-array-free: hashed "
+        "windows + gaps-and-islands merge) (north star)"
+    ),
+    tags=("dedup",),
+)
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal spans of 8-token windows whose text recurs in ≥2 distinct
+    documents — the span-level signal substring dedup cuts on. One
+    hash-keyed exchange over window hashes; only flagged (duplicate)
+    windows reach the per-document island merge
+    (operators/dedup.py::repeated_spans)."""
+    t = load_tables(spark, sf_dir)
+    spans = D.repeated_spans(t["documents"], w=8, min_docs=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_windows",
+    )
+
+
 def _semantic_dedup_oracle(max_planes: int = 24, dim: int = 64, tau: float = 0.25) -> str:
     """DuckDB replay of semantic_dedup: the same md5-derived hyperplanes,
     scaled plane count, bucket-local lower-id cosine test."""

@@ -283,3 +283,58 @@ def test_quantile_sketch_merge_and_accuracy(spark):
         # generous band: 64-sample quantiles on ~skewless price data
         assert abs(p50 - e50) / e50 < 0.35, (g, p50, e50)
         assert abs(p90 - e90) / e90 < 0.35, (g, p90, e90)
+
+
+def test_misra_gries_exact_on_zipf_with_bounded_summaries(spark):
+    """Two-pass Misra-Gries heavy hitters: (1) output equals the plain
+    groupBy/HAVING result on a Zipf key whose distinct count (~1000)
+    far exceeds the summary capacity (k=20) — so the candidate pass
+    genuinely compresses; (2) every per-partition summary stays ≤ k
+    entries (the bound that lets 100 TB of keys stream past in O(k)
+    memory)."""
+    from ram_datapipeline_spark.operators.sketches import (
+        misra_gries_heavy_hitters,
+    )
+
+    n, k = 200_000, 20
+    df = (
+        spark.range(1, n + 1, numPartitions=8)
+        .select(
+            F.expr(
+                f"CAST(floor({n} / (id % {n} + 1)) AS BIGINT)"
+            ).alias("key")
+        )
+    )
+    n_distinct = df.distinct().count()
+    assert n_distinct > 20 * k  # compression is real, not vacuous
+    got = sorted(
+        (r["key"], r["cnt"])
+        for r in misra_gries_heavy_hitters(df, "key", k).collect()
+    )
+    want = sorted(
+        (r["key"], r["cnt"])
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * k > n)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # summary bound: re-run the candidate kernel standalone per partition
+    import pandas as pd
+
+    def counted(batches):
+        summary = {}
+        for pdf in batches:
+            for key, c in pdf["key"].dropna().value_counts().items():
+                summary[key] = summary.get(key, 0) + int(c)
+            if len(summary) > k:
+                m = sorted(summary.values(), reverse=True)[k]
+                summary = {key: c - m for key, c in summary.items() if c > m}
+        yield pd.DataFrame({"n_entries": [len(summary)]})
+
+    sizes = [
+        r["n_entries"]
+        for r in df.mapInPandas(counted, schema="n_entries long").collect()
+    ]
+    assert sizes and max(sizes) <= k, sizes

@@ -346,3 +346,46 @@ def test_label_propagation_two_cliques(spark):
             nxt[n] = min(cnt, key=lambda l: (-cnt[l], l))
         lbl = nxt
     assert got == lbl
+
+
+def test_repeated_spans_semantics(spark):
+    """Constructed corpus: (1) a substring shared by two docs yields one
+    maximal span in each, with exact token bounds; (2) text repeated only
+    WITHIN one document is not flagged (min_docs=2 counts DISTINCT
+    docs); (3) unique text yields nothing."""
+    from ram_datapipeline_spark.operators.dedup import repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            # shared run at tokens 3..10
+            (1, "one two " + shared + " tail1 tail2"),
+            # same shared run at tokens 1..8
+            (2, shared + " other words here"),
+            # 8-token run repeated twice inside ONE doc only
+            (3, "p q r s t u v w " + "p q r s t u v w"),
+            (4, "entirely unique words that appear nowhere else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in repeated_spans(docs, w=8, min_docs=2).collect()
+    }
+    assert got == {1: (3, 10, 1), 2: (1, 8, 1)}, got
+
+
+def test_repeated_spans_merges_overlapping_windows(spark):
+    """A 10-token shared run = three overlapping 8-token windows -> ONE
+    span covering the whole run, n_windows=3."""
+    from ram_datapipeline_spark.operators.dedup import repeated_spans
+
+    run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    docs = spark.createDataFrame(
+        [(1, run + " xx yy"), (2, "zz " + run)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in repeated_spans(docs, w=8, min_docs=2).collect()
+    }
+    assert got == {1: (1, 10, 3), 2: (2, 11, 3)}, got

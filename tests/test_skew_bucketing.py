@@ -57,6 +57,69 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_bloom_prefilter_join_matches_plain_and_prunes(spark):
+    from ram_datapipeline_spark.operators.skew import (
+        bloom_prefilter_join,
+        build_bloom_bitmap,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    urgent = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("orderkey"))
+    )
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    plain = sorted(
+        (r["orderkey"], round(r["l_extendedprice"], 2))
+        for r in li.join(urgent, "orderkey").collect()
+    )
+    bloomed = sorted(
+        (r["orderkey"], round(r["l_extendedprice"], 2))
+        for r in bloom_prefilter_join(li, urgent, on="orderkey").collect()
+    )
+    assert bloomed == plain
+
+    # the prefilter must actually prune: rows surviving the Bloom check
+    # alone (before the join removes false positives) are far fewer than
+    # the probe, and at least the true-match count
+    bitmap = build_bloom_bitmap(urgent, "orderkey")
+    probe = li.withColumn("_bloom", F.lit(bitmap))
+    for i in range(2):
+        probe = probe.withColumn(
+            f"_p{i}",
+            F.pmod(F.xxhash64(F.col("orderkey"), F.lit(i)), F.lit(1 << 18)),
+        )
+    survivors = probe.where(
+        F.expr(
+            "(element_at(_bloom, CAST(_p0 DIV 64 AS INT) + 1)"
+            " & shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p0, 64) AS INT))) != 0"
+        )
+        & F.expr(
+            "(element_at(_bloom, CAST(_p1 DIV 64 AS INT) + 1)"
+            " & shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p1, 64) AS INT))) != 0"
+        )
+    ).count()
+    n_probe = li.count()
+    assert len(plain) <= survivors < n_probe * 0.6, (
+        len(plain),
+        survivors,
+        n_probe,
+    )
+
+
+def test_bloom_prefilter_rejects_outer():
+    import pytest as _pytest
+
+    from ram_datapipeline_spark.operators.skew import bloom_prefilter_join
+
+    for how in ("left", "left_outer", "right", "full"):
+        with _pytest.raises(ValueError):
+            bloom_prefilter_join(None, None, "k", how=how)
+
+
 def test_salted_join_rejects_right_and_full():
     """ADVICE r1: replicated small-side rows would surface once per salt
     for unmatched right/full-outer output — reject instead of silently
