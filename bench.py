@@ -71,6 +71,7 @@ HEADLINE = [
     "mm_image_ahash_dedup",  # image near-dup: real PNG decode → aHash → LSH
     "agg_heavy_hitters",     # two-pass Misra-Gries frequent items
     "j_bloom_prefilter",     # Bloom-pruned probe side before the join
+    "pipe_bpe_merges",       # BPE vocab learning, 6 merge rounds
 ]
 
 

@@ -144,6 +144,8 @@ from ram_datapipeline_spark.streaming import (  # noqa: F401
 
 # the full job (SURVEY §3.1)
 from ram_datapipeline_spark.operators.corpus import (  # noqa: F401
+    bpe_learn,
+    bpe_segment,
     chunk_with_overlap,
     decontaminate,
     domain_quota,

@@ -485,3 +485,142 @@ def temperature_weights(
         "weight",
         (F.col("weight") / F.col("total")).alias("share"),
     )
+
+
+# --- BPE vocabulary learning -------------------------------------------------
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Byte-pair-encoding merge learning, the vocab+frequency formulation
+    of the classic subword trainer (Sennrich et al., ACL'16): tokenizer
+    construction is the one corpus pass an LLM data pipeline runs before
+    anything can be tokenized.
+
+    The corpus is touched ONCE — a whitespace word count collapses it to
+    the vocabulary-with-frequencies table every efficient BPE trainer
+    operates on (vocabulary-sized ≪ corpus-sized; the word count's
+    map-side partial aggregation is the only corpus-wide exchange). Each
+    of the ``n_merges`` rounds then runs on that small table:
+
+    1. adjacent symbol pairs × word frequency → one vocabulary-sized
+       groupBy for global pair counts;
+    2. best pair by (count DESC, left, right) — an explicit total order,
+       so ties are deterministic; ONE row is collected per round (the
+       merge decision — bounded by construction);
+    3. every word's symbol array is rewritten by a left-to-right
+       non-overlapping greedy fold (``F.aggregate``: append, or replace
+       the accumulator tail when it equals the pair) — the merged symbol
+       is strictly longer than its left half, so "last == left" can
+       never re-trigger on a token the same round just produced.
+
+    Words start as per-character symbols plus a terminal '</w>' marker
+    (appended after the split, so it stays one symbol). Splitting is by
+    UTF-16 code unit on the JVM — identical to per-character for BMP
+    text; the fixtures are ASCII.
+
+    ``localCheckpoint`` truncates the growing fold lineage each round so
+    round r does not re-execute rounds 1..r-1 from the raw words.
+
+    Returns the learned merge table: (step, lhs, rhs, merged,
+    pair_count) — ``n_merges`` rows, the artifact a tokenizer ships.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("syms"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] AS lhs, syms[i] AS rhs)) "
+                        "ELSE CAST(array() AS array<struct<lhs:string,rhs:string>>) END"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+        ).limit(1).collect()  # ONE row per round: the merge decision
+        if not best:
+            break
+        l, r, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
+        m = l + r
+        merges.append((step, l, r, m, cnt))
+        vocab = vocab.select(
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table: segment each document's words into
+    BPE subword symbols by replaying the merges in learned order (the
+    deployment half of ``bpe_learn`` — merges are broadcast as plan
+    literals, the corpus never shuffles)."""
+    out = df.withColumn(
+        "_words",
+        F.expr(f"filter(split({text_col}, ' '), w -> w <> '')"),
+    ).withColumn(
+        "_syms",
+        F.expr(
+            "transform(_words, w -> concat(split(w, ''), array('</w>')))"
+        ),
+    )
+    col = F.col("_syms")
+    for l, r in merges:
+        m = l + r
+        col = F.transform(
+            col,
+            lambda syms: F.aggregate(
+                syms,
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        )
+    return out.withColumn(out_col, F.flatten(col)).drop("_words", "_syms")

@@ -64,17 +64,17 @@ def get(name: str) -> QuerySpec:
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
     # ROUND-5 ROTATION (VERDICT r4 next-round #1): the driver window is
-    # spent on (a) the 13 queries NEW or CHANGED in round 5 — the
+    # spent on (a) the 14 queries NEW or CHANGED in round 5 — the
     # two-level CRP gate, the K5 / partitioned-prune / rerank / EWMA /
-    # image-dedup / heavy-hitters / Bloom-join / repeated-spans gates,
-    # and the queries rewired through route_many_to_many or the
-    # rerank-capable IVF-PQ module — then (b) the 19 queries whose only
-    # driver proof was round 1 (the NEXT_ROUND_ROTATION queue published
-    # in round 4), then (c) the stalest of the 48 queries whose latest
-    # proof is round 2 — 19 in the window (18 listed under (c) plus
-    # eta_routed_graph, which is r2-proven AND r5-changed). The 29 that
-    # did not fit are queued for r6 in tests/test_registry_gate.py
-    # NEXT_ROUND_ROTATION.
+    # image-dedup / heavy-hitters / Bloom-join / repeated-spans /
+    # BPE-learning gates, and the queries rewired through
+    # route_many_to_many or the rerank-capable IVF-PQ module — then (b)
+    # the 19 queries whose only driver proof was round 1 (the
+    # NEXT_ROUND_ROTATION queue published in round 4), then (c) the
+    # stalest of the 48 queries whose latest proof is round 2 — 18 in
+    # the window (17 listed under (c) plus eta_routed_graph, which is
+    # r2-proven AND r5-changed). The 30 that did not fit are queued for
+    # r6 in tests/test_registry_gate.py NEXT_ROUND_ROTATION.
     #
     # round-5 NEW
     "eta_routed_osm_xlarge",    # two-level CRP hierarchy (VERDICT r4 #4)
@@ -87,6 +87,7 @@ GATE_ORDER: tuple[str, ...] = (
     "agg_heavy_hitters",        # two-pass Misra-Gries frequent items (exact)
     "j_bloom_prefilter",        # Bloom-pruned probe side, plain-join oracle
     "dedup_repeated_spans",     # Lee-et-al substring dedup spans (exact)
+    "pipe_bpe_merges",          # BPE tokenizer-vocab learning (Sennrich)
     # round-5 CHANGED — re-proven under the new code
     "eta_routed_osm_large",     # now via route_many_to_many (VERDICT #5)
     "eta_routed_graph",         # now via route_many_to_many (VERDICT #5)
@@ -127,7 +128,6 @@ GATE_ORDER: tuple[str, ...] = (
     "ev_user_funnel",
     "f11_bbox_per_admin",
     "f16_centroid_per_admin",
-    "f17_geometry_type_inference",
     "f_scalar_kit",
     "graph_triangle_count",
 )

@@ -712,3 +712,78 @@ def q_pipe_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return temperature_weights(t["documents"], domain_col="source")
+
+
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB replay of bpe_learn as chained materialized CTE rounds
+    (the _crp_grid_oracle_sql recipe applied to tokenizer training).
+    The greedy left-to-right non-overlapping merge is replayed on a
+    space-separated symbol string: double every separator, substring-
+    replace ' lhs  rhs ' -> ' merged ' (left-to-right non-overlapping is
+    exactly replace()'s semantics once separators can't be shared), then
+    collapse the doubles. Verified equivalent to the engine's array fold
+    by the cross-engine hash and tests/test_corpus.py's independent
+    pure-Python trainer."""
+    parts = [
+        """
+    WITH w0 AS MATERIALIZED (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+      SELECT array_to_string(string_split(w, ''), ' ') || ' </w>' AS s, freq
+      FROM w0
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        parts.append(
+            f""",
+    p{i} AS MATERIALIZED (
+      SELECT sy[j] AS lhs, sy[j + 1] AS rhs,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (SELECT string_split(s, ' ') AS sy, freq FROM {prev}),
+           unnest(generate_series(1, len(sy) - 1)) AS t(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+      FROM p{i} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT trim(replace(replace(replace(
+               '  ' || replace(s, ' ', '  ') || '  ',
+               ' ' || (SELECT lhs FROM b{i}) || '  ' ||
+                 (SELECT rhs FROM b{i}) || ' ',
+               ' ' || (SELECT merged FROM b{i}) || ' '),
+             '  ', ' '), '  ', ' ')) AS s, freq
+      FROM {prev}
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, merged, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query(
+    "pipe_bpe_merges",
+    oracle=_bpe_oracle_sql(6),
+    survey=(
+        "corpus curation: BPE tokenizer-vocabulary learning (Sennrich "
+        "ACL'16, vocab+frequency formulation — ONE corpus pass, then "
+        "vocabulary-sized merge rounds) (north star)"
+    ),
+    tags=("pipeline",),
+)
+def q_pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merges learned from the documents corpus: the merge
+    table (step, lhs, rhs, merged, pair_count) a subword tokenizer
+    ships. Corpus touched once (word count); every round's pair count,
+    deterministic argmax (count DESC, lhs, rhs), and greedy left-to-
+    right rewrite happen on the vocabulary-with-frequency table
+    (operators/corpus.py::bpe_learn)."""
+    t = load_tables(spark, sf_dir)
+    return C.bpe_learn(t["documents"], n_merges=6)

@@ -389,3 +389,83 @@ def test_repeated_spans_merges_overlapping_windows(spark):
         for r in repeated_spans(docs, w=8, min_docs=2).collect()
     }
     assert got == {1: (1, 10, 3), 2: (2, 11, 3)}, got
+
+
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """Independent pure-Python BPE trainer (dict-and-loop formulation —
+    a genuinely different algorithm structure from the Spark fold and
+    the DuckDB string replay; agreement of all three is the strongest
+    oracle form per the repo's exactness rules)."""
+    vocab = {tuple(w) + ("</w>",): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, l + r, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_matches_independent_trainer(spark):
+    """bpe_learn vs the skip-pointer reference trainer on the real
+    fixture corpus — every merge decision and pair count identical."""
+    from collections import Counter
+
+    from ram_datapipeline_spark.catalog import load_tables
+    from ram_datapipeline_spark.operators.corpus import bpe_learn
+    from tests.conftest import SF_DIR
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_learn(docs, n_merges=8).collect()
+    ]
+    freqs = Counter(
+        w
+        for row in docs.select("text").collect()
+        for w in row["text"].split(" ")
+        if w
+    )
+    assert got == _bpe_reference(dict(freqs), 8)
+
+
+def test_bpe_segment_roundtrip(spark):
+    """Segmenting with the learned merges reproduces each document's
+    words when subword symbols are re-concatenated (</w> marks word
+    ends) — no token lost or invented."""
+    from ram_datapipeline_spark.operators.corpus import bpe_learn, bpe_segment
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        ["doc_id", "text"],
+    )
+    merges = [
+        (r["lhs"], r["rhs"]) for r in bpe_learn(docs, n_merges=5).collect()
+    ]
+    seg = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment(docs, merges).collect()
+    }
+    for row in docs.collect():
+        joined = "".join(seg[row["doc_id"]])
+        assert joined == "".join(
+            w + "</w>" for w in row["text"].split(" ") if w
+        )
