@@ -72,6 +72,7 @@ HEADLINE = [
     "agg_heavy_hitters",     # two-pass Misra-Gries frequent items
     "j_bloom_prefilter",     # Bloom-pruned probe side before the join
     "pipe_bpe_merges",       # BPE vocab learning, 6 merge rounds
+    "dedup_repeated_spans",  # cross-doc repeated-substring spans
 ]
 
 

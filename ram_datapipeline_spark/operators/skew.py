@@ -135,9 +135,9 @@ def bloom_prefilter_join(
             f"bloom_prefilter_join supports inner/semi joins; got {how!r}:"
             " the Bloom prune drops probe rows that an outer join must keep"
         )
-    bitmap = build_bloom_bitmap(
-        build.select(on).distinct(), on, m_bits, n_hashes
-    )
+    # no distinct() on the build keys: bit_or is idempotent, so duplicate
+    # keys set the same bits — skipping the dedup saves an exchange
+    bitmap = build_bloom_bitmap(build.select(on), on, m_bits, n_hashes)
     out = probe.withColumn("_bloom", F.lit(bitmap))
     pcols = []
     cond = F.lit(True)

@@ -41,7 +41,11 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # round-5 additions: two-level CRP (fixed network, scaled
           # entities), rerank ANN, partitioned-layout round trip, EWMA fold
           "eta_routed_osm_xlarge", "sim_ivfpq_rerank",
-          "k_partitioned_prune", "ts_ewma_smooth"]
+          "k_partitioned_prune", "ts_ewma_smooth",
+          # round-5 late additions: candidate-bounded frequent items,
+          # Bloom-pruned join, substring-span dedup, BPE vocab rounds
+          "agg_heavy_hitters", "j_bloom_prefilter",
+          "dedup_repeated_spans", "pipe_bpe_merges"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000
@@ -78,8 +82,13 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
 
 
 def run(spark, name: str, sf_dir: str) -> float:
-    df = Q.REGISTRY[name].builder(spark, sf_dir)
+    # Builder INSIDE the timed region (same methodology as bench.py):
+    # several operators do real cluster work while constructing the
+    # result — bounded driver collects in bpe_learn's merge rounds and
+    # the Bloom bitmap build, the CRP overlay compile — and a write-only
+    # timer would miss exactly the part whose scaling is in question.
     t0 = time.perf_counter()
+    df = Q.REGISTRY[name].builder(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
 
