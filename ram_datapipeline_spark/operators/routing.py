@@ -941,12 +941,19 @@ def route_many_to_many(
         .groupBy("cell")
         .agg(F.count("*").alias("nb"))
     )
-    est_row = bc.agg(
-        F.coalesce(F.sum(F.col("nb") * (F.col("nb") - 1)), F.lit(0)).alias(
-            "clique"
+    # ONE action for the whole estimate: clique sum and inter-edge count
+    # as a 1×1 cross join — a separate count() would schedule a second
+    # job over the same (checkpointed) inputs for no information gain
+    est_row = (
+        bc.agg(
+            F.coalesce(
+                F.sum(F.col("nb") * (F.col("nb") - 1)), F.lit(0)
+            ).alias("clique")
         )
-    ).collect()[0]
-    est = int(est_row["clique"]) + inter.count()
+        .crossJoin(inter.agg(F.count(F.lit(1)).alias("n_inter")))
+        .collect()[0]
+    )
+    est = int(est_row["clique"]) + int(est_row["n_inter"])
     if est <= max_overlay_rows:
         return partitioned_many_to_many(
             edges, cells, sources, targets,
