@@ -102,6 +102,11 @@ def main() -> None:
         # constructing the result) with only the code-level warmup kept.
         _run(Q.REGISTRY[name].builder(spark, SF_DIR))
         spark.catalog.clearCache()
+        # Collect the PREVIOUS queries' garbage outside the timed region:
+        # a 38-entry suite accumulates heap debt in one JVM, and without
+        # this hint late entries pay earlier entries' GC (measured ~+20%
+        # on the heavies; a cluster job in its own JVM never pays this).
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = Q.REGISTRY[name].builder(spark, SF_DIR)
         _run(df)
