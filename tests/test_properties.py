@@ -397,3 +397,140 @@ def test_quantile_sketch_shard_merge_invariant(spark, rows, n_shards):
         for r in hash_quantile_sketch(union, "g", "v", "key", k=8).collect()
     }
     assert merged == whole
+
+
+# --- round-5 operators -------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "ab", "xy"]),
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=docs_strategy)
+@SETTINGS
+def test_repeated_spans_matches_bruteforce(spark, docs):
+    """repeated_spans == the quadratic reference: for every w-window,
+    flag it iff its token text occurs (at any position) in ≥2 distinct
+    docs; merge flagged starts per doc whenever gaps ≤ w."""
+    from ram_datapipeline_spark.operators.dedup import repeated_spans
+
+    w = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in repeated_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), w=w, min_docs=2
+        ).collect()
+    )
+
+    # brute force: windows keyed by joined text (the split/join round
+    # trip mirrors the operator's whitespace tokenization)
+    win: dict[str, set[int]] = {}
+    occs: list[tuple[int, int, str]] = []
+    for i, text in rows:
+        toks = text.split(" ")
+        for s in range(len(toks) - w + 1):
+            key = " ".join(toks[s : s + w])
+            win.setdefault(key, set()).add(i)
+            occs.append((i, s + 1, key))
+    flagged: dict[int, list[int]] = {}
+    for i, s, key in occs:
+        if len(win[key]) >= 2:
+            flagged.setdefault(i, []).append(s)
+    want = []
+    for i, starts in flagged.items():
+        starts.sort()
+        run = [starts[0]]
+        for s in starts[1:]:
+            if s - run[-1] <= w:
+                run.append(s)
+            else:
+                want.append((i, run[0], run[-1] + w - 1, len(run)))
+                run = [s]
+        want.append((i, run[0], run[-1] + w - 1, len(run)))
+    assert got == sorted(want)
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=300
+    ),
+    k=st.integers(min_value=2, max_value=8),
+)
+@SETTINGS
+def test_misra_gries_matches_exact_threshold(spark, keys, k):
+    """Two-pass MG heavy hitters == plain count/HAVING on arbitrary
+    multisets, any k — the candidate pass may overshoot but the exact
+    recount must land exactly."""
+    from ram_datapipeline_spark.operators.sketches import (
+        misra_gries_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([(x,) for x in keys], ["key"]).repartition(4)
+    got = sorted(
+        (r["key"], r["cnt"])
+        for r in misra_gries_heavy_hitters(df, "key", k).collect()
+    )
+    from collections import Counter
+
+    c = Counter(keys)
+    n = len(keys)
+    want = sorted((key, cnt) for key, cnt in c.items() if cnt * k > n)
+    assert got == want
+
+
+@given(
+    build=st.sets(st.integers(min_value=0, max_value=200), max_size=40),
+    probe=st.lists(
+        st.integers(min_value=0, max_value=200), min_size=1, max_size=120
+    ),
+)
+@SETTINGS
+def test_bloom_prefilter_equals_plain_join(spark, build, probe):
+    """Bloom prune must be invisible: join-after-prefilter == plain
+    inner join on arbitrary key sets (false positives removed by the
+    join, no false negatives by construction)."""
+    from ram_datapipeline_spark.operators.skew import bloom_prefilter_join
+
+    b = spark.createDataFrame([(x,) for x in build] or [(None,)], "k long").where(
+        F.col("k").isNotNull()
+    )
+    p = spark.createDataFrame([(x, i) for i, x in enumerate(probe)], "k long, v long")
+    got = sorted(
+        (r["k"], r["v"])
+        for r in bloom_prefilter_join(p, b, on="k", m_bits=1 << 10).collect()
+    )
+    want = sorted((x, i) for i, x in enumerate(probe) if x in build)
+    assert got == want
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["ab", "aab", "abab", "ba", "bb", "a"]),
+        min_size=1,
+        max_size=25,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_bpe_learn_matches_reference_on_random_corpora(spark, words, n_merges):
+    """bpe_learn == the pure-Python trainer on arbitrary tiny corpora —
+    exercises tie-breaks and same-symbol pairs ('a a' in 'aab') that the
+    fixture corpus never hits."""
+    from collections import Counter
+
+    from ram_datapipeline_spark.operators.corpus import bpe_learn
+    from tests.test_corpus import _bpe_reference
+
+    docs = spark.createDataFrame([(" ".join(words),)], ["text"])
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_learn(docs, n_merges=n_merges).collect()
+    ]
+    assert got == _bpe_reference(dict(Counter(words)), n_merges)
