@@ -490,6 +490,27 @@ def temperature_weights(
 # --- BPE vocabulary learning -------------------------------------------------
 
 
+def _bpe_merge_fold(syms, l: str, r: str):  # noqa: E741
+    """Greedy left-to-right non-overlapping merge of the pair (l, r)
+    into l+r over a symbol array — the ONE definition both bpe_learn
+    (training rounds) and bpe_segment (deployment replay) fold with, so
+    the learn/segment round-trip invariant cannot silently diverge.
+    Append, or replace the accumulator tail when it equals the pair;
+    the merged symbol is strictly longer than its left half, so
+    "tail == l" never re-triggers on a token this fold just produced."""
+    m = l + r
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (x == F.lit(r)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
@@ -562,22 +583,9 @@ def bpe_learn(
         if not best:
             break
         l, r, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
-        m = l + r
-        merges.append((step, l, r, m, cnt))
+        merges.append((step, l, r, l + r, cnt))
         vocab = vocab.select(
-            F.aggregate(
-                "syms",
-                F.expr("CAST(array() AS array<string>)"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(l))
-                    & (x == F.lit(r)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("syms"),
-            "freq",
+            _bpe_merge_fold(F.col("syms"), l, r).alias("syms"), "freq"
         ).localCheckpoint(eager=True)
 
     spark = df.sparkSession
@@ -605,22 +613,12 @@ def bpe_segment(
             "transform(_words, w -> concat(split(w, ''), array('</w>')))"
         ),
     )
+    def _apply_merge(l: str, r: str):  # noqa: E741
+        # factory so the returned lambda keeps arity 1 (F.transform
+        # inspects it) while binding this iteration's pair
+        return lambda syms: _bpe_merge_fold(syms, l, r)
+
     col = F.col("_syms")
     for l, r in merges:
-        m = l + r
-        col = F.transform(
-            col,
-            lambda syms: F.aggregate(
-                syms,
-                F.expr("CAST(array() AS array<string>)"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(l))
-                    & (x == F.lit(r)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ),
-        )
+        col = F.transform(col, _apply_merge(l, r))
     return out.withColumn(out_col, F.flatten(col)).drop("_words", "_syms")

@@ -108,31 +108,48 @@ def misra_gries_heavy_hitters(
     Nulls are ignored (both the summaries and ``total_col`` count
     non-null keys only). ``total_col`` is carried in the output so the
     threshold the filter applied is visible to the caller.
+
+    Exactly TWO corpus scans: pass 1 also emits each partition's
+    non-null row count as a null-key sentinel row, so n (the threshold
+    denominator) comes from the persisted candidate summaries, not a
+    third scan of the input.
     """
-    key_field = df.schema[key_col]
+    key_field = T.StructField(key_col, df.schema[key_col].dataType, True)
 
     def mg_partitions(batches):
         import pandas as pd
 
         summary: dict = {}
+        n_part = 0
         for pdf in batches:
-            for key, c in pdf[key_col].dropna().value_counts().items():
+            vals = pdf[key_col].dropna()
+            n_part += int(len(vals))
+            for key, c in vals.value_counts().items():
                 summary[key] = summary.get(key, 0) + int(c)
             if len(summary) > k:
                 # mergeable compress: subtract the (k+1)-th largest
                 # count from everything, keep the strictly-positive
                 m = sorted(summary.values(), reverse=True)[k]
                 summary = {key: c - m for key, c in summary.items() if c > m}
-        yield pd.DataFrame({key_col: list(summary.keys())})
+        yield pd.DataFrame(
+            {
+                key_col: list(summary.keys()) + [None],
+                "_pn": [0] * len(summary) + [n_part],
+            }
+        )
 
+    summaries = df.select(key_col).mapInPandas(
+        mg_partitions,
+        schema=T.StructType([key_field, T.StructField("_pn", T.LongType())]),
+    ).persist()  # ≤ k+1 rows per partition; read twice below, scan once
     candidates = (
-        df.select(key_col)
-        .mapInPandas(mg_partitions, schema=T.StructType([key_field]))
-        .distinct()
+        summaries.where(F.col(key_col).isNotNull()).select(key_col).distinct()
+    )
+    total = summaries.select(
+        F.coalesce(F.sum("_pn"), F.lit(0)).alias(total_col)
     )
     filtered = df.join(F.broadcast(candidates), key_col, "leftsemi")
     counts = filtered.groupBy(key_col).agg(F.count(F.lit(1)).alias(count_col))
-    total = df.select(F.count(key_col).alias(total_col))
     return (
         counts.join(F.broadcast(total))
         .where(F.col(count_col) * k > F.col(total_col))

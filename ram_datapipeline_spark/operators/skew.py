@@ -73,18 +73,27 @@ def build_bloom_bitmap(
     key_col: str,
     m_bits: int = BLOOM_M_BITS,
     n_hashes: int = 2,
+    hash_type: str | None = None,
 ) -> list[int]:
     """Distributed Bloom-filter build: every key sets ``n_hashes`` bit
     positions (xxhash64 salted by hash index, pmod to the bitmap), the
     positions aggregate to int64 words via bit_or, and the DRIVER
     collects at most ``m_bits / 64`` (word, bits) rows — a FIXED-size
     transfer (32 KiB at the default) regardless of build-side
-    cardinality. All integer arithmetic; fully deterministic."""
+    cardinality. All integer arithmetic; fully deterministic.
+
+    ``hash_type``: cast keys to this type before hashing. xxhash64
+    hashes the PHYSICAL representation — int32 and int64 of the same
+    value hash differently — so probe and build MUST hash one agreed
+    type (bloom_prefilter_join resolves it)."""
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64; got {m_bits}")
     n_words = m_bits // 64
+    key = F.col(key_col)
+    if hash_type is not None:
+        key = key.cast(hash_type)
     positions = [
-        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
         for i in range(n_hashes)
     ]
     words = (
@@ -135,23 +144,52 @@ def bloom_prefilter_join(
             f"bloom_prefilter_join supports inner/semi joins; got {how!r}:"
             " the Bloom prune drops probe rows that an outer join must keep"
         )
+    # xxhash64 hashes the PHYSICAL type — int32(7) and int64(7) hash
+    # differently even though the plain join would coerce and match
+    # them. Resolve ONE hash type both sides cast to, or refuse.
+    int_types = ("tinyint", "smallint", "int", "bigint")
+    probe_t, build_t = dict(probe.dtypes)[on], dict(build.dtypes)[on]
+    if probe_t == build_t:
+        hash_type = probe_t
+    elif probe_t in int_types and build_t in int_types:
+        hash_type = "bigint"
+    else:
+        raise ValueError(
+            f"bloom_prefilter_join key dtypes differ ({probe_t!r} vs"
+            f" {build_t!r}) and are not both integral: xxhash64 would"
+            " hash them differently and silently drop matches — cast"
+            " one side first"
+        )
+    tmp_cols = ["_bloom", *(f"_p{i}" for i in range(n_hashes))]
+    clash = [c for c in tmp_cols if c in probe.columns]
+    if clash:
+        raise ValueError(
+            f"bloom_prefilter_join needs scratch columns {clash} but the"
+            " probe already has them — rename before calling (the plain"
+            " join would have preserved them; silently clobbering is"
+            " worse than refusing)"
+        )
     # no distinct() on the build keys: bit_or is idempotent, so duplicate
     # keys set the same bits — skipping the dedup saves an exchange
-    bitmap = build_bloom_bitmap(build.select(on), on, m_bits, n_hashes)
+    bitmap = build_bloom_bitmap(
+        build.select(on), on, m_bits, n_hashes, hash_type=hash_type
+    )
     out = probe.withColumn("_bloom", F.lit(bitmap))
-    pcols = []
     cond = F.lit(True)
     for i in range(n_hashes):
-        pcols.append(f"_p{i}")
         out = out.withColumn(
-            f"_p{i}", F.pmod(F.xxhash64(F.col(on), F.lit(i)), F.lit(m_bits))
+            f"_p{i}",
+            F.pmod(
+                F.xxhash64(F.col(on).cast(hash_type), F.lit(i)),
+                F.lit(m_bits),
+            ),
         )
         cond = cond & F.expr(
             f"(element_at(_bloom, CAST(_p{i} DIV 64 AS INT) + 1)"
             f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT)))"
             " != 0"
         )
-    pruned = out.where(cond).drop("_bloom", *pcols)
+    pruned = out.where(cond).drop(*tmp_cols)
     return pruned.join(build, on, how)
 
 

@@ -131,3 +131,33 @@ def test_salted_join_rejects_right_and_full():
     for how in ("right", "right_outer", "full", "outer", "full_outer"):
         with _pytest.raises(ValueError):
             salted_join(None, None, ["k"], how=how)
+
+
+def test_bloom_prefilter_mixed_integral_key_types(spark):
+    """xxhash64 hashes the physical type — int32(7) != int64(7) — so
+    mixed integral keys must be coerced to one hash type, not silently
+    dropped (review finding: previously returned false negatives)."""
+    from ram_datapipeline_spark.operators.skew import bloom_prefilter_join
+
+    p = spark.createDataFrame([(i, i * 10) for i in range(10)], "k int, v int")
+    b = spark.createDataFrame([(3,), (5,)], "k long")
+    got = sorted(r["k"] for r in bloom_prefilter_join(p, b, on="k").collect())
+    assert got == [3, 5]
+
+    # non-coercible mismatch refuses instead of silently mis-hashing
+    import pytest as _pytest
+
+    s = spark.createDataFrame([("3",)], "k string")
+    with _pytest.raises(ValueError):
+        bloom_prefilter_join(p, s, on="k")
+
+
+def test_bloom_prefilter_rejects_scratch_column_collision(spark):
+    import pytest as _pytest
+
+    from ram_datapipeline_spark.operators.skew import bloom_prefilter_join
+
+    p = spark.createDataFrame([(1, 2)], "k long, _bloom long")
+    b = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        bloom_prefilter_join(p, b, on="k")
