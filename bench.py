@@ -73,6 +73,7 @@ HEADLINE = [
     "j_bloom_prefilter",     # Bloom-pruned probe side before the join
     "pipe_bpe_merges",       # BPE vocab learning, 6 merge rounds
     "dedup_repeated_spans",  # cross-doc repeated-substring spans
+    "pipe_dq_checks",        # Deequ-style data-quality report
 ]
 
 

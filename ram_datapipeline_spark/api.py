@@ -63,6 +63,14 @@ from ram_datapipeline_spark.operators.sketches import (  # noqa: F401
     kmv_distinct_estimate,
     misra_gries_heavy_hitters,
 )
+from ram_datapipeline_spark.operators.quality import (  # noqa: F401
+    completeness,
+    dq_checks,
+    max_bound,
+    min_bound,
+    referential,
+    uniqueness,
+)
 
 # training-data pipeline (north star)
 from ram_datapipeline_spark.operators.dedup import (  # noqa: F401

@@ -1,0 +1,137 @@
+"""Declarative data-quality checks (beyond-reference north star) — the
+validation gate a production pipeline runs before consuming a table,
+in the style of Deequ/Great Expectations, re-expressed as ONE Spark
+aggregation pass.
+
+Check types:
+
+- ``completeness(col)``     — non-null fraction
+- ``uniqueness(col)``       — distinct fraction (1.0 = key candidate)
+- ``min_bound(col, lo)``    — fraction of rows with col ≥ lo
+- ``max_bound(col, hi)``    — fraction of rows with col ≤ hi
+- ``referential(col, other, other_col)`` — fraction of rows whose key
+  exists in ``other`` (an LEFT SEMI count, the FK-orphan detector)
+
+Scale shape: every row-level check compiles to a conditional aggregate
+in a SINGLE groupBy().agg() over the table — one scan, map-side
+partials, a one-row result unpivoted to (check, metric) rows. Each
+referential check adds one semi-join aggregate over the key column
+only (count, not rows, crosses the exchange). Uniqueness is an exact
+count-distinct — at 100 TB swap in the KMV sketch
+(operators/sketches.py) if the exactness isn't worth the distinct
+aggregate's expand; the check surface stays identical.
+
+Metrics are ratios of exact BIGINT counts (one IEEE double division),
+so the whole report is oracle-exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    kind: str  # completeness | uniqueness | min_bound | max_bound | referential
+    col: str
+    threshold: float = 1.0
+    bound: float | None = None
+    other: DataFrame | None = None
+    other_col: str | None = None
+
+
+def completeness(col: str, threshold: float = 1.0) -> Check:
+    return Check(f"completeness_{col}", "completeness", col, threshold)
+
+
+def uniqueness(col: str, threshold: float = 1.0) -> Check:
+    return Check(f"uniqueness_{col}", "uniqueness", col, threshold)
+
+
+def min_bound(col: str, lo: float, threshold: float = 1.0) -> Check:
+    return Check(f"min_bound_{col}", "min_bound", col, threshold, bound=lo)
+
+
+def max_bound(col: str, hi: float, threshold: float = 1.0) -> Check:
+    return Check(f"max_bound_{col}", "max_bound", col, threshold, bound=hi)
+
+
+def referential(
+    col: str, other: DataFrame, other_col: str, threshold: float = 1.0
+) -> Check:
+    return Check(
+        f"referential_{col}", "referential", col, threshold,
+        other=other, other_col=other_col,
+    )
+
+
+def _row_metric(c: Check, n: Column) -> Column:
+    col = F.col(c.col)
+    if c.kind == "completeness":
+        hits = F.count(col)
+    elif c.kind == "uniqueness":
+        hits = F.countDistinct(col)
+    elif c.kind == "min_bound":
+        hits = F.count(F.when(col >= F.lit(c.bound), 1))
+    elif c.kind == "max_bound":
+        hits = F.count(F.when(col <= F.lit(c.bound), 1))
+    else:  # pragma: no cover - constructors prevent this
+        raise ValueError(f"unknown row-level check kind {c.kind!r}")
+    return hits.cast("double") / n
+
+
+def dq_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run the check suite; returns one row per check:
+    (check_name, metric, threshold, passed), deterministic.
+
+    All row-level checks share ONE aggregation over ``df``; each
+    referential check adds one semi-join count job over its key column.
+    """
+    row_checks = [c for c in checks if c.kind != "referential"]
+    ref_checks = [c for c in checks if c.kind == "referential"]
+
+    parts: list[DataFrame] = []
+    if row_checks:
+        n = F.count(F.lit(1))
+        agg = df.agg(
+            *[_row_metric(c, n).alias(c.name) for c in row_checks]
+        )
+        stack = ", ".join(f"'{c.name}', {c.name}" for c in row_checks)
+        parts.append(
+            agg.select(
+                F.expr(
+                    f"stack({len(row_checks)}, {stack}) AS (check_name, metric)"
+                )
+            ).join(
+                df.sparkSession.createDataFrame(
+                    [(c.name, c.threshold) for c in row_checks],
+                    "check_name string, threshold double",
+                ),
+                "check_name",
+            )
+        )
+    for c in ref_checks:
+        keys = c.other.select(F.col(c.other_col).alias(c.col)).distinct()
+        total = df.select(F.count(F.lit(1)).alias("_n"))
+        matched = (
+            df.join(F.broadcast(keys), c.col, "leftsemi")
+            .select(F.count(F.lit(1)).alias("_m"))
+        )
+        parts.append(
+            matched.crossJoin(total).select(
+                F.lit(c.name).alias("check_name"),
+                (F.col("_m").cast("double") / F.col("_n")).alias("metric"),
+                F.lit(c.threshold).alias("threshold"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "check_name", "metric", "threshold",
+        (F.col("metric") >= F.col("threshold")).alias("passed"),
+    )

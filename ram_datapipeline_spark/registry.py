@@ -64,16 +64,16 @@ def get(name: str) -> QuerySpec:
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
     # ROUND-5 ROTATION (VERDICT r4 next-round #1): the driver window is
-    # spent on (a) the 14 queries NEW or CHANGED in round 5 — the
+    # spent on (a) the 15 queries NEW or CHANGED in round 5 — the
     # two-level CRP gate, the K5 / partitioned-prune / rerank / EWMA /
     # image-dedup / heavy-hitters / Bloom-join / repeated-spans /
-    # BPE-learning gates, and the queries rewired through
-    # route_many_to_many or the rerank-capable IVF-PQ module — then (b)
-    # the 19 queries whose only driver proof was round 1 (the
+    # BPE-learning / data-quality gates, and the queries rewired
+    # through route_many_to_many or the rerank-capable IVF-PQ module —
+    # then (b) the 19 queries whose only driver proof was round 1 (the
     # NEXT_ROUND_ROTATION queue published in round 4), then (c) the
-    # stalest of the 48 queries whose latest proof is round 2 — 18 in
-    # the window (17 listed under (c) plus eta_routed_graph, which is
-    # r2-proven AND r5-changed). The 30 that did not fit are queued for
+    # stalest of the 48 queries whose latest proof is round 2 — 17 in
+    # the window (16 listed under (c) plus eta_routed_graph, which is
+    # r2-proven AND r5-changed). The 31 that did not fit are queued for
     # r6 in tests/test_registry_gate.py NEXT_ROUND_ROTATION.
     #
     # round-5 NEW
@@ -88,6 +88,7 @@ GATE_ORDER: tuple[str, ...] = (
     "j_bloom_prefilter",        # Bloom-pruned probe side, plain-join oracle
     "dedup_repeated_spans",     # Lee-et-al substring dedup spans (exact)
     "pipe_bpe_merges",          # BPE tokenizer-vocab learning (Sennrich)
+    "pipe_dq_checks",           # Deequ-style data-quality check suite
     # round-5 CHANGED — re-proven under the new code
     "eta_routed_osm_large",     # now via route_many_to_many (VERDICT #5)
     "eta_routed_graph",         # now via route_many_to_many (VERDICT #5)
@@ -121,7 +122,6 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_near_survivors",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dedup_simhash_pairs",
     "eta_nearest_poi",
     "eta_routed_kernel_grid",
     "eta_with_walk_penalty",

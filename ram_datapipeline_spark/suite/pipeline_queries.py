@@ -787,3 +787,73 @@ def q_pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py::bpe_learn)."""
     t = load_tables(spark, sf_dir)
     return C.bpe_learn(t["documents"], n_merges=6)
+
+
+@query(
+    "pipe_dq_checks",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+    rows_out AS (
+      SELECT 'completeness_o_custkey' AS check_name,
+             CAST(count(o_custkey) AS DOUBLE) / (SELECT n FROM n) AS metric,
+             CAST(1.0 AS DOUBLE) AS threshold
+      FROM orders
+      UNION ALL
+      SELECT 'uniqueness_o_orderkey',
+             CAST(count(DISTINCT o_orderkey) AS DOUBLE) / (SELECT n FROM n),
+             CAST(1.0 AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'uniqueness_o_custkey',
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) / (SELECT n FROM n),
+             CAST(1.0 AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'min_bound_o_totalprice',
+             CAST(count(CASE WHEN o_totalprice >= 0.0 THEN 1 END) AS DOUBLE)
+               / (SELECT n FROM n),
+             CAST(1.0 AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'referential_o_custkey',
+             CAST((SELECT count(*) FROM orders o
+                   WHERE o.o_custkey IN (SELECT c_custkey FROM customer))
+                  AS DOUBLE) / (SELECT n FROM n),
+             CAST(1.0 AS DOUBLE)
+    )
+    SELECT check_name, metric, threshold, metric >= threshold AS passed
+    FROM rows_out
+    """,
+    survey=(
+        "declarative data-quality check suite (Deequ-style: "
+        "completeness / uniqueness / bounds / referential integrity, "
+        "ONE aggregation pass + per-FK semi-join counts) (north star)"
+    ),
+    tags=("pipeline",),
+)
+def q_pipe_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation report over orders: key completeness and uniqueness,
+    price lower bound, and the orders→customer foreign key — one row
+    per check with (metric, threshold, passed). uniqueness_o_custkey
+    deliberately carries threshold 1.0 and FAILS (customers repeat):
+    the report shape must surface red checks, not only green ones
+    (operators/quality.py::dq_checks)."""
+    from ram_datapipeline_spark.operators.quality import (
+        completeness,
+        dq_checks,
+        min_bound,
+        referential,
+        uniqueness,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return dq_checks(
+        t["orders"],
+        [
+            completeness("o_custkey"),
+            uniqueness("o_orderkey"),
+            uniqueness("o_custkey"),
+            min_bound("o_totalprice", 0.0),
+            referential("o_custkey", t["customer"], "c_custkey"),
+        ],
+    )

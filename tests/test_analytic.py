@@ -338,3 +338,42 @@ def test_misra_gries_exact_on_zipf_with_bounded_summaries(spark):
         for r in df.mapInPandas(counted, schema="n_entries long").collect()
     ]
     assert sizes and max(sizes) <= k, sizes
+
+
+def test_dq_checks_semantics(spark):
+    """Constructed table with known defects: null keys, duplicate ids,
+    an out-of-bounds value, and an FK orphan — every metric exact."""
+    from ram_datapipeline_spark.operators.quality import (
+        completeness,
+        dq_checks,
+        max_bound,
+        min_bound,
+        referential,
+        uniqueness,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (2, None, -1.0), (3, 30, 2.0), (3, 40, 99.0)],
+        "id long, fk int, v double",
+    )
+    dim = spark.createDataFrame([(10,), (30,)], "k int")
+    got = {
+        r["check_name"]: (r["metric"], r["passed"])
+        for r in dq_checks(
+            df,
+            [
+                completeness("fk", threshold=1.0),
+                uniqueness("id", threshold=1.0),
+                min_bound("v", 0.0, threshold=0.9),
+                max_bound("v", 50.0, threshold=0.5),
+                referential("fk", dim, "k", threshold=0.6),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "completeness_fk": (0.75, False),       # 3 of 4 non-null
+        "uniqueness_id": (0.75, False),         # ids {1,2,3} over 4 rows
+        "min_bound_v": (0.75, False),           # -1.0 violates, 0.9 req
+        "max_bound_v": (0.75, True),            # 99.0 violates, 0.5 req
+        "referential_fk": (0.5, False),         # rows with fk in {10,30}
+    }, got

@@ -81,13 +81,14 @@ def test_gated_queries_all_have_oracles():
 
 # Rotation candidates for the NEXT round's window. Every registered query
 # is past-proven or in the current window (nothing invisible). Round 5
-# re-proved the whole r1-only set plus the stalest 18 of the r2-proven
-# set (17 window slots + the r5-changed eta_routed_graph); these are
-# the 30 r2-proven queries that did not fit the r5 window — re-prove
+# re-proved the whole r1-only set plus the stalest 17 of the r2-proven
+# set (16 window slots + the r5-changed eta_routed_graph); these are
+# the 31 r2-proven queries that did not fit the r5 window — re-prove
 # them first in r6 (all are oracle-green in the full mirror
 # sweep, artifacts/VERIFY_r05.txt), then continue with the r3-proven
 # tier in r7.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    "dedup_simhash_pairs",
     "f17_geometry_type_inference",
     "j2_point_in_admin",
     "j3_adaptive_buffer",
