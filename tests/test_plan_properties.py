@@ -205,3 +205,45 @@ def test_bigram_familiarity_two_pass_shape(spark):
     p = plan_text(spark, "text_bigram_familiarity")
     assert "CartesianProduct" not in p
     assert n_ops(p, "Generate") >= 1
+
+
+def test_bloom_prefilter_filters_before_join(spark):
+    """The Bloom membership check must sit in a Filter BELOW the join
+    (the prune happens pre-exchange), and the plan stays free of
+    cartesian products."""
+    plan = plan_text(spark, "j_bloom_prefilter")
+    assert "CartesianProduct" not in plan
+    assert "shiftleft" in plan  # the bitmap bit-test compiled into a filter
+    # bit-test appears in a Filter operator, not only in the join condition
+    assert re.search(r"Filter \[codegen[^\]]*\]|\(\d+\) Filter", plan)
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    """Pass-2 recount must semi-join against BROADCAST candidates (the
+    raw key domain never hash-shuffles) and the 1-row total join is the
+    only nested-loop."""
+    plan = plan_text(spark, "agg_heavy_hitters")
+    assert n_ops(plan, "BroadcastExchange") >= 2  # candidates + total
+    # exactly ONE nested-loop: the deliberate 1-row total cross join
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_repeated_spans_no_cartesian_single_hash_exchange(spark):
+    plan = plan_text(spark, "dedup_repeated_spans")
+    assert "CartesianProduct" not in plan
+    # hash-keyed exchanges only: dup-hash agg + semi join + island
+    # window + final span agg — bounded, and never a single-partition
+    # global exchange (the all-data-to-one-task scale killer)
+    assert "Exchange SinglePartition" not in plan
+    assert n_ops(plan, "Exchange") <= 8, n_ops(plan, "Exchange")
+
+
+def test_dq_checks_single_scan_for_row_checks(spark):
+    """All row-level checks fold into one aggregation lineage over
+    orders (plus the FK semi-join): the orders parquet appears at most
+    3 times in the plan (row-check scan, FK probe scan, FK total scan),
+    never once per check."""
+    plan = plan_text(spark, "pipe_dq_checks")
+    assert plan.count("orders.parquet") <= 3, plan.count("orders.parquet")
+    assert "CartesianProduct" not in plan
