@@ -84,14 +84,41 @@ def _row_metric(c: Check, n: Column) -> Column:
     return hits.cast("double") / n
 
 
-def dq_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+def dq_checks(
+    df: DataFrame,
+    checks: list[Check],
+    sketched_uniqueness: bool = False,
+    kmv_k: int = 256,
+) -> DataFrame:
     """Run the check suite; returns one row per check:
     (check_name, metric, threshold, passed), deterministic.
 
     All row-level checks share ONE aggregation over ``df``; each
     referential check adds one semi-join count job over its key column.
+
+    ``sketched_uniqueness=True`` routes uniqueness checks through the
+    deterministic KMV estimator (operators/sketches.kmv_uniform) instead
+    of the exact count-distinct — the 100 TB swap the module docstring
+    promises, with the check surface unchanged. Each sketched check is
+    one ``distinct → TakeOrdered(k)`` job over the hashed column (k rows
+    to the driver side of the plan, no count-distinct expand); the
+    estimate is the classic (k−1)/U_k with the exact under-k fallback,
+    and — because the randomness IS the md5 hash order — it is a pure
+    function of the value set, replayable by any engine. Standard error
+    ≈ 1/√k (tests assert exact vs sketched agreement within the bound).
     """
-    row_checks = [c for c in checks if c.kind != "referential"]
+    if not checks:
+        raise ValueError(
+            "dq_checks: empty check list — pass at least one Check "
+            "(completeness/uniqueness/min_bound/max_bound/referential)"
+        )
+    sketch_checks: list[Check] = []
+    if sketched_uniqueness:
+        sketch_checks = [c for c in checks if c.kind == "uniqueness"]
+    row_checks = [
+        c for c in checks
+        if c.kind != "referential" and c not in sketch_checks
+    ]
     ref_checks = [c for c in checks if c.kind == "referential"]
 
     parts: list[DataFrame] = []
@@ -112,6 +139,37 @@ def dq_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
                     "check_name string, threshold double",
                 ),
                 "check_name",
+            )
+        )
+    for c in sketch_checks:
+        from ram_datapipeline_spark.operators.sketches import kmv_uniform
+
+        # k smallest distinct hash draws: distinct → global sort+limit
+        # compiles to TakeOrderedAndProject over map-side-combined
+        # partials — k rows cross the final exchange, never the expand
+        # a count-distinct pays. NULLs are excluded (count-distinct
+        # semantics).
+        u = kmv_uniform(F.col(c.col))
+        mins = (
+            df.select(u.alias("_u"))
+            .where(F.col("_u").isNotNull())
+            .distinct()
+            .orderBy("_u")
+            .limit(kmv_k)
+        )
+        sk = mins.agg(
+            F.count(F.lit(1)).alias("_n_min"),
+            F.max("_u").alias("_kth_u"),
+        )
+        total = df.select(F.count(F.lit(1)).alias("_n"))
+        est = F.when(
+            F.col("_n_min") < kmv_k, F.col("_n_min").cast("double")
+        ).otherwise((kmv_k - 1) / F.col("_kth_u"))
+        parts.append(
+            sk.crossJoin(total).select(
+                F.lit(c.name).alias("check_name"),
+                (est / F.col("_n")).alias("metric"),
+                F.lit(c.threshold).alias("threshold"),
             )
         )
     for c in ref_checks:

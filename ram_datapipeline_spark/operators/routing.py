@@ -557,10 +557,28 @@ def crp_many_to_many(
         )
         .select("src_id", "tgt_id", F.col("w").alias("d"))
     )
+    # explicit zero self-term: d(v, v) = 0 always holds under
+    # non-negative weights, but a shared node with NO in-cell edges has
+    # no closure rows (not even its diagonal), so source/target pairs
+    # snapped to such a node would otherwise be absent from the matrix
+    self_zero = _self_zero_pairs(sources, targets)
     return (
         via_b.union(direct)
+        .union(self_zero)
         .groupBy("src_id", "tgt_id")
         .agg(F.min("d").alias("dist"))
+    )
+
+
+def _self_zero_pairs(sources: DataFrame, targets: DataFrame) -> DataFrame:
+    """(src_id, tgt_id, 0) for every source/target pair sharing a node —
+    the identity rows every ``osrm.table`` matrix carries on its
+    diagonal, emitted explicitly so they survive even for nodes the
+    closures never saw (isolated nodes have no closure rows at all)."""
+    return (
+        sources.select("src_id", "node_id")
+        .join(targets.select("tgt_id", "node_id"), "node_id")
+        .select("src_id", "tgt_id", F.lit(0).cast("long").alias("d"))
     )
 
 
@@ -812,9 +830,12 @@ def two_level_many_to_many(
         )
         .select("src_id", "tgt_id", F.col("w").alias("d"))
     )
+    # explicit zero self-term (see _self_zero_pairs: isolated shared
+    # nodes have no closure rows, so their diagonal must be emitted)
     return (
         via_b.union(on_b)
         .union(direct)
+        .union(_self_zero_pairs(sources, targets))
         .groupBy("src_id", "tgt_id")
         .agg(F.min("d").alias("dist"))
     )
@@ -922,6 +943,14 @@ def route_many_to_many(
         return (
             sources.join(cl, sources["node_id"] == cl["src"])
             .join(targets, cl["dst"] == targets["node_id"])
+            .select("src_id", "tgt_id", "w")
+            # explicit zero self-term: an isolated shared node appears in
+            # no edge row, hence in no closure row — its diagonal is
+            # emitted here (see _self_zero_pairs)
+            .union(
+                _self_zero_pairs(sources, targets)
+                .select("src_id", "tgt_id", F.col("d").cast("double"))
+            )
             .groupBy("src_id", "tgt_id")
             .agg(F.min("w").cast(w_type).alias("dist"))
         )

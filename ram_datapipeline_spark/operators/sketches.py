@@ -138,10 +138,15 @@ def misra_gries_heavy_hitters(
             }
         )
 
+    # ≤ k+1 rows per partition; read twice below, input scanned once.
+    # localCheckpoint (not persist): CacheManager entries from persist()
+    # are never GC-cleaned, so repeated calls in a long session would
+    # leak cache — checkpointed RDD blocks are context-cleaned when the
+    # DataFrame is dropped (same reasoning as similarity.cosine_topk_ivfpq)
     summaries = df.select(key_col).mapInPandas(
         mg_partitions,
         schema=T.StructType([key_field, T.StructField("_pn", T.LongType())]),
-    ).persist()  # ≤ k+1 rows per partition; read twice below, scan once
+    ).localCheckpoint()
     candidates = (
         summaries.where(F.col(key_col).isNotNull()).select(key_col).distinct()
     )

@@ -161,19 +161,30 @@ def ewma_smooth(
             f"(got {alpha_num}/{alpha_den})"
         )
     a = alpha_num / alpha_den
+    # NULL values are excluded up front (collect_list drops null inputs,
+    # and the when() nulls the struct for null-v rows): an all-NULL key
+    # then yields an EMPTY series — guarded below — instead of a fold
+    # over nulls, and n_points counts the same rows the fold consumes.
     series = F.transform(
         F.array_sort(
-            F.collect_list(F.struct(F.col(order_col).alias("o"),
-                                    F.col(val_col).alias("v")))
+            F.collect_list(
+                F.when(
+                    F.col(val_col).isNotNull(),
+                    F.struct(F.col(order_col).alias("o"),
+                             F.col(val_col).alias("v")),
+                )
+            )
         ),
         lambda s: s["v"].cast("double"),
     )
     fold = F.aggregate(
-        F.slice(series, 2, F.size(series) - 1),
-        F.element_at(series, 1),
+        # greatest(…, 0): slice() throws on negative length when the
+        # series is empty; F.get is null-safe where element_at throws
+        F.slice(series, 2, F.greatest(F.size(series) - 1, F.lit(0))),
+        F.get(series, 0),
         lambda acc, x: F.lit(1.0 - a) * acc + F.lit(a) * x,
     )
     return df.groupBy(*key_cols).agg(
-        F.count("*").alias("n_points"),
+        F.count(val_col).alias("n_points"),
         fold.alias("ewma"),
     )

@@ -3,6 +3,8 @@ nature) and edge-case checks for the temporal join."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ram_datapipeline_spark.catalog import load_tables
@@ -377,3 +379,63 @@ def test_dq_checks_semantics(spark):
         "max_bound_v": (0.75, True),            # 99.0 violates, 0.5 req
         "referential_fk": (0.5, False),         # rows with fk in {10,30}
     }, got
+
+
+def test_dq_checks_empty_list_raises(spark):
+    from ram_datapipeline_spark.operators.quality import dq_checks
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="empty check list"):
+        dq_checks(df, [])
+
+
+def test_dq_checks_sketched_uniqueness_within_kmv_bound(spark):
+    """sketched_uniqueness=True swaps the exact count-distinct for the
+    KMV estimator with the check surface unchanged: same rows, same
+    columns, metric within the ~1/sqrt(k) sketch bound of the exact
+    fraction (deterministic — the randomness is the md5 hash order)."""
+    import math
+
+    from ram_datapipeline_spark.operators.quality import (
+        completeness,
+        dq_checks,
+        uniqueness,
+    )
+
+    # 1500 distinct ids spread over 3000 rows (distinct >> k exercises
+    # the (k-1)/U_k path, not the exact under-k fallback)
+    df = spark.createDataFrame(
+        [(i % 1500, i) for i in range(3000)], "id long, seq long"
+    )
+    checks = [uniqueness("id", threshold=0.6), completeness("seq")]
+    k = 256
+    exact = {
+        r["check_name"]: r["metric"]
+        for r in dq_checks(df, checks).collect()
+    }
+    sk = {
+        r["check_name"]: r["metric"]
+        for r in dq_checks(
+            df, checks, sketched_uniqueness=True, kmv_k=k
+        ).collect()
+    }
+    assert set(sk) == set(exact)
+    assert sk["completeness_seq"] == exact["completeness_seq"] == 1.0
+    rel = abs(sk["uniqueness_id"] - exact["uniqueness_id"]) / exact["uniqueness_id"]
+    assert rel <= 4.0 / math.sqrt(k), (sk, exact, rel)
+
+
+def test_dq_checks_sketched_under_k_is_exact(spark):
+    """Fewer distinct values than k: the KMV under-k fallback reports the
+    exact distinct count, so sketched == exact bit-for-bit."""
+    from ram_datapipeline_spark.operators.quality import dq_checks, uniqueness
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(40)], "id long, seq long"
+    )
+    checks = [uniqueness("id")]
+    exact = dq_checks(df, checks).collect()[0]["metric"]
+    sk = dq_checks(df, checks, sketched_uniqueness=True, kmv_k=64).collect()[0][
+        "metric"
+    ]
+    assert sk == exact == 7 / 40

@@ -272,8 +272,10 @@ def test_two_level_matches_dijkstra_heterogeneous_grid(spark):
 
 def test_two_level_single_node_cells_and_disconnects(spark):
     """Chain across single-node cells grouped into two supercells, plus a
-    disconnected node: zero-leg seeds, cross-supercell hops, and absent
-    rows for unreachable pairs."""
+    disconnected node: zero-leg seeds, cross-supercell hops, absent rows
+    for unreachable pairs — and the explicit (src, tgt, 0) diagonal for
+    an isolated node that is both a source and a target (node 9 has no
+    incident edges, so no closure row carries its self-distance)."""
     rows = [(0, 1, 5), (1, 0, 5), (1, 2, 7), (2, 1, 7), (2, 3, 2), (3, 2, 2)]
     edges = spark.createDataFrame(rows, "src long, dst long, w long")
     cells = spark.createDataFrame(
@@ -295,7 +297,7 @@ def test_two_level_single_node_cells_and_disconnects(spark):
             n_cell_squarings=1, n_super_squarings=2, n_overlay_rounds=8,
         ).collect()
     }
-    assert got == {(0, 0): 0, (0, 1): 14}
+    assert got == {(0, 0): 0, (0, 1): 14, (1, 2): 0}
 
 
 def test_two_level_overlay_gate_raises(spark):
@@ -480,3 +482,37 @@ def test_crp_index_reuse_matches_one_shot(spark):
             ).collect()
         }
         assert via_index == one_shot and via_index
+
+
+def test_isolated_self_pair_all_backends(spark):
+    """A node with no incident edges that is both a source and a target
+    gets its (src, tgt, 0) diagonal row from every backend — the
+    osrm.table identity the closures alone cannot supply (an isolated
+    node produces no closure rows at all)."""
+    rows = [(0, 1, 5), (1, 0, 5)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    sources = spark.createDataFrame(
+        [(0, 0), (1, 9)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame(
+        [(0, 1), (1, 9)], "tgt_id long, node_id long"
+    )
+    # closure backend (no cells): 0→1 reachable, 9→9 only via the
+    # explicit diagonal, everything else absent
+    got = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.route_many_to_many(edges, sources, targets).collect()
+    }
+    assert got == {(0, 0): 5, (1, 1): 0}
+    # single-level CRP backend: node 9 isolated in its own cell
+    cells = spark.createDataFrame(
+        [(0, 0), (1, 0), (9, 1)], "node_id long, cell long"
+    )
+    got_crp = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.partitioned_many_to_many(
+            edges, cells, sources, targets,
+            n_cell_squarings=1, n_overlay_rounds=4,
+        ).collect()
+    }
+    assert got_crp == {(0, 0): 5, (1, 1): 0}

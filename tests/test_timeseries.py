@@ -191,3 +191,29 @@ def test_scd2_null_values_form_their_own_runs(spark):
     assert got[(2, None)] == (_ts(5), _ts(6))
     assert got[(2, "x")] == (_ts(6), None)
     assert len(got) == 5
+
+
+def test_ewma_smooth_null_values_and_empty_series(spark):
+    """NULL values are excluded from the fold AND from n_points (so the
+    two agree on mixed-null keys), and an all-NULL key yields a row with
+    n_points=0 / ewma NULL instead of a negative-length slice error."""
+    from ram_datapipeline_spark.operators.timeseries import ewma_smooth
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 4.0), ("a", 2, None), ("a", 3, 8.0),
+            ("b", 1, None), ("b", 2, None),
+            ("c", 5, 2.0),
+        ],
+        "k string, o long, v double",
+    )
+    got = {
+        r["k"]: (r["n_points"], r["ewma"])
+        for r in ewma_smooth(df, ["k"], "o", "v").collect()
+    }
+    # a: fold over [4.0, 8.0] -> 0.5*4 + 0.5*8 = 6.0 (null dropped)
+    assert got["a"] == (2, 6.0)
+    # b: all-null -> empty series, no crash, null ewma
+    assert got["b"] == (0, None)
+    # c: single point -> the point itself
+    assert got["c"] == (1, 2.0)
