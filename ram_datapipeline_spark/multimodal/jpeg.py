@@ -462,3 +462,51 @@ def encode_flat_jpeg_media(
     return documents.select(id_col).mapInPandas(
         gen, schema="media_id long, payload binary"
     )
+
+
+def encode_blockflat_jpeg_media(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocks: int = 8,
+    quality: int = 90,
+) -> DataFrame:
+    """One REAL JPEG per document: a (8·blocks)×(8·blocks) greyscale
+    image whose 8×8 blocks are each FLAT, block s (row-major) holding
+    the text byte at 0-indexed position ``2·s`` (0 past the end).
+
+    Block-flat images are pure DC per block, and the q90 DC
+    quantize→dequantize error is ≤ 3/16 < 1/2 for every value (the
+    ``encode_flat_jpeg_media`` bound, which is per-block — DC
+    differences are Huffman-coded losslessly on the QUANTIZED values),
+    so the lossy codec is provably LOSSLESS on this class too: every
+    decoded pixel is a pure function of the source text, replayable by
+    a SQL oracle. Unlike the single-flat encoder this exercises a
+    non-trivial DC-difference chain (blocks² distinct DC values) and
+    gives downstream perceptual hashes full per-block entropy — an
+    8×8-grid average-hash samples each block exactly once."""
+
+    side = 8 * blocks
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf[text_col]:
+                b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                consts = np.zeros(blocks * blocks, dtype=np.uint8)
+                idx = 2 * np.arange(blocks * blocks)
+                valid = idx < len(b)
+                consts[valid] = b[idx[valid]]
+                px = np.repeat(
+                    np.repeat(consts.reshape(blocks, blocks), 8, axis=0),
+                    8,
+                    axis=1,
+                )
+                payloads.append(encode_gray_jpeg(px, quality))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return documents.select(id_col, text_col).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )

@@ -668,11 +668,22 @@ def image_ahash_bands(
     integer arithmetic on decoded pixels — a SQL engine replays the
     whole signature from the source bytes.
 
-    Output: (media_id, band, value) long format. Malformed payloads
-    yield no rows (malformed media is data, not an error). Scale shape:
-    one Arrow pass, only ``bands`` small ints per image leave Python.
+    Dispatches on payload magic bytes exactly as ``resize_images``:
+    ``\\x89PNG`` → the real PNG decoder, ``\\xff\\xd8`` → the real
+    baseline-JPEG decoder (multimodal/jpeg.py). Payloads that are
+    neither — or that fail to decode — yield ONE ``(media_id, NULL,
+    NULL)`` row: a LOUD skip counter (``band IS NULL``) instead of a
+    silent drop, so a corpus-scale run can account for every input
+    image. Null band keys fall out of downstream band-equality joins
+    naturally (null never equi-matches), so candidate generation is
+    unaffected.
+
+    Output: (media_id, band, value) long format. Scale shape: one Arrow
+    pass, only ``bands`` small ints per image leave Python.
     """
     import numpy as np
+
+    from ram_datapipeline_spark.multimodal.jpeg import decode_jpeg_bytes
 
     if bands <= 0 or (grid * grid) % bands != 0:
         raise ValueError(
@@ -693,7 +704,13 @@ def image_ahash_bands(
             ids, band_idx, values = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, ch, px = _decode_png_bytes(bytes(payload))
+                    b = bytes(payload)
+                    if b.startswith(b"\x89PNG"):
+                        w, h, ch, px = _decode_png_bytes(b)
+                    elif b.startswith(b"\xff\xd8"):
+                        w, h, ch, px = decode_jpeg_bytes(b)
+                    else:
+                        raise ValueError("unknown image format")
                     if ch != 1:
                         px = px.reshape(h, w, ch)[:, :, 0]
                     ys = (np.arange(grid, dtype=np.int64) * h) // grid
@@ -708,7 +725,10 @@ def image_ahash_bands(
                         band_idx.append(b)
                         values.append(word)
                 except Exception:  # noqa: BLE001 — malformed media row
-                    continue
+                    # loud skip: one null-band row per undecodable image
+                    ids.append(mid)
+                    band_idx.append(None)
+                    values.append(None)
             yield pd.DataFrame(
                 {"media_id": ids, "band": band_idx, "value": values}
             )

@@ -430,7 +430,8 @@ def test_resize_images_dispatches_real_codecs(spark):
 def test_image_ahash_identical_and_perturbed(spark):
     """aHash contract: byte-identical images share all four band words;
     perturbing an UNSAMPLED pixel column changes nothing; perturbing a
-    sampled pixel moves few bits; malformed payloads yield no rows."""
+    sampled pixel moves few bits; malformed payloads yield ONE loud
+    (media_id, NULL, NULL) skip row."""
     import numpy as np
 
     from ram_datapipeline_spark.multimodal.media import (
@@ -455,9 +456,49 @@ def test_image_ahash_identical_and_perturbed(spark):
     for r in image_ahash_bands(df).collect():
         got.setdefault(r["media_id"], {})[r["band"]] = r["value"]
     assert got[1] == got[2] == got[3]          # identical + unsampled-perturb
-    assert 9 not in got                        # malformed → no rows
+    assert got[9] == {None: None}              # malformed → loud null row
     assert len(got[4]) == 4
     ham = sum(
         bin(got[1][b] ^ got[4][b]).count("1") for b in range(4)
     )
     assert 0 < ham <= 8                        # sampled-pixel perturb: few bits
+
+
+def test_image_ahash_jpeg_dispatch_and_loud_skip(spark):
+    """VERDICT r5 #2: image_ahash_bands dispatches on magic bytes —
+    JPEG payloads produce real band rows (through the real baseline
+    decoder), and a truly-unknown format yields ONE (media_id, NULL,
+    NULL) row instead of silently vanishing."""
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.jpeg import encode_gray_jpeg
+    from ram_datapipeline_spark.multimodal.media import image_ahash_bands
+
+    # block-flat 64×64 JPEG: decode is exact, so the expected hash is
+    # computable from the block constants directly
+    consts = (np.arange(64, dtype=np.int64) * 37 % 251).astype(np.uint8)
+    px = np.repeat(
+        np.repeat(consts.reshape(8, 8), 8, axis=0), 8, axis=1
+    )
+    jpeg_payload = encode_gray_jpeg(px, 90)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(jpeg_payload)),
+            (2, bytearray(b"GIF89a not a supported codec")),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = image_ahash_bands(media, grid=8, bands=4).collect()
+    got_jpeg = {r["band"]: r["value"] for r in rows if r["media_id"] == 1}
+    v = consts.astype(np.int64)
+    bits = (v * 64 > v.sum()).astype(np.int64)
+    expected = {}
+    for b in range(4):
+        word = 0
+        for j in range(16):
+            word |= int(bits[b * 16 + j]) << j
+        expected[b] = word
+    assert got_jpeg == expected
+    skip_rows = [r for r in rows if r["media_id"] == 2]
+    assert len(skip_rows) == 1
+    assert skip_rows[0]["band"] is None and skip_rows[0]["value"] is None
