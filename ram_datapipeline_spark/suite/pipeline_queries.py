@@ -768,6 +768,109 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
     return "".join(parts) + "\n    " + selects
 
 
+def _bpe_batched_oracle_sql(n_merges: int = 64, window: int = 192) -> str:
+    """DuckDB replay of bpe_learn(mode="batched") — the parallel-BPE
+    scale path. Per round: pair counts → ranked window → a RECURSIVE
+    rank-by-rank scan admitting each pair iff its {lhs, rhs, merged}
+    symbols are disjoint from every already-admitted pair's (exactly
+    the engine's greedy admission), cap at the merges still needed
+    (cumulative count carried in a chained c-CTE), then apply the whole
+    batch with ONE ``list_reduce`` over the doubled-separator string
+    (the sequential oracle's replace trick; non-interacting merges
+    commute, so the fold order is immaterial — it still matches the
+    engine's rank order exactly). ``n_merges`` chained rounds are
+    generated — an upper bound, since every round admits at least the
+    top-ranked pair; completed rounds admit nothing and copy the
+    vocabulary through."""
+    parts = [
+        """
+    WITH RECURSIVE w0 AS MATERIALIZED (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    c0 AS (SELECT 0 AS cnt),
+    v0 AS MATERIALIZED (
+      SELECT array_to_string(string_split(w, ''), ' ') || ' </w>' AS s, freq
+      FROM w0
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        parts.append(
+            f""",
+    p{i} AS MATERIALIZED (
+      SELECT sy[j] AS lhs, sy[j + 1] AS rhs,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (SELECT string_split(s, ' ') AS sy, freq FROM {prev}),
+           unnest(generate_series(1, len(sy) - 1)) AS t(j)
+      GROUP BY 1, 2
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT lhs, rhs, lhs || rhs AS merged, pair_count,
+             row_number() OVER (ORDER BY pair_count DESC, lhs, rhs) AS rnk
+      FROM p{i} ORDER BY pair_count DESC, lhs, rhs LIMIT {window}
+    ),
+    s{i} AS (
+      SELECT 0 AS rnk, CAST([] AS VARCHAR[]) AS used,
+             CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs,
+             CAST(NULL AS VARCHAR) AS merged, CAST(NULL AS BIGINT) AS pair_count
+      UNION ALL
+      SELECT w.rnk,
+             CASE WHEN list_contains(s.used, w.lhs)
+                    OR list_contains(s.used, w.rhs)
+                    OR list_contains(s.used, w.merged)
+                  THEN s.used
+                  ELSE list_concat(s.used, [w.lhs, w.rhs, w.merged]) END,
+             CASE WHEN list_contains(s.used, w.lhs)
+                    OR list_contains(s.used, w.rhs)
+                    OR list_contains(s.used, w.merged)
+                  THEN NULL ELSE w.lhs END,
+             CASE WHEN list_contains(s.used, w.lhs)
+                    OR list_contains(s.used, w.rhs)
+                    OR list_contains(s.used, w.merged)
+                  THEN NULL ELSE w.rhs END,
+             CASE WHEN list_contains(s.used, w.lhs)
+                    OR list_contains(s.used, w.rhs)
+                    OR list_contains(s.used, w.merged)
+                  THEN NULL ELSE w.merged END,
+             w.pair_count
+      FROM s{i} s JOIN w{i} w ON w.rnk = s.rnk + 1
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT lhs, rhs, merged, pair_count,
+             row_number() OVER (ORDER BY rnk) AS adn
+      FROM s{i} WHERE lhs IS NOT NULL
+      QUALIFY adn <= {n_merges} - (SELECT cnt FROM c{i - 1})
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT (SELECT cnt FROM c{i - 1})
+             + (SELECT count(*) FROM b{i}) AS cnt
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT trim(replace(replace(
+               list_reduce(
+                 list_prepend('  ' || replace(s, ' ', '  ') || '  ',
+                   coalesce((SELECT list(lhs || chr(1) || rhs || chr(1)
+                                         || merged ORDER BY adn)
+                             FROM b{i}),
+                            CAST([] AS VARCHAR[]))),
+                 (acc, x) -> replace(acc,
+                   ' ' || string_split(x, chr(1))[1] || '  '
+                       || string_split(x, chr(1))[2] || ' ',
+                   ' ' || string_split(x, chr(1))[3] || ' ')),
+             '  ', ' '), '  ', ' ')) AS s, freq
+      FROM {prev}
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST((SELECT cnt FROM c{i - 1}) + adn AS INT) AS step, "
+        f"lhs, rhs, merged, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
 @query(
     "pipe_bpe_merges",
     oracle=_bpe_oracle_sql(6),
@@ -787,6 +890,30 @@ def q_pipe_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py::bpe_learn)."""
     t = load_tables(spark, sf_dir)
     return C.bpe_learn(t["documents"], n_merges=6)
+
+
+@query(
+    "pipe_bpe_merges_batched",
+    oracle=_bpe_batched_oracle_sql(64, 192),
+    survey=(
+        "corpus curation: BATCHED BPE vocabulary learning (VERDICT r5 "
+        "#3 — parallel-BPE admission of pairwise-non-interacting merges "
+        "per round, 64 merges in a handful of Spark rounds; oracle "
+        "replays the recursive admission scan + commuting batch "
+        "rewrite) (north star)"
+    ),
+    tags=("pipeline",),
+)
+def q_pipe_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64 BPE merges learned in batched mode: each round admits the
+    top-ranked pairwise-non-interacting merges (greedy scan, symbols
+    disjoint from every already-admitted pair) and rewrites the
+    vocabulary ONCE with the whole commuting batch — the tokenizer-
+    training scale path (operators/corpus.py::bpe_learn). The DuckDB
+    oracle replays pair ranking, the recursive admission scan, the
+    cumulative cap, and the batch rewrite, round for round."""
+    t = load_tables(spark, sf_dir)
+    return C.bpe_learn(t["documents"], n_merges=64, mode="batched")
 
 
 @query(
