@@ -26,6 +26,14 @@ from ram_datapipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# The previous round's final code state. Every bench run re-measures it
+# on the SAME box in the same session (a detached git worktree running
+# that commit's own bench.py) and reports it as "anchor_prev", so
+# cross-round comparisons have a machine-drift control (VERDICT r5 #4:
+# the recorded r4 number was 16% faster than r4 code achieves on a
+# later day's box). Update this hash each round.
+ANCHOR_COMMIT = "921f2ee8e8c97b0838da768d60d4a48d6bfc1228"  # round-5 final
+
 # One representative per operator family (SURVEY §2 + north-star ops);
 # scale-sensitive choices on purpose: big-table aggs, multi-joins, window,
 # pivot, spatial join, ETA kernel, dedup, text featurization, ANN.
@@ -74,6 +82,11 @@ HEADLINE = [
     "pipe_bpe_merges",       # BPE vocab learning, 6 merge rounds
     "dedup_repeated_spans",  # cross-doc repeated-substring spans
     "pipe_dq_checks",        # Deequ-style data-quality report
+    # round-6 additions
+    "sim_ivfpq_rerank",      # IVF-PQ + exact rerank: the OTHER rerank
+                             # setting, so both cost points stay benched
+                             # (VERDICT r5 #5)
+    "pipe_bpe_merges_batched",  # batched BPE, 64 merges in few rounds
 ]
 
 
@@ -115,13 +128,62 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    rec = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if os.environ.get("SPARK_GRAFT_ANCHOR", "1") != "0":
+        spark.stop()  # free the JVM before the anchor's own session
+        rec["anchor_prev"] = _anchor_prev()
+    print(json.dumps(rec))
+
+
+def _anchor_prev() -> dict:
+    """Same-box control measurement (VERDICT r5 #4): check out
+    ``ANCHOR_COMMIT`` (the previous round's final code) into a detached
+    worktree, run ITS bench.py against the same SF_DIR in a subprocess,
+    and return its headline record — measured minutes apart on the same
+    machine, so the cross-round delta is code, not machine drift. Any
+    failure degrades to an error note, never a bench failure."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_anchor_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, ANCHOR_COMMIT],
+            cwd=repo, check=True, capture_output=True, timeout=120,
+        )
+        env = dict(os.environ)
+        env["SPARK_GRAFT_ANCHOR"] = "0"  # the anchor never recurses
+        env["SPARK_GRAFT_SF_DIR"] = SF_DIR
+        out = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=wt, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = [
+            ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")
+        ][-1]
+        prev = json.loads(line)
+        return {
+            "commit": ANCHOR_COMMIT[:12],
+            "value": prev.get("value"),
+            "queries": prev.get("queries"),
+        }
+    except Exception as e:  # noqa: BLE001 — anchor is best-effort
+        return {"commit": ANCHOR_COMMIT[:12], "error": str(e)[:300]}
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -841,6 +841,280 @@ def two_level_many_to_many(
     )
 
 
+def multi_level_many_to_many(
+    edges: DataFrame,
+    cells: DataFrame,
+    level_maps: list[DataFrame],
+    sources: DataFrame,
+    targets: DataFrame,
+    n_cell_squarings: int,
+    level_squarings: list[int],
+    n_overlay_rounds: int,
+    max_overlay_rows: int = MAX_OVERLAY_ROWS,
+    _checkpointed: bool = False,
+) -> DataFrame:
+    """Exact many-to-many distances through an N-level CRP hierarchy —
+    the generalization that closes the planet-scale ceiling
+    ``two_level_many_to_many`` documents ("use smaller supercells or
+    add another level", VERDICT r5 #7): when even the level-2 overlay
+    exceeds the collect budget, recurse the overlay construction once
+    more per extra map, so the collected core stays bounded at ANY
+    extract size — the in-engine analog of osrm's multi-level planet
+    partition (scripts/osm2osrm.sh:32-33).
+
+    ``level_maps``: one (child, parent) DataFrame per extra level —
+    ``[cell→supercell]`` reproduces the two-level hierarchy,
+    ``[cell→supercell, supercell→region]`` adds a third, and so on.
+
+    Construction — every level is the SAME recursion step:
+
+    - level-1: per-cell exact closures (distributed) + the level-1
+      overlay graph (inter-cell edges ∪ in-cell boundary cliques),
+      never collected;
+    - level k→k+1: split the level-k overlay graph at the level-(k+1)
+      partition border; close the WITHIN part per partition (literally
+      ``in_cell_closures`` on the overlay graph — one applyInPandas
+      kernel per partition); the next overlay graph is the CROSS edges
+      ∪ the per-partition boundary-to-boundary closure rows over the
+      next boundary set (endpoints of cross edges — a subset of the
+      current one);
+    - only the FINAL overlay graph is collected (gated), relaxed by
+      the fixed-round kernel, and the distances descend the hierarchy
+      level by level as distributed joins + min-aggregates, exactly
+      mirroring the climb.
+
+    Exactness: the CRP decomposition argument applied once per level —
+    a shortest path decomposes at level-N borders into within-partition
+    segments, each of which decomposes at level-(N−1) borders, … down
+    to within-cell segments; every segment class is represented by the
+    corresponding closure set. All-integer weights; both the two-level
+    path and the single-level SQL oracle replay it exactly."""
+    spark = edges.sparkSession
+    if not level_maps:
+        raise ValueError(
+            "multi_level_many_to_many: empty level_maps — use "
+            "partitioned_many_to_many for the single-level path"
+        )
+    if len(level_squarings) != len(level_maps):
+        raise ValueError(
+            "multi_level_many_to_many: need one squaring count per "
+            f"level map (got {len(level_squarings)} for "
+            f"{len(level_maps)} maps)"
+        )
+    if not _checkpointed:
+        edges = edges.localCheckpoint()
+        cells = cells.localCheckpoint()
+    incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint()
+    inter = inter_cell_edges(edges, cells)
+
+    # node → partition id at every level (level 0 = cell)
+    node_part = [cells.select("node_id", F.col("cell").alias("part"))]
+    for mp in level_maps:
+        cols = mp.columns
+        m = mp.select(
+            F.col(cols[0]).alias("part"), F.col(cols[1]).alias("_parent")
+        )
+        node_part.append(
+            node_part[-1]
+            .join(m, "part")
+            .select("node_id", F.col("_parent").alias("part"))
+        )
+
+    def _endpoints(g: DataFrame) -> DataFrame:
+        return (
+            g.select(F.col("src").alias("node_id"))
+            .union(g.select(F.col("dst").alias("node_id")))
+            .distinct()
+        )
+
+    def _bb(closure: DataFrame, bset_df: DataFrame) -> DataFrame:
+        return (
+            closure.join(bset_df.withColumnRenamed("node_id", "src"), "src")
+            .join(bset_df.withColumnRenamed("node_id", "dst"), "dst")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst", "w")
+        )
+
+    # level-1 boundary + overlay graph (distributed)
+    b_levels = [_endpoints(inter)]
+    ovl_graph = inter.select("src", "dst", "w").union(
+        _bb(incell, b_levels[0])
+    )
+    scls: list[DataFrame] = []
+    for k, _mp in enumerate(level_maps):
+        part = node_part[k + 1]
+        gp = (
+            ovl_graph.join(
+                part.withColumnsRenamed(
+                    {"node_id": "src", "part": "s_p"}
+                ),
+                "src",
+            )
+            .join(
+                part.withColumnsRenamed(
+                    {"node_id": "dst", "part": "d_p"}
+                ),
+                "dst",
+            )
+        )
+        within = gp.where(F.col("s_p") == F.col("d_p")).select(
+            "src", "dst", "w"
+        )
+        cross = gp.where(F.col("s_p") != F.col("d_p")).select(
+            "src", "dst", "w"
+        )
+        bp = b_levels[k].join(part, "node_id").select(
+            "node_id", F.col("part").alias("cell")
+        )
+        scl = in_cell_closures(
+            within, bp, level_squarings[k]
+        ).localCheckpoint()
+        scls.append(scl)
+        b_next = _endpoints(cross)
+        ovl_graph = cross.union(_bb(scl, b_next))
+        b_levels.append(b_next)
+
+    # collected final overlay (the bounded core) — gate + collect in
+    # ONE evaluation (bounded pull, as overlay_rows)
+    ovl_pull = ovl_graph.limit(max_overlay_rows + 1).collect()
+    if len(ovl_pull) > max_overlay_rows:
+        raise ValueError(
+            f"multi_level_many_to_many: > {max_overlay_rows} "
+            f"(max_overlay_rows) level-{len(level_maps) + 1} overlay "
+            "rows; use smaller top-level partitions or add another "
+            "level map"
+        )
+    ovl = [(r["src"], r["dst"], r["w"]) for r in ovl_pull]
+
+    # seeds climb the hierarchy: source → cell boundary, then through
+    # each per-partition closure to the next boundary set
+    s_cell = sources.join(cells, "node_id").select(
+        "src_id", F.col("node_id").alias("s_node"), "cell"
+    )
+    b1 = b_levels[0]
+    seeds_in = (
+        s_cell.join(
+            incell,
+            (s_cell["cell"] == incell["cell"])
+            & (s_cell["s_node"] == incell["src"]),
+        )
+        .join(b1.withColumnRenamed("node_id", "_b"),
+              incell["dst"] == F.col("_b"))
+        .select("src_id", F.col("_b").alias("b"), "w")
+    )
+    seeds_self = s_cell.join(
+        b1.withColumnRenamed("node_id", "_b"), s_cell["s_node"] == F.col("_b")
+    ).select("src_id", F.col("_b").alias("b"), F.lit(0).alias("w"))
+    seeds_k = [
+        seeds_in.union(seeds_self)
+        .groupBy("src_id", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    ]
+    for k, scl in enumerate(scls):
+        prev = seeds_k[-1]
+        bn = b_levels[k + 1]
+        via = (
+            prev.join(scl, prev["b"] == scl["src"])
+            .join(bn.withColumnRenamed("node_id", "_bn"),
+                  scl["dst"] == F.col("_bn"))
+            .select("src_id", F.col("_bn").alias("b"),
+                    (prev["w"] + scl["w"]).alias("w"))
+        )
+        direct = prev.join(
+            bn.withColumnRenamed("node_id", "_bn"), prev["b"] == F.col("_bn")
+        ).select("src_id", "b", "w")
+        seeds_k.append(
+            via.union(direct)
+            .groupBy("src_id", "b")
+            .agg(F.min("w").alias("w"))
+            .localCheckpoint()
+        )
+    seed_pull = seeds_k[-1].limit(MAX_SEED_ROWS + 1).collect()
+    if len(seed_pull) > MAX_SEED_ROWS:
+        raise ValueError(
+            f"multi_level_many_to_many: > MAX_SEED_ROWS={MAX_SEED_ROWS} "
+            "seed legs; min-fuse sources sharing an output key "
+            "(per-group minima commute through every min-plus stage)"
+        )
+    seed_rows = [(r["src_id"], r["b"], r["w"]) for r in seed_pull]
+    n_sources = len({k for k, _, _ in seed_rows})
+    n_ovl_nodes = len(
+        {a for a, _, _ in ovl} | {b for _, b, _ in ovl}
+        | {v for _, v, _ in seed_rows}
+    )
+    if n_sources * max(n_ovl_nodes, 1) > MAX_OVERLAY_STATE:
+        raise ValueError(
+            f"multi_level_many_to_many: overlay state {n_sources} "
+            f"sources × {n_ovl_nodes} overlay nodes > MAX_OVERLAY_STATE="
+            f"{MAX_OVERLAY_STATE}; min-fuse sources sharing an output "
+            "key or chunk the source set across calls"
+        )
+    od = multi_source_overlay_dist(ovl, seed_rows, n_overlay_rounds)
+    dist = spark.createDataFrame(
+        od or [], schema="src_id long, b long, w long"
+    )
+
+    # distances descend the hierarchy, min-merged with the climb rows
+    # at every level (paths that never cross that level's border)
+    for k in range(len(scls) - 1, -1, -1):
+        scl = scls[k]
+        seeds = seeds_k[k]
+        via_down = (
+            dist.join(scl, dist["b"] == scl["src"])
+            .select("src_id", scl["dst"].alias("b"),
+                    (dist["w"] + scl["w"]).alias("w"))
+        )
+        via_seed = (
+            seeds.join(scl, seeds["b"] == scl["src"])
+            .select("src_id", scl["dst"].alias("b"),
+                    (seeds["w"] + scl["w"]).alias("w"))
+        )
+        dist = (
+            via_down.union(dist.select("src_id", "b", "w"))
+            .union(via_seed)
+            .union(seeds.select("src_id", "b", "w"))
+            .groupBy("src_id", "b")
+            .agg(F.min("w").alias("w"))
+            .localCheckpoint()
+        )
+
+    # exits: boundary → target through the target cell's closure, plus
+    # targets sitting directly ON a level-1 boundary node
+    t_cell = targets.join(cells, "node_id").select(
+        "tgt_id", F.col("node_id").alias("t_node"), "cell"
+    )
+    via_b = (
+        dist.join(incell, dist["b"] == incell["src"])
+        .join(
+            t_cell,
+            (incell["cell"] == t_cell["cell"])
+            & (incell["dst"] == t_cell["t_node"]),
+        )
+        .select("src_id", "tgt_id", (dist["w"] + incell["w"]).alias("d"))
+    )
+    on_b = dist.join(t_cell, dist["b"] == t_cell["t_node"]).select(
+        "src_id", "tgt_id", F.col("w").alias("d")
+    )
+    direct = (
+        s_cell.join(t_cell, "cell")
+        .join(
+            incell,
+            (s_cell["cell"] == incell["cell"])
+            & (s_cell["s_node"] == incell["src"])
+            & (t_cell["t_node"] == incell["dst"]),
+        )
+        .select("src_id", "tgt_id", F.col("w").alias("d"))
+    )
+    return (
+        via_b.union(on_b)
+        .union(direct)
+        .union(_self_zero_pairs(sources, targets))
+        .groupBy("src_id", "tgt_id")
+        .agg(F.min("d").alias("dist"))
+    )
+
+
 # Above this vertex count the all-pairs closure backend (V×V rows) is an
 # accident waiting to happen; the dispatcher refuses it and requires a
 # cell partition (the CRP backends).
@@ -902,9 +1176,11 @@ def route_many_to_many(
     *,
     cells: DataFrame | None = None,
     supercells: DataFrame | None = None,
+    regions: DataFrame | None = None,
     n_squarings: int | None = None,
     n_cell_squarings: int = 6,
     n_super_squarings: int = 7,
+    n_region_squarings: int = 8,
     n_overlay_rounds: int = 64,
     max_overlay_rows: int = MAX_OVERLAY_ROWS,
 ) -> DataFrame:
@@ -919,10 +1195,14 @@ def route_many_to_many(
       partitioned CRP backends. Single-level while the estimated level-1
       overlay (Σ per-cell boundary cliques + inter-cell edges) fits
       ``max_overlay_rows``; beyond that the two-level hierarchy
-      (``supercells`` required).
+      (``supercells`` required); and when even the estimated LEVEL-2
+      overlay (Σ per-supercell boundary₂ cliques + inter-supercell
+      edges) exceeds the budget, the THREE-level hierarchy
+      (``regions``: a (supercell, region) map —
+      ``multi_level_many_to_many``, the planet path).
 
-    The overlay estimate needs only the inter-cell edge endpoints — no
-    closure work is spent deciding — and runs on checkpointed inputs so
+    The overlay estimates need only the inter-cell edge endpoints — no
+    closure work is spent deciding — and run on checkpointed inputs so
     a lineage-heavy extraction is compiled once. Returns (src_id,
     tgt_id, dist); the weight type follows the input (the closure
     backend routes doubles, the CRP backends are integer-exact by
@@ -997,6 +1277,68 @@ def route_many_to_many(
             f"max_overlay_rows={max_overlay_rows}; pass `supercells` for "
             "the two-level hierarchy (or use smaller cells)"
         )
+    if regions is not None:
+        # estimate the LEVEL-2 overlay the same way (inter-supercell
+        # edge endpoints only — no closure work spent deciding): if it
+        # too exceeds the budget, escalate to the three-level hierarchy
+        node_sc = cells.join(supercells, "cell").select(
+            "node_id", "supercell"
+        )
+        isc = (
+            inter.join(
+                node_sc.withColumnsRenamed(
+                    {"node_id": "src", "supercell": "s_sc"}
+                ),
+                "src",
+            )
+            .join(
+                node_sc.withColumnsRenamed(
+                    {"node_id": "dst", "supercell": "d_sc"}
+                ),
+                "dst",
+            )
+            .where(F.col("s_sc") != F.col("d_sc"))
+        )
+        b2c = (
+            isc.select(F.col("src").alias("node_id"))
+            .union(isc.select(F.col("dst").alias("node_id")))
+            .distinct()
+            .join(node_sc, "node_id")
+            .groupBy("supercell")
+            .agg(F.count("*").alias("nb"))
+        )
+        est2_row = (
+            b2c.agg(
+                F.coalesce(
+                    F.sum(F.col("nb") * (F.col("nb") - 1)), F.lit(0)
+                ).alias("clique")
+            )
+            .crossJoin(isc.agg(F.count(F.lit(1)).alias("n_cross")))
+            .collect()[0]
+        )
+        est2 = int(est2_row["clique"]) + int(est2_row["n_cross"])
+        if est2 > max_overlay_rows:
+            sc_cols = supercells.columns
+            rg_cols = regions.columns
+            return multi_level_many_to_many(
+                edges, cells,
+                [
+                    supercells.select(
+                        F.col(sc_cols[0]).alias("child"),
+                        F.col(sc_cols[1]).alias("parent"),
+                    ),
+                    regions.select(
+                        F.col(rg_cols[0]).alias("child"),
+                        F.col(rg_cols[1]).alias("parent"),
+                    ),
+                ],
+                sources, targets,
+                n_cell_squarings=n_cell_squarings,
+                level_squarings=[n_super_squarings, n_region_squarings],
+                n_overlay_rounds=n_overlay_rounds,
+                max_overlay_rows=max_overlay_rows,
+                _checkpointed=True,
+            )
     return two_level_many_to_many(
         edges, cells, supercells, sources, targets,
         n_cell_squarings=n_cell_squarings,

@@ -63,73 +63,72 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-5 ROTATION (VERDICT r4 next-round #1): the driver window is
-    # spent on (a) the 15 queries NEW or CHANGED in round 5 — the
-    # two-level CRP gate, the K5 / partitioned-prune / rerank / EWMA /
-    # image-dedup / heavy-hitters / Bloom-join / repeated-spans /
-    # BPE-learning / data-quality gates, and the queries rewired
-    # through route_many_to_many or the rerank-capable IVF-PQ module —
-    # then (b) the 19 queries whose only driver proof was round 1 (the
-    # NEXT_ROUND_ROTATION queue published in round 4), then (c) the
-    # stalest of the 48 queries whose latest proof is round 2 — 17 in
-    # the window (16 listed under (c) plus eta_routed_graph, which is
-    # r2-proven AND r5-changed). The 31 that did not fit are queued for
-    # r6 in tests/test_registry_gate.py NEXT_ROUND_ROTATION.
+    # ROUND-6 ROTATION (VERDICT r5 next-round #1): the driver window is
+    # spent on (a) the 10 queries NEW or CHANGED in round 6 — the
+    # three-level CRP gate, the batched-BPE gate, and the queries whose
+    # operators were touched (mixed-corpus image dedup, batched BPE
+    # trainer, EWMA null guards, DQ sketched-uniqueness option,
+    # Misra-Gries checkpoint, the routing self-zero diagonal) — then
+    # (b) the 31 r2-proven queries published as round 5's
+    # NEXT_ROUND_ROTATION (three rounds stale, the stalest evidence in
+    # the repo), then (c) 9 of the 45 r3-proven queries, family-
+    # diverse. The 36 r3 leftovers are queued for r7 in
+    # tests/test_registry_gate.py NEXT_ROUND_ROTATION.
     #
-    # round-5 NEW
-    "eta_routed_osm_xlarge",    # two-level CRP hierarchy (VERDICT r4 #4)
-    "k5_metadata_roundtrip",    # K5 into the hard signal (VERDICT r4 #3)
-    "sim_ivfpq_rerank",         # ANN deployment shape: ADC shortlist + exact re-rank
-    "k_partitioned_prune",      # hive layout + PartitionFilters plan assert
-    "ts_ewma_smooth",           # ordered-left-fold EWMA, cross-engine exact
-    "mm_image_ahash_dedup",     # image near-dup: aHash + LSH bands + Hamming
-    "pipe_temperature_weights", # temperature domain-mixing shares (sqrt-exact)
-    "agg_heavy_hitters",        # two-pass Misra-Gries frequent items (exact)
-    "j_bloom_prefilter",        # Bloom-pruned probe side, plain-join oracle
-    "dedup_repeated_spans",     # Lee-et-al substring dedup spans (exact)
-    "pipe_bpe_merges",          # BPE tokenizer-vocab learning (Sennrich)
-    "pipe_dq_checks",           # Deequ-style data-quality check suite
-    # round-5 CHANGED — re-proven under the new code
-    "eta_routed_osm_large",     # now via route_many_to_many (VERDICT #5)
-    "eta_routed_graph",         # now via route_many_to_many (VERDICT #5)
-    "sim_cosine_topk_ivfpq",    # module gained the exact-rerank path
-    # r1-only evidence (the published r5 rotation queue), re-proven
-    "a3_unpivot_stack",
-    "a4_group_nested",
-    "a5_union_all",
-    "a6_grouped_count",
-    "agg_cube_orders",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "f7_date_parts",
-    "f_date_arithmetic",
-    "f_string_kit",
-    "hof_array_kit",
-    "mm_audio_frame_energy",
-    "mm_decode_image_stats",
-    "mm_frame_sample",
-    "mm_media_catalog",
-    "p4_first_row",
-    "s4_admin_scan_inlist",
-    "w1_latest_per_key",
-    "w2_sort_limit_topk",
-    # r2-latest evidence, stalest re-proven (21 here + eta_routed_graph above)
-    "a2_pivot_eav",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_near_survivors",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "eta_nearest_poi",
-    "eta_routed_kernel_grid",
-    "eta_with_walk_penalty",
-    "ev_user_funnel",
-    "f11_bbox_per_admin",
-    "f16_centroid_per_admin",
-    "f_scalar_kit",
-    "graph_triangle_count",
+    # round-6 NEW
+    "eta_routed_osm_planet",    # THREE-level CRP (VERDICT r5 #7)
+    "pipe_bpe_merges_batched",  # parallel-BPE, 64 merges (VERDICT r5 #3)
+    # round-6 CHANGED — re-proven under the new code
+    "mm_image_ahash_dedup",     # mixed PNG+JPEG corpus (VERDICT r5 #2)
+    "pipe_bpe_merges",          # trainer batched (exact-sequential mode)
+    "ts_ewma_smooth",           # NULL-value guards (ADVICE r5)
+    "pipe_dq_checks",           # empty-list guard + KMV option (r5 #6)
+    "agg_heavy_hitters",        # persist → localCheckpoint (ADVICE r5)
+    "eta_routed_osm_large",     # routing.py self-zero diagonal
+    "eta_routed_osm_xlarge",    # routing.py self-zero diagonal
+    "eta_routed_graph",         # routing.py self-zero diagonal
+    # r2-latest evidence (the published r6 rotation queue), re-proven
+    "dedup_simhash_pairs",
+    "f17_geometry_type_inference",
+    "j2_point_in_admin",
+    "j3_adaptive_buffer",
+    "j3_buffer_semi_join",
+    "j3_knn_candidates",
+    "j7_square_grid_clip",
+    "j_asof_click_view",
+    "p6_nullsafe_round",
+    "pipe_decontaminate",
+    "pipe_sequence_packing",
+    "pipe_stratified_sample",
+    "pipe_tfidf_topk",
+    "q3_revenue_topk",
+    "q5_region_revenue",
+    "s1_config_scan_filter",
+    "sim_cosine_pairs",
+    "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_lsh",
+    "st_event_props_decode",
+    "st_sessionize",
+    "st_window_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_rolling_hash",
+    "text_token_counts",
+    "ts_gapfill_locf",
+    "vec_kmeans_q8",
+    "w3_topk_per_group",
+    # r3-latest evidence, stalest re-proven (9 of 45; family-diverse)
+    "graph_pagerank",
+    "graph_kcore",
+    "st_click_attribution",
+    "st_dedup_replay",
+    "text_pii_scrub",
+    "ts_cdc_apply",
+    "vec_label_centroids",
+    "sim_sparse_tfidf_pairs",
+    "q8_market_share",
 )
 
 

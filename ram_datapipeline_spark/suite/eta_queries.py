@@ -858,6 +858,110 @@ _REG["eta_routed_osm_xlarge"].oracle = _crp_grid2_oracle_sql()
 
 
 @query(
+    "eta_routed_osm_planet",
+    oracle=None,  # assigned right below (same generated SQL as xlarge)
+    survey=(
+        "U4 planet scale: THREE-level CRP over the 16,384-node "
+        "hierarchical network — a collect budget below even the "
+        "level-2 core (measured 506 rows) makes the dispatcher recurse "
+        "once more (multi_level_many_to_many) and collect only the "
+        "~400-row level-3 core (the 'add another level' answer to "
+        "routing.py's documented two-level ceiling, VERDICT r5 #7)"
+    ),
+    tags=("eta", "graph", "osm", "crp"),
+)
+def q_eta_routed_osm_planet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same nearest-POI ETA semantics as ``eta_routed_osm_xlarge``, but
+    with ``max_overlay_rows=450`` — below the measured level-2 core
+    (506 rows), so ``route_many_to_many`` escalates past two_level to
+    the THREE-level hierarchy (cells → 4×4-cell supercells → 2×2-
+    supercell regions): per-cell closures, per-supercell closures of
+    the level-1 overlay, per-REGION closures of the level-2 overlay,
+    and only the level-3 core collected. The oracle replays the query
+    through the SINGLE-level SQL pipeline (both exact and convergence-
+    asserted — an independent-algorithm agreement check), so every
+    distance the extra level produces is hash-gated. All-integer
+    seconds."""
+    from ram_datapipeline_spark.operators.routing import route_many_to_many
+    from ram_datapipeline_spark.sources.osm import (
+        osm_ways_to_road_edges,
+        read_osm_nodes,
+        read_osm_ways,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = ram_domain.osm_grid2_fixture_path()
+    nodes = read_osm_nodes(spark, path)
+    ways = read_osm_ways(spark, path)
+    edges = osm_ways_to_road_edges(nodes, ways).select(
+        "src", "dst", F.floor(F.col("w") + 0.5).cast("long").alias("w")
+    )
+    w = ram_domain.GRID2_W
+    cell = ram_domain.GRID2_CELL
+    cx = ram_domain.GRID2_CELLS_X
+    cells = nodes.select(
+        "node_id",
+        F.expr(
+            f"(node_id div {w} div {cell}) * {cx} + "
+            f"(node_id % {w} div {cell})"
+        ).alias("cell"),
+    )
+    sup = ram_domain.GRID2_SUPER
+    scx = cx // sup
+    supercells = spark.range(cx * cx).select(
+        F.col("id").alias("cell"),
+        F.expr(
+            f"(id div {cx} div {sup}) * {scx} + (id % {cx} div {sup})"
+        ).alias("supercell"),
+    )
+    rgx = max(scx // 2, 1)
+    regions = spark.range(scx * scx).select(
+        F.col("id").alias("supercell"),
+        F.expr(
+            f"(id div {scx} div 2) * {rgx} + (id % {scx} div 2)"
+        ).alias("region"),
+    )
+    n_nodes = w * ram_domain.GRID2_H
+    pois = t["supplier"].select(
+        F.expr("s_suppkey % 3").alias("src_id"),
+        F.expr(
+            f"(s_suppkey * {ram_domain.GRID_POI_MULT}) % {n_nodes}"
+        ).alias("node_id"),
+    )
+    origins = t["customer"].select(
+        F.col("c_custkey").alias("tgt_id"),
+        F.expr(
+            f"(c_custkey * {ram_domain.GRID_ORIGIN_MULT}) % {n_nodes}"
+        ).alias("node_id"),
+    )
+    dist = route_many_to_many(
+        edges,
+        pois,
+        origins,
+        cells=cells,
+        supercells=supercells,
+        regions=regions,
+        n_cell_squarings=_CRP2_CELL_SQ,
+        n_super_squarings=_CRP2_SUPER_SQ,
+        n_region_squarings=8,
+        n_overlay_rounds=64,
+        max_overlay_rows=450,
+    )
+    poi_type = F.expr(
+        "CASE src_id WHEN 0 THEN 'hospital' WHEN 1 THEN 'school'"
+        " ELSE 'bank' END"
+    )
+    return dist.select(
+        F.col("tgt_id").alias("origin_id"),
+        poi_type.alias("poi_type"),
+        F.col("dist").alias("eta_s"),
+    )
+
+
+_REG["eta_routed_osm_planet"].oracle = _crp_grid2_oracle_sql()
+
+
+@query(
     "s8_osm_to_geojson",
     oracle=f"""
     WITH h AS ({ram_domain.HUBS_SQL}),

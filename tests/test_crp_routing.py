@@ -516,3 +516,153 @@ def test_isolated_self_pair_all_backends(spark):
         ).collect()
     }
     assert got_crp == {(0, 0): 5, (1, 1): 0}
+
+
+def _regions_df(spark, w, h, cell, super_, reg):
+    """(supercell, region) map: super_-cell blocks grouped reg×reg."""
+    cx = (w + cell - 1) // cell
+    scx = (cx + super_ - 1) // super_
+    rgx = (scx + reg - 1) // reg
+    rows = [
+        (sr * scx + sc, (sr // reg) * rgx + sc // reg)
+        for sr in range((h + cell - 1) // cell // super_ + (1 if ((h + cell - 1) // cell) % super_ else 0))
+        for sc in range(scx)
+    ]
+    return spark.createDataFrame(rows, "supercell long, region long")
+
+
+def test_three_level_matches_dijkstra_heterogeneous_grid(spark):
+    """16×16 grid, 2×2 cells → 2×2-cell supercells → 2×2-supercell
+    regions: a genuine three-level hierarchy (multi_level_many_to_many)
+    with corridor weights forcing paths across every border class —
+    every distance must equal plain Dijkstra."""
+    w = h = 16
+    wt = lambda r, c, horiz: 1 if (horiz and r % 3 == 0) or (not horiz and c % 3 == 0) else 9  # noqa: E731
+    edge_rows = _grid_edges(w, h, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, w, h, 2)
+    supercells = _supercells_df(spark, w, h, 2, 2)
+    regions = _regions_df(spark, w, h, 2, 2, 2)
+    src_nodes = [0, 37, 255, 120]
+    tgt_nodes = list(range(0, w * h, 11)) + [255]
+    sources = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(src_nodes)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tgt_nodes)], "tgt_id long, node_id long"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.multi_level_many_to_many(
+            edges, cells, [supercells, regions], sources, targets,
+            n_cell_squarings=2, level_squarings=[4, 6],
+            n_overlay_rounds=48,
+        ).collect()
+    }
+    ref = _dijkstra_all(edge_rows, src_nodes)
+    for si, sn in enumerate(src_nodes):
+        for ti, tn in enumerate(tgt_nodes):
+            assert got[(si, ti)] == ref[sn][tn], (sn, tn)
+    assert len(got) == len(src_nodes) * len(tgt_nodes)
+
+
+def test_multi_level_single_map_equals_two_level(spark):
+    """multi_level_many_to_many with ONE level map reproduces
+    two_level_many_to_many exactly (the recursion's base case)."""
+    wt = lambda r, c, horiz: 1 + (r * 7 + c * 3) % 5  # noqa: E731
+    edge_rows = _grid_edges(8, 8, wt)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, 8, 8, 2)
+    supercells = _supercells_df(spark, 8, 8, 2, 2)
+    sources = spark.createDataFrame(
+        [(0, 0), (1, 27)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(range(0, 64, 5))],
+        "tgt_id long, node_id long",
+    )
+    two = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.two_level_many_to_many(
+            edges, cells, supercells, sources, targets,
+            n_cell_squarings=2, n_super_squarings=5, n_overlay_rounds=24,
+        ).collect()
+    }
+    multi = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.multi_level_many_to_many(
+            edges, cells, [supercells], sources, targets,
+            n_cell_squarings=2, level_squarings=[5], n_overlay_rounds=24,
+        ).collect()
+    }
+    assert multi == two
+
+
+def _hierarchical_grid_edges(w: int, h: int):
+    """Grid whose border crossings THIN with the border class — the
+    topology of a real road hierarchy (and of the xlarge OSM fixture):
+    region borders (line index % 8 == 0) are crossable only every 8th
+    perpendicular index, supercell borders (% 4) every 4th, cell
+    borders (% 2) every 2nd; interior steps always exist. This is what
+    makes each overlay level an order smaller than the one below."""
+    def _step_ok(m: int, cross: int) -> bool:
+        if m % 8 == 0:
+            return cross % 8 == 0
+        if m % 4 == 0:
+            return cross % 4 == 0
+        if m % 2 == 0:
+            return cross % 2 == 0
+        return True
+
+    rows = []
+    for r in range(h):
+        for c in range(w):
+            nid = r * w + c
+            if c + 1 < w and _step_ok(c + 1, r):
+                rows += [(nid, nid + 1, 2), (nid + 1, nid, 2)]
+            if r + 1 < h and _step_ok(r + 1, c):
+                rows += [(nid, nid + w, 2), (nid + w, nid, 2)]
+    return rows
+
+
+def test_dispatcher_escalates_to_three_levels(spark):
+    """route_many_to_many with a budget below BOTH the level-1 and
+    level-2 overlay estimates and a regions map routes through the
+    three-level hierarchy — distances still exact."""
+    w = h = 16
+    edge_rows = _hierarchical_grid_edges(w, h)
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    cells = _cells_df(spark, w, h, 2)
+    supercells = _supercells_df(spark, w, h, 2, 2)
+    regions = _regions_df(spark, w, h, 2, 2, 2)
+    src_nodes = [0, 255]
+    tgt_nodes = [0, 17, 100, 255]
+    sources = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(src_nodes)], "src_id long, node_id long"
+    )
+    targets = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tgt_nodes)], "tgt_id long, node_id long"
+    )
+    # measured overlay sizes on this topology: level-1 = 404, level-2 =
+    # 92, level-3 ≤ 16 — budget 60 forces the three-level path (and
+    # two-level alone must refuse)
+    with pytest.raises(ValueError, match="level-2 overlay"):
+        R.two_level_many_to_many(
+            edges, cells, supercells, sources, targets,
+            n_cell_squarings=2, n_super_squarings=4, n_overlay_rounds=32,
+            max_overlay_rows=60,
+        )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.route_many_to_many(
+            edges, sources, targets,
+            cells=cells, supercells=supercells, regions=regions,
+            n_cell_squarings=2, n_super_squarings=4,
+            n_region_squarings=6, n_overlay_rounds=48,
+            max_overlay_rows=60,
+        ).collect()
+    }
+    ref = _dijkstra_all(edge_rows, src_nodes)
+    for si, sn in enumerate(src_nodes):
+        for ti, tn in enumerate(tgt_nodes):
+            assert got[(si, ti)] == ref[sn][tn], (sn, tn)

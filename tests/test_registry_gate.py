@@ -80,45 +80,49 @@ def test_gated_queries_all_have_oracles():
 
 
 # Rotation candidates for the NEXT round's window. Every registered query
-# is past-proven or in the current window (nothing invisible). Round 5
-# re-proved the whole r1-only set plus the stalest 17 of the r2-proven
-# set (16 window slots + the r5-changed eta_routed_graph); these are
-# the 31 r2-proven queries that did not fit the r5 window — re-prove
-# them first in r6 (all are oracle-green in the full mirror
-# sweep, artifacts/VERIFY_r05.txt), then continue with the r3-proven
-# tier in r7.
+# is past-proven or in the current window (nothing invisible). Round 6
+# re-proved the whole r2-proven queue (31 queries) plus 9 of the 45
+# r3-proven queries; these are the 36 r3-proven queries that did not
+# fit the r6 window — re-prove them first in r7 (all are oracle-green
+# in the full mirror sweep, artifacts/VERIFY_r06.txt), then continue
+# with the r4-proven tier in r8.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    "dedup_simhash_pairs",
-    "f17_geometry_type_inference",
-    "j2_point_in_admin",
-    "j3_adaptive_buffer",
-    "j3_buffer_semi_join",
-    "j3_knn_candidates",
-    "j7_square_grid_clip",
-    "j_asof_click_view",
-    "p6_nullsafe_round",
-    "pipe_decontaminate",
-    "pipe_sequence_packing",
-    "pipe_stratified_sample",
-    "pipe_tfidf_topk",
-    "q3_revenue_topk",
-    "q5_region_revenue",
-    "s1_config_scan_filter",
-    "sim_cosine_pairs",
-    "sim_cosine_topk",
-    "sim_cosine_topk_ivf",
-    "sim_cosine_topk_lsh",
-    "st_event_props_decode",
-    "st_sessionize",
-    "st_window_counts",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_rolling_hash",
-    "text_token_counts",
-    "ts_gapfill_locf",
-    "vec_kmeans_q8",
-    "w3_topk_per_group",
+    "dedup_fuzzy_name",
+    "ev_cohort_retention",
+    "ev_cumulative_users",
+    "ev_rolling_active",
+    "graph_clustering_coeff",
+    "graph_common_neighbors",
+    "graph_label_propagation",
+    "j2_point_in_geojson",
+    "j_band_price",
+    "mm_wav_roundtrip",
+    "pipe_chunk_overlap",
+    "pipe_domain_quota",
+    "pipe_incremental_dedup",
+    "pipe_quality_funnel",
+    "pipe_reservoir_topk",
+    "pipe_segment_dedup",
+    "pipe_snapshot_diff",
+    "pipe_split_assign",
+    "q10_returned_items",
+    "q11_important_value",
+    "q12_priority_split",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q19_or_of_ands",
+    "q20_bulk_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q2_correlated_min",
+    "q7_nation_volume",
+    "q9_profit_by_nation",
+    "st_enrich_static",
+    "text_bigram_familiarity",
+    "text_repetition",
+    "ts_moving_avg",
 )
 
 
