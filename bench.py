@@ -87,6 +87,7 @@ HEADLINE = [
                              # setting, so both cost points stay benched
                              # (VERDICT r5 #5)
     "pipe_bpe_merges_batched",  # batched BPE, 64 merges in few rounds
+    "eta_routed_osm_planet",  # three-level CRP hierarchy (VERDICT r5 #7)
 ]
 
 

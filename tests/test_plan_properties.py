@@ -247,3 +247,37 @@ def test_dq_checks_single_scan_for_row_checks(spark):
     plan = plan_text(spark, "pipe_dq_checks")
     assert plan.count("orders.parquet") <= 3, plan.count("orders.parquet")
     assert "CartesianProduct" not in plan
+
+
+def test_dq_sketched_uniqueness_no_expand(spark):
+    """sketched_uniqueness=True must compile the uniqueness check into a
+    TakeOrdered over distinct hashes — no count-distinct Expand node in
+    its subplan, and only k rows cross the final exchange."""
+    from ram_datapipeline_spark.catalog import load_tables
+    from ram_datapipeline_spark.operators.quality import dq_checks, uniqueness
+
+    orders = load_tables(spark, SF_DIR)["orders"]
+    df = dq_checks(orders, [uniqueness("o_custkey")],
+                   sketched_uniqueness=True, kmv_k=64)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert n_ops(p, "Expand") == 0, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_bpe_segment_single_projection_no_shuffle(spark):
+    """The batched merge replay is a pure projection: zero exchanges,
+    zero joins — the merges array is a plan literal."""
+    from ram_datapipeline_spark.catalog import load_tables
+    from ram_datapipeline_spark.operators.corpus import bpe_segment
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    df = bpe_segment(docs, [(f"x{i}", f"y{i}") for i in range(32)])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert n_data_shuffles(p) == 0, p
+    assert n_ops(p, "BroadcastHashJoin") == 0 and "SortMergeJoin" not in p
