@@ -204,3 +204,88 @@ def hash_quantile_sketch(
             F.element_at("_vals", idx).alias(f"p{int(q * 100)}")
         )
     return agg.select(*cols)
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    probes: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Deterministic Count-Min sketch (Cormode & Muthukrishnan '05) —
+    the point-frequency companion to the Misra-Gries heavy-hitter pass:
+    estimate the count of any probe key WITHOUT a groupBy over the raw
+    key domain, with the classic one-sided guarantee
+    ``exact ≤ est ≤ exact + εn`` (ε = e/width, w.p. 1 − e^-depth).
+
+    Hashing is md5-derived (row-salted first-8-hex-digits fold mod
+    ``width``) — like the KMV sketch, the hash order IS the randomness,
+    so the whole structure is a pure function of the multiset and any
+    engine replays it bit-for-bit (DuckDB oracle in the suite).
+
+    Plan shape: ONE corpus scan exploding each row into ``depth``
+    (row, bucket) cells; the groupBy domain is ``depth × width``
+    (bounded, corpus-size-independent — map-side partials collapse the
+    corpus before the exchange, exactly the mergeable-summary property
+    sketches exist for). Probe keys hash to their cells and broadcast-
+    join the table; the estimate is the min over ``depth`` cells.
+
+    Output: (key, est) per probe key. Mergeability = additivity of the
+    cell table (asserted in tests).
+    """
+
+    def bucket(col: Column, row: int) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{row}|"), col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    cells = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"),
+                            bucket(F.col(key_col), i).alias("b"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.r", "c.b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe_cells = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        bucket(F.col(key_col), i).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+    # the cell table is ≤ depth×width rows BY CONSTRUCTION — broadcast
+    # it, so probe estimation is a map-side join however many probes
+    # come; LEFT join because an empty bucket IS the estimate 0 (a key
+    # the corpus never saw must report 0, not vanish)
+    return (
+        probe_cells.join(F.broadcast(cells), ["r", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

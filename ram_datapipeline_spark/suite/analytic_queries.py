@@ -663,3 +663,61 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_quantile_sketch(
         orders, "priority", "cents", "o_orderkey", k=64
     )
+
+
+_CMS_BUCKET = (
+    "list_reduce(list_transform(generate_series(1, 8), "
+    "j -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST({row} AS VARCHAR) || '|' || CAST({key} AS VARCHAR)), "
+    "j, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 256"
+)
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r, bucket, count(*) AS cnt FROM (
+        SELECT s.i AS r, {_CMS_BUCKET.format(row='s.i', key='o_custkey')} AS bucket
+        FROM orders, (SELECT unnest(generate_series(0, 3)) AS i) s
+      ) GROUP BY r, bucket
+    ),
+    probes AS (
+      SELECT c_custkey AS key FROM customer WHERE c_custkey % 97 = 0
+    ),
+    pc AS (
+      SELECT p.key, s.i AS r,
+             {_CMS_BUCKET.format(row='s.i', key='p.key')} AS bucket
+      FROM probes p, (SELECT unnest(generate_series(0, 3)) AS i) s
+    )
+    SELECT pc.key, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+    FROM pc LEFT JOIN cells USING (r, bucket)
+    GROUP BY pc.key
+    """,
+    survey=(
+        "Count-Min sketch point-frequency estimates (Cormode & "
+        "Muthukrishnan '05): bounded depth×width cell table, md5-derived "
+        "buckets, min-over-rows probe — the mergeable-summary companion "
+        "to Misra-Gries/KMV/quantile in the sketch family (north star)"
+    ),
+    tags=("sketch",),
+)
+def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per customer estimated through a 4×256 Count-Min
+    sketch, probed at every 97th customer key (including customers with
+    no orders — their estimate is whatever their buckets collided into,
+    possibly 0). The corpus collapses map-side into the ≤1024-cell
+    table before the only exchange; probes broadcast-join it
+    (operators/sketches.py::count_min_sketch). md5 bucket hashing makes
+    the sketch a pure function of the multiset — the oracle replays
+    every cell and every min."""
+    from ram_datapipeline_spark.operators.sketches import count_min_sketch
+
+    t = load_tables(spark, sf_dir)
+    keys = t["orders"].select(F.col("o_custkey").alias("key"))
+    probes = (
+        t["customer"]
+        .where(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    return count_min_sketch(keys, "key", probes, depth=4, width=256)

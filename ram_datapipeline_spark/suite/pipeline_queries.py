@@ -768,6 +768,58 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
     return "".join(parts) + "\n    " + selects
 
 
+def _bpe_segment_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB replay of learn→segment END TO END: the sequential-oracle
+    CTE chain (v/b rounds) learns the merge table, then every document's
+    words replay the same ``n_merges`` greedy merges via the
+    doubled-separator replace trick, and the output is the per-document
+    token accounting (n_words, n_tokens) a tokenized-corpus manifest
+    carries. LEFT JOIN from documents so zero-word docs keep a row."""
+    prefix = _bpe_oracle_sql(n_merges)
+    # reuse the learn chain's WITH body; strip its final SELECT..UNION
+    cte_body = prefix[: prefix.rindex("\n    SELECT 1 AS step")]
+    parts = [
+        cte_body,
+        """,
+    dw AS MATERIALIZED (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    sw0 AS MATERIALIZED (
+      SELECT doc_id,
+             array_to_string(string_split(w, ''), ' ') || ' </w>' AS s
+      FROM dw
+    )""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    sw{i} AS MATERIALIZED (
+      SELECT doc_id, trim(replace(replace(replace(
+               '  ' || replace(s, ' ', '  ') || '  ',
+               ' ' || (SELECT lhs FROM b{i}) || '  ' ||
+                 (SELECT rhs FROM b{i}) || ' ',
+               ' ' || (SELECT merged FROM b{i}) || ' '),
+             '  ', ' '), '  ', ' ')) AS s
+      FROM sw{i - 1}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, count(*) AS n_words,
+             sum(len(string_split(s, ' '))) AS n_tokens
+      FROM sw{n_merges} GROUP BY doc_id) a USING (doc_id)
+    """
+    )
+    return "".join(parts)
+
+
 def _bpe_batched_oracle_sql(n_merges: int = 64, window: int = 192) -> str:
     """DuckDB replay of bpe_learn(mode="batched") — the parallel-BPE
     scale path. Per round: pair counts → ranked window → a RECURSIVE
@@ -914,6 +966,40 @@ def q_pipe_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative cap, and the batch rewrite, round for round."""
     t = load_tables(spark, sf_dir)
     return C.bpe_learn(t["documents"], n_merges=64, mode="batched")
+
+
+@query(
+    "pipe_bpe_segment_tokens",
+    oracle=_bpe_segment_oracle_sql(6),
+    survey=(
+        "corpus curation: BPE learn → segment END TO END — the learned "
+        "merge table applied back to the corpus, per-document token "
+        "accounting (the tokenized-corpus manifest) (north star)"
+    ),
+    tags=("pipeline",),
+)
+def q_pipe_bpe_segment_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 6 merges, segment every document with them (constant-depth
+    literal-array fold, zero shuffles), and report (doc_id, n_words,
+    n_tokens) — the manifest row a tokenized corpus ships. Gates the
+    learn→segment ROUND TRIP in the hard signal: the oracle re-learns
+    the merges with the chained-CTE replay and re-segments every word
+    with the doubled-separator replace, so a single hash covers trainer
+    AND tokenizer."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in C.bpe_learn(docs, n_merges=6).orderBy("step").collect()
+    ]
+    seg = C.bpe_segment(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), w -> w <> '')"))
+        .cast("long")
+        .alias("n_words"),
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+    )
 
 
 @query(

@@ -439,3 +439,55 @@ def test_dq_checks_sketched_under_k_is_exact(spark):
         "metric"
     ]
     assert sk == exact == 7 / 40
+
+
+def test_count_min_sketch_bounds_and_zero_probe(spark):
+    """CMS contract: exact ≤ est (one-sided), est exact for keys whose
+    buckets never collide at this load, and a never-seen key whose
+    buckets are all empty reports 0 (not a missing row)."""
+    from collections import Counter
+
+    from ram_datapipeline_spark.operators.sketches import count_min_sketch
+
+    rows = [(i % 13,) for i in range(1300)] + [(99,)] * 7
+    df = spark.createDataFrame(rows, "key long")
+    probes = spark.createDataFrame(
+        [(k,) for k in list(range(13)) + [99, 12345]], "key long"
+    )
+    got = {
+        r["key"]: r["est"]
+        for r in count_min_sketch(df, "key", probes, depth=4, width=512).collect()
+    }
+    exact = Counter(k for (k,) in rows)
+    assert set(got) == set(list(range(13)) + [99, 12345])
+    for k, ex in exact.items():
+        assert got[k] >= ex, (k, got[k], ex)
+    # wide sketch, 14 keys: overwhelmingly collision-free
+    assert got[99] == 7
+    assert got[12345] >= 0
+
+
+def test_count_min_cell_table_is_additive_merge(spark):
+    """Mergeability: the cell table of a union equals the elementwise
+    sum of the shards' cell tables — the property that lets partition
+    summaries combine map-side."""
+    from ram_datapipeline_spark.operators.sketches import count_min_sketch
+
+    a = spark.createDataFrame([(i % 5,) for i in range(50)], "key long")
+    b = spark.createDataFrame([(i % 7,) for i in range(70)], "key long")
+    probes = spark.createDataFrame([(k,) for k in range(7)], "key long")
+    u = {
+        r["key"]: r["est"]
+        for r in count_min_sketch(a.union(b), "key", probes, 4, 512).collect()
+    }
+    ea = {
+        r["key"]: r["est"]
+        for r in count_min_sketch(a, "key", probes, 4, 512).collect()
+    }
+    eb = {
+        r["key"]: r["est"]
+        for r in count_min_sketch(b, "key", probes, 4, 512).collect()
+    }
+    # collision-free at this width: est == exact, so union est = sum
+    for k in range(7):
+        assert u[k] == ea[k] + eb[k], (k, u[k], ea[k], eb[k])
