@@ -531,3 +531,118 @@ def cosine_topk_ivfpq(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rk")
     )
+
+
+def mmr_rerank(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, shortlist: int = 25,
+    lam_num: int = 1, lam_den: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-ranking (Carbonell &
+    Goldstein '98) — the deployment stage after exact retrieval when the
+    top-k must not be k near-duplicates: greedily pick
+    ``argmax  λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)``
+    with ties on the smaller id, ``k`` times, over the exact top-
+    ``shortlist`` candidates per query.
+
+    Exactness contract: λ is restricted to exact binary fractions (so
+    λ and 1−λ are both exact doubles), and BOTH score inputs — the
+    relevance cosines and the candidate-pairwise cosines — are computed
+    JVM-side with the engine-wide strict-left-fold dot product. The
+    greedy itself is only comparisons, exact-λ products, and one
+    subtraction per score, all correctly rounded — so a SQL engine
+    unrolling the same k selection steps reproduces every pick
+    bit-for-bit (the suite oracle does).
+
+    Scale shape: the shortlist is |queries|·R rows, the pairwise-sim
+    table |queries|·R² — both query-bounded, never corpus-sized; the
+    greedy runs per query in ONE cogrouped Arrow kernel over those
+    bounded groups. Output: (query_id, neighbor_id, rel, mmr_rank).
+    """
+    if lam_den & (lam_den - 1) or not (0 < lam_num <= lam_den):
+        raise ValueError(
+            "mmr_rerank: lambda must be an exact binary fraction in "
+            f"(0, 1] (got {lam_num}/{lam_den})"
+        )
+    lam = lam_num / lam_den
+    short = cosine_topk(
+        queries, corpus, k=shortlist, id_col=id_col, vec_col=vec_col
+    )
+    rels = short.select(
+        "query_id", "neighbor_id", F.col("cos").alias("rel")
+    ).localCheckpoint()  # consumed by pairs AND the kernel; shortlist-sized
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("_nid"), "_e", "_nrm"
+    )
+    a = rels.select("query_id", F.col("neighbor_id").alias("a"))
+    # fresh attribute ids for the self-join side (toDF re-aliases the
+    # whole projection, which plain select() does not)
+    b = rels.toDF("_qb", "b", "_relb").select("_qb", "b")
+    pairs = (
+        a.join(b, F.col("query_id") == F.col("_qb"))
+        .drop("_qb")
+        .where(F.col("a") < F.col("b"))
+        .join(
+            c.withColumnsRenamed(
+                {"_nid": "a", "_e": "_ea", "_nrm": "_na"}
+            ),
+            "a",
+        )
+        .join(
+            c.withColumnsRenamed(
+                {"_nid": "b", "_e": "_eb", "_nrm": "_nb"}
+            ),
+            "b",
+        )
+        .select(
+            "query_id", "a", "b",
+            (
+                _dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("sim"),
+        )
+        # fresh attribute ids: pairs derives from rels, and cogrouping
+        # two plans that share attributes trips the self-join checker
+        .toDF("query_id", "a", "b", "sim")
+    )
+
+    def greedy(rel_pdf, pair_pdf):
+        import pandas as pd
+
+        if len(rel_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "rel": [],
+                 "mmr_rank": []}
+            )
+        qid = int(rel_pdf["query_id"].iloc[0])
+        rel = dict(zip(rel_pdf["neighbor_id"], rel_pdf["rel"]))
+        sim: dict = {}
+        for pa, pb, s in zip(pair_pdf["a"], pair_pdf["b"], pair_pdf["sim"]):
+            sim[(pa, pb)] = s
+            sim[(pb, pa)] = s
+        cand = sorted(rel)
+        selected: list = []
+        out = {"query_id": [], "neighbor_id": [], "rel": [], "mmr_rank": []}
+        while cand and len(selected) < k:
+            best_id, best_score = None, None
+            for d in cand:  # ascending ids: first strict max = smallest id
+                ms = max((sim[(d, s)] for s in selected), default=0.0)
+                score = lam * rel[d] - (1.0 - lam) * ms
+                if best_score is None or score > best_score:
+                    best_id, best_score = d, score
+            selected.append(best_id)
+            cand.remove(best_id)
+            out["query_id"].append(qid)
+            out["neighbor_id"].append(best_id)
+            out["rel"].append(rel[best_id])
+            out["mmr_rank"].append(len(selected))
+        return pd.DataFrame(out)
+
+    return (
+        rels.groupby("query_id")
+        .cogroup(pairs.groupby("query_id"))
+        .applyInPandas(
+            greedy,
+            schema="query_id long, neighbor_id long, rel double, mmr_rank int",
+        )
+    )

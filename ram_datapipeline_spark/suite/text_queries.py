@@ -1174,3 +1174,103 @@ def q_cos_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_ivfpq(
         e.filter(F.col("vec_id") < 20), e, k=5, rerank=25
     )
+
+
+def _mmr_oracle_sql(k: int = 5, shortlist: int = 25) -> str:
+    """DuckDB replay of mmr_rerank: the exact top-``shortlist`` per
+    query, the candidate-pairwise cosine table, then the ``k`` greedy
+    MMR selection steps UNROLLED as chained CTEs — each step window-
+    ranks the remaining candidates by ``0.5·rel − 0.5·max(sim to
+    selected)`` with the id tie-break, exactly the kernel's arithmetic
+    (λ = ½ exact, strict-left-fold cosines on both sides)."""
+    parts = [
+        f"""
+    WITH {_COSINE_CTE},
+    short AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cos AS rel FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_reduce(list_transform(list_zip(q.e, c.e),
+                                            x -> x[1] * x[2]),
+                             (p, q2) -> p + q2) / (q.nrm * c.nrm) AS cos
+          FROM n q JOIN n c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20
+        )
+      ) WHERE rk <= {shortlist}
+    ),
+    ps AS MATERIALIZED (
+      SELECT s1.query_id, s1.neighbor_id AS a, s2.neighbor_id AS b,
+             list_reduce(list_transform(list_zip(na.e, nb.e),
+                                        x -> x[1] * x[2]),
+                         (p, q2) -> p + q2) / (na.nrm * nb.nrm) AS sim
+      FROM short s1 JOIN short s2
+        ON s1.query_id = s2.query_id AND s1.neighbor_id < s2.neighbor_id
+      JOIN n na ON na.vec_id = s1.neighbor_id
+      JOIN n nb ON nb.vec_id = s2.neighbor_id
+    ),
+    sym AS MATERIALIZED (
+      SELECT query_id, a, b, sim FROM ps
+      UNION ALL SELECT query_id, b, a, sim FROM ps
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT query_id, neighbor_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, neighbor_id) AS rn
+        FROM short) WHERE rn = 1
+    ),
+    selu1 AS (SELECT query_id, neighbor_id FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+    sel{i} AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT s.query_id, s.neighbor_id, s.rel,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY 0.5 * s.rel - 0.5 * (
+                   SELECT max(y.sim) FROM sym y
+                   JOIN selu{i - 1} z
+                     ON z.query_id = y.query_id AND z.neighbor_id = y.b
+                   WHERE y.query_id = s.query_id AND y.a = s.neighbor_id
+                 ) DESC, s.neighbor_id) AS rn
+        FROM short s
+        WHERE NOT EXISTS (SELECT 1 FROM selu{i - 1} z
+                          WHERE z.query_id = s.query_id
+                            AND z.neighbor_id = s.neighbor_id)
+      ) WHERE rn = 1
+    ),
+    selu{i} AS (SELECT * FROM selu{i - 1}
+                UNION ALL SELECT query_id, neighbor_id FROM sel{i})"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, rel, CAST({i} AS INT) AS mmr_rank "
+        f"FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle_sql(5, 25),
+    survey=(
+        "similarity search: MMR diversity re-ranking over the exact "
+        "shortlist (Carbonell & Goldstein '98) — the deployment stage "
+        "that stops top-k being k near-duplicates (north star)"
+    ),
+    tags=("similarity",),
+)
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-5 per query (vec_id < 20): exact top-25
+    shortlist, candidate-pairwise cosines (both strict-left-fold,
+    JVM-side), then the greedy λ=½ MMR selection per query in ONE
+    cogrouped Arrow kernel — only comparisons and exact-λ arithmetic,
+    so the oracle's unrolled selection CTEs reproduce every pick
+    (operators/similarity.py::mmr_rerank)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return SIM.mmr_rerank(e.filter(F.col("vec_id") < 20), e, k=5, shortlist=25)

@@ -188,3 +188,43 @@ def test_ivfpq_recovers_cluster_structure(spark):
         want_cluster = qid // 20
         same = [n for n in neigh if n // 20 == want_cluster]
         assert len(same) == len(neigh) == 5, (qid, neigh)
+
+
+def test_mmr_rerank_diversifies_near_duplicates(spark):
+    """MMR contract: with a cluster of near-identical high-relevance
+    vectors, plain top-k returns the whole cluster but MMR (λ=½) spreads
+    picks across clusters; rank 1 is always the relevance argmax."""
+    from ram_datapipeline_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    # query 0 at e1; cluster A = tiny perturbations of e1 (ids 1-4);
+    # B/C = distinct directions mixing e1 (ids 5, 6)
+    def v(x, y, z):
+        return [float(x), float(y), float(z)]
+
+    rows = [
+        (0, v(1.0, 0.0, 0.0)),
+        (1, v(1.0, 0.001, 0.0)),
+        (2, v(1.0, 0.002, 0.0)),
+        (3, v(1.0, 0.003, 0.0)),
+        (4, v(1.0, 0.004, 0.0)),
+        (5, v(1.0, 0.6, 0.0)),
+        (6, v(1.0, 0.0, 0.6)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") == 0)
+    topk = [
+        r["neighbor_id"]
+        for r in cosine_topk(q, df, k=3).orderBy("rk").collect()
+    ]
+    assert topk == [1, 2, 3]  # pure relevance: the whole near-dup cluster
+    mmr = [
+        r["neighbor_id"]
+        for r in mmr_rerank(q, df, k=3, shortlist=6).orderBy("mmr_rank").collect()
+    ]
+    assert mmr[0] == 1  # rank 1 = relevance argmax
+    # diversity: picks 2-3 escape the near-dup cluster
+    assert set(mmr) & {5, 6}, mmr
+    assert mmr != topk
