@@ -256,3 +256,41 @@ def bigram_familiarity(
             F.sum("c").alias("familiarity"),
         )
     )
+
+
+def keyword_search_all(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive keyword search — the posting-list-intersection query
+    of an inverted index, re-expressed Spark-first: documents containing
+    EVERY term in ``terms``, with the total query-term frequency as the
+    score. Output: (id, tf_total), tf_total ≥ len(terms).
+
+    Scale shape (why this beats materializing posting lists): tokens
+    explode map-side and are FILTERED to the query terms before
+    anything shuffles — the exchange carries only (doc, matched-term)
+    rows, i.e. the union of the query's posting lists, never the
+    corpus vocabulary. The intersection is a countDistinct == n_terms
+    HAVING on that bounded set — one aggregation, no per-term joins,
+    no index build. (A reusable index is just this projection written
+    out partitioned by term; the query plan is identical from there.)
+    """
+    if not terms:
+        raise ValueError("keyword_search_all: empty term list")
+    tl = [t.lower() for t in terms]
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term").isin(tl))
+    return (
+        tok.groupBy(id_col)
+        .agg(
+            F.countDistinct("term").alias("_n_terms"),
+            F.count(F.lit(1)).alias("tf_total"),
+        )
+        .where(F.col("_n_terms") == len(tl))
+        .select(id_col, "tf_total")
+    )

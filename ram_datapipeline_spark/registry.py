@@ -64,15 +64,15 @@ def get(name: str) -> QuerySpec:
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
     # ROUND-6 ROTATION (VERDICT r5 next-round #1): the driver window is
-    # spent on (a) the 13 queries NEW or CHANGED in round 6 — the
+    # spent on (a) the 14 queries NEW or CHANGED in round 6 — the
     # three-level CRP gate, the batched-BPE / learn→segment / Count-Min
-    # / MMR gates, and the queries whose operators were touched
+    # / MMR / keyword-search gates, and the queries whose operators were touched
     # (mixed-corpus image dedup, batched BPE trainer, EWMA null guards,
     # DQ sketched-uniqueness option, Misra-Gries checkpoint, the
     # routing self-zero diagonal) — then (b) the 31 r2-proven queries
     # published as round 5's NEXT_ROUND_ROTATION (three rounds stale,
-    # the stalest evidence in the repo), then (c) 6 of the 45 r3-proven
-    # queries, family-diverse. The 39 r3 leftovers are queued for r7 in
+    # the stalest evidence in the repo), then (c) 5 of the 45 r3-proven
+    # queries, family-diverse. The 40 r3 leftovers are queued for r7 in
     # tests/test_registry_gate.py NEXT_ROUND_ROTATION.
     #
     # round-6 NEW
@@ -81,6 +81,7 @@ GATE_ORDER: tuple[str, ...] = (
     "pipe_bpe_segment_tokens",  # learn→segment round trip, one hash
     "agg_count_min_sketch",     # CMS point frequencies (sketch family)
     "sim_mmr_rerank",           # MMR diversity re-rank over the shortlist
+    "text_keyword_search",      # conjunctive posting-list intersection
     # round-6 CHANGED — re-proven under the new code
     "mm_image_ahash_dedup",     # mixed PNG+JPEG corpus (VERDICT r5 #2)
     "pipe_bpe_merges",          # trainer batched (exact-sequential mode)
@@ -122,13 +123,12 @@ GATE_ORDER: tuple[str, ...] = (
     "ts_gapfill_locf",
     "vec_kmeans_q8",
     "w3_topk_per_group",
-    # r3-latest evidence, stalest re-proven (6 of 45; family-diverse)
+    # r3-latest evidence, stalest re-proven (5 of 45; family-diverse)
     "graph_pagerank",
     "graph_kcore",
     "st_click_attribution",
     "st_dedup_replay",
     "text_pii_scrub",
-    "ts_cdc_apply",
 )
 
 

@@ -1274,3 +1274,34 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     return SIM.mmr_rerank(e.filter(F.col("vec_id") < 20), e, k=5, shortlist=25)
+
+
+@query(
+    "text_keyword_search",
+    oracle="""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS tf_total FROM (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ) WHERE term IN ('scan', 'join', 'window', 'stream')
+    GROUP BY doc_id
+    HAVING count(DISTINCT term) = 4
+    """,
+    survey=(
+        "conjunctive keyword search (posting-list intersection, "
+        "Spark-first: filter-before-shuffle, countDistinct HAVING — "
+        "no per-term joins, no index build) (north star)"
+    ),
+    tags=("text",),
+)
+def q_text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing ALL of {scan, join, window, stream}, scored
+    by total query-term frequency. Tokens are filtered to the query
+    terms BEFORE the only exchange — the union of the query's posting
+    lists is all that shuffles (operators/text_ops.py::
+    keyword_search_all)."""
+    from ram_datapipeline_spark.operators.text_ops import keyword_search_all
+
+    t = load_tables(spark, sf_dir)
+    return keyword_search_all(
+        t["documents"], ("scan", "join", "window", "stream")
+    )

@@ -45,7 +45,13 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # round-5 late additions: candidate-bounded frequent items,
           # Bloom-pruned join, substring-span dedup, BPE vocab rounds
           "agg_heavy_hitters", "j_bloom_prefilter",
-          "dedup_repeated_spans", "pipe_bpe_merges"]
+          "dedup_repeated_spans", "pipe_bpe_merges",
+          # round-6 additions: three-level CRP (fixed network, scaled
+          # entities), batched BPE, mixed-format image dedup, CMS cell
+          # table, MMR (query-bounded), BPE segment projection
+          "eta_routed_osm_planet", "pipe_bpe_merges_batched",
+          "mm_image_ahash_dedup", "agg_count_min_sketch",
+          "sim_mmr_rerank", "pipe_bpe_segment_tokens"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

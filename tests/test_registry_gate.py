@@ -81,8 +81,8 @@ def test_gated_queries_all_have_oracles():
 
 # Rotation candidates for the NEXT round's window. Every registered query
 # is past-proven or in the current window (nothing invisible). Round 6
-# re-proved the whole r2-proven queue (31 queries) plus 6 of the 45
-# r3-proven queries; these are the 39 r3-proven queries that did not
+# re-proved the whole r2-proven queue (31 queries) plus 5 of the 45
+# r3-proven queries; these are the 40 r3-proven queries that did not
 # fit the r6 window — re-prove them first in r7 (all are oracle-green
 # in the full mirror sweep, artifacts/VERIFY_r06.txt), then continue
 # with the r4-proven tier in r8.
@@ -90,6 +90,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "q8_market_share",
     "sim_sparse_tfidf_pairs",
     "vec_label_centroids",
+    "ts_cdc_apply",
     "dedup_fuzzy_name",
     "ev_cohort_retention",
     "ev_cumulative_users",
