@@ -88,6 +88,10 @@ HEADLINE = [
                              # (VERDICT r5 #5)
     "pipe_bpe_merges_batched",  # batched BPE, 64 merges in few rounds
     "eta_routed_osm_planet",  # three-level CRP hierarchy (VERDICT r5 #7)
+    "sim_mmr_rerank",        # MMR diversity re-rank (cogrouped kernel)
+    "agg_count_min_sketch",  # CMS cell table + broadcast probe join
+    "pipe_bpe_segment_tokens",  # learn→segment round trip
+    "text_keyword_search",   # posting-list intersection search
 ]
 
 
