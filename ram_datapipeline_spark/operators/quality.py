@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -192,4 +192,74 @@ def dq_checks(
     return out.select(
         "check_name", "metric", "threshold",
         (F.col("metric") >= F.col("threshold")).alias("passed"),
+    )
+
+
+def winsorize_caps(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_num: int = 5,
+    hi_num: int = 95,
+    den: int = 100,
+) -> DataFrame:
+    """Per-group winsorization caps from EXACT order statistics — the
+    outlier-capping pass feature pipelines run before normalization,
+    with no interpolation and no libm: the lo/hi caps are the values at
+    ranks ``ceil(p·n)`` (integer ceiling division on exact counts), so
+    every output is a value already present in the data and the whole
+    report is oracle-replayable.
+
+    Output: (group, n, lo_cap, hi_cap, n_below, n_above) where
+    n_below/n_above count rows strictly outside the caps (the rows a
+    ``clamp`` would touch).
+
+    Scale shape: ONE corpus exchange (the per-group sort window);
+    the rank→cap reduction is per-group-tiny, rejoins as a broadcast,
+    and the final count agg reuses the window's hash partitioning —
+    nothing corpus-sized moves twice. NULL values are excluded (they
+    are a completeness problem, not an outlier problem).
+    """
+    if not (0 < lo_num < hi_num <= den):
+        raise ValueError(
+            f"winsorize_caps: need 0 < lo < hi <= den, got "
+            f"{lo_num}/{hi_num}/{den}"
+        )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    nw = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, value_col)
+        .where(F.col(value_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(nw))
+    )
+    k_lo = (F.lit(lo_num) * F.col("_n") + (den - 1)) / den
+    k_hi = (F.lit(hi_num) * F.col("_n") + (den - 1)) / den
+    ranked = ranked.withColumn(
+        "_k_lo", F.floor(k_lo).cast("long")
+    ).withColumn("_k_hi", F.floor(k_hi).cast("long"))
+    caps = ranked.groupBy(group_col).agg(
+        F.max("_n").alias("n"),
+        F.max(
+            F.when(F.col("_rn") == F.col("_k_lo"), F.col(value_col))
+        ).alias("lo_cap"),
+        F.max(
+            F.when(F.col("_rn") == F.col("_k_hi"), F.col(value_col))
+        ).alias("hi_cap"),
+    )
+    return (
+        ranked.join(F.broadcast(caps), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lo_cap").alias("lo_cap"),
+            F.max("hi_cap").alias("hi_cap"),
+            F.count(
+                F.when(F.col(value_col) < F.col("lo_cap"), 1)
+            ).alias("n_below"),
+            F.count(
+                F.when(F.col(value_col) > F.col("hi_cap"), 1)
+            ).alias("n_above"),
+        )
+        .select(group_col, "n", "lo_cap", "hi_cap", "n_below", "n_above")
     )

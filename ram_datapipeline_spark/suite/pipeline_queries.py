@@ -1070,3 +1070,55 @@ def q_pipe_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             referential("o_custkey", t["customer"], "c_custkey"),
         ],
     )
+
+
+@query(
+    "pipe_winsorize_caps",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    k AS (
+      SELECT *, (5 * n + 99) // 100 AS k_lo, (95 * n + 99) // 100 AS k_hi
+      FROM r
+    ),
+    caps AS (
+      SELECT grp, max(n) AS n,
+             max(CASE WHEN rn = k_lo THEN v END) AS lo_cap,
+             max(CASE WHEN rn = k_hi THEN v END) AS hi_cap
+      FROM k GROUP BY grp
+    )
+    SELECT k.grp, CAST(max(caps.n) AS BIGINT) AS n,
+           max(caps.lo_cap) AS lo_cap, max(caps.hi_cap) AS hi_cap,
+           CAST(count(CASE WHEN k.v < caps.lo_cap THEN 1 END) AS BIGINT)
+             AS n_below,
+           CAST(count(CASE WHEN k.v > caps.hi_cap THEN 1 END) AS BIGINT)
+             AS n_above
+    FROM k JOIN caps ON k.grp = caps.grp
+    GROUP BY k.grp
+    """,
+    survey=(
+        "per-group winsorization caps from EXACT order statistics "
+        "(ceil(p·n) ranks, no interpolation, no libm) — the outlier-"
+        "capping pass of a feature pipeline (north star)"
+    ),
+    tags=("pipeline", "quality"),
+)
+def q_pipe_winsorize_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P95 winsorization caps for extended price per return flag:
+    exact rank-based caps (ONE corpus exchange — the per-group sort
+    window; the cap reduction is group-sized and rejoins broadcast),
+    plus how many rows a clamp would touch on each side
+    (operators/quality.py::winsorize_caps)."""
+    from ram_datapipeline_spark.operators.quality import winsorize_caps
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    return winsorize_caps(li, "grp", "v", 5, 95, 100)

@@ -491,3 +491,32 @@ def test_count_min_cell_table_is_additive_merge(spark):
     # collision-free at this width: est == exact, so union est = sum
     for k in range(7):
         assert u[k] == ea[k] + eb[k], (k, u[k], ea[k], eb[k])
+
+
+def test_winsorize_caps_exact_order_stats(spark):
+    """Hand-computed caps: 20 values in one group, p5/p95 → ranks
+    ceil(1)=1 and ceil(19)=19; NULLs excluded; n_below/n_above count
+    strict outliers only."""
+    from ram_datapipeline_spark.operators.quality import winsorize_caps
+
+    vals = [float(i) for i in range(1, 21)]  # 1..20
+    rows = [("g", v) for v in vals] + [("g", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = winsorize_caps(df, "grp", "v", 5, 95, 100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 20
+    assert r["lo_cap"] == 1.0     # rank ceil(0.05*20)=1
+    assert r["hi_cap"] == 19.0    # rank ceil(0.95*20)=19
+    assert r["n_below"] == 0      # nothing strictly below 1.0
+    assert r["n_above"] == 1      # 20.0 strictly above 19.0
+
+
+def test_winsorize_caps_rejects_bad_percentiles(spark):
+    import pytest as _pytest
+
+    from ram_datapipeline_spark.operators.quality import winsorize_caps
+
+    df = spark.createDataFrame([("g", 1.0)], "grp string, v double")
+    with _pytest.raises(ValueError, match="lo < hi"):
+        winsorize_caps(df, "grp", "v", 95, 5, 100)

@@ -87,6 +87,10 @@ def test_gated_queries_all_have_oracles():
 # in the full mirror sweep, artifacts/VERIFY_r06.txt), then continue
 # with the r4-proven tier in r8.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    # round-6 late addition — born with an oracle, verified in the r6
+    # sweeps at sf0.001/sf0.01 (see commit) but the 50-slot window was
+    # already spent; first driver-gated slot is r7's
+    "pipe_winsorize_caps",
     "q8_market_share",
     "sim_sparse_tfidf_pairs",
     "vec_label_centroids",
