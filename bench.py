@@ -92,6 +92,7 @@ HEADLINE = [
     "agg_count_min_sketch",  # CMS cell table + broadcast probe join
     "pipe_bpe_segment_tokens",  # learn→segment round trip
     "text_keyword_search",   # posting-list intersection search
+    "pipe_winsorize_caps",   # exact order-statistic outlier caps
 ]
 
 
