@@ -432,6 +432,51 @@ def domain_quota(
 
 
 
+def token_budget_select(
+    df: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Realize a data mixture under per-domain TOKEN budgets — the
+    selection step after ``temperature_weights`` turns shares into
+    budgets: within each domain, documents are ordered by the md5 hash
+    of their id (an unbiased, engine-replayable shuffle order — the
+    same "hash order IS the randomness" rule as the samplers) and the
+    maximal PREFIX whose running token total stays within the domain's
+    budget is kept (``cum_tokens ≤ budget``; token counts are
+    non-negative, so the prefix rule and the cumulative filter
+    coincide). Domains absent from ``budgets`` are dropped.
+
+    Output: the selected rows + ``cum_tokens`` (the running total, for
+    manifest auditing). All-integer window arithmetic → oracle-exact.
+
+    Scale shape: ONE hash exchange (the per-domain window); the budget
+    table is a broadcast literal. Skewed domains are the expected case
+    — a domain's partition is the max unit of work, and the window
+    carries one long per row.
+    """
+    if not budgets:
+        raise ValueError("token_budget_select: empty budget map")
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(d, int(b)) for d, b in sorted(budgets.items())],
+        f"{domain_col} string, _budget long",
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(bdf), domain_col)
+        .withColumn("cum_tokens", F.sum(F.col(token_col)).over(w))
+        .where(F.col("cum_tokens") <= F.col("_budget"))
+        .drop("_budget")
+    )
+
+
 def temperature_weights(
     df: DataFrame,
     domain_col: str = "source",

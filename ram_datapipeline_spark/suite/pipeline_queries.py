@@ -1122,3 +1122,47 @@ def q_pipe_winsorize_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("v"),
     )
     return winsorize_caps(li, "grp", "v", 5, 95, 100)
+
+
+@query(
+    "pipe_token_budget_select",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= 800 + 400 * (CAST(substr(source, 4) AS INT) % 5)
+    """,
+    survey=(
+        "corpus curation: mixture realization under per-domain TOKEN "
+        "budgets — hash-ordered prefix selection with an integer "
+        "running total (the step that turns temperature_weights shares "
+        "into an actual corpus) (north star)"
+    ),
+    tags=("pipeline",),
+)
+def q_pipe_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill each source's token budget (800 + 400·(src#%5)) with the
+    md5-hash-ordered prefix of its documents — deterministic, unbiased,
+    engine-replayable; the kept set never changes when the corpus grows
+    (hash order is stable). One per-domain window exchange
+    (operators/corpus.py::token_budget_select)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    budgets = {f"src{i}": 800 + 400 * (i % 5) for i in range(20)}
+    return C.token_budget_select(docs, budgets)

@@ -101,3 +101,28 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
         "width is null or width != 16 or pixel_sum != pixel_max * 256"
     ).count()
     assert bad == 0
+
+
+def test_token_budget_select_prefix_semantics(spark):
+    """Hand-checkable budget fill: hash-ordered prefix whose running
+    total stays within the domain budget; later docs excluded once the
+    budget is crossed; unknown domains dropped; empty budgets raise."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.operators.corpus import token_budget_select
+
+    rows = [(i, "a", 10) for i in range(10)] + [(100, "zzz", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_budget_select(df, {"a": 35}).collect()
+    got = {r["doc_id"]: r["cum_tokens"] for r in out}
+    # expected: first 3 docs in md5(doc_id) order (10+10+10=30 <= 35;
+    # the 4th would hit 40 > 35)
+    order = sorted(range(10), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    expect = {order[0]: 10, order[1]: 20, order[2]: 30}
+    assert got == expect, (got, expect, order)
+    assert all(r["source"] == "a" for r in out)  # 'zzz' dropped
+    with pytest.raises(ValueError, match="empty budget"):
+        token_budget_select(df, {})

@@ -91,6 +91,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     # sweeps at sf0.001/sf0.01 (see commit) but the 50-slot window was
     # already spent; first driver-gated slot is r7's
     "pipe_winsorize_caps",
+    "pipe_token_budget_select",
     "q8_market_share",
     "sim_sparse_tfidf_pairs",
     "vec_label_centroids",
