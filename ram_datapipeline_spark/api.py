@@ -59,6 +59,7 @@ from ram_datapipeline_spark.operators.skew import (  # noqa: F401
     write_bucketed,
 )
 from ram_datapipeline_spark.operators.sketches import (  # noqa: F401
+    count_min_sketch,
     hash_quantile_sketch,
     kmv_distinct_estimate,
     misra_gries_heavy_hitters,
@@ -70,6 +71,7 @@ from ram_datapipeline_spark.operators.quality import (  # noqa: F401
     min_bound,
     referential,
     uniqueness,
+    winsorize_caps,
 )
 
 # training-data pipeline (north star)
@@ -88,11 +90,15 @@ from ram_datapipeline_spark.operators.similarity import (  # noqa: F401
     cosine_pairs,
     cosine_topk,
     cosine_topk_ivf,
+    cosine_topk_ivfpq,
     cosine_topk_lsh,
+    mmr_rerank,
 )
 from ram_datapipeline_spark.operators.text_ops import (  # noqa: F401
     fingerprint,
+    keyword_search_all,
     lang_id,
+    pii_scrub,
     quality_features,
     rolling_hash,
     shingles,
@@ -100,6 +106,9 @@ from ram_datapipeline_spark.operators.text_ops import (  # noqa: F401
 from ram_datapipeline_spark.multimodal.media import (  # noqa: F401
     downsample_wav_media,
     image_ahash_bands,
+)
+from ram_datapipeline_spark.multimodal.jpeg import (  # noqa: F401
+    encode_blockflat_jpeg_media,
 )
 from ram_datapipeline_spark.multimodal import (  # noqa: F401
     audio_frame_energy,
@@ -165,6 +174,7 @@ from ram_datapipeline_spark.operators.corpus import (  # noqa: F401
     stratified_sample,
     temperature_weights,
     tfidf_topk,
+    token_budget_select,
 )
 from ram_datapipeline_spark.operators.vectors import (  # noqa: F401
     kmeans_q8,
@@ -189,6 +199,7 @@ from ram_datapipeline_spark.operators.routing import (  # noqa: F401
     build_crp_index,
     closure_rows_gated,
     crp_many_to_many,
+    multi_level_many_to_many,
     partitioned_many_to_many,
     route_many_to_many,
     two_level_many_to_many,
