@@ -520,3 +520,27 @@ def test_winsorize_caps_rejects_bad_percentiles(spark):
     df = spark.createDataFrame([("g", 1.0)], "grp string, v double")
     with _pytest.raises(ValueError, match="lo < hi"):
         winsorize_caps(df, "grp", "v", 95, 5, 100)
+
+
+def test_keyword_search_all_semantics(spark):
+    """AND semantics: only docs containing EVERY term survive; tf_total
+    counts all query-term occurrences; matching is lowercase; empty term
+    lists raise."""
+    from ram_datapipeline_spark.operators.text_ops import keyword_search_all
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Scan join window scan"),       # all 3 terms? no 'stream'... use 3-term query
+            (2, "scan join"),                   # missing 'window'
+            (3, "window JOIN scan window"),     # all, mixed case
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["tf_total"]
+        for r in keyword_search_all(docs, ("scan", "join", "window")).collect()
+    }
+    assert got == {1: 4, 3: 4}
+    with pytest.raises(ValueError, match="empty term list"):
+        keyword_search_all(docs, ())
