@@ -534,3 +534,95 @@ def test_bpe_learn_matches_reference_on_random_corpora(spark, words, n_merges):
         for r in bpe_learn(docs, n_merges=n_merges).collect()
     ]
     assert got == _bpe_reference(dict(Counter(words)), n_merges)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=40, deadline=None)
+def test_batched_bpe_admission_invariants(word_freqs, n_merges):
+    """Pure-Python invariants of the batched-BPE admission spec (the
+    oracle-replayed rule): every round's batch is pairwise
+    NON-INTERACTING ({l, r, l+r} symbol sets disjoint), so applying the
+    batch in reversed order yields the same vocabulary state — the
+    commutation property the whole batched mode rests on."""
+    from tests.test_corpus import _bpe_batched_reference
+
+    freqs = {}
+    for w, f in word_freqs:
+        freqs[w] = freqs.get(w, 0) + f
+    merges, _rounds = _bpe_batched_reference(freqs, n_merges)
+
+    # group merges into rounds by replaying the reference round counts:
+    # re-run and capture per-round batches via symbol-set disjointness
+    # of consecutive steps is ambiguous — instead, re-validate the
+    # invariant over every maximal run of steps admitted together:
+    # the reference guarantees within-round non-interaction, so check
+    # that ANY two merges with no interacting merge between them in
+    # sequence order have disjoint symbol sets OR are separated by a
+    # rewrite. The direct, unambiguous check: replay rounds ourselves.
+    vocab = {tuple(w) + ("</w>",): f for w, f in freqs.items()}
+
+    def pair_counts(v):
+        counts = {}
+        for syms, f in v.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        return counts
+
+    def apply_batch(v, batch):
+        nv = {}
+        for syms, f in v.items():
+            out = list(syms)
+            for l, r, _ in batch:  # noqa: E741
+                nxt, i = [], 0
+                while i < len(out):
+                    if i + 1 < len(out) and out[i] == l and out[i + 1] == r:
+                        nxt.append(l + r)
+                        i += 2
+                    else:
+                        nxt.append(out[i])
+                        i += 1
+                out = nxt
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        return nv
+
+    done = 0
+    while done < len(merges):
+        counts = pair_counts(vocab)
+        if not counts:
+            break
+        ranked = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:192]
+        batch, used = [], set()
+        for (l, r), cnt in ranked:  # noqa: E741
+            s = {l, r, l + r}
+            if not (s & used):
+                batch.append((l, r, cnt))
+                used |= s
+                if len(batch) == len(merges) - done:
+                    break
+        # 1. the reference's merges for this round match our replay
+        ref_batch = [(m[1], m[2], m[4]) for m in merges[done:done + len(batch)]]
+        assert ref_batch == batch
+        # 2. pairwise non-interacting
+        seen: set = set()
+        for l, r, _ in batch:  # noqa: E741
+            s = {l, r, l + r}
+            assert not (s & seen)
+            seen |= s
+        # 3. commutation: reversed application gives the same vocab
+        fwd = apply_batch(vocab, batch)
+        rev = apply_batch(vocab, list(reversed(batch)))
+        assert fwd == rev
+        vocab = fwd
+        done += len(batch)
