@@ -6,6 +6,14 @@ Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
+Emission contract (round-7 fix for the r6 ``parsed: null``): the driver
+tail-captures only the LAST few KB of stdout, and round 6's single line
+(47 query timings + a 39-query ``anchor_prev`` block) outgrew it. Now the
+full-detail record (anchor per-query timings included) is written to
+``artifacts/BENCH_local_detail.json``, and stdout gets ONE compact final
+line — per-query timings at 2 dp plus ``anchor_prev`` reduced to
+``{"commit", "value"}`` — sized well inside the capture window.
+
 Each query is forced end-to-end with a noop-format write (full plan
 execution, no driver-side collect — the same shape a cluster job has).
 Per-query time excludes session startup; a warmup pass primes the JVM,
@@ -32,7 +40,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # cross-round comparisons have a machine-drift control (VERDICT r5 #4:
 # the recorded r4 number was 16% faster than r4 code achieves on a
 # later day's box). Update this hash each round.
-ANCHOR_COMMIT = "921f2ee8e8c97b0838da768d60d4a48d6bfc1228"  # round-5 final
+ANCHOR_COMMIT = "4521e1ac9a0c8e3a3e3da1ccc9c33375bf06e608"  # round-6 final
 
 # One representative per operator family (SURVEY §2 + north-star ops);
 # scale-sensitive choices on purpose: big-table aggs, multi-joins, window,
@@ -144,7 +152,25 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_ANCHOR", "1") != "0":
         spark.stop()  # free the JVM before the anchor's own session
         rec["anchor_prev"] = _anchor_prev()
-    print(json.dumps(rec))
+
+    # Full-detail record (anchor per-query timings included) goes to a
+    # file; stdout gets one COMPACT final line the driver's tail capture
+    # can always hold (VERDICT r6 next-round #1).
+    try:
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+        os.makedirs(art, exist_ok=True)
+        with open(os.path.join(art, "BENCH_local_detail.json"), "w") as fh:
+            json.dump(rec, fh, indent=1)
+    except OSError:
+        pass  # detail record is best-effort; the stdout line is the contract
+    compact = dict(rec)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    anchor = rec.get("anchor_prev")
+    if isinstance(anchor, dict):
+        compact["anchor_prev"] = {
+            k: anchor[k] for k in ("commit", "value", "error") if k in anchor
+        }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def _anchor_prev() -> dict:
