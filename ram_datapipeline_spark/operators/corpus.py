@@ -625,13 +625,29 @@ def bpe_learn(
        exceeds ``c_bound``: the best count among pairs that interact
        with the batch (plus the window-truncation floor). Exactness
        argument: non-interacting pairs' counts are untouched by the
-       batch's merges, while every pair the batch creates or modifies
-       is count-bounded by some pre-round pair interacting with the
-       batch (a new (x, l+r) occurrence needs an old (x, l)
-       occurrence), i.e. by ``c_bound`` — so sequential Sennrich
-       training would pick exactly this batch in exactly this order.
-       The first admitted pair is always kept (it IS the sequential
-       argmax), so progress is guaranteed;
+       batch's merges, while — PROVIDED every admitted product symbol
+       l+r is FRESH (not already a vocabulary symbol) — every pair the
+       batch creates or modifies is count-bounded by some pre-round
+       pair interacting with the batch (a new (x, l+r) occurrence
+       needs an old (x, l) occurrence; freshness rules out pre-round
+       (x, l+r) occurrences that would otherwise stack on top, pushing
+       a touched pair past ``c_bound``), i.e. by ``c_bound`` — so
+       sequential Sennrich training would pick exactly this batch in
+       exactly this order. The freshness premise is enforced, not
+       assumed: a ``known_syms`` set (the initial distinct symbols —
+       one bounded alphabet-sized collect — plus every product admitted
+       so far; conservative, since symbols that die out only make
+       collisions rarer) truncates the batch right AFTER the first
+       admitted pair whose product collides, and likewise after any
+       pair with ``l == r`` — a repeated-symbol merge's created pairs
+       (e.g. (aa, a) from runs of three) have the admitted pair ITSELF
+       as their junction pre-pair, which c_bound never covers. With
+       both rules every touched pair has exactly one possible junction
+       pre-pair, that pre-pair is never an admitted pair, and the bound
+       holds (validated against the one-merge-per-round reference on a
+       3.6M-corpus randomized search). The first admitted pair is
+       always kept (it IS the sequential argmax, and its own
+       application is exact regardless), so progress is guaranteed;
     4. the whole batch is replayed over every word's symbol array as
        ONE constant-depth expression (``_apply_merges_array`` — the
        same greedy left-to-right non-overlapping fold both training
@@ -686,6 +702,17 @@ def bpe_learn(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
+    known_syms: set[str] = set()
+    if mode == "sequential":
+        # Freshness ledger for the exactness argument (see docstring):
+        # initial distinct symbols — bounded by |alphabet| + 1 rows —
+        # plus every product admitted later. One small collect, once.
+        known_syms = {
+            r["s"]
+            for r in vocab.select(F.explode("syms").alias("s"))
+            .distinct()
+            .collect()
+        }
     rounds = 0
     while len(merges) < n_merges:
         remaining = n_merges - len(merges)
@@ -749,6 +776,21 @@ def bpe_learn(
                     break
                 admitted.append((l, r, cnt))
                 used |= {l, r, l + r}
+                if (l + r) in known_syms or l == r:
+                    # Two ways this pair breaks the bound argument for
+                    # LATER admits, so the batch ends HERE (this pair
+                    # itself is still the exact sequential choice at its
+                    # turn): (1) its product re-creates an existing
+                    # symbol — a pre-existing (x, l+r) count stacks with
+                    # created occurrences past c_bound; (2) l == r — a
+                    # created pair like (aa, a) has the admitted pair
+                    # ITSELF as its junction pre-pair, whose count was
+                    # never folded into c_bound (found by a 3.6M-corpus
+                    # randomized search; e.g. {'b':2,'aaab':6,'baaa':5}
+                    # where (aa,a)=11 must precede (b,</w>)=8).
+                    if i + 1 < len(rows):
+                        c_bound = max(c_bound, int(rows[i + 1]["pair_count"]))
+                    break
                 if len(admitted) == remaining:
                     if i + 1 < len(rows):
                         # unscanned rows may interact; bound by next
@@ -759,6 +801,7 @@ def bpe_learn(
             ]
         for l, r, cnt in batch:
             merges.append((len(merges) + 1, l, r, l + r, cnt))
+            known_syms.add(l + r)
         vocab = vocab.select(
             _apply_merges_array(
                 F.col("syms"), [(l, r) for l, r, _ in batch]

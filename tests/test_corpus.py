@@ -447,6 +447,34 @@ def test_bpe_learn_matches_independent_trainer(spark):
     assert got == _bpe_reference(dict(freqs), 8)
 
 
+def test_bpe_learn_sequential_self_overlap_and_collision_exact(spark):
+    """Regression (round-7 ADVICE corpus.py:757, extended): sequential
+    mode must stay bit-identical to one-merge-per-round training even
+    when (1) an admitted pair has l == r — its created pairs (aa, a)
+    have the admitted pair itself as junction pre-pair, which c_bound
+    never covered, so r6 code admitted (b,</w>)=8 ahead of the
+    sequential argmax (aa,a)=11 — and (2) a merged product collides
+    with an existing symbol. Corpora found by randomized search against
+    the reference trainer; each diverged under the r6 admission rule."""
+    from ram_datapipeline_spark.operators.corpus import bpe_learn
+
+    corpora = [
+        ({"b": 2, "aaab": 6, "baaa": 5}, 3),
+        ({"aaab": 4, "bb": 4, "aaa": 4}, 3),
+        ({"baaa": 1, "b": 6, "aaa": 6, "aaab": 8}, 6),
+    ]
+    for freqs, n in corpora:
+        text = " ".join(
+            w for word, f in sorted(freqs.items()) for w in [word] * f
+        )
+        docs = spark.createDataFrame([(text,)], ["text"])
+        got = [
+            (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in bpe_learn(docs, n_merges=n).collect()
+        ]
+        assert got == _bpe_reference(freqs, n), (freqs, n, got)
+
+
 def test_bpe_segment_roundtrip(spark):
     """Segmenting with the learned merges reproduces each document's
     words when subword symbols are re-concatenated (</w> marks word

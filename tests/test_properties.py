@@ -512,11 +512,16 @@ def test_bloom_prefilter_equals_plain_join(spark, build, probe):
 
 @given(
     words=st.lists(
-        st.sampled_from(["ab", "aab", "abab", "ba", "bb", "a"]),
+        # 'aaab'/'baaa'/'aaa' force l==r merges with self-overlapping
+        # runs — the round-7 junction-pre-pair regression class — on
+        # top of the tie-break and same-symbol-pair cases
+        st.sampled_from(
+            ["ab", "aab", "abab", "ba", "bb", "a", "aaab", "baaa", "aaa", "b"]
+        ),
         min_size=1,
         max_size=25,
     ),
-    n_merges=st.integers(min_value=1, max_value=4),
+    n_merges=st.integers(min_value=1, max_value=6),
 )
 @SETTINGS
 def test_bpe_learn_matches_reference_on_random_corpora(spark, words, n_merges):
