@@ -717,13 +717,21 @@ def image_ahash_bands(
                     xs = (np.arange(grid, dtype=np.int64) * w) // grid
                     v = px[ys][:, xs].astype(np.int64).ravel()
                     bits = (v * (grid * grid) > v.sum()).astype(np.int64)
+                    # stage the image's rows locally and publish only
+                    # after EVERY band succeeded (round-7 ADVICE): a
+                    # failure mid-image must emit exactly one null skip
+                    # row, never partial bands + a skip row that would
+                    # double-count the image downstream
+                    img_bands, img_values = [], []
                     for b in range(bands):
                         word = 0
                         for j in range(bits_per_band):
                             word |= int(bits[b * bits_per_band + j]) << j
-                        ids.append(mid)
-                        band_idx.append(b)
-                        values.append(word)
+                        img_bands.append(b)
+                        img_values.append(word)
+                    ids.extend([mid] * bands)
+                    band_idx.extend(img_bands)
+                    values.extend(img_values)
                 except Exception:  # noqa: BLE001 — malformed media row
                     # loud skip: one null-band row per undecodable image
                     ids.append(mid)

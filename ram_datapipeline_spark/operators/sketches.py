@@ -233,7 +233,17 @@ def count_min_sketch(
 
     Output: (key, est) per probe key. Mergeability = additivity of the
     cell table (asserted in tests).
+
+    Non-null-key contract (round-7 ADVICE): NULL keys are dropped from
+    BOTH the corpus and the probes up front — ``md5(NULL)`` is NULL, so
+    corpus NULLs would pool in (r, NULL) cells that a NULL probe's
+    equi-join can never reach, silently breaking the one-sided
+    ``exact ≤ est`` guarantee for that key. Dropping on both sides
+    keeps the contract honest: a NULL probe simply yields no row
+    (count your NULLs with a plain filter, not a sketch).
     """
+    df = df.where(F.col(key_col).isNotNull())
+    probes = probes.where(F.col(key_col).isNotNull())
 
     def bucket(col: Column, row: int) -> Column:
         return (

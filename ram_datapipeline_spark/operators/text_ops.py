@@ -280,7 +280,10 @@ def keyword_search_all(
     """
     if not terms:
         raise ValueError("keyword_search_all: empty term list")
-    tl = [t.lower() for t in terms]
+    # dedupe after lowercasing (round-7 ADVICE): repeated query terms
+    # ('scan', 'scan', 'join') must mean the same thing as the set —
+    # countDistinct can never reach a len() that counts duplicates
+    tl = sorted({t.lower() for t in terms})
     tok = df.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),

@@ -465,6 +465,16 @@ def test_count_min_sketch_bounds_and_zero_probe(spark):
     # wide sketch, 14 keys: overwhelmingly collision-free
     assert got[99] == 7
     assert got[12345] >= 0
+    # NULL keys are dropped on both sides (round-7 ADVICE): md5(NULL)
+    # is NULL, so corpus NULLs pooled in unreachable (r, NULL) cells
+    # and a NULL probe reported est=0 despite NULLs in the corpus
+    df_n = spark.createDataFrame([(1,), (None,), (None,)], "key long")
+    probes_n = spark.createDataFrame([(1,), (None,)], "key long")
+    got_n = {
+        r["key"]: r["est"]
+        for r in count_min_sketch(df_n, "key", probes_n, 4, 512).collect()
+    }
+    assert got_n == {1: 1}
 
 
 def test_count_min_cell_table_is_additive_merge(spark):
@@ -544,3 +554,13 @@ def test_keyword_search_all_semantics(spark):
     assert got == {1: 4, 3: 4}
     with pytest.raises(ValueError, match="empty term list"):
         keyword_search_all(docs, ())
+    # duplicate terms collapse to the set (round-7 ADVICE): before the
+    # fix, countDistinct could never reach len(terms)-with-dupes and
+    # every query returned empty
+    got_dup = {
+        r["doc_id"]: r["tf_total"]
+        for r in keyword_search_all(
+            docs, ("scan", "SCAN", "join", "window", "scan")
+        ).collect()
+    }
+    assert got_dup == {1: 4, 3: 4}
