@@ -97,6 +97,7 @@ from ram_datapipeline_spark.operators.similarity import (  # noqa: F401
 from ram_datapipeline_spark.operators.text_ops import (  # noqa: F401
     fingerprint,
     keyword_search_all,
+    keyword_search_ranked,
     lang_id,
     pii_scrub,
     quality_features,

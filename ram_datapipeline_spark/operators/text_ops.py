@@ -297,3 +297,84 @@ def keyword_search_all(
         .where(F.col("_n_terms") == len(tl))
         .select(id_col, "tf_total")
     )
+
+
+def keyword_search_ranked(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "any",
+    k: int = 10,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Ranked keyword retrieval — the scored twin of
+    ``keyword_search_all`` (VERDICT r6 #6) and the query-time
+    counterpart of the corpus-side ``pipe_tfidf_topk`` featurizer:
+    top-``k`` documents matching the query terms, scored by an
+    INTEGER-EXACT scaled tf·idf.
+
+    ``mode="any"`` is disjunctive OR retrieval (≥1 term matches);
+    ``mode="all"`` keeps the conjunctive HAVING before ranking.
+
+    Scoring, engine-portable by construction: per matched term,
+    ``w(t) = (idf_scale · N) div df_t`` — integer division of the
+    scaled corpus size by the term's document frequency, the classic
+    idf monotonicity (rarer ⇒ bigger weight, w ≥ idf_scale since
+    df ≤ N) without ``log``/libm, so DuckDB's ``//`` replays it
+    bit-for-bit. ``score(d) = Σ_t tf(d,t) · w(t)``, all BIGINT. The
+    top-``k`` cut is total-ordered (score DESC, id ASC) — ties are
+    deterministic, so the result is re-run- and engine-stable.
+
+    Scale shape, identical to the conjunctive twin: tokens are filtered
+    to the query's term set BEFORE anything shuffles, so the corpus is
+    DATA-scanned exactly once (the separate N = count(*) branch reads
+    parquet footers only) and every exchange from there carries
+    posting-list-sized rows: tf collapses map-side per (doc, term);
+    document frequencies are a ``count over (partition by term)``
+    window on that same tiny table — deriving them as a separate
+    aggregate branch made Catalyst prune the shared subtree
+    differently and re-scan the corpus (measured, round 7); the 1-row
+    corpus count joins by broadcast; the final cut is a TakeOrdered,
+    never a full sort. No per-term joins, no index build, nothing
+    driver-side.
+
+    Output: (id, matched_terms, score), ≤ k rows.
+    """
+    from pyspark.sql import Window
+
+    if not terms:
+        raise ValueError("keyword_search_ranked: empty term list")
+    if mode not in ("any", "all"):
+        raise ValueError(f"keyword_search_ranked: unknown mode {mode!r}")
+    if k <= 0:
+        raise ValueError("keyword_search_ranked: k must be positive")
+    tl = sorted({t.lower() for t in terms})
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .where(F.col("term").isin(tl))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.expr(f"(CAST({idf_scale} AS BIGINT) * n_docs) div df_t"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.sum(F.col("tf") * F.col("w")).alias("score"),
+        )
+    )
+    if mode == "all":
+        scored = scored.where(F.col("matched_terms") == len(tl))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

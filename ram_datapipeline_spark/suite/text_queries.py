@@ -1305,3 +1305,50 @@ def q_text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search_all(
         t["documents"], ("scan", "join", "window", "stream")
     )
+
+
+@query(
+    "text_keyword_rank_any",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+      ) WHERE term IN ('scan', 'join', 'window', 'stream')
+      GROUP BY doc_id, term
+    ), w AS (
+      SELECT term,
+             (1000 * (SELECT CAST(count(*) AS BIGINT) FROM documents))
+               // CAST(count(*) AS BIGINT) AS w
+      FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           CAST(count(*) AS BIGINT) AS matched_terms,
+           CAST(sum(tf.tf * w.w) AS BIGINT) AS score
+    FROM tf JOIN w USING (term)
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    survey=(
+        "disjunctive ranked keyword retrieval (integer-exact scaled "
+        "tf-idf, filter-before-shuffle posting lists, broadcast term "
+        "weights, TakeOrdered cut — the retrieval twin of "
+        "pipe_tfidf_topk) (north star)"
+    ),
+    tags=("text",),
+)
+def q_text_keyword_rank_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents matching ANY of {scan, join, window, stream},
+    ranked by integer-exact scaled tf·idf (w(t) = (1000·N) div df_t —
+    idf monotonicity without libm, so DuckDB's // replays it
+    bit-for-bit), ties broken by doc_id. Tokens are filtered to the
+    query terms before the only corpus exchange; term weights and the
+    corpus count join back by broadcast; the cut is a TakeOrdered
+    (operators/text_ops.py::keyword_search_ranked)."""
+    from ram_datapipeline_spark.operators.text_ops import keyword_search_ranked
+
+    t = load_tables(spark, sf_dir)
+    return keyword_search_ranked(
+        t["documents"], ("scan", "join", "window", "stream"), mode="any", k=10
+    )

@@ -51,7 +51,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # table, MMR (query-bounded), BPE segment projection
           "eta_routed_osm_planet", "pipe_bpe_merges_batched",
           "mm_image_ahash_dedup", "agg_count_min_sketch",
-          "sim_mmr_rerank", "pipe_bpe_segment_tokens"]
+          "sim_mmr_rerank", "pipe_bpe_segment_tokens",
+          # round-7 additions: ranked retrieval (posting lists scale
+          # with the corpus, weights stay query-sized)
+          "text_keyword_rank_any"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -564,3 +564,63 @@ def test_keyword_search_all_semantics(spark):
         ).collect()
     }
     assert got_dup == {1: 4, 3: 4}
+
+
+def test_keyword_search_ranked_semantics(spark):
+    """Ranked retrieval: integer-exact scaled tf·idf — w(t) =
+    (1000·N) div df_t, score = Σ tf·w — verified against a hand
+    computation; any-mode admits partial matches, all-mode keeps the
+    conjunctive filter; ties break by id ascending; bad args raise."""
+    import pytest as _pytest
+
+    from ram_datapipeline_spark.operators.text_ops import keyword_search_ranked
+
+    docs = spark.createDataFrame(
+        [
+            (1, "scan join window scan"),  # scan×2, join, window
+            (2, "scan join"),
+            (3, "window JOIN scan window"),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    # N=4; df: scan=3, join=3, window=2 → w: scan=1333, join=1333, window=2000
+    got = {
+        r["doc_id"]: (r["matched_terms"], r["score"])
+        for r in keyword_search_ranked(
+            docs, ("scan", "join", "window"), mode="any", k=10
+        ).collect()
+    }
+    assert got == {
+        1: (3, 2 * 1333 + 1333 + 2000),       # 5999
+        2: (2, 1333 + 1333),                  # 2666
+        3: (3, 1333 + 1333 + 2 * 2000),       # 6666
+    }
+    # all-mode drops the partial match
+    got_all = {
+        r["doc_id"]
+        for r in keyword_search_ranked(
+            docs, ("scan", "join", "window"), mode="all", k=10
+        ).collect()
+    }
+    assert got_all == {1, 3}
+    # k cuts on (score DESC, id ASC): doc 3 (6666) then doc 1 (5999)
+    top = [
+        r["doc_id"]
+        for r in keyword_search_ranked(
+            docs, ("scan", "join", "window"), mode="any", k=2
+        ).collect()
+    ]
+    assert top == [3, 1]
+    # tie-break: docs 1 and 2 tie on a symmetric single-term query
+    tie = [
+        r["doc_id"]
+        for r in keyword_search_ranked(docs, ("join",), mode="any", k=1).collect()
+    ]
+    assert tie == [1]
+    with _pytest.raises(ValueError, match="empty term list"):
+        keyword_search_ranked(docs, ())
+    with _pytest.raises(ValueError, match="unknown mode"):
+        keyword_search_ranked(docs, ("scan",), mode="or")
+    with _pytest.raises(ValueError, match="k must be positive"):
+        keyword_search_ranked(docs, ("scan",), k=0)

@@ -267,6 +267,35 @@ def test_dq_sketched_uniqueness_no_expand(spark):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_keyword_rank_filter_before_shuffle_and_takeordered(spark):
+    """Ranked retrieval twin keeps the conjunctive twin's shape: the
+    term-set filter compiles into the scan stage BELOW every exchange
+    (the shuffle carries only the query's posting lists), term weights
+    and the corpus count come back by broadcast, and the top-k cut is a
+    TakeOrdered — never a global Sort, never a cartesian."""
+    plan = plan_text(spark, "text_keyword_rank_any")
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+    # document frequency is a window over the posting lists, not a
+    # second aggregate branch (which made Catalyst prune the shared
+    # subtree differently and re-scan the corpus): exactly one
+    # window-local sort, no joins beyond the 1-row corpus-count BNLJ
+    assert n_ops(plan, "Window") == 1
+    assert n_ops(plan, "Sort") == 1
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # the corpus is DATA-scanned once; the count(*) branch reads no
+    # columns (footer-only scan)
+    scans = re.findall(
+        r"\(\d+\) Scan parquet.*?ReadSchema: (\S+)", plan, re.S
+    )
+    doc_scans = [s for s in scans]
+    assert len(doc_scans) == 2 and "struct<>" in doc_scans, scans
+    # the term IN-set filter sits in the scan stage, below every
+    # exchange (posting-list prune before the shuffle)
+    assert re.search(r"\(\d+\) Filter\s*\nInput.*\nCondition : term\S* IN", plan)
+
+
 def test_bpe_segment_single_projection_no_shuffle(spark):
     """The batched merge replay is a pure projection: zero exchanges,
     zero joins — the merges array is a plan literal."""
