@@ -266,19 +266,22 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_jpeg_bytes(data: bytes):
-    """Parse a baseline JPEG → (width, height, channels, pixel ndarray of
-    shape (h, w*channels) uint8) — the same return contract as
-    ``media._decode_png_bytes``. Grayscale or YCbCr 4:4:4 only."""
+def _parse_stream(data: bytes):
+    """Shared marker-segment walk for the full and DC-only decoders:
+    returns (quants, dc_raw, ac_raw, frame, comps, scan_params,
+    scan_start) where dc_raw/ac_raw hold the RAW (bits, vals) Huffman
+    table definitions — each decoder builds the lookup structure it
+    wants from them."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     quants: dict[int, np.ndarray] = {}
-    dc_tabs: dict[int, dict] = {}
-    ac_tabs: dict[int, dict] = {}
+    dc_raw: dict[int, tuple[list[int], list[int]]] = {}
+    ac_raw: dict[int, tuple[list[int], list[int]]] = {}
     frame = None
     comps: list[tuple[int, int, int]] = []  # (comp_id, sampling, quant_id)
     scan_params = None
+    scan_start = -1
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -307,8 +310,7 @@ def decode_jpeg_bytes(data: bytes):
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + n])
-                tab = _huff_decode_table(bits, vals)
-                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                (dc_raw if tc == 0 else ac_raw)[th] = (bits, vals)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
@@ -336,6 +338,18 @@ def decode_jpeg_bytes(data: bytes):
             break
     if frame is None or scan_params is None:
         raise ValueError("missing SOF0/SOS")
+    return quants, dc_raw, ac_raw, frame, comps, scan_params, scan_start
+
+
+def decode_jpeg_bytes(data: bytes):
+    """Parse a baseline JPEG → (width, height, channels, pixel ndarray of
+    shape (h, w*channels) uint8) — the same return contract as
+    ``media._decode_png_bytes``. Grayscale or YCbCr 4:4:4 only."""
+    quants, dc_raw, ac_raw, frame, comps, scan_params, scan_start = (
+        _parse_stream(data)
+    )
+    dc_tabs = {k: _huff_decode_table(*v) for k, v in dc_raw.items()}
+    ac_tabs = {k: _huff_decode_table(*v) for k, v in ac_raw.items()}
     w, h, nc = frame
 
     # locate entropy-coded span (up to EOI)
@@ -390,6 +404,142 @@ def decode_jpeg_bytes(data: bytes):
         )
         out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return w, h, nc, out.reshape(h, w * nc)
+
+
+def _huff_lut16(bits: tuple[int, ...], vals: tuple[int, ...]):
+    """Flat 16-bit-prefix Huffman lookup (the classic fast-decode
+    table): index by the NEXT 16 bits of the stream, read (symbol,
+    code length) in O(1) — no per-bit tree walk. Canonical JPEG codes
+    are ≤ 16 bits, so every index is covered by exactly one code (or
+    marked invalid). Built vectorized and memoized on the table
+    definition — a corpus of same-encoder images (e.g. Annex-K) pays
+    the build once per executor, not per image."""
+    return _huff_lut16_cached(tuple(bits), tuple(vals))
+
+
+from functools import lru_cache  # noqa: E402 — colocated with its user
+
+
+@lru_cache(maxsize=64)
+def _huff_lut16_cached(bits: tuple[int, ...], vals: tuple[int, ...]):
+    sym = np.full(65536, -1, dtype=np.int32)
+    ln = np.zeros(65536, dtype=np.int32)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = vals[k]
+            ln[base : base + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym.tolist(), ln.tolist()
+
+
+def decode_jpeg_dc(data: bytes):
+    """DC-only partial decode (VERDICT r6 #3) → ``(width, height,
+    channels, dc_grid)`` where ``dc_grid`` is the ``(⌈h/8⌉, ⌈w/8⌉)``
+    uint8 grid of channel-0 BLOCK MEANS — the standard /8 downsample
+    read straight from the DC coefficients: entropy-decode every
+    symbol (the stream is serial, so AC codes must be walked past),
+    but skip AC value extension, dequantization of 63/64 coefficients,
+    and the IDCT entirely. A DC-only 8×8 block is constant at
+    ``dc·q₀₀/8 + 128`` (orthonormal DCT basis), so on block-flat
+    images the grid equals the full decoder's pixels exactly — the
+    class the ``mm_image_ahash_dedup`` gate proves bit-for-bit.
+
+    The scan walk is table-driven, not bit-driven: the destuffed
+    entropy span unpacks once into a numpy bit array, a 16-bit sliding
+    window is precomputed vectorized, and each Huffman symbol is ONE
+    flat-LUT lookup (``_huff_lut16``) — the per-bit Python loop of the
+    general decoder never runs. Same honest subset (SOF0, 8-bit,
+    4:4:4, no restart markers); same failure mode (ValueError) for
+    everything outside it. Color inputs reproduce the full decoder's
+    channel-0 (R) per-block value from the three per-plane DC means
+    via the same BT.601 conversion and the same clip/round order."""
+    quants, dc_raw, ac_raw, frame, comps, scan_params, scan_start = (
+        _parse_stream(data)
+    )
+    w, h, nc = frame
+    dc_luts = {k: _huff_lut16(*v) for k, v in dc_raw.items()}
+    ac_luts = {k: _huff_lut16(*v) for k, v in ac_raw.items()}
+
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        end = len(data)
+    raw = data[scan_start:end]
+    # destuff: FF00 is a literal FF data byte; any other FF-prefixed
+    # pair inside the scan is a marker the subset forbids
+    import re as _re
+
+    if _re.search(rb"\xff[^\x00]", raw):
+        raise ValueError("unexpected marker in scan")
+    destuffed = raw.replace(b"\xff\x00", b"\xff")
+    bits_arr = np.unpackbits(np.frombuffer(destuffed, dtype=np.uint8))
+    n = bits_arr.size
+    w16 = np.zeros(n, dtype=np.uint32)
+    for kk in range(16):
+        if n - kk <= 0:
+            break
+        w16[: n - kk] |= bits_arr[kk:].astype(np.uint32) << (15 - kk)
+    win = w16.tolist()  # C-speed scalar indexing in the walk below
+
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    n_blocks = bh * bw_
+    dcs = [[0] * n_blocks for _ in range(nc)]
+    prev = [0] * nc
+    p = 0
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            _, dcid, acid = scan_params[ci]
+            dsym, dln = dc_luts[dcid]
+            asym, aln = ac_luts[acid]
+            if p >= n:
+                raise ValueError("bitstream exhausted")
+            cat = dsym[win[p]]
+            if cat < 0:
+                raise ValueError("invalid Huffman code")
+            p += dln[win[p]]
+            if cat:
+                if p + cat > n:
+                    raise ValueError("bitstream exhausted")
+                v = win[p] >> (16 - cat)
+                p += cat
+                prev[ci] += v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+            dcs[ci][bi] = prev[ci]
+            k = 1
+            while k < 64:
+                if p >= n:
+                    raise ValueError("bitstream exhausted")
+                rs = asym[win[p]]
+                if rs < 0:
+                    raise ValueError("invalid Huffman code")
+                p += aln[win[p]]
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                p += rs & 0xF  # skip the value bits — never extended
+                k += 1
+
+    planes = []
+    for ci in range(nc):
+        q00 = int(quants[comps[ci][2]][0, 0])
+        deq = np.asarray(dcs[ci], dtype=np.float64) * q00
+        planes.append(
+            np.clip(np.round(deq / 8.0 + 128.0), 0, 255).reshape(bh, bw_)
+        )
+    if nc == 3:  # same BT.601 step as the full decoder, on block means
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        grid = np.clip(np.round(y + 1.402 * cr), 0, 255).astype(np.uint8)
+    else:
+        grid = planes[0].astype(np.uint8)
+    return w, h, nc, grid
 
 
 def decode_jpeg_stats(media: DataFrame) -> DataFrame:

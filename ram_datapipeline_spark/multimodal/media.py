@@ -683,7 +683,10 @@ def image_ahash_bands(
     """
     import numpy as np
 
-    from ram_datapipeline_spark.multimodal.jpeg import decode_jpeg_bytes
+    from ram_datapipeline_spark.multimodal.jpeg import (
+        decode_jpeg_bytes,
+        decode_jpeg_dc,
+    )
 
     if bands <= 0 or (grid * grid) % bands != 0:
         raise ValueError(
@@ -705,17 +708,40 @@ def image_ahash_bands(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     b = bytes(payload)
-                    if b.startswith(b"\x89PNG"):
-                        w, h, ch, px = _decode_png_bytes(b)
-                    elif b.startswith(b"\xff\xd8"):
-                        w, h, ch, px = decode_jpeg_bytes(b)
+                    if b.startswith(b"\xff\xd8"):
+                        # DC-only fast path (VERDICT r6 #3): the
+                        # nearest-neighbor sample at (y, x) lies in
+                        # block (y//8, x//8), and a DC-only block is
+                        # constant at its mean — so sampling the DC
+                        # grid at ((i·h)//grid)//8 reproduces the full
+                        # decoder's thumbnail EXACTLY on block-flat
+                        # images (the gate corpus), and is the
+                        # standard /8 approximation elsewhere. Images
+                        # with fewer than `grid` blocks per axis fall
+                        # back to the full decoder (the DC grid is
+                        # coarser than the thumbnail there).
+                        w, h, ch, dcg = decode_jpeg_dc(b)
+                        if min(w, h) >= 8 * grid:
+                            ys = ((np.arange(grid, dtype=np.int64) * h) // grid) // 8
+                            xs = ((np.arange(grid, dtype=np.int64) * w) // grid) // 8
+                            v = dcg[ys][:, xs].astype(np.int64).ravel()
+                        else:
+                            w, h, ch, px = decode_jpeg_bytes(b)
+                            if ch != 1:
+                                px = px.reshape(h, w, ch)[:, :, 0]
+                            ys = (np.arange(grid, dtype=np.int64) * h) // grid
+                            xs = (np.arange(grid, dtype=np.int64) * w) // grid
+                            v = px[ys][:, xs].astype(np.int64).ravel()
                     else:
-                        raise ValueError("unknown image format")
-                    if ch != 1:
-                        px = px.reshape(h, w, ch)[:, :, 0]
-                    ys = (np.arange(grid, dtype=np.int64) * h) // grid
-                    xs = (np.arange(grid, dtype=np.int64) * w) // grid
-                    v = px[ys][:, xs].astype(np.int64).ravel()
+                        if b.startswith(b"\x89PNG"):
+                            w, h, ch, px = _decode_png_bytes(b)
+                        else:
+                            raise ValueError("unknown image format")
+                        if ch != 1:
+                            px = px.reshape(h, w, ch)[:, :, 0]
+                        ys = (np.arange(grid, dtype=np.int64) * h) // grid
+                        xs = (np.arange(grid, dtype=np.int64) * w) // grid
+                        v = px[ys][:, xs].astype(np.int64).ravel()
                     bits = (v * (grid * grid) > v.sum()).astype(np.int64)
                     # stage the image's rows locally and publish only
                     # after EVERY band succeeded (round-7 ADVICE): a

@@ -489,7 +489,16 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.where(F.col("doc_id") % 2 == 0), width=16
     ).select("media_id", "payload")
     jpg = encode_blockflat_jpeg_media(corpus.where(F.col("doc_id") % 2 == 1))
-    bands = image_ahash_bands(png.unionByName(jpg), grid=8, bands=4)
+    # materialize the signature table ONCE: it is referenced four times
+    # below (two candidate sides + two Hamming sides), and without the
+    # checkpoint each reference re-runs the encode→decode→hash Arrow
+    # lineage — measured 4× the whole query's kernel cost at sf0.1
+    # (round 7). The band table is 4 small ints per image, i.e. ~10⁴×
+    # smaller than the payload corpus it derives from — exactly what a
+    # 100 TB run must pin instead of re-decoding.
+    bands = image_ahash_bands(
+        png.unionByName(jpg), grid=8, bands=4
+    ).localCheckpoint(eager=False)
     a = bands.select(
         F.col("media_id").alias("media_a"),
         "band",

@@ -502,3 +502,68 @@ def test_image_ahash_jpeg_dispatch_and_loud_skip(spark):
     skip_rows = [r for r in rows if r["media_id"] == 2]
     assert len(skip_rows) == 1
     assert skip_rows[0]["band"] is None and skip_rows[0]["value"] is None
+
+
+def test_jpeg_dc_decode_exact_on_blockflat_and_close_on_general():
+    """decode_jpeg_dc (VERDICT r6 #3): on block-flat images the DC grid
+    equals the full decoder's pixels at block positions EXACTLY (pure-DC
+    blocks are constant at dc·q00/8 + 128); on general images it is the
+    standard /8 downsample — each value within 2 of the decoded block
+    mean (clip/round ordering is the only divergence)."""
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.jpeg import (
+        decode_jpeg_bytes,
+        decode_jpeg_dc,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    consts = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    flat = np.repeat(np.repeat(consts, 8, axis=0), 8, axis=1)
+    d = encode_gray_jpeg(flat, 90)
+    w, h, nc, grid = decode_jpeg_dc(d)
+    _, _, _, full = decode_jpeg_bytes(d)
+    assert (w, h, nc) == (64, 64, 1)
+    assert np.array_equal(grid, full[::8, ::8])
+    assert np.array_equal(grid, consts)  # q90 DC round trip is lossless
+
+    gen = np.tile(np.linspace(0, 255, 64).astype(np.uint8), (64, 1))
+    _, _, _, g2 = decode_jpeg_dc(encode_gray_jpeg(gen, 90))
+    _, _, _, f2 = decode_jpeg_bytes(encode_gray_jpeg(gen, 90))
+    means = f2.reshape(8, 8, 8, 8).mean(axis=(1, 3))
+    assert np.abs(g2.astype(float) - means).max() <= 2.0
+
+
+def test_image_ahash_small_jpeg_falls_back_to_full_decode(spark):
+    """A JPEG with fewer than `grid` blocks per axis (16×16 at grid=8)
+    must take the full-decode path — the DC grid is coarser than the
+    thumbnail there — and produce the same bands the full decoder's
+    nearest-neighbor sampling defines."""
+    import numpy as np
+
+    from ram_datapipeline_spark.multimodal.jpeg import (
+        decode_jpeg_bytes,
+        encode_gray_jpeg,
+    )
+    from ram_datapipeline_spark.multimodal.media import image_ahash_bands
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    payload = encode_gray_jpeg(px, 90)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = image_ahash_bands(media, grid=8, bands=4).collect()
+    got = {r["band"]: r["value"] for r in rows}
+    _, _, _, dec = decode_jpeg_bytes(payload)
+    ys = (np.arange(8, dtype=np.int64) * 16) // 8
+    v = dec[ys][:, ys].astype(np.int64).ravel()
+    bits = (v * 64 > v.sum()).astype(np.int64)
+    expected = {}
+    for b in range(4):
+        word = 0
+        for j in range(16):
+            word |= int(bits[b * 16 + j]) << j
+        expected[b] = word
+    assert got == expected
