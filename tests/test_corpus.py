@@ -605,6 +605,73 @@ def test_bpe_learn_batched_64_few_rounds(spark):
     assert rounds <= 12, f"batching ineffective: {rounds} rounds for 64 merges"
 
 
+def test_bpe_segment_production_vocab_scale(spark):
+    """VERDICT r6 #4: segmenting with ≥4096 learned merges must keep
+    plan depth AND wall time bounded. The literal-array fold stays
+    constant-DEPTH but Catalyst pays ~30 s analysis/codegen on the 12k-
+    literal expression (measured round 7, documented in bpe_segment),
+    so `auto` switches to the broadcast+Arrow kernel above
+    `literal_max`. Correctness at scale: 4088 padding pairs use
+    symbols that can never occur, so the 4096-merge arrow result must
+    equal the fold result of the 8 real merges alone."""
+    import time
+
+    from ram_datapipeline_spark.catalog import load_tables
+    from ram_datapipeline_spark.operators.corpus import bpe_learn, bpe_segment
+    from tests.conftest import SF_DIR
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    real = [
+        (r["lhs"], r["rhs"]) for r in bpe_learn(docs, n_merges=8).collect()
+    ]
+    big = real + [(f"x{i}", f"y{i}") for i in range(4096 - len(real))]
+    t0 = time.perf_counter()
+    df = bpe_segment(docs, big)  # auto → arrow at this size
+    plan = df._jdf.queryExecution().analyzed().numberedTreeString()
+    got = {r["doc_id"]: r["bpe_tokens"] for r in df.collect()}
+    wall = time.perf_counter() - t0
+    assert plan.count("\n") < 10, plan[:1000]
+    assert wall < 30, f"4096-merge segmentation took {wall:.1f}s"
+    want = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment(docs, real, engine="fold").collect()
+    }
+    assert got == want
+
+
+def test_bpe_segment_engines_agree_on_adversarial_merges(spark):
+    """fold and arrow engines are output-identical on merge tables with
+    self-overlap (l==r), chained products, product collisions, and
+    duplicate pairs — the cases where the arrow kernel's monotone
+    cursor must mirror the in-order greedy fold exactly."""
+    from ram_datapipeline_spark.operators.corpus import bpe_segment
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa aab abab baaa"),
+            (2, "abc aabbcc cab ba"),
+            (3, "a b ab ba aa bb"),
+        ],
+        "doc_id long, text string",
+    )
+    tables = [
+        [("a", "a"), ("aa", "a"), ("aa", "aa")],          # self-overlap chain
+        [("a", "b"), ("ab", "c"), ("a", "bc"), ("b", "c")],  # collision-y
+        [("a", "b"), ("a", "b"), ("ab", "ab")],           # duplicate pair
+        [("b", "a"), ("a", "</w>"), ("ba", "a</w>")],     # terminal marker
+    ]
+    for merges in tables:
+        a = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment(docs, merges, engine="fold").collect()
+        }
+        b = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment(docs, merges, engine="arrow").collect()
+        }
+        assert a == b, (merges, a, b)
+
+
 def test_bpe_segment_constant_plan_depth(spark):
     """The segment replay is one aggregate over a merges-array literal:
     64 merges and 4 merges produce plans of the same (small) depth — no

@@ -631,3 +631,47 @@ def test_batched_bpe_admission_invariants(word_freqs, n_merges):
         assert fwd == rev
         vocab = fwd
         done += len(batch)
+
+
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=12),
+    raw_merges=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "bb", "aab", "</w>"]),
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "bb", "abb", "</w>"]),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_replay_kernel_equals_inorder_fold(word, raw_merges):
+    """_replay_merges_word (the arrow engine's lazy-heap walk) must
+    equal the naive in-order greedy fold on arbitrary merge tables —
+    including duplicates, self-overlaps (l==r), and product collisions
+    with earlier pairs, which is exactly where a rank-order-only loop
+    diverges from sequential replay."""
+    from ram_datapipeline_spark.operators.corpus import _replay_merges_word
+
+    syms = list(word) + ["</w>"]
+
+    # reference: apply each merge in order, greedy left-to-right
+    ref = list(syms)
+    for l, r in raw_merges:
+        out, i = [], 0
+        while i < len(ref):
+            if i + 1 < len(ref) and ref[i] == l and ref[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(ref[i])
+                i += 1
+        ref = out
+
+    pair_at = list(raw_merges)
+    merged_at = [l + r for l, r in raw_merges]
+    steps: dict = {}
+    for i, p in enumerate(pair_at):
+        steps.setdefault(p, []).append(i)
+    got = _replay_merges_word(list(syms), steps, pair_at, merged_at)
+    assert got == ref, (word, raw_merges, got, ref)
