@@ -605,6 +605,26 @@ def test_bpe_learn_batched_64_few_rounds(spark):
     assert rounds <= 12, f"batching ineffective: {rounds} rounds for 64 merges"
 
 
+def test_bpe_learn_batched_exhaustion_rounds(spark):
+    """VERDICT r6 #7: batched training at a beyond-gate vocabulary
+    request (512). The fixture corpus exhausts — every word fully
+    merges — at well under 512 merges (113 on current fixtures; the
+    cap is corpus entropy, identical across scale factors), and the
+    batching must sustain ≫1 merge/round all the way to exhaustion."""
+    from ram_datapipeline_spark.catalog import load_tables
+    from ram_datapipeline_spark.operators.corpus import bpe_learn
+    from tests.conftest import SF_DIR
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    learned = bpe_learn(docs, n_merges=512, mode="batched").collect()
+    rounds = bpe_learn.last_n_rounds
+    assert 64 < len(learned) < 512, len(learned)  # exhaustion, not cap
+    assert rounds <= max(12, len(learned) // 3), (rounds, len(learned))
+    # exhaustion means the final vocabulary state has no adjacent pairs
+    # left to merge — every learned step is distinct and well-formed
+    assert len({(r["lhs"], r["rhs"]) for r in learned}) == len(learned)
+
+
 def test_bpe_segment_production_vocab_scale(spark):
     """VERDICT r6 #4: segmenting with ≥4096 learned merges must keep
     plan depth AND wall time bounded. The literal-array fold stays
