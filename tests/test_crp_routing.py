@@ -396,7 +396,22 @@ def test_dispatcher_escalates_to_two_level(spark):
     with pytest.raises(ValueError, match="supercells"):
         R.route_many_to_many(
             edges, sources, targets, cells=cells, max_overlay_rows=100,
+            auto_hierarchy=False,
         )
+    # zero-config escalation (VERDICT r6 #5): with auto_hierarchy on
+    # (the default), an oversized call derives its own parent map and
+    # must produce the identical distances — the partition moves cost,
+    # never answers. Budget 3000 sits between the level-1 estimate
+    # (~5k) and the derived level-2 estimate, forcing the derived
+    # two-level path.
+    auto = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.route_many_to_many(
+            edges, sources, targets, cells=cells,
+            n_cell_squarings=4, n_super_squarings=6, n_overlay_rounds=40,
+            max_overlay_rows=3000,
+        ).collect()
+    }
     got = {
         (r["src_id"], r["tgt_id"]): r["dist"]
         for r in R.route_many_to_many(
@@ -407,6 +422,29 @@ def test_dispatcher_escalates_to_two_level(spark):
     }
     ref = _dijkstra_all(edge_rows, [50])
     assert got == {(0, 0): ref[50][555], (0, 1): ref[50][0]}
+    assert auto == got
+
+
+def test_derive_parent_map_balanced_and_deterministic(spark):
+    """derive_parent_map: every parent holds exactly `fan` consecutive
+    rank-ordered children (except the last), ids needn't be dense or
+    sorted, and the map is re-run-stable."""
+    ids = spark.createDataFrame(
+        [(c,) for c in [907, 3, 44, 17, 200, 8, 650, 21, 5]], "cell long"
+    )
+    m = {
+        r["cell"]: r["supercell"]
+        for r in R.derive_parent_map(ids, "cell", "supercell", fan=4).collect()
+    }
+    ordered = sorted(m)  # rank order == id order
+    assert [m[c] for c in ordered] == [0, 0, 0, 0, 1, 1, 1, 1, 2]
+    again = {
+        r["cell"]: r["supercell"]
+        for r in R.derive_parent_map(ids, "cell", "supercell", fan=4).collect()
+    }
+    assert m == again
+    with pytest.raises(ValueError, match="fan"):
+        R.derive_parent_map(ids, "cell", "supercell", fan=1)
 
 
 @pytest.mark.parametrize("seed", [11, 29, 47])
@@ -666,3 +704,81 @@ def test_dispatcher_escalates_to_three_levels(spark):
     for si, sn in enumerate(src_nodes):
         for ti, tn in enumerate(tgt_nodes):
             assert got[(si, ti)] == ref[sn][tn], (sn, tn)
+
+
+def test_planet_network_routes_zero_config(spark):
+    """VERDICT r6 #5 done-criterion: the planet-gate network (16,384
+    nodes, 450-row collect budget — below the measured 506-row level-2
+    core) routed through route_many_to_many with NO hierarchy maps
+    passed must be result-identical to the explicit-map call. The
+    derived rank-coarsened maps may land on a different (derived)
+    hierarchy; CRP distances are partition-independent, so only cost
+    may differ."""
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark import ram_domain
+    from ram_datapipeline_spark.sources.osm import (
+        osm_ways_to_road_edges,
+        read_osm_nodes,
+        read_osm_ways,
+    )
+
+    path = ram_domain.osm_grid2_fixture_path()
+    nodes = read_osm_nodes(spark, path)
+    ways = read_osm_ways(spark, path)
+    edges = osm_ways_to_road_edges(nodes, ways).select(
+        "src", "dst", F.floor(F.col("w") + 0.5).cast("long").alias("w")
+    )
+    w = ram_domain.GRID2_W
+    cell = ram_domain.GRID2_CELL
+    cx = ram_domain.GRID2_CELLS_X
+    cells = nodes.select(
+        "node_id",
+        F.expr(
+            f"(node_id div {w} div {cell}) * {cx} + "
+            f"(node_id % {w} div {cell})"
+        ).alias("cell"),
+    )
+    sup = ram_domain.GRID2_SUPER
+    scx = cx // sup
+    supercells = spark.range(cx * cx).select(
+        F.col("id").alias("cell"),
+        F.expr(
+            f"(id div {cx} div {sup}) * {scx} + (id % {cx} div {sup})"
+        ).alias("supercell"),
+    )
+    rgx = max(scx // 2, 1)
+    regions = spark.range(scx * scx).select(
+        F.col("id").alias("supercell"),
+        F.expr(
+            f"(id div {scx} div 2) * {rgx} + (id % {scx} div 2)"
+        ).alias("region"),
+    )
+    n_nodes = w * ram_domain.GRID2_H
+    sources = spark.range(3).select(
+        F.col("id").alias("src_id"),
+        ((F.col("id") * 997 + 13) % n_nodes).alias("node_id"),
+    )
+    targets = spark.range(40).select(
+        F.col("id").alias("tgt_id"),
+        ((F.col("id") * 641 + 7) % n_nodes).alias("node_id"),
+    )
+    kw = dict(
+        n_cell_squarings=6, n_super_squarings=7, n_region_squarings=8,
+        n_overlay_rounds=64, max_overlay_rows=450,
+    )
+    explicit = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.route_many_to_many(
+            edges, sources, targets, cells=cells,
+            supercells=supercells, regions=regions, **kw,
+        ).collect()
+    }
+    auto = {
+        (r["src_id"], r["tgt_id"]): r["dist"]
+        for r in R.route_many_to_many(
+            edges, sources, targets, cells=cells, **kw,
+        ).collect()
+    }
+    assert auto == explicit
+    assert len(explicit) > 0
