@@ -63,72 +63,73 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-6 ROTATION (VERDICT r5 next-round #1): the driver window is
-    # spent on (a) the 14 queries NEW or CHANGED in round 6 — the
-    # three-level CRP gate, the batched-BPE / learn→segment / Count-Min
-    # / MMR / keyword-search gates, and the queries whose operators were touched
-    # (mixed-corpus image dedup, batched BPE trainer, EWMA null guards,
-    # DQ sketched-uniqueness option, Misra-Gries checkpoint, the
-    # routing self-zero diagonal) — then (b) the 31 r2-proven queries
-    # published as round 5's NEXT_ROUND_ROTATION (three rounds stale,
-    # the stalest evidence in the repo), then (c) 5 of the 45 r3-proven
-    # queries, family-diverse. The 40 r3 leftovers are queued for r7 in
-    # tests/test_registry_gate.py NEXT_ROUND_ROTATION.
+    # ROUND-7 ROTATION (VERDICT r6 next-round #2): the window is spent
+    # on (a) the 3 queries with NO driver proof yet — the two r6-born
+    # queries the judge queued at the head (`pipe_winsorize_caps`,
+    # `pipe_token_budget_select`) plus round 7's new ranked-retrieval
+    # gate — then (b) the 7 queries whose CODE changed in round 7
+    # (zero-config CRP hierarchy derivation, batched-BPE admission
+    # truncation fix, broadcast+Arrow BPE segmenter, DC-only JPEG
+    # aHash + partial-row fix, CMS NULL-key contract, keyword-search
+    # duplicate-term dedupe), then (c) the ENTIRE 40-query r3-proven
+    # tier published as round 6's NEXT_ROUND_ROTATION — after this
+    # round no registered query's latest driver proof is older than
+    # r4. The 48-query r4 tier is queued for r8 (with any r7-born
+    # late queries at its head) in tests/test_registry_gate.py.
     #
-    # round-6 NEW
-    "eta_routed_osm_planet",    # THREE-level CRP (VERDICT r5 #7)
-    "pipe_bpe_merges_batched",  # parallel-BPE, 64 merges (VERDICT r5 #3)
-    "pipe_bpe_segment_tokens",  # learn→segment round trip, one hash
-    "agg_count_min_sketch",     # CMS point frequencies (sketch family)
-    "sim_mmr_rerank",           # MMR diversity re-rank over the shortlist
-    "text_keyword_search",      # conjunctive posting-list intersection
-    # round-6 CHANGED — re-proven under the new code
-    "mm_image_ahash_dedup",     # mixed PNG+JPEG corpus (VERDICT r5 #2)
-    "pipe_bpe_merges",          # trainer batched (exact-sequential mode)
-    "ts_ewma_smooth",           # NULL-value guards (ADVICE r5)
-    "pipe_dq_checks",           # empty-list guard + KMV option (r5 #6)
-    "agg_heavy_hitters",        # persist → localCheckpoint (ADVICE r5)
-    "eta_routed_osm_large",     # routing.py self-zero diagonal
-    "eta_routed_osm_xlarge",    # routing.py self-zero diagonal
-    "eta_routed_graph",         # routing.py self-zero diagonal
-    # r2-latest evidence (the published r6 rotation queue), re-proven
-    "dedup_simhash_pairs",
-    "f17_geometry_type_inference",
-    "j2_point_in_admin",
-    "j3_adaptive_buffer",
-    "j3_buffer_semi_join",
-    "j3_knn_candidates",
-    "j7_square_grid_clip",
-    "j_asof_click_view",
-    "p6_nullsafe_round",
-    "pipe_decontaminate",
-    "pipe_sequence_packing",
-    "pipe_stratified_sample",
-    "pipe_tfidf_topk",
-    "q3_revenue_topk",
-    "q5_region_revenue",
-    "s1_config_scan_filter",
-    "sim_cosine_pairs",
-    "sim_cosine_topk",
-    "sim_cosine_topk_ivf",
-    "sim_cosine_topk_lsh",
-    "st_event_props_decode",
-    "st_sessionize",
-    "st_window_counts",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_rolling_hash",
-    "text_token_counts",
-    "ts_gapfill_locf",
-    "vec_kmeans_q8",
-    "w3_topk_per_group",
-    # r3-latest evidence, stalest re-proven (5 of 45; family-diverse)
-    "graph_pagerank",
-    "graph_kcore",
-    "st_click_attribution",
-    "st_dedup_replay",
-    "text_pii_scrub",
+    # never driver-gated (r6-born head-of-queue + r7 NEW)
+    "pipe_winsorize_caps",       # per-group winsorization caps (r6-born)
+    "pipe_token_budget_select",  # token-budget mixture selection (r6-born)
+    "text_keyword_rank_any",     # disjunctive + ranked tf-idf retrieval (r7 NEW)
+    # round-7 CHANGED — re-proven under the new code
+    "eta_routed_osm_planet",     # auto-derived hierarchy dispatcher (r6 #5)
+    "pipe_bpe_merges",           # batched-admission truncation fix (ADVICE r6)
+    "pipe_bpe_merges_batched",   # same trainer, batched mode
+    "pipe_bpe_segment_tokens",   # broadcast+Arrow segmenter ≥512 merges (r6 #4)
+    "agg_count_min_sketch",      # NULL-key filter + contract (ADVICE r6)
+    "text_keyword_search",       # duplicate-term dedupe (ADVICE r6)
+    "mm_image_ahash_dedup",      # DC-only JPEG fast path + all-or-null rows (r6 #3)
+    # r3-latest evidence — the full stale tier, re-proven
+    "dedup_fuzzy_name",
+    "ev_cohort_retention",
+    "ev_cumulative_users",
+    "ev_rolling_active",
+    "graph_clustering_coeff",
+    "graph_common_neighbors",
+    "graph_label_propagation",
+    "j2_point_in_geojson",
+    "j_band_price",
+    "mm_wav_roundtrip",
+    "pipe_chunk_overlap",
+    "pipe_domain_quota",
+    "pipe_incremental_dedup",
+    "pipe_quality_funnel",
+    "pipe_reservoir_topk",
+    "pipe_segment_dedup",
+    "pipe_snapshot_diff",
+    "pipe_split_assign",
+    "q10_returned_items",
+    "q11_important_value",
+    "q12_priority_split",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q19_or_of_ands",
+    "q20_bulk_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q2_correlated_min",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "sim_sparse_tfidf_pairs",
+    "st_enrich_static",
+    "text_bigram_familiarity",
+    "text_repetition",
+    "ts_cdc_apply",
+    "ts_moving_avg",
+    "vec_label_centroids",
 )
 
 

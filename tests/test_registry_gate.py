@@ -80,58 +80,63 @@ def test_gated_queries_all_have_oracles():
 
 
 # Rotation candidates for the NEXT round's window. Every registered query
-# is past-proven or in the current window (nothing invisible). Round 6
-# re-proved the whole r2-proven queue (31 queries) plus 5 of the 45
-# r3-proven queries; these are the 40 r3-proven queries that did not
-# fit the r6 window — re-prove them first in r7 (all are oracle-green
-# in the full mirror sweep, artifacts/VERIFY_r06.txt), then continue
-# with the r4-proven tier in r8.
+# is past-proven or in the current window (nothing invisible). Round 7
+# gated the 3 never-proven queries, the 7 whose code changed in r7, and
+# the ENTIRE 40-query r3-proven tier — so after r7 no query's latest
+# driver proof is older than r4. These are the 48 r4-proven queries for
+# the r8 window (all oracle-green in the per-round full mirror sweeps),
+# headed by the one r4-proven query whose CODE changed in round 7
+# (`mm_jpeg_flat_roundtrip` — `decode_jpeg_bytes` was refactored onto
+# the shared `_parse_stream` scaffolding the DC-only path uses).
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    # round-6 late addition — born with an oracle, verified in the r6
-    # sweeps at sf0.001/sf0.01 (see commit) but the 50-slot window was
-    # already spent; first driver-gated slot is r7's
-    "pipe_winsorize_caps",
-    "pipe_token_budget_select",
-    "q8_market_share",
-    "sim_sparse_tfidf_pairs",
-    "vec_label_centroids",
-    "ts_cdc_apply",
-    "dedup_fuzzy_name",
-    "ev_cohort_retention",
-    "ev_cumulative_users",
-    "ev_rolling_active",
-    "graph_clustering_coeff",
-    "graph_common_neighbors",
-    "graph_label_propagation",
-    "j2_point_in_geojson",
-    "j_band_price",
-    "mm_wav_roundtrip",
-    "pipe_chunk_overlap",
-    "pipe_domain_quota",
-    "pipe_incremental_dedup",
-    "pipe_quality_funnel",
-    "pipe_reservoir_topk",
-    "pipe_segment_dedup",
-    "pipe_snapshot_diff",
-    "pipe_split_assign",
-    "q10_returned_items",
-    "q11_important_value",
-    "q12_priority_split",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q19_or_of_ands",
-    "q20_bulk_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "q2_correlated_min",
-    "q7_nation_volume",
-    "q9_profit_by_nation",
-    "st_enrich_static",
-    "text_bigram_familiarity",
-    "text_repetition",
-    "ts_moving_avg",
+    "mm_jpeg_flat_roundtrip",
+    "a7_operation_log",
+    "agg_distinct_count",
+    "agg_kmv_distinct",
+    "agg_quantile_sketch",
+    "agg_rollup_revenue",
+    "dedup_ngram_containment",
+    "dedup_semantic",
+    "eta_routed_osm",
+    "f_polygon_shoelace",
+    "j1_inner_equijoin",
+    "j6_positional_explode",
+    "j_bucketed_colocated",
+    "j_full_outer_reconcile",
+    "j_interval_overlap",
+    "j_salted_skew_join",
+    "k1_normalized_roundtrip",
+    "k2_csv_roundtrip",
+    "k3_json_roundtrip",
+    "k4_geojson_roundtrip",
+    "mm_payload_embedding",
+    "mm_png_resize_roundtrip",
+    "mm_resize_meta",
+    "mm_wav_downsample",
+    "p3_negated_predicate",
+    "p7_scalar_subquery",
+    "q13_outer_join_custdist",
+    "q18_having_join_back",
+    "q1_pricing_summary",
+    "q4_exists_correlated",
+    "q6_pushdown_revenue",
+    "ram_full_job",
+    "s2_origins_scan",
+    "s3_settings_json_decode",
+    "s5_geojson_source",
+    "s8_osm_to_geojson",
+    "semi_anti_join",
+    "set_intersect_except",
+    "sim_recall_at_k",
+    "st_late_data_drop",
+    "ts_ohlc_bars",
+    "ts_scd2_intervals",
+    "vec_normalize",
+    "vec_pq_codes",
+    "vec_quantize_int8",
+    "w4_moving_window_frame",
+    "w5_lag_lead_gaps",
+    "w6_rank_family",
 )
 
 
