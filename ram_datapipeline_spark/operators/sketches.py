@@ -299,3 +299,87 @@ def count_min_sketch(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def kmv_sketch_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Materialize a KMV sketch PER GROUP as a table row:
+    ``(group_cols..., minima: array<double>)`` — the group's k smallest
+    distinct u-values, ascending.
+
+    This is the form a 100 TB pipeline stores: a per-shard /
+    per-partition sketch table is ~k doubles per group (vs the raw
+    corpus), and because KMV minima are a pure function of the value
+    SET, sketch tables built independently per day / per shard merge
+    losslessly later (``kmv_merge_sketches``) — no re-scan of history.
+
+    Plan shape: ONE distinct aggregate over (group, u) — the only
+    corpus-sized exchange — then a bounded per-group window keeps rank
+    ≤ k and a group-sized sort_array(collect_list) packs the row. The
+    window never buffers more than the group's distinct count and the
+    collect_list is capped at k BY CONSTRUCTION.
+    """
+    u = kmv_uniform(F.col(value_col))
+    distinct = df.select(*group_cols, u.alias("u")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    return (
+        distinct.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("u")).alias("minima"))
+    )
+
+
+def kmv_merge_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+    minima_col: str = "minima",
+) -> DataFrame:
+    """Merge KMV sketch rows upward: regroup by ``group_cols`` (a
+    coarser key than the sketches were built at, e.g. nation→region
+    after a parent join) and keep the k smallest DISTINCT u across the
+    children's minima.
+
+    Exactness of the merge (why rollup loses nothing): any u among the
+    parent's k smallest distinct values is necessarily among its own
+    child's k smallest — so the k smallest of the concatenated child
+    minima EQUAL the k smallest the parent would have computed from
+    raw data. The merged sketch is bit-identical to a direct build,
+    which is what makes per-shard sketch tables safe to store.
+
+    The input is sketch-sized (groups × ≤k doubles), so the explode +
+    re-rank below shuffles kilobytes however large the corpus was.
+    """
+    exploded = sketches.select(
+        *group_cols, F.explode(F.col(minima_col)).alias("u")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("u")).alias("minima"))
+    )
+
+
+def kmv_sketch_estimate(
+    sketches: DataFrame, k: int = 64, minima_col: str = "minima"
+) -> DataFrame:
+    """Estimate column from a sketch table row: (k-1)/U_k when the
+    sketch is full (≥ k minima — the group had ≥ k distinct values),
+    else the sketch length itself (an under-k sketch holds EVERY
+    distinct u, so the count is exact). IEEE division only — replayable
+    bit-for-bit by any engine."""
+    n = F.size(F.col(minima_col))
+    kth = F.col(minima_col).getItem(k - 1)
+    return sketches.withColumn(
+        "estimate",
+        F.when(n >= k, F.lit(float(k - 1)) / kth).otherwise(
+            n.cast("double")
+        ),
+    )

@@ -521,12 +521,16 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 52-bit md5-derived uniform draw, DuckDB-side (13 hex digits folded to a
 # BIGINT < 2^52 — exactly representable in double, division exact).
-_KMV_U_SQL = (
-    "list_reduce(list_transform(generate_series(1, 13), "
-    "i -> CAST(strpos('0123456789abcdef', "
-    "substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
-    "(a, b) -> a * 16 + b) / 4503599627370496.0"
-)
+def _kmv_u_sql(col: str) -> str:
+    return (
+        "list_reduce(list_transform(generate_series(1, 13), "
+        "i -> CAST(strpos('0123456789abcdef', "
+        f"substr(md5(CAST({col} AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b) / 4503599627370496.0"
+    )
+
+
+_KMV_U_SQL = _kmv_u_sql("user_id")
 
 
 @query(
@@ -721,3 +725,144 @@ def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("key"))
     )
     return count_min_sketch(keys, "key", probes, depth=4, width=256)
+
+
+@query(
+    "agg_kmv_merge_rollup",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT r.r_name AS region, {_kmv_u_sql("c.c_custkey")} AS u
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    ranked AS (
+      SELECT region, u,
+             row_number() OVER (PARTITION BY region ORDER BY u) AS rn
+      FROM d
+    ),
+    agg AS (
+      SELECT region, count(*) AS n_minima,
+             max(CASE WHEN rn = 64 THEN u END) AS kth
+      FROM ranked WHERE rn <= 64 GROUP BY region
+    )
+    SELECT region, n_minima,
+           CASE WHEN n_minima >= 64 THEN 63.0 / kth
+                ELSE CAST(n_minima AS DOUBLE) END AS estimate
+    FROM agg
+    """,
+    survey=(
+        "mergeable sketch TABLES: per-nation KMV sketches rolled up to "
+        "region by sketch-merge, bit-identical to a direct region build "
+        "— the store-per-shard-merge-later scale pattern (north star)"
+    ),
+    tags=("analytic", "sketch"),
+)
+def q_kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per region, computed the way a 100 TB
+    pipeline would: materialize a KMV sketch table at the FINE key
+    (nation — k doubles per row), then roll it up to region by merging
+    sketches, never revisiting the raw corpus. The oracle computes the
+    region sketch DIRECTLY from the rows — equality is the merge
+    theorem (any u among the parent's k minima is among its child's k
+    minima), which is precisely the property that makes per-day /
+    per-shard sketch tables safe to store and merge later.
+
+    Plan: one distinct exchange at nation grain; the nation→region map
+    is broadcast; the merge re-ranks a sketch-sized table (25×≤64
+    doubles) — kilobytes regardless of corpus size."""
+    from ram_datapipeline_spark.operators.sketches import (
+        kmv_merge_sketches,
+        kmv_sketch_estimate,
+        kmv_sketch_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    nation_sketch = kmv_sketch_table(
+        t["customer"], group_cols=["c_nationkey"], value_col="c_custkey", k=64
+    )
+    nation_region = (
+        t["nation"]
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    merged = kmv_merge_sketches(
+        nation_sketch.join(F.broadcast(nation_region), "c_nationkey"),
+        group_cols=["region"],
+        k=64,
+    )
+    return kmv_sketch_estimate(merged, k=64).select(
+        "region",
+        F.size("minima").cast("long").alias("n_minima"),
+        "estimate",
+    )
+
+
+@query(
+    "agg_incremental_maintain",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total,
+           min(o_orderdate) AS first_date,
+           max(o_orderdate) AS last_date,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 / count(*) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey=(
+        "incremental aggregate maintenance: delta-only scan + partial-"
+        "state merge == full recompute, bit for bit (north star — the "
+        "standing-rollup absorption pattern)"
+    ),
+    tags=("analytic", "incremental"),
+)
+def q_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order stats per priority maintained INCREMENTALLY: the 'stored'
+    base state aggregates history (< 1996-01-01), the delta aggregates
+    only the new partition (≥ 1996-01-01), and the result is their
+    partial-state merge — never a rescan of base rows. The oracle is
+    the full recompute; equality is the decomposability algebra
+    (operators/incremental.py). Both scans carry a pushed-down date
+    predicate; the merge unions two 5-row state tables.
+
+    Cents are summed as bigints (associative), so base+delta ordering
+    cannot perturb the total; avg is derived at read time from the
+    (sum, count) state — an avg column would not merge."""
+    from ram_datapipeline_spark.operators.incremental import (
+        finalize,
+        merge_partials,
+        partial_aggregate,
+    )
+
+    t = load_tables(spark, sf_dir)
+    keys = ["o_orderpriority"]
+    specs = {
+        "n_orders": ("count",),
+        "cents": ("sum_cents", "o_totalprice"),
+        "first_date": ("min", "o_orderdate"),
+        "last_date": ("max", "o_orderdate"),
+    }
+    split = "1996-01-01"
+    base = partial_aggregate(
+        t["orders"].where(F.col("o_orderdate") < split), keys, specs
+    )
+    delta = partial_aggregate(
+        t["orders"].where(F.col("o_orderdate") >= split), keys, specs
+    )
+    merged = merge_partials(base, delta, keys, specs)
+    return finalize(
+        merged,
+        {
+            "total": F.col("cents").cast("double") / 100.0,
+            "avg_price": F.col("cents").cast("double") / 100.0
+            / F.col("n_orders"),
+        },
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders", "total", "first_date", "last_date", "avg_price",
+    )

@@ -624,3 +624,101 @@ def test_keyword_search_ranked_semantics(spark):
         keyword_search_ranked(docs, ("scan",), mode="or")
     with _pytest.raises(ValueError, match="k must be positive"):
         keyword_search_ranked(docs, ("scan",), k=0)
+
+
+def test_kmv_sketch_merge_is_bit_identical_to_direct_build(spark):
+    """The merge theorem the rollup gate rests on: sketches built at
+    the FINE key (nation) and merged upward equal — array for array —
+    a sketch built directly at the COARSE key (region) from raw rows.
+    Also: under-k sketches carry every distinct value (estimate exact),
+    and a full sketch's estimate is (k-1)/U_k."""
+    from ram_datapipeline_spark.operators.sketches import (
+        kmv_merge_sketches,
+        kmv_sketch_estimate,
+        kmv_sketch_table,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    nation_region = (
+        t["nation"]
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    k = 16
+    fine = kmv_sketch_table(
+        t["customer"], ["c_nationkey"], "c_custkey", k=k
+    )
+    merged = {
+        r["region"]: r["minima"]
+        for r in kmv_merge_sketches(
+            fine.join(nation_region, "c_nationkey"), ["region"], k=k
+        ).collect()
+    }
+    direct = {
+        r["region"]: r["minima"]
+        for r in kmv_sketch_table(
+            t["customer"].join(
+                nation_region.withColumnRenamed("c_nationkey", "nk"),
+                F.col("c_nationkey") == F.col("nk"),
+            ),
+            ["region"],
+            "c_custkey",
+            k=k,
+        ).collect()
+    }
+    assert merged == direct and len(merged) == 5
+    # estimates: full sketch -> (k-1)/U_k; under-k sketch -> exact len
+    est = {
+        r["region"]: (r["minima"], r["estimate"])
+        for r in kmv_sketch_estimate(
+            kmv_merge_sketches(
+                fine.join(nation_region, "c_nationkey"), ["region"], k=k
+            ),
+            k=k,
+        ).collect()
+    }
+    for minima, estimate in est.values():
+        if len(minima) >= k:
+            assert estimate == (k - 1) / minima[k - 1]
+        else:
+            assert estimate == float(len(minima))
+
+
+def test_partial_merge_equals_full_recompute_and_new_groups_pass(spark):
+    """merge_partials(base, delta) == partial_aggregate(all), bit for
+    bit — including a group that exists ONLY in the delta (union-
+    groupBy passes it through; a join would need per-column null
+    handling)."""
+    from ram_datapipeline_spark.operators.incremental import (
+        merge_partials,
+        partial_aggregate,
+    )
+
+    rows = [
+        ("a", 1.00, 10), ("a", 2.50, 11), ("b", 7.25, 12),
+        ("a", 0.10, 20), ("c", 9.99, 21),  # 'c' is delta-only
+    ]
+    df = spark.createDataFrame(rows, "k string, price double, seq long")
+    specs = {
+        "n": ("count",),
+        "cents": ("sum_cents", "price"),
+        "lo": ("min", "seq"),
+        "hi": ("max", "seq"),
+    }
+    base = partial_aggregate(df.where(F.col("seq") < 20), ["k"], specs)
+    delta = partial_aggregate(df.where(F.col("seq") >= 20), ["k"], specs)
+    merged = {
+        r["k"]: (r["n"], r["cents"], r["lo"], r["hi"])
+        for r in merge_partials(base, delta, ["k"], specs).collect()
+    }
+    full = {
+        r["k"]: (r["n"], r["cents"], r["lo"], r["hi"])
+        for r in partial_aggregate(df, ["k"], specs).collect()
+    }
+    assert merged == full
+    assert merged["c"] == (1, 999, 21, 21)
+    with pytest.raises(ValueError, match="unknown kind"):
+        partial_aggregate(df, ["k"], {"x": ("median", "price")})

@@ -89,6 +89,13 @@ def test_gated_queries_all_have_oracles():
 # (`mm_jpeg_flat_roundtrip` — `decode_jpeg_bytes` was refactored onto
 # the shared `_parse_stream` scaffolding the DC-only path uses).
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    # round-7 late-born queries (window already spent on the r3 tier)
+    # — sweep-verified this round, first driver slot is r8's
+    "agg_kmv_merge_rollup",
+    "agg_incremental_maintain",
+    "pipe_zorder_layout",
+    "st_view_click_outer",
+    # r4-proven whose code changed in r7
     "mm_jpeg_flat_roundtrip",
     "a7_operation_log",
     "agg_distinct_count",
