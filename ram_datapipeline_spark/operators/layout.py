@@ -1,0 +1,81 @@
+"""Data-layout operators: multi-dimensional clustering (Z-order).
+
+Reading 100 TB is dominated by how much of it you can SKIP. Min/max
+zone maps (parquet row-group stats, Delta/Iceberg file stats) prune a
+scan only if rows near each other in FILE ORDER are near each other in
+the FILTER columns — one sort column gives that for one dimension and
+destroys it for the rest. The Z-order (Morton) curve interleaves the
+bits of several dimensions into one sort key, so rows close in z are
+close in EVERY interleaved dimension at once, and a 2-D range predicate
+touches O(perimeter) files instead of O(all).
+
+Spark-first: the key is pure integer bit arithmetic (whole-stage
+codegen, no UDF), the layout is ``repartitionByRange(z)`` (Spark's
+sampled range partitioner balances output files even on skewed keys) +
+``sortWithinPartitions`` — exactly the write path before a
+``write.parquet``. Bit-interleaving is exact in any engine, so the key
+itself is DuckDB-replayable; the clustering guarantee (sorted,
+non-overlapping partition z-ranges) is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_key(cols: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of each (non-negative integer)
+    column into one BIGINT Z-value. With d columns, bit i of column j
+    lands at position ``i*d + j`` — the sum form (each term a distinct
+    bit, so addition == OR) keeps the whole expression in codegen
+    arithmetic. d*bits must fit a signed 64-bit int (≤ 62).
+    Caller contract: values ≥ 0 and < 2**bits (mask with % or
+    ``F.pmod`` first); violating it silently aliases cells.
+    """
+    d = len(cols)
+    if d < 2:
+        raise ValueError("morton_key: need at least 2 columns")
+    if d * bits > 62:
+        raise ValueError(f"morton_key: {d}×{bits} bits exceed a BIGINT")
+    terms = []
+    for j, c in enumerate(cols):
+        x = c.cast("long")
+        for i in range(bits):
+            terms.append(
+                F.shiftright(x, i).bitwiseAND(F.lit(1))
+                * F.lit(1 << (i * d + j))
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def morton_key_sql(cols: list[str], bits: int) -> str:
+    """The SAME interleave as ANSI/DuckDB SQL text — generated
+    term-for-term so oracle queries replay the key bit-exactly."""
+    d = len(cols)
+    terms = [
+        f"((({c} >> {i}) & 1) * {1 << (i * d + j)})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def cluster_by_zorder(
+    df: DataFrame, z: Column, n_partitions: int, z_col: str = "z"
+) -> DataFrame:
+    """Materialize the write layout: attach the z key, range-partition
+    on it (sampled split points — balanced output files under skew) and
+    sort within each partition. The result is what ``.write.parquet``
+    should consume: every output file covers one compact z-range, so
+    per-file min/max stats on the ORIGINAL dimensions are tight and a
+    2-D predicate prunes most files. No global sort — range exchange +
+    local sort only."""
+    return (
+        df.withColumn(z_col, z)
+        .repartitionByRange(n_partitions, F.col(z_col))
+        .sortWithinPartitions(z_col)
+    )

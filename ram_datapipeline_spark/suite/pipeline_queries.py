@@ -1166,3 +1166,61 @@ def q_pipe_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     budgets = {f"src{i}": 800 + 400 * (i % 5) for i in range(20)}
     return C.token_budget_select(docs, budgets)
+
+
+def _zorder_oracle() -> str:
+    from ram_datapipeline_spark.operators.layout import morton_key_sql
+
+    z = morton_key_sql(["x", "y"], bits=10)
+    return f"""
+    WITH pts AS (
+      SELECT event_id % 1024 AS x, user_id % 1024 AS y FROM events
+    ),
+    keyed AS (SELECT x, y, {z} AS z FROM pts)
+    SELECT z >> 14 AS bucket, count(*) AS n,
+           min(z) AS min_z, max(z) AS max_z,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM keyed GROUP BY 1
+    """
+
+
+@query(
+    "pipe_zorder_layout",
+    oracle=_zorder_oracle(),
+    survey=(
+        "Z-order (Morton) multi-dimensional clustering: bit-interleaved "
+        "sort key + range layout, the scan-pruning write path (north "
+        "star — data layout at 100 TB)"
+    ),
+    tags=("pipeline", "layout"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events keyed on a 2-D Morton curve (x = event_id mod 1024,
+    y = user_id mod 1024, 10 bits each) and summarized per top-6-bit
+    z-bucket — the zone-map view a writer would persist. The locality
+    the layout exists for is VISIBLE in the result: every bucket's
+    (min_x..max_x) and (min_y..max_y) each span ≤ 128, i.e. a 2-D range
+    predicate on the originals touches only the buckets its rectangle
+    overlaps. The key is pure codegen integer arithmetic (no UDF), and
+    the physical write path (repartitionByRange + sortWithinPartitions,
+    cluster_by_zorder) is asserted on plan shape + partition-range
+    disjointness in tests/test_layout.py."""
+    from ram_datapipeline_spark.operators.layout import morton_key
+
+    t = load_tables(spark, sf_dir)
+    pts = t["events"].select(
+        (F.col("event_id") % 1024).alias("x"),
+        (F.col("user_id") % 1024).alias("y"),
+    )
+    keyed = pts.withColumn(
+        "z", morton_key([F.col("x"), F.col("y")], bits=10)
+    )
+    return keyed.groupBy(
+        F.shiftright(F.col("z"), 14).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("z").alias("min_z"), F.max("z").alias("max_z"),
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+    )
