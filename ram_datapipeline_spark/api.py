@@ -62,7 +62,20 @@ from ram_datapipeline_spark.operators.sketches import (  # noqa: F401
     count_min_sketch,
     hash_quantile_sketch,
     kmv_distinct_estimate,
+    kmv_merge_sketches,
+    kmv_sketch_estimate,
+    kmv_sketch_table,
     misra_gries_heavy_hitters,
+)
+from ram_datapipeline_spark.operators.incremental import (  # noqa: F401
+    finalize,
+    merge_partials,
+    partial_aggregate,
+)
+from ram_datapipeline_spark.operators.layout import (  # noqa: F401
+    cluster_by_zorder,
+    morton_key,
+    morton_key_sql,
 )
 from ram_datapipeline_spark.operators.quality import (  # noqa: F401
     completeness,
@@ -152,6 +165,8 @@ from ram_datapipeline_spark.sinks import (  # noqa: F401
 # streaming / operations (SURVEY §2.8, §3.2)
 from ram_datapipeline_spark.streaming import (  # noqa: F401
     OperationLog,
+    interval_join_attribution,
+    interval_outer_attribution,
     read_events_stream,
     running_user_totals,
     session_window_agg,
@@ -198,6 +213,7 @@ from ram_datapipeline_spark.operators.graph import (  # noqa: F401
 )
 from ram_datapipeline_spark.operators.routing import (  # noqa: F401
     build_crp_index,
+    derive_parent_map,
     closure_rows_gated,
     crp_many_to_many,
     multi_level_many_to_many,

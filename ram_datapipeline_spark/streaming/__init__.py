@@ -14,6 +14,7 @@ from ram_datapipeline_spark.streaming.events import (  # noqa: F401
     dedup_events,
     enrich_with_dim,
     interval_join_attribution,
+    interval_outer_attribution,
     read_events_stream,
     session_window_agg,
     sessionize,

@@ -250,3 +250,60 @@ def enrich_with_dim(
             "max_value",
         )
     )
+
+
+def interval_outer_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon_minutes: int = 10,
+    watermark: str | None = None,
+) -> DataFrame:
+    """LEFT OUTER interval join: every view, with its in-horizon clicks
+    or a null-padded row if none came — the "which impressions never
+    converted" shape ``interval_join_attribution`` cannot express.
+
+    On two ``readStream`` inputs this is Spark's watermarked
+    stream-stream outer join, and the interesting part is WHEN the null
+    row appears: only once the watermark passes ``view_ts + horizon``
+    can the engine prove no future click will match, so unmatched views
+    are emitted at state EVICTION (a no-data micro-batch after the last
+    file flushes the final watermark's evictions). Outer stream-stream
+    joins without a watermark are rejected by Spark itself — the state
+    would be unbounded. On batch inputs the same function is a plain
+    left join, which is the oracle-checked twin.
+
+    Gap seconds are µs-exact epoch-double subtraction, null when
+    unmatched."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    if watermark:
+        v = v.withWatermark("view_ts", watermark)
+        c = c.withWatermark("click_ts", watermark)
+    horizon = f"INTERVAL {int(horizon_minutes)} MINUTES"
+    joined = v.join(
+        c,
+        F.expr(
+            f"v_user = c_user AND click_ts > view_ts "
+            f"AND click_ts <= view_ts + {horizon}"
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+        (
+            F.col("click_ts").cast("timestamp").cast("double")
+            - F.col("view_ts").cast("timestamp").cast("double")
+        ).alias("gap_s"),
+    )

@@ -206,3 +206,42 @@ def q_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return late_data_drop(t["events"], delay="1 hour")
+
+
+@query(
+    "st_view_click_outer",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           v.ts AS view_ts, c.ts AS click_ts,
+           epoch(c.ts) - epoch(v.ts) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+    survey=(
+        "streaming: watermarked stream-stream LEFT OUTER interval join "
+        "— unmatched views null-padded at state eviction (§2.8, "
+        "beyond-reference streaming surface)"
+    ),
+    tags=("streaming",),
+)
+def q_view_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every view with its in-horizon clicks OR a null row if none —
+    the non-conversion report. The identical function on two readStream
+    inputs is Spark's watermarked stream-stream outer join; unmatched
+    views surface only once the watermark proves no future click can
+    match (eviction-time emission, asserted against this batch twin in
+    tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.streaming import interval_outer_attribution
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    return interval_outer_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        horizon_minutes=10,
+    )

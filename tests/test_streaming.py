@@ -392,3 +392,78 @@ def test_transform_with_state_twin_matches_v1(spark, tmp_path):
     g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
     w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
     assert g == w
+
+
+def test_stream_stream_outer_join_emits_null_rows_on_eviction(spark, tmp_path):
+    """interval_outer_attribution on two readStream inputs: matched rows
+    equal the batch twin's inner rows exactly; null-padded rows appear
+    ONLY for views whose horizon the final watermark provably passed —
+    and every view safely past that horizon does get its null row (the
+    no-data batch after the last file flushes final-watermark
+    evictions). Views still inside the horizon stay in state, which is
+    exactly the semantics (a future click could still match them)."""
+    import shutil
+
+    from ram_datapipeline_spark.streaming import (
+        interval_outer_attribution,
+        read_events_stream,
+    )
+
+    events_dir = tmp_path / "events_outer"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "part-0.parquet")
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    batch = interval_outer_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        horizon_minutes=10,
+    ).cache()
+    # the query watermark is min over BOTH sides' event-time maxima
+    # (each side's withWatermark tracks its own filtered stream)
+    wm_base = min(
+        ev.filter(F.col("event_type") == "view").agg(F.max("ts")).collect()[0][0],
+        ev.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0],
+    )
+
+    s = read_events_stream(spark, str(events_dir))
+    stream = interval_outer_attribution(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "click"),
+        horizon_minutes=10,
+        watermark="1 minute",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("outer_attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM outer_attrib").cache()
+
+    # 1. matched rows: exactly the batch inner rows (no watermark effect)
+    got_inner = got.where(F.col("click_id").isNotNull())
+    batch_inner = batch.where(F.col("click_id").isNotNull())
+    assert got_inner.count() == batch_inner.count() > 0
+    assert got_inner.exceptAll(batch_inner).count() == 0
+
+    # 2. every emitted null row is a genuine batch null row
+    got_null = got.where(F.col("click_id").isNull())
+    batch_null = batch.where(F.col("click_id").isNull())
+    assert got_null.exceptAll(batch_null).count() == 0
+
+    # 3. eviction completeness: views whose (view_ts + horizon) is
+    # safely below the final watermark (wm_base - 1 min delay; 2-min
+    # margin on top of the 10-min horizon) MUST have been emitted
+    safe = batch_null.where(
+        F.col("view_ts")
+        < F.lit(wm_base) - F.expr("INTERVAL 13 MINUTES")
+    )
+    missing = safe.exceptAll(got_null)
+    assert missing.count() == 0
+    assert safe.count() > 0  # the bound is not vacuous on this fixture
+    batch.unpersist()
+    got.unpersist()
