@@ -101,6 +101,13 @@ HEADLINE = [
     "pipe_bpe_segment_tokens",  # learn→segment round trip
     "text_keyword_search",   # posting-list intersection search
     "pipe_winsorize_caps",   # exact order-statistic outlier caps
+    # round-7 additions
+    "pipe_token_budget_select",  # token-budget mixture selection (r6-born)
+    "text_keyword_rank_any",  # disjunctive tf-idf ranked retrieval
+    "agg_kmv_merge_rollup",  # mergeable KMV sketch tables, nation→region
+    "agg_incremental_maintain",  # partial-state merge == full recompute
+    "pipe_zorder_layout",    # Morton key + z-bucket zone-map view
+    "st_view_click_outer",   # stream-stream LEFT OUTER interval join twin
 ]
 
 

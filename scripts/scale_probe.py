@@ -54,7 +54,14 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "sim_mmr_rerank", "pipe_bpe_segment_tokens",
           # round-7 additions: ranked retrieval (posting lists scale
           # with the corpus, weights stay query-sized)
-          "text_keyword_rank_any"]
+          "text_keyword_rank_any",
+          # round-7 additions: sketch rollup (merge input stays
+          # sketch-sized as the corpus grows), delta maintenance (both
+          # partials scale, merge stays group-sized), Morton layout
+          # (pure map + one agg), outer interval join (events² risk
+          # bounded by the user_id equi-key)
+          "agg_kmv_merge_rollup", "agg_incremental_maintain",
+          "pipe_zorder_layout", "st_view_click_outer"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -310,3 +310,46 @@ def test_bpe_segment_single_projection_no_shuffle(spark):
     p = buf.getvalue()
     assert n_data_shuffles(p) == 0, p
     assert n_ops(p, "BroadcastHashJoin") == 0 and "SortMergeJoin" not in p
+
+
+def test_kmv_merge_rollup_one_corpus_scan_broadcast_map(spark):
+    """Sketch build scans customer ONCE; the nation→region map joins by
+    broadcast (two small-dim broadcasts, zero corpus-side shuffle for
+    the map); the merge re-ranks a sketch-sized table."""
+    p = plan_text(spark, "agg_kmv_merge_rollup")
+    assert n_ops(p, "Scan parquet") == 3  # customer + nation + region
+    assert n_ops(p, "BroadcastExchange") == 2
+    assert "CartesianProduct" not in p
+    assert "struct<c_custkey:bigint,c_nationkey:int>" in p  # pruned corpus read
+
+
+def test_incremental_maintain_pushed_split_predicates(spark):
+    """Both partial scans carry their date predicate INTO parquet (at
+    scale the delta scan prunes to the new partition), and the merge
+    adds no corpus-sized exchange: two partial-agg exchanges total."""
+    p = plan_text(spark, "agg_incremental_maintain")
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert n_data_shuffles(p) == 2
+    assert n_ops(p, "Scan parquet") == 2
+
+
+def test_zorder_layout_pure_codegen_single_exchange(spark):
+    """The Morton key stays in JVM integer arithmetic: no Python
+    evaluator of any kind, a 2-column pruned scan, and the one exchange
+    is the bucket aggregation."""
+    p = plan_text(spark, "pipe_zorder_layout")
+    assert n_data_shuffles(p) == 1
+    assert "struct<event_id:bigint,user_id:bigint>" in p
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_view_click_outer_equi_key_join_pushed_type_filters(spark):
+    """The outer interval join keys on user_id (hash-joinable — never a
+    cartesian/nested-loop over events²), and both event_type filters
+    reach the parquet scan."""
+    p = plan_text(spark, "st_view_click_outer")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EqualTo(event_type,view)" in p
+    assert "EqualTo(event_type,click)" in p
