@@ -108,6 +108,9 @@ HEADLINE = [
     "agg_incremental_maintain",  # partial-state merge == full recompute
     "pipe_zorder_layout",    # Morton key + z-bucket zone-map view
     "st_view_click_outer",   # stream-stream LEFT OUTER interval join twin
+    "agg_kmv_set_algebra",   # theta-style sketch intersection estimates
+    "ts_time_weighted_avg",  # TWAP, bigint µs×cents arithmetic
+    "pipe_profile_table",    # single-scan ANALYZE profile
 ]
 
 

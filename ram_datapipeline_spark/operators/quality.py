@@ -263,3 +263,49 @@ def winsorize_caps(
         )
         .select(group_col, "n", "lo_cap", "hi_cap", "n_below", "n_above")
     )
+
+
+def profile_table(
+    df: DataFrame, numeric_as: dict[str, Column] | None = None
+) -> DataFrame:
+    """ANALYZE-style column profile in ONE scan: for every column,
+    ``(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)``.
+
+    All per-column statistics fold into a single aggregation (the
+    count-distincts expand map-side and combine partially before the
+    one exchange — the same single-pass shape as ``dq_checks``), then a
+    ``stack`` unpivots the 1-row result into one row per column —
+    driver never loops over columns at runtime. ``numeric_as`` maps a
+    column to the numeric Column used for min/max (e.g. timestamps as
+    µs); unmapped non-numeric columns report null bounds.
+
+    At 100 TB the exact count-distinct expansion is the costly part —
+    swap in ``kmv_distinct_estimate`` per column when estimates
+    suffice; nulls/min/max stay single-pass either way.
+    """
+    numeric_as = numeric_as or {}
+    num_types = ("int", "bigint", "smallint", "tinyint", "double", "float")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in df.columns:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"_nulls_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+        if c in numeric_as:
+            num = numeric_as[c]
+        elif dict(df.dtypes)[c] in num_types:
+            num = F.col(c).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        aggs.append(F.min(num).alias(f"_min_{c}"))
+        aggs.append(F.max(num).alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nulls_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in df.columns
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(df.columns)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_num, max_num)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct",
+             "min_num", "max_num")

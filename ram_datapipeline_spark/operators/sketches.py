@@ -383,3 +383,59 @@ def kmv_sketch_estimate(
             n.cast("double")
         ),
     )
+
+
+def kmv_pairwise_intersection(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+    minima_col: str = "minima",
+) -> DataFrame:
+    """Set ALGEBRA on stored sketches (theta-sketch style): estimate
+    ``|A ∩ B|`` for every unordered group pair from their KMV rows
+    alone — no return to the raw corpus.
+
+    Estimator: with θ = min(θ_A, θ_B) (each side's k-th minimum, or
+    1.0 for an under-k sketch), every distinct value hashing below θ
+    is visible in BOTH sketches if shared, so
+    ``est = |{u ∈ S_A ∩ S_B : u < θ}| / θ``. When both sides are
+    under-k the sketches hold every distinct hash, θ = 1, and the
+    estimate is the EXACT intersection count. Ties at θ are excluded
+    by the strict ``<`` (pinned so any engine replays it).
+
+    The input is the sketch table (groups × ≤k doubles); the pair join
+    below is a deliberate |groups|² nested loop over that tiny table —
+    the corpus was paid for once, at sketch-build time.
+    """
+    # pin the sketch table ONCE: the pair join references it twice, and
+    # without this the corpus-sized build lineage runs twice (plan-
+    # audited — two full scans). The checkpoint is sketch-sized.
+    sketches = sketches.localCheckpoint(eager=False)
+    kth_or_one = F.when(
+        F.size(F.col(minima_col)) >= k,
+        F.col(minima_col).getItem(k - 1),
+    ).otherwise(F.lit(1.0))
+    a = sketches.select(
+        F.col(group_col).alias("group_a"),
+        F.col(minima_col).alias("_ma"),
+        kth_or_one.alias("_ka"),
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"),
+        F.col(minima_col).alias("_mb"),
+        kth_or_one.alias("_kb"),
+    )
+    theta = F.least(F.col("_ka"), F.col("_kb"))
+    below = F.filter(
+        F.array_intersect(F.col("_ma"), F.col("_mb")), lambda x: x < theta
+    )
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            theta.alias("theta"),
+            F.size(below).cast("long").alias("n_common"),
+            (F.size(below).cast("double") / theta).alias("est_shared"),
+        )
+    )

@@ -188,3 +188,55 @@ def ewma_smooth(
         F.count(val_col).alias("n_points"),
         fold.alias("ewma"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per key (TWAP): each observation holds its
+    value until the NEXT observation, so it contributes value × holding
+    time; the last observation holds nothing and contributes zero.
+
+    Pinned arithmetic so any engine replays it bit-for-bit: holding
+    times are integer MICROSECONDS (``unix_micros`` deltas — bigints),
+    values are integer cents, the weighted sum is a bigint Σ cents·µs
+    (associative — shuffle order can't perturb it), and only the final
+    ``sum/100/total`` happens in IEEE doubles. A float Σ value·dt would
+    depend on add order and never hash-match across engines.
+
+    One window (lead over the key's time order) + one groupBy — the
+    window and the agg share the same hash partitioning, so Catalyst
+    plans a single exchange. Ties on ``ts_col`` are broken by
+    ``tiebreak_col`` (required for determinism when timestamps can
+    repeat).
+
+    Returns ``(key_cols..., n_intervals, total_us, twap)``; keys with
+    fewer than two observations have no holding interval and are
+    absent from the result (a TWAP of one point is undefined).
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    dt = F.lead(F.unix_micros(F.col(ts_col))).over(w) - F.unix_micros(
+        F.col(ts_col)
+    )
+    cents = F.floor(F.col(val_col) * 100.0 + 0.5).cast("long")
+    stepped = df.select(
+        *key_cols,
+        dt.alias("_dt_us"),
+        (cents * dt).alias("_w_cents_us"),
+    ).where(F.col("_dt_us").isNotNull())
+    return stepped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("_dt_us").alias("total_us"),
+        (
+            F.sum("_w_cents_us").cast("double")
+            / 100.0
+            / F.sum("_dt_us").cast("double")
+        ).alias("twap"),
+    )

@@ -866,3 +866,72 @@ def q_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         "n_orders", "total", "first_date", "last_date", "avg_price",
     )
+
+
+@query(
+    "agg_kmv_set_algebra",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority AS g,
+             {_kmv_u_sql("o_custkey")} AS u
+      FROM orders
+    ),
+    ranked AS (
+      SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn
+      FROM d
+    ),
+    sk AS (SELECT g, u, rn FROM ranked WHERE rn <= 128),
+    meta AS (
+      SELECT g, count(*) AS n,
+             max(CASE WHEN rn = 128 THEN u END) AS kth
+      FROM sk GROUP BY g
+    ),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             least(CASE WHEN a.n >= 128 THEN a.kth ELSE 1.0 END,
+                   CASE WHEN b.n >= 128 THEN b.kth ELSE 1.0 END) AS theta
+      FROM meta a JOIN meta b ON a.g < b.g
+    ),
+    common AS (
+      SELECT p.group_a, p.group_b, count(*) AS c
+      FROM pairs p
+      JOIN sk sa ON sa.g = p.group_a
+      JOIN sk sb ON sb.g = p.group_b AND sb.u = sa.u
+      WHERE sa.u < p.theta
+      GROUP BY p.group_a, p.group_b
+    )
+    SELECT p.group_a, p.group_b, p.theta,
+           coalesce(c.c, 0) AS n_common,
+           CAST(coalesce(c.c, 0) AS DOUBLE) / p.theta AS est_shared
+    FROM pairs p
+    LEFT JOIN common c
+      ON c.group_a = p.group_a AND c.group_b = p.group_b
+    """,
+    survey=(
+        "sketch set algebra: pairwise intersection estimates from "
+        "STORED KMV sketches alone (theta-sketch pattern) — audience-"
+        "overlap questions answered without re-scanning the corpus "
+        "(north star)"
+    ),
+    tags=("analytic", "sketch"),
+)
+def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers do each pair of order priorities share?
+    Answered entirely from the per-priority KMV sketch table (k=128):
+    θ-truncated sketch intersection / θ. The corpus is scanned ONCE to
+    build 5 sketch rows; all 10 pair estimates are array arithmetic on
+    those rows. DuckDB replays the identical hash order, θ choice and
+    strict-below-θ count (operators/sketches.py)."""
+    from ram_datapipeline_spark.operators.sketches import (
+        kmv_pairwise_intersection,
+        kmv_sketch_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    sk = kmv_sketch_table(
+        t["orders"], group_cols=["o_orderpriority"], value_col="o_custkey",
+        k=128,
+    ).withColumnRenamed("o_orderpriority", "g")
+    return kmv_pairwise_intersection(sk, "g", k=128).select(
+        "group_a", "group_b", "theta", "n_common", "est_shared"
+    )

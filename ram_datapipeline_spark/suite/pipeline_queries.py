@@ -1224,3 +1224,55 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("min_x"), F.max("x").alias("max_x"),
         F.min("y").alias("min_y"), F.max("y").alias("max_y"),
     )
+
+
+def _profile_oracle() -> str:
+    cols = {
+        "o_orderkey": "CAST(o_orderkey AS DOUBLE)",
+        "o_custkey": "CAST(o_custkey AS DOUBLE)",
+        "o_orderstatus": "CAST(NULL AS DOUBLE)",
+        "o_totalprice": "o_totalprice",
+        "o_orderdate": "CAST(epoch_us(o_orderdate) AS DOUBLE)",
+        "o_orderpriority": "CAST(NULL AS DOUBLE)",
+    }
+    parts = [
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   min({e}) AS min_num, max({e}) AS max_num
+            FROM orders"""
+        for c, e in cols.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "pipe_profile_table",
+    oracle=_profile_oracle(),
+    survey=(
+        "single-scan table profiling (ANALYZE analog): per-column "
+        "null/distinct/bounds report folded into ONE aggregation "
+        "(north star — the first pass any 100 TB ingest runs)"
+    ),
+    tags=("pipeline", "quality"),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders — null counts, exact distinct counts,
+    numeric/temporal bounds — in one scan and one exchange
+    (operators/quality.py::profile_table); timestamps surface as µs
+    doubles so bounds stay engine-exact. The oracle recomputes each
+    column independently; equality pins the fold."""
+    from ram_datapipeline_spark.operators.quality import profile_table
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    return profile_table(
+        o, numeric_as={
+            # fixture vintage surfaces o_orderdate as TIMESTAMP_NTZ;
+            # under the catalog's pinned UTC session the cast keeps the
+            # wall clock, so unix_micros is the DuckDB epoch_us
+            "o_orderdate": F.unix_micros(
+                F.col("o_orderdate").cast("timestamp")
+            ).cast("double")
+        }
+    )

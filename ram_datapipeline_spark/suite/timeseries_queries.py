@@ -256,3 +256,43 @@ def q_ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return ewma_smooth(b, ["user_id"], "bucket", "n_events")
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_intervals,
+           CAST(sum(dt_us) AS BIGINT) AS total_us,
+           CAST(sum(cents * dt_us) AS DOUBLE) / 100.0
+             / CAST(sum(dt_us) AS DOUBLE) AS twap
+    FROM stepped WHERE dt_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    survey=(
+        "time-weighted average (TWAP) — irregular-series aggregation "
+        "with bigint µs×cents arithmetic, shuffle-order-proof "
+        "(beyond-reference timeseries surface)"
+    ),
+    tags=("timeseries",),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP of event value per type: each event's value held until the
+    type's next event. Integer µs holding times × integer cents keep
+    the weighted sum associative (operators/timeseries.py) — the
+    estimator an order book or sensor rollup needs, exact under any
+    partitioning."""
+    from ram_datapipeline_spark.operators.timeseries import time_weighted_avg
+
+    t = load_tables(spark, sf_dir)
+    return time_weighted_avg(
+        t["events"], ["event_type"], ts_col="ts", val_col="value",
+        tiebreak_col="event_id",
+    )

@@ -61,7 +61,12 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # (pure map + one agg), outer interval join (events² risk
           # bounded by the user_id equi-key)
           "agg_kmv_merge_rollup", "agg_incremental_maintain",
-          "pipe_zorder_layout", "st_view_click_outer"]
+          "pipe_zorder_layout", "st_view_click_outer",
+          # round-7 additions: sketch set algebra (pair join stays
+          # sketch-sized), TWAP (window+agg share one exchange),
+          # profiling (count-distinct expand is the scale cost)
+          "agg_kmv_set_algebra", "ts_time_weighted_avg",
+          "pipe_profile_table"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -722,3 +722,75 @@ def test_partial_merge_equals_full_recompute_and_new_groups_pass(spark):
     assert merged["c"] == (1, 999, 21, 21)
     with pytest.raises(ValueError, match="unknown kind"):
         partial_aggregate(df, ["k"], {"x": ("median", "price")})
+
+
+def test_kmv_intersection_accuracy_and_underk_exactness(spark):
+    """Pairwise sketch-intersection estimates track the true overlap
+    (within the KMV error band at k=128), and under-k sketches give
+    EXACT intersection counts with theta == 1."""
+    from ram_datapipeline_spark.operators.sketches import (
+        kmv_pairwise_intersection,
+        kmv_sketch_table,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    o = t["orders"]
+    sk = kmv_sketch_table(
+        o, ["o_orderpriority"], "o_custkey", k=128
+    ).withColumnRenamed("o_orderpriority", "g")
+    est = {
+        (r["group_a"], r["group_b"]): r["est_shared"]
+        for r in kmv_pairwise_intersection(sk, "g", k=128).collect()
+    }
+    a = o.select(F.col("o_orderpriority").alias("ga"), "o_custkey").distinct()
+    b = o.select(F.col("o_orderpriority").alias("gb"), "o_custkey").distinct()
+    truth = {
+        (r["ga"], r["gb"]): r["n"]
+        for r in a.join(b, ["o_custkey"])
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(truth) and len(est) == 10
+    for pair, e in est.items():
+        tv = truth[pair]
+        assert abs(e - tv) <= max(10.0, 0.35 * tv), (pair, e, tv)
+    # under-k: a huge k makes every sketch complete -> exact, theta = 1
+    sk_big = kmv_sketch_table(
+        o, ["o_orderpriority"], "o_custkey", k=100_000
+    ).withColumnRenamed("o_orderpriority", "g")
+    exact = kmv_pairwise_intersection(sk_big, "g", k=100_000).collect()
+    for r in exact:
+        assert r["theta"] == 1.0
+        assert r["n_common"] == truth[(r["group_a"], r["group_b"])]
+        assert r["est_shared"] == float(r["n_common"])
+
+
+def test_profile_table_counts_nulls_distincts_bounds(spark):
+    """profile_table on a hand corpus: null counts, exact distincts,
+    numeric bounds for numeric columns, null bounds for strings, and a
+    numeric_as override for a non-numeric column."""
+    from ram_datapipeline_spark.operators.quality import profile_table
+
+    rows = [
+        (1, "x", 2.5, "07"),
+        (2, None, None, "03"),
+        (2, "y", -1.0, None),
+        (None, "y", 4.0, "11"),
+    ]
+    df = spark.createDataFrame(rows, "a int, s string, v double, code string")
+    prof = {
+        r["col_name"]: r
+        for r in profile_table(
+            df, numeric_as={"code": F.col("code").cast("double")}
+        ).collect()
+    }
+    assert set(prof) == {"a", "s", "v", "code"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert (prof["a"]["n_nulls"], prof["a"]["n_distinct"]) == (1, 2)
+    assert (prof["a"]["min_num"], prof["a"]["max_num"]) == (1.0, 2.0)
+    assert (prof["s"]["n_nulls"], prof["s"]["n_distinct"]) == (1, 2)
+    assert prof["s"]["min_num"] is None and prof["s"]["max_num"] is None
+    assert (prof["v"]["min_num"], prof["v"]["max_num"]) == (-1.0, 4.0)
+    assert (prof["code"]["min_num"], prof["code"]["max_num"]) == (3.0, 11.0)

@@ -353,3 +353,36 @@ def test_view_click_outer_equi_key_join_pushed_type_filters(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "EqualTo(event_type,view)" in p
     assert "EqualTo(event_type,click)" in p
+
+
+def test_kmv_set_algebra_single_corpus_scan(spark):
+    """The sketch table is pinned once; the pair join runs on the
+    checkpointed sketch rows — the corpus is never scanned twice (the
+    tiny |groups|² nested loop over 5 sketch rows is deliberate)."""
+    df = Q.REGISTRY["agg_kmv_set_algebra"].builder(spark, SF_DIR)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert n_ops(p, "Scan parquet") == 0  # both sides read the checkpoint
+    assert n_ops(p, "Scan ExistingRDD") <= 2
+
+
+def test_twap_window_and_agg_share_one_exchange(spark):
+    """lead() and the per-key aggregation hash-partition identically,
+    so the whole TWAP is scan → ONE exchange → window → agg."""
+    p = plan_text(spark, "ts_time_weighted_avg")
+    assert n_data_shuffles(p) == 1
+    assert n_ops(p, "Scan parquet") == 1
+
+
+def test_profile_table_single_scan_two_phase_distinct(spark):
+    """All per-column stats fold into one scan; the two exchanges are
+    the count-distinct expand's partial/final phases, both group-sized."""
+    p = plan_text(spark, "pipe_profile_table")
+    assert n_ops(p, "Scan parquet") == 1
+    assert n_data_shuffles(p) == 2
+    assert "Python" not in p and "Arrow" not in p

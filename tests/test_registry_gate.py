@@ -95,6 +95,9 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "agg_incremental_maintain",
     "pipe_zorder_layout",
     "st_view_click_outer",
+    "agg_kmv_set_algebra",
+    "ts_time_weighted_avg",
+    "pipe_profile_table",
     # r4-proven whose code changed in r7
     "mm_jpeg_flat_roundtrip",
     "a7_operation_log",

@@ -217,3 +217,43 @@ def test_ewma_smooth_null_values_and_empty_series(spark):
     assert got["b"] == (0, None)
     # c: single point -> the point itself
     assert got["c"] == (1, 2.0)
+
+
+def test_time_weighted_avg_hand_case_and_single_point_key(spark):
+    """Hand-checked TWAP: value 10.00 held 3 s then 20.00 held 1 s →
+    (10·3 + 20·1)/4 = 12.50; the final observation holds nothing; a
+    single-observation key has no interval and is absent; equal
+    timestamps are ordered by the tiebreak column."""
+    from ram_datapipeline_spark.operators.timeseries import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("a", at(0), 10.00, 1),
+        ("a", at(3), 20.00, 2),
+        ("a", at(4), 99.00, 3),     # last point: holds nothing
+        ("b", at(0), 7.00, 4),      # single point -> absent
+        ("c", at(0), 1.00, 5),      # tie on ts: event 5 then 6 (1 µs? no —
+        ("c", at(0), 3.00, 6),      # zero-length hold contributes 0)
+        ("c", at(2), 5.00, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, value double, event_id long"
+    )
+    got = {
+        r["k"]: r
+        for r in time_weighted_avg(
+            df, ["k"], ts_col="ts", val_col="value", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert set(got) == {"a", "c"}
+    assert got["a"]["n_intervals"] == 2
+    assert got["a"]["total_us"] == 4_000_000
+    assert got["a"]["twap"] == 12.50
+    # c: row5 holds 0 s (tie), row6 holds 2 s at 3.00 -> twap = 3.00
+    assert got["c"]["n_intervals"] == 2
+    assert got["c"]["total_us"] == 2_000_000
+    assert got["c"]["twap"] == 3.00
