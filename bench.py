@@ -111,6 +111,7 @@ HEADLINE = [
     "agg_kmv_set_algebra",   # theta-style sketch intersection estimates
     "ts_time_weighted_avg",  # TWAP, bigint µs×cents arithmetic
     "pipe_profile_table",    # single-scan ANALYZE profile
+    "k_zorder_prune_roundtrip",  # curve-bucketed write -> pruned 2-D read
 ]
 
 

@@ -79,3 +79,29 @@ def cluster_by_zorder(
         .repartitionByRange(n_partitions, F.col(z_col))
         .sortWithinPartitions(z_col)
     )
+
+
+def zorder_buckets_for_box(
+    x0: int, x1: int, y0: int, y1: int, bits: int, bucket_bits: int
+) -> list[int]:
+    """The read-side companion to the Z-order layout: the exact set of
+    top-``bucket_bits`` z-buckets a 2-D rectangle ``[x0..x1]×[y0..y1]``
+    (inclusive) can touch. A bucket is the interleave of each
+    dimension's top ``bucket_bits/2`` bits, so the rectangle maps to
+    the cross product of the block ranges it overlaps — O(blocks)
+    driver arithmetic, no data touched. This is what turns a 2-D
+    predicate into a directory/file prune list over a z-laid-out
+    table."""
+    if bucket_bits % 2 != 0:
+        raise ValueError("zorder_buckets_for_box: bucket_bits must be even")
+    half = bucket_bits // 2
+    shift = bits - half
+    out = []
+    for xb in range(x0 >> shift, (x1 >> shift) + 1):
+        for yb in range(y0 >> shift, (y1 >> shift) + 1):
+            z = 0
+            for i in range(half):
+                z |= ((xb >> i) & 1) << (2 * i)
+                z |= ((yb >> i) & 1) << (2 * i + 1)
+            out.append(z)
+    return sorted(out)

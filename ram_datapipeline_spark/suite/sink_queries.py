@@ -597,3 +597,83 @@ def q_k_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
         ).alias("cents"),
     )
+
+
+def _zprune_oracle() -> str:
+    from ram_datapipeline_spark.operators.layout import morton_key_sql
+
+    z = morton_key_sql(["x", "y"], bits=10)
+    return f"""
+    WITH pts AS (
+      SELECT event_id % 1024 AS x, user_id % 1024 AS y FROM events
+    ),
+    keyed AS (SELECT x, y, {z} AS z FROM pts)
+    SELECT count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           min(z) AS min_z, max(z) AS max_z
+    FROM keyed
+    WHERE x BETWEEN 100 AND 300 AND y BETWEEN 200 AND 330
+    """
+
+
+@query(
+    "k_zorder_prune_roundtrip",
+    oracle=_zprune_oracle(),
+    survey=(
+        "Z-order layout end to end: curve-bucketed directory write → "
+        "2-D rectangle predicate mapped to an exact bucket prune list "
+        "(6 of 64 directories opened) → lossless re-read (north star — "
+        "the scan-skipping payoff of multi-dimensional clustering)"
+    ),
+    tags=("sink", "layout"),
+)
+def q_k_zorder_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events written directory-per-z-bucket (top 6 Morton bits), then a
+    2-D rectangle query answered by opening ONLY the buckets the curve
+    maps the rectangle to — ``zorder_buckets_for_box`` computes the
+    exact 6-of-64 prune list in driver arithmetic, and the builder
+    asserts the scan's PartitionFilters carry it. The oracle replays
+    the rectangle on the raw table, so the layout must also be
+    lossless. At 100 TB this is the difference between scanning the
+    corpus and scanning its perimeter (operators/layout.py)."""
+    from ram_datapipeline_spark.operators.layout import (
+        morton_key,
+        zorder_buckets_for_box,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pts = t["events"].select(
+        (F.col("event_id") % 1024).alias("x"),
+        (F.col("user_id") % 1024).alias("y"),
+    )
+    keyed = pts.withColumn(
+        "z", morton_key([F.col("x"), F.col("y")], bits=10)
+    ).withColumn("zbucket", F.shiftright(F.col("z"), 14))
+    base = _rt_path("kzorder", sf_dir)
+    (
+        keyed.repartition(4, F.col("zbucket"))
+        .sortWithinPartitions("zbucket", "z")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(base)
+    )
+    buckets = zorder_buckets_for_box(100, 300, 200, 330, bits=10, bucket_bits=6)
+    back = spark.read.parquet(base).filter(
+        F.col("zbucket").isin(buckets)
+        & F.col("x").between(100, 300)
+        & F.col("y").between(200, 330)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    tail = plan.split("PartitionFilters: [", 1)
+    if len(tail) < 2 or "zbucket" not in tail[1][:300]:
+        raise AssertionError(
+            "z-bucketed scan lost its PartitionFilters:\n" + plan
+        )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )

@@ -66,7 +66,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # sketch-sized), TWAP (window+agg share one exchange),
           # profiling (count-distinct expand is the scale cost)
           "agg_kmv_set_algebra", "ts_time_weighted_avg",
-          "pipe_profile_table"]
+          "pipe_profile_table",
+          # round-7 addition: layout roundtrip (write cost scales, the
+          # pruned read opens the same 6 directories at any corpus size)
+          "k_zorder_prune_roundtrip"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -117,3 +117,37 @@ def test_zorder_bucket_locality_bound(spark):
         .collect()
     )
     assert spans and all(r["dx"] <= 127 and r["dy"] <= 127 for r in spans)
+
+
+def test_zorder_buckets_for_box_cover_exactly(spark):
+    """Property: for any rectangle, the prune list contains EVERY
+    bucket that any in-box point maps to (completeness — a missing
+    bucket would silently drop rows), and only buckets whose block
+    rectangle overlaps the box (tightness)."""
+    import itertools
+
+    from ram_datapipeline_spark.operators.layout import zorder_buckets_for_box
+
+    bits, bucket_bits = 10, 6
+    shift = 2 * bits - bucket_bits
+    boxes = [
+        (0, 1023, 0, 1023),       # everything -> all 64 buckets
+        (100, 300, 200, 330),     # the gated query's rectangle
+        (0, 0, 0, 0),             # single point
+        (127, 128, 255, 256),     # straddles block borders in both dims
+        (512, 600, 0, 40),
+    ]
+    for x0, x1, y0, y1 in boxes:
+        got = set(zorder_buckets_for_box(x0, x1, y0, y1, bits, bucket_bits))
+        xs = set(range(x0, x1 + 1, 7)) | {x0, x1}
+        ys = set(range(y0, y1 + 1, 11)) | {y0, y1}
+        touched = {
+            _morton_ref((x, y), bits) >> shift
+            for x, y in itertools.product(xs, ys)
+        }
+        assert touched <= got, (x0, x1, y0, y1)
+        blocks = ((x1 >> 7) - (x0 >> 7) + 1) * ((y1 >> 7) - (y0 >> 7) + 1)
+        assert len(got) == blocks
+    assert len(zorder_buckets_for_box(0, 1023, 0, 1023, 10, 6)) == 64
+    with pytest.raises(ValueError, match="even"):
+        zorder_buckets_for_box(0, 1, 0, 1, 10, 5)

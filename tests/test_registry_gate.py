@@ -98,6 +98,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "agg_kmv_set_algebra",
     "ts_time_weighted_avg",
     "pipe_profile_table",
+    "k_zorder_prune_roundtrip",
     # r4-proven whose code changed in r7
     "mm_jpeg_flat_roundtrip",
     "a7_operation_log",
