@@ -112,6 +112,7 @@ HEADLINE = [
     "ts_time_weighted_avg",  # TWAP, bigint µs×cents arithmetic
     "pipe_profile_table",    # single-scan ANALYZE profile
     "k_zorder_prune_roundtrip",  # curve-bucketed write -> pruned 2-D read
+    "pipe_compaction_plan",  # metadata-sized sequential bin fill
 ]
 
 

@@ -20,7 +20,7 @@ non-overlapping partition z-ranges) is asserted in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,3 +105,33 @@ def zorder_buckets_for_box(
                 z |= ((yb >> i) & 1) << (2 * i + 1)
             out.append(z)
     return sorted(out)
+
+
+def compaction_bins(
+    parts: DataFrame,
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-files compaction plan: assign ordered parts (files,
+    hour-partitions, …) to sequential output bins of ~``target_bytes``
+    each — ``bin = floor(running_size_before / target)``, the
+    sequential fill every compaction job runs. Adds a ``bin`` column.
+
+    Deterministic by construction (the order column pins the fill
+    order), so two engines produce the identical plan. The input is
+    METADATA — one row per file/partition, ~10⁶ rows for a 100 TB
+    table — which is why the single global-order window here is fine:
+    it's the table of contents, not the data. Never point this at the
+    corpus itself.
+    """
+    if target_bytes <= 0:
+        raise ValueError("compaction_bins: target_bytes must be positive")
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return parts.withColumn(
+        "bin", F.floor(before / F.lit(target_bytes)).cast("long")
+    )

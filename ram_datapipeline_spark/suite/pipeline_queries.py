@@ -1276,3 +1276,61 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         }
     )
+
+
+@query(
+    "pipe_compaction_plan",
+    oracle="""
+    WITH parts AS (
+      SELECT date_trunc('hour', ts) AS part_hour,
+             CAST(sum(length(props) + 64) AS BIGINT) AS part_bytes
+      FROM events GROUP BY 1
+    ),
+    planned AS (
+      SELECT part_hour, part_bytes,
+             CAST(floor(coalesce(
+               sum(part_bytes) OVER (ORDER BY part_hour
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING),
+               0) / 262144.0) AS BIGINT) AS bin
+      FROM parts
+    )
+    SELECT bin, count(*) AS n_parts,
+           CAST(sum(part_bytes) AS BIGINT) AS total_bytes,
+           min(part_hour) AS first_hour, max(part_hour) AS last_hour
+    FROM planned GROUP BY bin
+    """,
+    survey=(
+        "small-files compaction planner: metadata-sized sequential "
+        "bin fill toward a target output size (north star — the "
+        "ingest-side layout chore every 100 TB table runs nightly)"
+    ),
+    tags=("pipeline", "layout"),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour event 'files' (size = Σ props length + fixed row
+    overhead) packed into ~256 KiB output bins by the sequential fill
+    (operators/layout.py::compaction_bins). The plan is a pure function
+    of the parts table, so DuckDB replays it row-for-row; the window
+    runs on the metadata table (one row per hour), never the corpus."""
+    from ram_datapipeline_spark.operators.layout import compaction_bins
+
+    t = load_tables(spark, sf_dir)
+    parts = (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("part_hour"))
+        .agg(
+            F.sum(F.length("props") + F.lit(64)).cast("bigint")
+            .alias("part_bytes")
+        )
+    )
+    planned = compaction_bins(
+        parts, order_col="part_hour", size_col="part_bytes",
+        target_bytes=262144,
+    )
+    return planned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("part_bytes").cast("bigint").alias("total_bytes"),
+        F.min("part_hour").alias("first_hour"),
+        F.max("part_hour").alias("last_hour"),
+    )

@@ -69,7 +69,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "pipe_profile_table",
           # round-7 addition: layout roundtrip (write cost scales, the
           # pruned read opens the same 6 directories at any corpus size)
-          "k_zorder_prune_roundtrip"]
+          "k_zorder_prune_roundtrip",
+          # round-7 addition: compaction plan (corpus scan shrinks to a
+          # per-hour metadata table before the single global window)
+          "pipe_compaction_plan"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -151,3 +151,25 @@ def test_zorder_buckets_for_box_cover_exactly(spark):
     assert len(zorder_buckets_for_box(0, 1023, 0, 1023, 10, 6)) == 64
     with pytest.raises(ValueError, match="even"):
         zorder_buckets_for_box(0, 1, 0, 1, 10, 5)
+
+
+def test_compaction_bins_sequential_fill_semantics(spark):
+    """Hand case: parts 100,100,100,50,200 at target 250 fill bins by
+    RUNNING size before each part — 0:(100+100)=200<250 then the third
+    100 starts at 200 (bin 0 — floor(200/250)=0), the 50 at 300 → bin
+    1, the 200 at 350 → bin 1. Oversized parts advance later bins but
+    are never split."""
+    from ram_datapipeline_spark.operators.layout import compaction_bins
+
+    rows = [(1, 100), (2, 100), (3, 100), (4, 50), (5, 200), (6, 900),
+            (7, 10)]
+    df = spark.createDataFrame(rows, "pid long, bytes long")
+    got = {
+        r["pid"]: r["bin"]
+        for r in compaction_bins(df, "pid", "bytes", 250).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 2, 7: 5}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        compaction_bins(df, "pid", "bytes", 0)

@@ -99,6 +99,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "ts_time_weighted_avg",
     "pipe_profile_table",
     "k_zorder_prune_roundtrip",
+    "pipe_compaction_plan",
     # r4-proven whose code changed in r7
     "mm_jpeg_flat_roundtrip",
     "a7_operation_log",
