@@ -175,14 +175,25 @@ def main() -> None:
             json.dump(rec, fh, indent=1)
     except OSError:
         pass  # detail record is best-effort; the stdout line is the contract
+    print(compact_line(rec))
+
+
+def compact_line(rec: dict) -> str:
+    """The one stdout line: per-query timings at 2 dp, anchor reduced
+    to commit+value(+error). Sized well inside the driver's tail
+    capture — tests/test_bench_contract.py bounds its length against
+    the full HEADLINE so growth trips a test, not a lost round record
+    (the r6 failure mode)."""
     compact = dict(rec)
-    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    compact["queries"] = {
+        k: round(v, 2) for k, v in rec["queries"].items()
+    }
     anchor = rec.get("anchor_prev")
     if isinstance(anchor, dict):
         compact["anchor_prev"] = {
             k: anchor[k] for k in ("commit", "value", "error") if k in anchor
         }
-    print(json.dumps(compact, separators=(",", ":")))
+    return json.dumps(compact, separators=(",", ":"))
 
 
 def _anchor_prev() -> dict:
