@@ -74,6 +74,8 @@ from ram_datapipeline_spark.operators.incremental import (  # noqa: F401
 )
 from ram_datapipeline_spark.operators.layout import (  # noqa: F401
     cluster_by_zorder,
+    compaction_bins,
+    global_row_index,
     morton_key,
     morton_key_sql,
 )
@@ -89,6 +91,7 @@ from ram_datapipeline_spark.operators.quality import (  # noqa: F401
 
 # training-data pipeline (north star)
 from ram_datapipeline_spark.operators.dedup import (  # noqa: F401
+    canonical_pick,
     fuzzy_pairs,
     connected_components,
     exact_duplicates,
@@ -157,6 +160,7 @@ from ram_datapipeline_spark.sinks import (  # noqa: F401
     latest_metadata,
     write_csv,
     write_geojson_seq,
+    write_orc,
     write_json_grouped,
     write_partitioned,
     write_results_normalized,

@@ -291,6 +291,48 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 
+def canonical_pick(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware survivor policy over duplicate clusters: for every
+    connected component keep the HIGHEST-quality member (ties broken by
+    lowest id), not the lowest-id one — the production dedup policy when
+    a quality score exists (greedy lower-id keeps whichever duplicate
+    happened to be crawled first; this keeps the best copy).
+
+    Input ``components`` is (id, component) from
+    :func:`connected_components`. One hash exchange on ``component``
+    (duplicate clusters are small — the window is bounded by cluster
+    size, and WindowGroupLimit prunes rank>1 map-side for the canonical
+    extraction), then the per-doc verdict rejoins on the same key, so
+    the second join reuses the partitioning. Output: one row per doc —
+    (id, component, canonical_id, is_kept).
+    """
+    scored = components.join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    canon = (
+        scored.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") == 1)
+        .select("component", F.col(id_col).alias("canonical_id"))
+    )
+    return (
+        components.join(canon, "component")
+        .select(
+            id_col,
+            "component",
+            "canonical_id",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_kept"),
+        )
+    )
+
+
 SIMHASH_BITS = 64
 # Bit 2i   of the fingerprint = high bit of md5 hex digit i   (digit ≥ 8);
 # bit 2i+1 = second bit of the same digit (digit & 4). Two ±1 votes per

@@ -107,6 +107,81 @@ def zorder_buckets_for_box(
     return sorted(out)
 
 
+def global_row_index(
+    df: DataFrame,
+    order_exprs: list[Column],
+    n_partitions: int,
+    idx_col: str = "global_idx",
+) -> DataFrame:
+    """Total-order row numbering WITHOUT a global single-partition
+    window — the classic two-pass pattern (``zipWithIndex`` re-expressed
+    over DataFrames):
+
+    1. ``repartitionByRange`` on the order expressions (sampled split
+       points — one range exchange) + ``sortWithinPartitions`` → rows
+       are globally ordered ACROSS partitions and locally ordered
+       WITHIN each; the layout is persisted so both passes below see
+       the same partitions (and a recompute is deterministic anyway:
+       parquet order + Spark's fixed-seed range sampler).
+    2. Pass 1: per-partition row counts — a map-side count whose result
+       is ``n_partitions`` rows, collected and prefix-summed on the
+       driver (bounded by construction: one long per partition).
+    3. Pass 2: one Arrow ``mapInPandas`` over the same partitions adds
+       ``offset[pid] + local_position`` — no second data shuffle.
+
+    A bare ``row_number() OVER (ORDER BY …)`` funnels 100 TB through ONE
+    task; this does one range exchange + a metadata collect, and every
+    partition numbers itself in parallel. Caller contract: the order
+    expressions must form a total order (include a unique tiebreak
+    column) or the assignment between equal rows is partition-dependent.
+
+    The oracle replays it as the single global window — same integers,
+    opposite physical plan.
+    """
+    part = (
+        df.repartitionByRange(n_partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # Bounded driver collect: exactly one (pid, count) row per partition.
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+
+    # Fresh StructType — DataFrame.schema is cached on the handle and
+    # StructType.add mutates in place, which would corrupt ``part``'s
+    # resolved schema.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(part.schema.fields) + [StructField(idx_col, LongType())]
+    )
+
+    def _number(batches):
+        local = None
+        base = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{idx_col: pdf.index.astype("int64")})
+                continue
+            if local is None:
+                base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+                local = 0
+            pdf = pdf.copy()
+            pdf[idx_col] = range(base + local, base + local + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(_number, schema=out_schema).drop("_pid")
+
+
 def compaction_bins(
     parts: DataFrame,
     order_col: str,

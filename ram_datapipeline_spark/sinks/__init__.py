@@ -150,6 +150,17 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink (zlib, Spark's built-in writer) — the
+    interchange format for Hive-era warehouse consumers the way K2's CSV
+    serves spreadsheet consumers. ORC files carry per-stripe min/max
+    statistics, so a re-read with a predicate prunes stripes the same
+    way parquet prunes row groups; the round-trip gate proves the
+    columnar re-encode is value-lossless (including doubles, which CSV
+    only survives via shortest-repr printing)."""
+    df.write.mode(mode).orc(path)
+
+
 def grouped_json(
     results: DataFrame, group_keys: list[str], payload_cols: list[str]
 ) -> DataFrame:

@@ -1334,3 +1334,34 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("part_hour").alias("first_hour"),
         F.max("part_hour").alias("last_hour"),
     )
+
+
+@query(
+    "pipe_global_index",
+    oracle="""
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS global_idx
+    FROM documents
+    """,
+    survey="distributed total-order row numbering: range exchange + offset "
+           "broadcast, no single-partition window (north star)",
+    tags=("pipeline", "layout"),
+)
+def q_pipe_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its exact position in the corpus-wide
+    (n_chars DESC, doc_id) order WITHOUT funneling the corpus through
+    one task: range-partition on the key, count per partition (a
+    metadata collect — one long per partition), then each partition
+    numbers itself from its broadcast offset in one Arrow pass
+    (operators/layout.py::global_row_index). The oracle IS the
+    single-window form — same integers, the plan this operator exists
+    to avoid at 100 TB."""
+    from ram_datapipeline_spark.operators.layout import global_row_index
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "n_chars")
+    return global_row_index(
+        docs,
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        n_partitions=16,
+    )

@@ -677,3 +677,24 @@ def q_k_zorder_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("z").alias("min_z"),
         F.max("z").alias("max_z"),
     )
+
+
+@query(
+    "k_orc_roundtrip",
+    oracle=_FLAT_ETA_SQL
+    + "SELECT origin_id, admin_id, lon, lat, eta_bank, eta_hospital,"
+    "         eta_school FROM flat",
+    survey="K2-family columnar sink: ORC round-trip (Hive-era interchange twin of the CSV sink)",
+    tags=("sink",),
+)
+def q_k_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K2 result shape written through Spark's built-in ORC writer
+    (overwrite = K7 cleanup), re-read by the ORC reader. Hash-matching
+    the SQL replay proves the columnar re-encode value-lossless — the
+    double lon/lat columns round-trip as stored bits, not printed text,
+    so this also covers the binary-columnar leg CSV can't."""
+    results = _results_with_poi_map(spark, sf_dir)
+    flat = sinks.flatten_poi_map(results)
+    path = _rt_path("korc", sf_dir)
+    sinks.write_orc(flat, path)
+    return spark.read.orc(path)

@@ -1352,3 +1352,69 @@ def q_text_keyword_rank_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search_ranked(
         t["documents"], ("scan", "join", "window", "stream"), mode="any", k=10
     )
+
+
+@query(
+    "dedup_canonical_pick",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, dst AS peer FROM sym
+      UNION
+      SELECT r.node, s.dst FROM reach r JOIN sym s ON r.peer = s.src
+    ),
+    comp AS (
+      SELECT d.doc_id, least(d.doc_id, coalesce(min(r.peer), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_id, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    canon AS (
+      SELECT component, doc_id AS canonical_id
+      FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM scored
+      )
+      WHERE rn = 1
+    )
+    SELECT s.doc_id, s.component, c.canonical_id,
+           CAST(s.doc_id = c.canonical_id AS INT) AS is_kept
+    FROM scored s JOIN canon c ON c.component = s.component
+    """,
+    survey="dedup survivor policy 3: quality-aware canonical per duplicate "
+           "cluster (north star)",
+    tags=("dedup",),
+)
+def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per Jaccard-0.8 duplicate cluster keep the LONGEST member (ties
+    by lowest id) — the quality-aware survivor policy layered on
+    connected components (operators/dedup.py::canonical_pick): greedy
+    lower-id keeps whichever copy was crawled first; this keeps the best
+    copy. One component-key window (clusters are small) + one rejoin on
+    the same key."""
+    t = load_tables(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(t["documents"], threshold=0.8)
+    comps = D.connected_components(pairs, t["documents"])
+    out = D.canonical_pick(comps, t["documents"], quality_col="n_chars")
+    return out.withColumn("is_kept", F.col("is_kept").cast("int"))

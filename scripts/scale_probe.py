@@ -72,7 +72,12 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "k_zorder_prune_roundtrip",
           # round-7 addition: compaction plan (corpus scan shrinks to a
           # per-hour metadata table before the single global window)
-          "pipe_compaction_plan"]
+          "pipe_compaction_plan",
+          # round-7 late additions: global index (range exchange + Arrow
+          # pass both linear; driver traffic = one long per partition),
+          # canonical pick (window bounded by dup-cluster size), ORC
+          # round-trip (columnar write+read, embarrassingly parallel)
+          "pipe_global_index", "dedup_canonical_pick", "k_orc_roundtrip"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

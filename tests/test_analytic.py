@@ -794,3 +794,35 @@ def test_profile_table_counts_nulls_distincts_bounds(spark):
     assert prof["s"]["min_num"] is None and prof["s"]["max_num"] is None
     assert (prof["v"]["min_num"], prof["v"]["max_num"]) == (-1.0, 4.0)
     assert (prof["code"]["min_num"], prof["code"]["max_num"]) == (3.0, 11.0)
+
+
+def test_canonical_pick_keeps_best_per_cluster(spark):
+    """Quality argmax per component (ties → lowest id); singletons keep
+    themselves; exactly one is_kept per component."""
+    from ram_datapipeline_spark.operators.dedup import (
+        canonical_pick,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 5), (5, 7), (6, 7), (7, 1)],
+        "doc_id long, n_chars long",
+    )
+    comps = connected_components(pairs, docs)
+    out = canonical_pick(comps, docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 7
+    # cluster {1,2,3}: 2 and 3 tie on quality 99 → canonical 2
+    assert {rows[i]["canonical_id"] for i in (1, 2, 3)} == {2}
+    assert rows[2]["is_kept"] and not rows[1]["is_kept"] and not rows[3]["is_kept"]
+    # cluster {5,6}: tie at 7 → canonical 5; singletons keep themselves
+    assert rows[5]["is_kept"] and rows[6]["canonical_id"] == 5
+    assert rows[4]["is_kept"] and rows[7]["is_kept"]
+    kept_per_comp = {}
+    for r in rows.values():
+        kept_per_comp.setdefault(r["component"], 0)
+        kept_per_comp[r["component"]] += int(r["is_kept"])
+    assert all(v == 1 for v in kept_per_comp.values())

@@ -173,3 +173,47 @@ def test_compaction_bins_sequential_fill_semantics(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         compaction_bins(df, "pid", "bytes", 0)
+
+
+def test_global_row_index_matches_total_order(spark):
+    """Every row gets its exact position in the (v DESC, id) total order,
+    across partitions and ties — same integers as the single-window form
+    the operator exists to avoid."""
+    from ram_datapipeline_spark.operators.layout import global_row_index
+
+    rows = [(i, (i * 37) % 50) for i in range(500)]  # heavy ties on v
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = global_row_index(
+        df, [F.col("v").desc(), F.col("id")], n_partitions=8
+    ).collect()
+    expect = {
+        r_id: idx
+        for idx, (r_id, _) in enumerate(
+            sorted(rows, key=lambda r: (-r[1], r[0]))
+        )
+    }
+    got = {r["id"]: r["global_idx"] for r in out}
+    assert got == expect
+    assert len(out) == 500
+
+
+def test_global_row_index_plan_has_no_global_window(spark):
+    """The physical plan must contain a range exchange and NO Window at
+    all — the whole point is that nothing funnels through one task."""
+    from ram_datapipeline_spark.operators.layout import global_row_index
+
+    df = spark.range(200).withColumn("v", F.col("id") % 9)
+    out = global_row_index(df, [F.col("v"), F.col("id")], n_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_global_row_index_single_partition_and_empty(spark):
+    from ram_datapipeline_spark.operators.layout import global_row_index
+
+    one = spark.createDataFrame([(7, 1)], "id long, v long")
+    got = global_row_index(one, [F.col("id")], n_partitions=4).collect()
+    assert [(r["id"], r["global_idx"]) for r in got] == [(7, 0)]
+    empty = one.filter(F.col("id") < 0)
+    assert global_row_index(empty, [F.col("id")], n_partitions=4).count() == 0

@@ -340,3 +340,22 @@ def test_json_source_corrupt_record_handling(spark, tmp_path):
         .json(str(p))
     )
     assert {r.id for r in dropped.collect()} == {1, 2}
+
+
+def test_orc_roundtrip_lossless(spark, tmp_path):
+    """ORC write → read preserves values bit-exact, including doubles
+    (binary columnar — no text hop) and nulls."""
+    df = spark.createDataFrame(
+        [(1, 0.1 + 0.2, "a"), (2, None, None), (3, -1e-300, "c")],
+        "id long, x double, s string",
+    )
+    path = str(tmp_path / "orc")
+    sinks.write_orc(df, path)
+    back = spark.read.orc(path)
+    got = sorted(
+        [(r["id"], r["x"], r["s"]) for r in back.collect()]
+    )
+    assert got == [(1, 0.1 + 0.2, "a"), (2, None, None), (3, -1e-300, "c")]
+    # overwrite mode is the K7 cleanup semantic: second write replaces
+    sinks.write_orc(df.filter(F.col("id") == 1), path)
+    assert spark.read.orc(path).count() == 1
