@@ -204,6 +204,7 @@ from ram_datapipeline_spark.operators.vectors import (  # noqa: F401
     normalize,
     quantize_global_q8,
     quantize_int8,
+    random_projection,
 )
 from ram_datapipeline_spark.operators.graph import (  # noqa: F401
     common_neighbor_counts,

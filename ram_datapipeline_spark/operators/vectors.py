@@ -398,3 +398,55 @@ def pq_codes(
     return out.select(
         F.col("_id").alias(id_col), "subspace", "code", "dist"
     )
+
+
+def _rp_sign(j: int, i: Column) -> Column:
+    """Deterministic ±1 from md5(\"<j>_<i>\") — the hash-seeded Rademacher
+    entry R[j][i] of the projection matrix, identical in any engine
+    (first hex digit < '8' → +1). No RNG state, no seed plumbing: the
+    matrix IS the hash function."""
+    digit = F.substring(
+        F.md5(F.concat_ws("_", F.lit(str(j)), i.cast("string"))), 1, 1
+    )
+    return F.when(digit.isin(*"01234567"), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _rp_term(j: int):
+    # factory: F.transform inspects lambda arity — binding j via a
+    # default arg would make it 3 and throw (engine gotcha)
+    return lambda x, i: x.cast("double") * _rp_sign(j, i)
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dims: int = 8,
+    prefix: str = "p",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign-matrix projection: d-dim embeddings →
+    ``out_dims`` coordinates ``p_j = Σ_i x_i · R[j][i]``, R a Rademacher
+    (±1) matrix derived from md5 — the coarse-filter step ahead of exact
+    ANN scoring (project 100 TB of 1k-dim vectors to 8 dims, prune by
+    projected distance, re-score survivors exactly).
+
+    Zero-shuffle pure projection in whole-stage codegen: each output is
+    one transform (sign the elements) + one strict-left-fold sum, so the
+    plan is a map over the scan — embarrassingly parallel at any scale.
+    Bit-exact across engines: ±1.0 multiplications are exact, and the
+    fold order is the array order (DuckDB replays it as
+    ``list_reduce(list_transform(generate_series(...)))``).
+
+    Unscaled (no 1/√k factor — it would need a libm sqrt of a non-square
+    and every consumer comparison is scale-invariant anyway).
+    """
+    out = df
+    for j in range(out_dims):
+        out = out.withColumn(
+            f"{prefix}{j}",
+            F.aggregate(
+                F.transform(F.col(vec_col), _rp_term(j)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    return out

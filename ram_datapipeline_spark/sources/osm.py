@@ -130,16 +130,20 @@ def osm_ways_to_road_edges(
     speeds: dict[str, float] | None = None,
     default_speed_kmh: float = DEFAULT_SPEED_KMH,
     km_per_deg: float = 111.0,
+    honor_oneway: bool = True,
 ) -> DataFrame:
     """OSM ways → directed routing edge list (src, dst, w seconds): the
     in-engine analog of ``osrm-extract`` (scripts/osm2osrm.sh:32 — which
     compiles `.osm` into a weighted node graph offline; here it is one
     declarative DAG over the distributed XML scan).
 
-    Each way contributes one edge per CONSECUTIVE ``nd``-ref pair, in both
-    directions (the reference's car profile treats these fixture-class
-    roads as bidirectional), weighted by planar drive seconds at the
-    highway-class speed:
+    Each way contributes one edge per CONSECUTIVE ``nd``-ref pair — in
+    both directions by default, but with ``honor_oneway`` (on, matching
+    osrm's car profile) a ``oneway=yes|1|true`` tag keeps only the
+    forward direction, ``oneway=-1`` only the reverse, and
+    ``junction=roundabout`` implies forward-only when ``oneway`` is
+    absent (the OSM convention osrm-extract applies). Edges are weighted
+    by planar drive seconds at the highway-class speed:
 
         w = sqrt(dx² + dy²) · km_per_deg / speed_kmh · 3600
 
@@ -162,9 +166,27 @@ def osm_ways_to_road_edges(
             F.col("tags").getItem("highway") == k, F.lit(v)
         ).otherwise(speed_col)
 
+    # +1 forward-only, -1 reverse-only, 0 bidirectional. Explicit
+    # ``oneway`` wins; ``junction=roundabout`` implies forward-only.
+    if honor_oneway:
+        ow = F.col("tags").getItem("oneway")
+        dir_col = (
+            F.when(ow.isin("yes", "1", "true"), F.lit(1))
+            .when(ow == "-1", F.lit(-1))
+            .when(
+                ow.isNull()
+                & (F.col("tags").getItem("junction") == "roundabout"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+        )
+    else:
+        dir_col = F.lit(0)
+
     refs = ways.select(
         "way_id",
         speed_col.alias("speed_kmh"),
+        dir_col.alias("oneway_dir"),
         F.posexplode("node_refs").alias("pos", "node_id"),
     )
     pts = refs.join(nodes.select("node_id", "lon", "lat"), "node_id")
@@ -176,6 +198,7 @@ def osm_ways_to_road_edges(
     seg = pts.select(
         "way_id",
         "speed_kmh",
+        "oneway_dir",
         F.col("pos"),
         F.col("node_id").alias("src"),
         F.col("lon").alias("src_lon"),
@@ -198,8 +221,10 @@ def osm_ways_to_road_edges(
         / F.col("speed_kmh")
         * 3600.0
     )
-    fwd = seg.select("src", "dst", w.alias("w"))
-    rev = seg.select(
+    fwd = seg.where(F.col("oneway_dir") >= 0).select(
+        "src", "dst", w.alias("w")
+    )
+    rev = seg.where(F.col("oneway_dir") <= 0).select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
     )
     return fwd.unionAll(rev)

@@ -1365,3 +1365,35 @@ def q_pipe_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n_chars").desc(), F.col("doc_id")],
         n_partitions=16,
     )
+
+
+def _rp_oracle(out_dims: int = 4) -> str:
+    cols = ",\n           ".join(
+        "list_reduce(list_transform(generate_series(1, len(embedding)), "
+        "i -> CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN strpos('01234567', substr(md5('{j}_' || "
+        "CAST(i - 1 AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)), "
+        f"(a, b) -> a + b) AS p{j}"
+        for j in range(out_dims)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+@query(
+    "vec_random_projection",
+    oracle=_rp_oracle(4),
+    survey="Johnson-Lindenstrauss sign-matrix projection: the coarse "
+           "dimensionality-reduction filter ahead of exact ANN (north star)",
+    tags=("pipeline", "vectors"),
+)
+def q_vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding to 4 hash-seeded Rademacher coordinates
+    (operators/vectors.py::random_projection) — a zero-shuffle codegen
+    map; the oracle replays each coordinate as the identical
+    generate_series left fold."""
+    from ram_datapipeline_spark.operators.vectors import random_projection
+
+    t = load_tables(spark, sf_dir)
+    return random_projection(
+        t["embeddings"].select("vec_id", "embedding"), out_dims=4
+    ).drop("embedding")

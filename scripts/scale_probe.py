@@ -77,7 +77,9 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # pass both linear; driver traffic = one long per partition),
           # canonical pick (window bounded by dup-cluster size), ORC
           # round-trip (columnar write+read, embarrassingly parallel)
-          "pipe_global_index", "dedup_canonical_pick", "k_orc_roundtrip"]
+          "pipe_global_index", "dedup_canonical_pick", "k_orc_roundtrip",
+          # round-7 late addition: JL projection (zero-shuffle codegen map)
+          "vec_random_projection"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -311,3 +311,41 @@ def test_osm_edges_highway_speed_default(spark):
     rows = osm_ways_to_road_edges(nodes, ways).collect()
     # dist 5 deg * 111 km/deg at the 40 km/h fallback
     assert {r["w"] for r in rows} == {5.0 * 111.0 / 40.0 * 3600.0}
+
+
+def test_osm_oneway_and_roundabout_directionality(spark):
+    """osrm-car-profile directionality: oneway=yes keeps only forward,
+    oneway=-1 only reverse, junction=roundabout implies forward when
+    oneway is absent, explicit oneway=no on a roundabout wins, and
+    honor_oneway=False restores the bidirectional fixture behavior."""
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.sources.osm import osm_ways_to_road_edges
+
+    nodes = spark.createDataFrame(
+        [(i, float(i), 0.0) for i in range(8)],
+        "node_id long, lon double, lat double",
+    ).withColumn("tags", F.expr("cast(map() as map<string,string>)"))
+    ways = spark.createDataFrame(
+        [
+            (1, [0, 1], {"highway": "primary", "oneway": "yes"}),
+            (2, [2, 3], {"highway": "primary", "oneway": "-1"}),
+            (3, [4, 5], {"highway": "primary", "junction": "roundabout"}),
+            (4, [5, 6], {"highway": "primary", "junction": "roundabout",
+                         "oneway": "no"}),
+            (5, [6, 7], {"highway": "primary"}),
+        ],
+        "way_id long, node_refs array<long>, tags map<string,string>",
+    )
+    got = {(r["src"], r["dst"]) for r in
+           osm_ways_to_road_edges(nodes, ways).collect()}
+    assert got == {
+        (0, 1),          # oneway=yes: forward only
+        (3, 2),          # oneway=-1: reverse only
+        (4, 5),          # roundabout: implied forward
+        (5, 6), (6, 5),  # roundabout + explicit oneway=no: both
+        (6, 7), (7, 6),  # untagged: both
+    }
+    off = {(r["src"], r["dst"]) for r in
+           osm_ways_to_road_edges(nodes, ways, honor_oneway=False).collect()}
+    assert off == {(a, b) for a, b in got} | {(b, a) for a, b in got}

@@ -228,3 +228,38 @@ def test_mmr_rerank_diversifies_near_duplicates(spark):
     # diversity: picks 2-3 escape the near-dup cluster
     assert set(mmr) & {5, 6}, mmr
     assert mmr != topk
+
+
+def test_random_projection_matches_python_reference(spark):
+    """Each coordinate equals the hash-seeded Rademacher left fold
+    computed independently in Python; linearity holds exactly for a
+    doubled vector."""
+    import hashlib
+
+    from ram_datapipeline_spark.operators.vectors import random_projection
+
+    vecs = [(1, [0.5, -1.25, 2.0]), (2, [1.0, -2.5, 4.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(3)]
+        for r in random_projection(df, out_dims=3).collect()
+    }
+
+    def sign(j, i):
+        d = hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0]
+        return 1.0 if d in "01234567" else -1.0
+
+    import struct
+
+    def f32(x):  # the fixture column is float32: round-trip through it
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    for vid, v in vecs:
+        for j in range(3):
+            acc = 0.0
+            for i, x in enumerate(v):
+                acc = acc + f32(x) * sign(j, i)
+            assert got[vid][j] == acc, (vid, j)
+    # v2 = 2*v1 exactly (powers of two) -> p(v2) == 2*p(v1) bit-exact
+    for j in range(3):
+        assert got[2][j] == 2.0 * got[1][j]
