@@ -826,3 +826,37 @@ def test_canonical_pick_keeps_best_per_cluster(spark):
         kept_per_comp.setdefault(r["component"], 0)
         kept_per_comp[r["component"]] += int(r["is_kept"])
     assert all(v == 1 for v in kept_per_comp.values())
+
+
+def test_profile_table_kmv_mode_bounds_and_exact_small(spark):
+    """distinct_mode='kmv': columns with < k distincts report EXACT
+    counts (the sketch saw every value); a high-cardinality column's
+    estimate lands within the KMV error envelope; nulls/min/max equal
+    the exact mode's; bad mode raises."""
+    import pytest
+
+    from ram_datapipeline_spark.operators.quality import profile_table
+
+    df = spark.range(5000).select(
+        F.col("id").alias("hi"),              # 5000 distincts >> k
+        (F.col("id") % 7).alias("lo"),        # 7 distincts << k
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") % 3).alias("n"),
+    )
+    exact = {r["col_name"]: r for r in profile_table(df).collect()}
+    kmv = {
+        r["col_name"]: r
+        for r in profile_table(df, distinct_mode="kmv", kmv_k=256).collect()
+    }
+    assert set(kmv) == set(exact)
+    for c in exact:
+        assert kmv[c]["n_rows"] == exact[c]["n_rows"]
+        assert kmv[c]["n_nulls"] == exact[c]["n_nulls"]
+        assert kmv[c]["min_num"] == exact[c]["min_num"]
+        assert kmv[c]["max_num"] == exact[c]["max_num"]
+    assert kmv["lo"]["n_distinct"] == 7.0     # exact below k
+    assert kmv["n"]["n_distinct"] == 3.0
+    hi = kmv["hi"]["n_distinct"]
+    assert 5000 * 0.7 <= hi <= 5000 * 1.3, hi  # ±3/sqrt(k) ≈ ±19%
+    with pytest.raises(ValueError, match="distinct_mode"):
+        profile_table(df, distinct_mode="approx")
