@@ -675,3 +675,36 @@ def test_replay_kernel_equals_inorder_fold(word, raw_merges):
         steps.setdefault(p, []).append(i)
     got = _replay_merges_word(list(syms), steps, pair_at, merged_at)
     assert got == ref, (word, raw_merges, got, ref)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # id (deduped below)
+            st.integers(min_value=-50, max_value=50),    # v (heavy ties)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+@SETTINGS
+def test_global_row_index_is_the_total_order(spark, rows, nparts):
+    """global_row_index ≡ enumerate(sorted(...)) for ANY partition count:
+    a permutation of 0..n-1, stable under ties via the id tiebreak,
+    independent of how the range partitioner splits."""
+    from ram_datapipeline_spark.operators.layout import global_row_index
+
+    uniq = list({r[0]: r for r in rows}.values())
+    df = spark.createDataFrame(uniq, "id long, v long")
+    got = {
+        r["id"]: r["global_idx"]
+        for r in global_row_index(
+            df, [F.col("v"), F.col("id")], n_partitions=nparts
+        ).collect()
+    }
+    expect = {
+        rid: i
+        for i, (rid, _) in enumerate(sorted(uniq, key=lambda r: (r[1], r[0])))
+    }
+    assert got == expect
