@@ -113,6 +113,11 @@ HEADLINE = [
     "pipe_profile_table",    # single-scan ANALYZE profile
     "k_zorder_prune_roundtrip",  # curve-bucketed write -> pruned 2-D read
     "pipe_compaction_plan",  # metadata-sized sequential bin fill
+    # round-7 late additions
+    "pipe_global_index",     # total-order row index, no global window
+    "dedup_canonical_pick",  # quality-argmax survivor per dup cluster
+    "k_orc_roundtrip",       # columnar ORC sink write + re-read
+    "vec_random_projection",  # JL sign-matrix projection (codegen map)
 ]
 
 
