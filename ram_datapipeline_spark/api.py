@@ -22,6 +22,7 @@ from ram_datapipeline_spark.session import ensure_parallelism, get_spark  # noqa
 
 # the reference's analytics core (SURVEY §2.3-2.4, §3.1)
 from ram_datapipeline_spark.operators.eta import (  # noqa: F401
+    accessibility_index,
     duration_matrix,
     eta_with_walk_penalty,
     min_duration,

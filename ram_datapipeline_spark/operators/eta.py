@@ -374,3 +374,43 @@ def eta_with_walk_penalty(eta: DataFrame, snap: DataFrame, origin_keys: list[str
         F.col("eta_s") + geo.walk_penalty_seconds(F.col("snap_km")),
     )
     return joined.withColumn("eta_total_s", total)
+
+
+def accessibility_index(
+    eta: DataFrame,
+    thresholds_s: tuple[int, ...] = (1800, 3600, 7200),
+    group_cols: list[str] | None = None,
+    pop_col: str = "pop_i",
+    eta_col: str = "eta_i",
+) -> DataFrame:
+    """Population-weighted accessibility indicator — the RAM project's
+    downstream metric (per admin area: what share of the population is
+    within T seconds of each service type; the reference computes the
+    per-origin ETAs and carries `pop` into its GeoJSON properties,
+    index.js:525-541 — this is the aggregation those properties feed).
+
+    One aggregation pass over the per-origin nearest-POI table:
+    ``pop_within_<T> = Σ pop·[eta ≤ T]`` as conditional sums (map-side
+    partial, one shuffle on the group key), shares as divisions of the
+    exact integer sums — deterministic doubles, no float accumulation
+    (population is integer by contract; NULL eta = unreachable, counted
+    in the total but no threshold bucket).
+    """
+    group_cols = group_cols or ["admin_id", "poi_type"]
+    aggs = [F.sum(pop_col).cast("bigint").alias("pop_total")]
+    for t in thresholds_s:
+        aggs.append(
+            F.sum(
+                F.when(F.col(eta_col) <= t, F.col(pop_col)).otherwise(F.lit(0))
+            ).cast("bigint").alias(f"pop_within_{t}")
+        )
+    out = eta.groupBy(*group_cols).agg(*aggs)
+    for t in thresholds_s:
+        out = out.withColumn(
+            f"share_{t}",
+            F.when(
+                F.col("pop_total") > 0,
+                F.col(f"pop_within_{t}") / F.col("pop_total"),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out

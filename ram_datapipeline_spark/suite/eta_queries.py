@@ -1024,3 +1024,76 @@ def q_s8_osm_to_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.element_at(coords, -1), 1).alias("last_lon"),
         F.element_at(F.element_at(coords, -1), 2).alias("last_lat"),
     )
+
+
+def _accessibility_oracle(thresholds=(1800, 3600, 7200)) -> str:
+    within = ",\n           ".join(
+        f"CAST(sum(CASE WHEN eta_i <= {t} THEN pop_i ELSE 0 END) AS BIGINT)"
+        f" AS pop_within_{t}"
+        for t in thresholds
+    )
+    shares = ",\n           ".join(
+        f"CASE WHEN sum(pop_i) > 0 THEN "
+        f"CAST(sum(CASE WHEN eta_i <= {t} THEN pop_i ELSE 0 END) AS DOUBLE)"
+        f" / CAST(sum(pop_i) AS DOUBLE) ELSE 0.0 END AS share_{t}"
+        for t in thresholds
+    )
+    return f"""
+    WITH o AS ({ram_domain.ORIGINS_SQL}), p AS ({ram_domain.POIS_SQL}),
+    pop AS (
+      SELECT c_custkey AS origin_id,
+             greatest(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS pop_i
+      FROM customer
+    ),
+    eta AS (
+      SELECT o.origin_id, o.admin_id, p.poi_type,
+             CAST(floor(min(sqrt((o.lon - p.lon) * (o.lon - p.lon)
+                                 + (o.lat - p.lat) * (o.lat - p.lat))
+                            * 111.0 / 120.0 * 3600.0) + 0.5) AS BIGINT) AS eta_i
+      FROM o CROSS JOIN p
+      GROUP BY o.origin_id, o.admin_id, p.poi_type
+    )
+    SELECT e.admin_id, e.poi_type,
+           CAST(sum(pop_i) AS BIGINT) AS pop_total,
+           {within},
+           {shares}
+    FROM eta e JOIN pop ON pop.origin_id = e.origin_id
+    GROUP BY e.admin_id, e.poi_type
+    """
+
+
+@query(
+    "eta_accessibility_index",
+    oracle=_accessibility_oracle(),
+    survey=(
+        "population-weighted accessibility indicator per admin area — the "
+        "aggregation the reference's pop-carrying GeoJSON properties feed "
+        "(index.js:525-541); §3.1's downstream metric"
+    ),
+    tags=("eta", "flagship"),
+)
+def q_eta_accessibility_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (admin area, POI type): total population and the
+    population share within 30/60/120 min of the nearest facility —
+    conditional integer sums in ONE aggregation after the nearest-POI
+    reduce (operators/eta.py::accessibility_index); shares are exact
+    bigint/bigint divisions. Population = floor(c_acctbal·100+0.5)
+    clamped at 0 (the fixture's deterministic pop proxy, as in
+    plans/ram_pipeline.py)."""
+    t = load_tables(spark, sf_dir)
+    o = ram_domain.origins(t["customer"]).join(
+        t["customer"].select(
+            F.col("c_custkey").alias("origin_id"),
+            F.greatest(
+                F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("pop_i"),
+        ),
+        "origin_id",
+    )
+    p = ram_domain.pois(t["supplier"])
+    eta = eta_ops.nearest_poi_eta(
+        o, p, origin_keys=["origin_id", "admin_id", "pop_i"]
+    ).withColumn("eta_i", F.floor(F.col("eta_s") + 0.5).cast("long"))
+    return eta_ops.accessibility_index(eta)

@@ -79,7 +79,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # round-trip (columnar write+read, embarrassingly parallel)
           "pipe_global_index", "dedup_canonical_pick", "k_orc_roundtrip",
           # round-7 late addition: JL projection (zero-shuffle codegen map)
-          "vec_random_projection"]
+          "vec_random_projection",
+          # round-7 late addition: accessibility indicator (one extra
+          # conditional-sum agg after the nearest-POI reduce)
+          "eta_accessibility_index"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

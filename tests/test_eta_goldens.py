@@ -88,3 +88,34 @@ def test_routed_kernel_equals_jvm_path(spark):
     j = routed.join(exact, ["origin_id", "poi_type"], "full")
     assert j.filter(F.col("eta_s") != F.col("eta_exact")).count() == 0
     assert j.filter(F.col("eta_s").isNull() | F.col("eta_exact").isNull()).count() == 0
+
+
+def test_accessibility_index_hand_case(spark):
+    """Conditional-sum semantics: thresholds inclusive, NULL eta counts
+    in the total but no bucket, zero-pop group yields 0.0 shares."""
+    from ram_datapipeline_spark.operators.eta import accessibility_index
+    from pyspark.sql import functions as F
+
+    rows = [
+        # admin, type, eta_i, pop_i
+        (1, "bank", 1800, 10),   # exactly at threshold -> inside
+        (1, "bank", 1801, 20),   # just outside 30m, inside 60m
+        (1, "bank", 9000, 30),   # outside all
+        (1, "bank", None, 40),   # unreachable: total only
+        (2, "bank", 100, 0),     # zero population
+    ]
+    df = spark.createDataFrame(
+        rows, "admin_id int, poi_type string, eta_i long, pop_i long"
+    )
+    out = {
+        (r["admin_id"], r["poi_type"]): r
+        for r in accessibility_index(df).collect()
+    }
+    a = out[(1, "bank")]
+    assert a["pop_total"] == 100
+    assert a["pop_within_1800"] == 10
+    assert a["pop_within_3600"] == 30
+    assert a["pop_within_7200"] == 30
+    assert a["share_3600"] == 30 / 100
+    b = out[(2, "bank")]
+    assert b["pop_total"] == 0 and b["share_1800"] == 0.0
