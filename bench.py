@@ -118,6 +118,7 @@ HEADLINE = [
     "dedup_canonical_pick",  # quality-argmax survivor per dup cluster
     "k_orc_roundtrip",       # columnar ORC sink write + re-read
     "vec_random_projection",  # JL sign-matrix projection (codegen map)
+    "eta_accessibility_index",  # population-weighted share within T
 ]
 
 
