@@ -177,6 +177,7 @@ from ram_datapipeline_spark.streaming import (  # noqa: F401
     session_window_agg,
     sessionize,
     tumbling_window_agg,
+    write_stream_idempotent,
     write_stream_to_parquet,
 )
 

@@ -19,6 +19,8 @@ from ram_datapipeline_spark.streaming.events import (  # noqa: F401
     session_window_agg,
     sessionize,
     tumbling_window_agg,
+    idempotent_batch_writer,
+    write_stream_idempotent,
     write_stream_to_parquet,
 )
 from ram_datapipeline_spark.streaming.oplog import OperationLog  # noqa: F401

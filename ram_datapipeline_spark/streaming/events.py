@@ -307,3 +307,38 @@ def interval_outer_attribution(
             - F.col("view_ts").cast("timestamp").cast("double")
         ).alias("gap_s"),
     )
+
+
+def idempotent_batch_writer(out_path: str):
+    """The foreachBatch body for exactly-once file output WITHOUT a
+    transaction log: each micro-batch lands in its own
+    ``batch_id=<id>`` partition directory with overwrite mode, so a
+    batch RE-DELIVERED after a failure between the data write and the
+    checkpoint commit (Structured Streaming's at-least-once replay
+    window) overwrites its own directory instead of double-appending.
+    Downstream readers see each batch exactly once; the batch_id
+    partition column doubles as a processing audit trail."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return _write
+
+
+def write_stream_idempotent(
+    df: DataFrame, out_path: str, checkpoint: str, query_name: str = "idemsink"
+):
+    """Append-mode streaming sink with exactly-once file semantics via
+    :func:`idempotent_batch_writer` — the no-lakehouse answer to
+    duplicate micro-batches (the complete-mode twin is
+    ``write_stream_to_parquet``). Returns the StreamingQuery."""
+    return (
+        df.writeStream.foreachBatch(idempotent_batch_writer(out_path))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -935,3 +935,44 @@ def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_pairwise_intersection(sk, "g", k=128).select(
         "group_a", "group_b", "theta", "n_common", "est_shared"
     )
+
+
+@query(
+    "w7_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS hour_cents,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS hour_n
+    FROM events
+    """,
+    survey="window frames 2: time-RANGE frame (rolling 1-hour per-user "
+           "totals — value-based bounds, not row counts; §2.5 beyond ref)",
+    tags=("analytic",),
+)
+def q_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ONE-HOUR sum and count of event value per user: a RANGE
+    frame over integer epoch-µs (3 600 000 000 preceding) — unlike the
+    ROWS frame (w4), the frame width follows the DATA's timestamps, so
+    ties and bursts are handled identically in any engine (peers always
+    in-frame). Integer-cent accumulation keeps the sum exact; one
+    user-key exchange, frame evaluation is a per-partition scan."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("hour_cents"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )

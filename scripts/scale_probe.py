@@ -82,7 +82,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "vec_random_projection",
           # round-7 late addition: accessibility indicator (one extra
           # conditional-sum agg after the nearest-POI reduce)
-          "eta_accessibility_index"]
+          "eta_accessibility_index",
+          # round-7 late addition: time-RANGE window frame (one user-key
+          # exchange; frame evaluation is a per-partition ordered scan)
+          "w7_time_range_frame"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

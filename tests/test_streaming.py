@@ -467,3 +467,41 @@ def test_stream_stream_outer_join_emits_null_rows_on_eviction(spark, tmp_path):
     assert safe.count() > 0  # the bound is not vacuous on this fixture
     batch.unpersist()
     got.unpersist()
+
+
+def test_idempotent_sink_survives_batch_redelivery(spark, tmp_path):
+    """write_stream_idempotent: the streamed rows land exactly once;
+    re-delivering a batch (the at-least-once replay window) overwrites
+    its own batch_id directory instead of double-appending, and a NEW
+    batch id appends alongside."""
+    import shutil
+
+    from ram_datapipeline_spark.streaming.events import (
+        idempotent_batch_writer,
+        write_stream_idempotent,
+    )
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "part-0.parquet")
+    out = str(tmp_path / "out")
+    stream = read_events_stream(spark, str(events_dir)).select(
+        "event_id", "user_id", "value"
+    )
+    q = write_stream_idempotent(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    n_src = load_tables(spark, SF_DIR)["events"].count()
+    assert spark.read.parquet(out).count() == n_src
+    batch_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    }
+    # redeliver an existing batch: same rows, same id -> count unchanged
+    redelivered = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "user_id", "value"
+    )
+    idempotent_batch_writer(out)(redelivered, max(batch_ids))
+    assert spark.read.parquet(out).count() == n_src
+    # a genuinely new batch id appends
+    idempotent_batch_writer(out)(redelivered.limit(10), max(batch_ids) + 1)
+    assert spark.read.parquet(out).count() == n_src + 10
