@@ -119,6 +119,7 @@ HEADLINE = [
     "k_orc_roundtrip",       # columnar ORC sink write + re-read
     "vec_random_projection",  # JL sign-matrix projection (codegen map)
     "eta_accessibility_index",  # population-weighted share within T
+    "w7_time_range_frame",   # rolling 1-hour RANGE frame per user
 ]
 
 
