@@ -84,7 +84,7 @@ def test_gated_queries_all_have_oracles():
 # gated the 3 never-proven queries, the 7 whose code changed in r7, and
 # the ENTIRE 40-query r3-proven tier — so after r7 no query's latest
 # driver proof is older than r4. These are the 15 r7-late-born queries
-# plus the 48 r4-proven queries for the r8 window (63 candidates for 50
+# plus the 48 r4-proven queries for the r8 window (65 candidates for 50
 # slots — r8 drops the ~10 most code-stable r4-tier entries to r9; all
 # are oracle-green in the per-round full mirror sweeps),
 # headed by the one r4-proven query whose CODE changed in round 7
@@ -108,6 +108,11 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "vec_random_projection",
     "eta_accessibility_index",
     "w7_time_range_frame",
+    # r5/r6-proven whose code changed late in r7 (oneway handling in
+    # osm_ways_to_road_edges — the window covers the change via
+    # eta_routed_osm_planet; these re-prove the other two CRP scales)
+    "eta_routed_osm_large",
+    "eta_routed_osm_xlarge",
     # r4-proven whose code changed in r7
     "mm_jpeg_flat_roundtrip",
     "a7_operation_log",
