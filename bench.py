@@ -120,6 +120,7 @@ HEADLINE = [
     "vec_random_projection",  # JL sign-matrix projection (codegen map)
     "eta_accessibility_index",  # population-weighted share within T
     "w7_time_range_frame",   # rolling 1-hour RANGE frame per user
+    "dedup_prefix_filter_pairs",  # PPJoin-style exact Jaccard join
 ]
 
 

@@ -99,6 +99,7 @@ from ram_datapipeline_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     near_dedup_survivors,
     ngram_jaccard_pairs,
+    prefix_filter_pairs,
     repeated_spans,
     simhash,
     simhash_pairs,

@@ -209,6 +209,86 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "inter", "union_n", "jaccard")
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (SSJoin/PPJoin family,
+    Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) — the
+    candidate-COMPLETE scale path the banded MinHash tier can't give:
+
+    1. Order each doc's shingles by a global canonical order (document
+       frequency asc, shingle — rarest first).
+    2. Keep each doc's PREFIX of ``n − ⌈t·n⌉ + 1`` rarest shingles: any
+       pair with Jaccard ≥ t MUST share a prefix shingle (pigeonhole
+       under the shared global order), so joining on prefix shingles
+       loses no true pair.
+    3. Length filter: J ≥ t forces ``min(n_a,n_b) ≥ t·max(n_a,n_b)``.
+    4. Exact verification of the surviving candidates only — intersect
+       counts, one final division.
+
+    Same output contract as :func:`ngram_jaccard_pairs` (doc_a, doc_b,
+    inter, union_n, jaccard) and provably the same ROWS — the gated
+    query exploits that as an independent-algorithm check. The scale
+    win: the candidate exchange carries only RARE-shingle postings
+    (the inverted-index join's cost is exactly its hottest, most
+    frequent shingles — those never enter a prefix).
+
+    ``⌈t·n⌉`` is computed in INTEGER arithmetic (t as p/1000:
+    ``(n·p + 999) div 1000``) — a float ceil would misround exactly at
+    the boundary (0.8·5 reads 4.000000000000000222 in IEEE, ceiling to
+    5) and silently shrink prefixes on both engines differently.
+    """
+    p = int(round(threshold * 1000))
+    sh = shingles(df, id_col, text_col)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    ranked = sh.join(freq, "shingle")
+    w = Window.partitionBy(id_col).orderBy("df_", "shingle")
+    wn = Window.partitionBy(id_col)
+    pre = (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "prefix_len",
+            F.expr(f"n - CAST((n * {p} + 999) DIV 1000 AS BIGINT) + 1"),
+        )
+        .filter(F.col("rk") <= F.col("prefix_len"))
+        .select(F.col(id_col).alias("_id"), "shingle", "n")
+    )
+    a = pre.select(
+        F.col("_id").alias("doc_a"), "shingle", F.col("n").alias("_na")
+    )
+    b = pre.select(
+        F.col("_id").alias("doc_b"), "shingle", F.col("n").alias("_nb")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("_na", "_nb") * 1000
+            >= F.greatest("_na", "_nb") * F.lit(p)
+        )
+        .select("doc_a", "doc_b", "_na", "_nb")
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.withColumn("union_n", F.col("_na") + F.col("_nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("union_n"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "union_n", "jaccard")
+
+
 def near_dedup_survivors(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.8
 ) -> DataFrame:

@@ -1418,3 +1418,37 @@ def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = D.connected_components(pairs, t["documents"])
     out = D.canonical_pick(comps, t["documents"], quality_col="n_chars")
     return out.withColumn("is_kept", F.col("is_kept").cast("int"))
+
+
+@query(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_n,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    """,
+    survey="dedup tier 2b: EXACT Jaccard via prefix filtering (SSJoin/"
+           "PPJoin) — candidate-complete without touching hot postings "
+           "(north star)",
+    tags=("dedup",),
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard-0.8 pairs
+    (operators/dedup.py::prefix_filter_pairs): global
+    rarest-first shingle order, per-doc prefix of n−⌈t·n⌉+1 shingles,
+    candidates from prefix-postings only, exact verification after.
+    The oracle is the FULL inverted-index join — a hash match proves
+    the prefix filter dropped no true pair (independent-algorithm
+    completeness check, in the hard signal)."""
+    t = load_tables(spark, sf_dir)
+    return D.prefix_filter_pairs(t["documents"], threshold=0.8)

@@ -85,7 +85,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "eta_accessibility_index",
           # round-7 late addition: time-RANGE window frame (one user-key
           # exchange; frame evaluation is a per-partition ordered scan)
-          "w7_time_range_frame"]
+          "w7_time_range_frame",
+          # round-7 late addition: prefix-filtered exact Jaccard (the
+          # candidate exchange carries only rare-shingle postings)
+          "dedup_prefix_filter_pairs"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

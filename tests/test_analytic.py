@@ -860,3 +860,26 @@ def test_profile_table_kmv_mode_bounds_and_exact_small(spark):
     assert 5000 * 0.7 <= hi <= 5000 * 1.3, hi  # ±3/sqrt(k) ≈ ±19%
     with pytest.raises(ValueError, match="distinct_mode"):
         profile_table(df, distinct_mode="approx")
+
+
+def test_prefix_filter_equals_inverted_index_join(spark):
+    """The PPJoin-style prefix-filtered exact join returns EXACTLY the
+    rows of the full inverted-index Jaccard join — candidate
+    completeness, at two thresholds, on the fixture corpus."""
+    from ram_datapipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    for t in (0.5, 0.8):
+        full = {
+            (r["doc_a"], r["doc_b"], r["inter"], r["union_n"])
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"], r["inter"], r["union_n"])
+            for r in prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        assert pref == full, (t, len(pref), len(full))
+        assert full, f"fixture yields no pairs at t={t}: vacuous test"

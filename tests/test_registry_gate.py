@@ -83,8 +83,8 @@ def test_gated_queries_all_have_oracles():
 # is past-proven or in the current window (nothing invisible). Round 7
 # gated the 3 never-proven queries, the 7 whose code changed in r7, and
 # the ENTIRE 40-query r3-proven tier — so after r7 no query's latest
-# driver proof is older than r4. These are the 15 r7-late-born queries
-# plus the 48 r4-proven queries for the r8 window (65 candidates for 50
+# driver proof is older than r4. These are the 16 r7-late-born queries
+# plus the 48 r4-proven queries for the r8 window (66 candidates for 50
 # slots — r8 drops the ~10 most code-stable r4-tier entries to r9; all
 # are oracle-green in the per-round full mirror sweeps),
 # headed by the one r4-proven query whose CODE changed in round 7
@@ -108,6 +108,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "vec_random_projection",
     "eta_accessibility_index",
     "w7_time_range_frame",
+    "dedup_prefix_filter_pairs",
     # r5/r6-proven whose code changed late in r7 (oneway handling in
     # osm_ways_to_road_edges — the window covers the change via
     # eta_routed_osm_planet; these re-prove the other two CRP scales)
