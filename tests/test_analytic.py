@@ -883,3 +883,30 @@ def test_prefix_filter_equals_inverted_index_join(spark):
         }
         assert pref == full, (t, len(pref), len(full))
         assert full, f"fixture yields no pairs at t={t}: vacuous test"
+
+
+def test_prefix_filter_edges_threshold_one_and_short_docs(spark):
+    """threshold=1.0 (prefix shrinks to the single rarest shingle) still
+    finds exact-duplicate pairs; docs too short to shingle vanish
+    silently from both algorithms."""
+    from ram_datapipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+        (3, "alpha beta gamma delta zeta"),      # near dup
+        (4, "one two"),                          # too short for 3-shingles
+        (5, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             prefix_filter_pairs(df, threshold=1.0).collect()}
+    assert exact == {(1, 2)}
+    full = {(r["doc_a"], r["doc_b"]) for r in
+            ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    pref = {(r["doc_a"], r["doc_b"]) for r in
+            prefix_filter_pairs(df, threshold=0.3).collect()}
+    assert pref == full and (1, 3) in pref

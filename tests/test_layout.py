@@ -217,3 +217,20 @@ def test_global_row_index_single_partition_and_empty(spark):
     assert [(r["id"], r["global_idx"]) for r in got] == [(7, 0)]
     empty = one.filter(F.col("id") < 0)
     assert global_row_index(empty, [F.col("id")], n_partitions=4).count() == 0
+
+
+def test_global_row_index_null_order_keys_first(spark):
+    """NULLs in the order column sort first (Spark ASC default) and get
+    the lowest indexes — same contract as the single-window oracle."""
+    from ram_datapipeline_spark.operators.layout import global_row_index
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 1), (4, None)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["global_idx"]
+        for r in global_row_index(
+            df, [F.col("v"), F.col("id")], n_partitions=3
+        ).collect()
+    }
+    assert got == {2: 0, 4: 1, 3: 2, 1: 3}

@@ -263,3 +263,18 @@ def test_random_projection_matches_python_reference(spark):
     # v2 = 2*v1 exactly (powers of two) -> p(v2) == 2*p(v1) bit-exact
     for j in range(3):
         assert got[2][j] == 2.0 * got[1][j]
+
+
+def test_random_projection_empty_and_null_vectors(spark):
+    """Empty arrays project to 0.0 (the fold's init); NULL vectors
+    propagate NULL coordinates rather than crashing the kernel."""
+    from ram_datapipeline_spark.operators.vectors import random_projection
+
+    df = spark.createDataFrame(
+        [(1, []), (2, None), (3, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in random_projection(df, out_dims=2).collect()}
+    assert rows[1]["p0"] == 0.0 and rows[1]["p1"] == 0.0
+    assert rows[2]["p0"] is None and rows[2]["p1"] is None
+    assert rows[3]["p0"] in (1.0, -1.0)
