@@ -40,7 +40,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # cross-round comparisons have a machine-drift control (VERDICT r5 #4:
 # the recorded r4 number was 16% faster than r4 code achieves on a
 # later day's box). Update this hash each round.
-ANCHOR_COMMIT = "4521e1ac9a0c8e3a3e3da1ccc9c33375bf06e608"  # round-6 final
+ANCHOR_COMMIT = "442745b0b7a3f2b8f7ad47752a303fbae529ad28"  # round-7 final
 
 # One representative per operator family (SURVEY §2 + north-star ops);
 # scale-sensitive choices on purpose: big-table aggs, multi-joins, window,
@@ -137,6 +137,18 @@ def main() -> None:
         except ValueError:
             pass
 
+    # Load context (VERDICT r7 #4): the r7 driver capture disagreed in
+    # sign with three idle-box runs because of concurrent background
+    # load. Record the 1-min load average at start and end so the next
+    # adjudication is mechanical, and warn loudly when the box is busy.
+    load_start = round(os.getloadavg()[0], 2)
+    if load_start > 4:
+        print(
+            f"WARNING: 1-min loadavg {load_start} at bench start — timings "
+            "will be inflated by background load; prefer an idle box",
+            file=sys.stderr,
+        )
+
     spark = get_spark(app_name="ram-datapipeline-bench")
 
     timings: dict[str, float] = {}
@@ -168,6 +180,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
     }
     if os.environ.get("SPARK_GRAFT_ANCHOR", "1") != "0":
         spark.stop()  # free the JVM before the anchor's own session

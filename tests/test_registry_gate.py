@@ -73,6 +73,24 @@ def test_every_family_has_a_driver_proven_representative():
     assert not unrepresented, f"families with no driver-visible row: {unrepresented}"
 
 
+def test_coverage_md_registry_count_in_sync():
+    """VERDICT r7 #6: COVERAGE.md's header count drifted (said 198 at
+    199 registered). Pin the header to ``len(REGISTRY)`` so the drift
+    arrives as a test failure."""
+    import pathlib
+    import re
+
+    text = (
+        pathlib.Path(__file__).resolve().parents[1] / "COVERAGE.md"
+    ).read_text()
+    m = re.search(r"\((\d+) registered", text)
+    assert m, "COVERAGE.md header lost its '(N registered' count"
+    assert int(m.group(1)) == len(Q.REGISTRY), (
+        f"COVERAGE.md says {m.group(1)} registered, REGISTRY has "
+        f"{len(Q.REGISTRY)} — update the header"
+    )
+
+
 def test_gated_queries_all_have_oracles():
     # a gated slot spent on a rows-only query wastes driver signal
     oracleless = [n for n in GATE_ORDER if Q.REGISTRY[n].oracle is None]
@@ -91,6 +109,9 @@ def test_gated_queries_all_have_oracles():
 # (`mm_jpeg_flat_roundtrip` — `decode_jpeg_bytes` was refactored onto
 # the shared `_parse_stream` scaffolding the DC-only path uses).
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    # round-8-born queries (provisional home until the r8 GATE_ORDER
+    # rewrite at round end puts them in the window)
+    "pipe_profile_table_kmv",
     # round-7 late-born queries (window already spent on the r3 tier)
     # — sweep-verified this round, first driver slot is r8's
     "agg_kmv_merge_rollup",
