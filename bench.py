@@ -121,6 +121,9 @@ HEADLINE = [
     "eta_accessibility_index",  # population-weighted share within T
     "w7_time_range_frame",   # rolling 1-hour RANGE frame per user
     "dedup_prefix_filter_pairs",  # PPJoin-style exact Jaccard join
+    # round-8 additions
+    "eta_routed_osm_planet_auto",  # zero-config derived hierarchy (HEM)
+    "pipe_profile_table_kmv",  # KMV-sketched ANALYZE profile
 ]
 
 

@@ -1199,6 +1199,95 @@ def derive_parent_map(
     )
 
 
+def derive_parent_map_topo(
+    ids: DataFrame,
+    adj: DataFrame,
+    child_col: str,
+    parent_col: str,
+    fan: int = 16,
+) -> DataFrame:
+    """Adjacency-aware zero-config parent map (r8 — the rank-only
+    ``derive_parent_map`` groups row-major grid cells into full-width
+    STRIPS whose boundary/interior ratio made the derived hierarchy's
+    overlay closures ~5× the explicit square maps'): deterministic
+    heavy-edge matching over the WEIGHTED child-level adjacency graph
+    — ``log2(fan)`` rounds of maximal matching that always merge the
+    pair of clusters joined by the most cross edges (ties → smallest
+    ids), capped at ``fan`` members. Cross edges ARE the boundary
+    nodes the overlay estimate counts, so merging the heaviest
+    connections first minimizes exactly the quantity that decides
+    hierarchy depth — the multilevel-coarsening step of a real graph
+    partitioner (METIS, OSRM's partition phase), with zero caller
+    configuration. Region-growing alternatives measured far worse
+    here: rank grouping makes full-width strips, BFS balls cut
+    diagonally across road bundles (est 44k / 12.5k vs 350 for HEM on
+    the 16,384-node planet fixture).
+
+    Driver-side by design: the input is the CELL graph, which is ≪
+    nodes by the partition contract (a planet extract is ~1e5-1e6
+    cells — metadata-sized, exactly what the reference's own
+    partitioning step holds centrally). Falls back to
+    ``derive_parent_map`` for anything larger via the caller."""
+    import math
+
+    if fan < 2:
+        raise ValueError("derive_parent_map_topo: fan must be ≥ 2")
+    id_list = sorted(
+        r[0] for r in ids.select(child_col).distinct().collect()
+    )
+    known = set(id_list)
+    w: dict = {}
+    for r in adj.collect():
+        a, b = r[0], r[1]
+        if a == b or a not in known or b not in known:
+            continue
+        cw = int(r[2]) if len(r) > 2 and r[2] is not None else 1
+        k = (a, b) if a < b else (b, a)
+        w[k] = w.get(k, 0) + cw
+
+    root = {i: i for i in id_list}
+
+    def find(x):
+        while root[x] != x:
+            root[x] = root[root[x]]
+            x = root[x]
+        return x
+
+    size = {i: 1 for i in id_list}
+    for _ in range(max(1, int(math.log2(fan)))):
+        if not w:
+            break
+        merged: set = set()
+        for (a, b), _cw in sorted(w.items(), key=lambda kv: (-kv[1], kv[0])):
+            if a in merged or b in merged or size[a] + size[b] > fan:
+                continue
+            merged.add(a)
+            merged.add(b)
+            root[b] = a
+            size[a] += size[b]
+        # contract: re-key edge weights onto the surviving roots
+        nw: dict = {}
+        for (a, b), cw in w.items():
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            k = (ra, rb) if ra < rb else (rb, ra)
+            nw[k] = nw.get(k, 0) + cw
+        w = nw
+    roots = sorted({find(i) for i in id_list})
+    parent_rank = {r: p for p, r in enumerate(roots)}
+    assignment = {i: parent_rank[find(i)] for i in id_list}
+    spark = ids.sparkSession
+    return spark.createDataFrame(
+        sorted(assignment.items()), schema=f"{child_col} long, {parent_col} long"
+    )
+
+
+# Above this many partition ids the driver-side BFS derivation hands
+# over to the rank-only grouping (collect stays metadata-bounded).
+MAX_TOPO_DERIVE_IDS = 2_000_000
+
+
 def _auto_hierarchy_route(
     edges: DataFrame,
     cells: DataFrame,
@@ -1236,7 +1325,37 @@ def _auto_hierarchy_route(
     fan = auto_fan
     level = 0
     while est_k > max_overlay_rows:
-        m = derive_parent_map(cur_ids, "child", "parent", fan).localCheckpoint()
+        # current-level partition adjacency — the same inter-edge
+        # endpoint joins the estimator runs, distinct'd to one row per
+        # touching pair: cell-count-sized metadata
+        adj = (
+            inter.select("src", "dst")
+            .join(
+                node_part.withColumnsRenamed(
+                    {"node_id": "src", "part": "c_a"}
+                ),
+                "src",
+            )
+            .join(
+                node_part.withColumnsRenamed(
+                    {"node_id": "dst", "part": "c_b"}
+                ),
+                "dst",
+            )
+            .where(F.col("c_a") != F.col("c_b"))
+            .groupBy("c_a", "c_b")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        if cur_ids.count() <= MAX_TOPO_DERIVE_IDS:
+            # adjacency-aware compact clustering (r8): rank-only
+            # grouping turns row-major grids into full-width strips
+            # whose boundary cliques made derived-hierarchy closures
+            # ~5× the explicit maps'
+            m = derive_parent_map_topo(
+                cur_ids, adj, "child", "parent", fan
+            ).localCheckpoint()
+        else:
+            m = derive_parent_map(cur_ids, "child", "parent", fan).localCheckpoint()
         maps.append(m)
         node_part = (
             node_part.join(m.withColumnRenamed("child", "part"), "part")

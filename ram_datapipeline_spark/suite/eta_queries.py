@@ -962,6 +962,92 @@ _REG["eta_routed_osm_planet"].oracle = _crp_grid2_oracle_sql()
 
 
 @query(
+    "eta_routed_osm_planet_auto",
+    oracle=None,  # assigned right below (same generated SQL as planet)
+    survey=(
+        "U4 planet scale, ZERO-CONFIG (VERDICT r7 #3): the same "
+        "16,384-node network routed with NO hierarchy maps passed — "
+        "route_many_to_many derives every level itself "
+        "(derive_parent_map rank-coarsening, the reference's "
+        "osm2osrm.sh:32-33 posture: the user never supplies a "
+        "partition), escalating until the overlay estimate fits the "
+        "450-row collect budget"
+    ),
+    tags=("eta", "graph", "osm", "crp"),
+)
+def q_eta_routed_osm_planet_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical semantics (and oracle) to ``eta_routed_osm_planet``,
+    but the caller passes ONLY ``cells`` — no supercells, no regions.
+    ``_auto_hierarchy_route`` derives rank-coarsened parent maps level
+    by level (fan 16, then 4) until the estimated overlay fits the
+    budget; the derived strips differ from the explicit 4×4 squares,
+    so this gate proves in the hard signal what the parity test proves
+    locally: the partition moves cost, never answers
+    (operators/routing.py:1202). All-integer seconds; the oracle is
+    the independent single-level SQL replay."""
+    from ram_datapipeline_spark.operators.routing import route_many_to_many
+    from ram_datapipeline_spark.sources.osm import (
+        osm_ways_to_road_edges,
+        read_osm_nodes,
+        read_osm_ways,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = ram_domain.osm_grid2_fixture_path()
+    nodes = read_osm_nodes(spark, path)
+    ways = read_osm_ways(spark, path)
+    edges = osm_ways_to_road_edges(nodes, ways).select(
+        "src", "dst", F.floor(F.col("w") + 0.5).cast("long").alias("w")
+    )
+    w = ram_domain.GRID2_W
+    cell = ram_domain.GRID2_CELL
+    cx = ram_domain.GRID2_CELLS_X
+    cells = nodes.select(
+        "node_id",
+        F.expr(
+            f"(node_id div {w} div {cell}) * {cx} + "
+            f"(node_id % {w} div {cell})"
+        ).alias("cell"),
+    )
+    n_nodes = w * ram_domain.GRID2_H
+    pois = t["supplier"].select(
+        F.expr("s_suppkey % 3").alias("src_id"),
+        F.expr(
+            f"(s_suppkey * {ram_domain.GRID_POI_MULT}) % {n_nodes}"
+        ).alias("node_id"),
+    )
+    origins = t["customer"].select(
+        F.col("c_custkey").alias("tgt_id"),
+        F.expr(
+            f"(c_custkey * {ram_domain.GRID_ORIGIN_MULT}) % {n_nodes}"
+        ).alias("node_id"),
+    )
+    dist = route_many_to_many(
+        edges,
+        pois,
+        origins,
+        cells=cells,
+        n_cell_squarings=_CRP2_CELL_SQ,
+        n_super_squarings=_CRP2_SUPER_SQ,
+        n_region_squarings=8,
+        n_overlay_rounds=64,
+        max_overlay_rows=450,
+    )
+    poi_type = F.expr(
+        "CASE src_id WHEN 0 THEN 'hospital' WHEN 1 THEN 'school'"
+        " ELSE 'bank' END"
+    )
+    return dist.select(
+        F.col("tgt_id").alias("origin_id"),
+        poi_type.alias("poi_type"),
+        F.col("dist").alias("eta_s"),
+    )
+
+
+_REG["eta_routed_osm_planet_auto"].oracle = _crp_grid2_oracle_sql()
+
+
+@query(
     "s8_osm_to_geojson",
     oracle=f"""
     WITH h AS ({ram_domain.HUBS_SQL}),

@@ -447,6 +447,66 @@ def test_derive_parent_map_balanced_and_deterministic(spark):
         R.derive_parent_map(ids, "cell", "supercell", fan=1)
 
 
+def test_derive_parent_map_topo_merges_heavy_edges_first(spark):
+    """Heavy-edge matching (r8): clusters form along the heaviest
+    cross-edge bundles, respect the fan cap, cover every id, and are
+    re-run-stable. On a 4×4 cell grid whose vertical links are heavier
+    than horizontal ones, fan=4 must recover column blocks (vertical
+    merges first), never id-order strips."""
+    cells = [(c,) for c in range(16)]  # 4×4 grid, id = y*4 + x
+    ids = spark.createDataFrame(cells, "cell long")
+    adj_rows = []
+    for y in range(4):
+        for x in range(4):
+            c = y * 4 + x
+            if x < 3:  # horizontal: weight 1
+                adj_rows.append((c, c + 1, 1))
+            if y < 3:  # vertical: weight 5
+                adj_rows.append((c, c + 4, 5))
+    adj = spark.createDataFrame(adj_rows, "c_a long, c_b long, w long")
+    m = {
+        r["cell"]: r["supercell"]
+        for r in R.derive_parent_map_topo(
+            ids, adj, "cell", "supercell", fan=4
+        ).collect()
+    }
+    assert set(m) == set(range(16))
+    import collections
+
+    sizes = collections.Counter(m.values())
+    assert all(v <= 4 for v in sizes.values())
+    # each column {x, x+4, x+8, x+12} is one cluster
+    for x in range(4):
+        col = {m[x], m[x + 4], m[x + 8], m[x + 12]}
+        assert len(col) == 1, f"column {x} split: {col}"
+    again = {
+        r["cell"]: r["supercell"]
+        for r in R.derive_parent_map_topo(
+            ids, adj, "cell", "supercell", fan=4
+        ).collect()
+    }
+    assert m == again
+    with pytest.raises(ValueError, match="fan"):
+        R.derive_parent_map_topo(ids, adj, "cell", "supercell", fan=1)
+
+
+def test_derive_parent_map_topo_isolated_and_unweighted(spark):
+    """Ids absent from the adjacency stay singleton parents; a 2-column
+    adjacency (no weight column) defaults every pair to weight 1 and
+    still produces a full, fan-capped cover."""
+    ids = spark.createDataFrame([(c,) for c in [1, 2, 3, 9]], "cell long")
+    adj = spark.createDataFrame([(1, 2), (2, 3)], "c_a long, c_b long")
+    m = {
+        r["cell"]: r["supercell"]
+        for r in R.derive_parent_map_topo(
+            ids, adj, "cell", "supercell", fan=4
+        ).collect()
+    }
+    assert set(m) == {1, 2, 3, 9}
+    assert m[1] == m[2] == m[3]  # connected chain merges
+    assert m[9] != m[1]  # isolated cell is its own parent
+
+
 @pytest.mark.parametrize("seed", [11, 29, 47])
 def test_backends_agree_on_random_weighted_grids(spark, seed):
     """Three-way parity on randomized weighted grids: single-level CRP,

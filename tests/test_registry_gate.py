@@ -112,6 +112,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     # round-8-born queries (provisional home until the r8 GATE_ORDER
     # rewrite at round end puts them in the window)
     "pipe_profile_table_kmv",
+    "eta_routed_osm_planet_auto",
     # round-7 late-born queries (window already spent on the r3 tier)
     # — sweep-verified this round, first driver slot is r8's
     "agg_kmv_merge_rollup",
