@@ -240,7 +240,18 @@ def prefix_filter_pairs(
     ``(n·p + 999) div 1000``) — a float ceil would misround exactly at
     the boundary (0.8·5 reads 4.000000000000000222 in IEEE, ceiling to
     5) and silently shrink prefixes on both engines differently.
-    """
+
+    Step 3½ (r8 — VERDICT r7 #5) is PPJoin's POSITIONAL filter (Xiao
+    et al. WWW'08 §3.2), applied inside the same exchange: prefix
+    ranks ``rk`` ride the posting join, and for each candidate pair
+    the FIRST shared prefix token's positions (i*, j*) — the min rank
+    on each side, the same token on both by the shared global order —
+    bound the whole intersection at ``1 + min(n_a−i*, n_b−j*)``
+    (nothing before i*/j* is common, else it would be the first).
+    Candidates whose bound can't reach the minimum overlap
+    ``α = ⌈t·(n_a+n_b)/(1+t)⌉`` are dropped BEFORE verification —
+    all-integer (cross-multiplied by 1000+p), so the cut is exact and
+    the output provably unchanged."""
     p = int(round(threshold * 1000))
     sh = shingles(df, id_col, text_col)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -255,13 +266,15 @@ def prefix_filter_pairs(
             F.expr(f"n - CAST((n * {p} + 999) DIV 1000 AS BIGINT) + 1"),
         )
         .filter(F.col("rk") <= F.col("prefix_len"))
-        .select(F.col(id_col).alias("_id"), "shingle", "n")
+        .select(F.col(id_col).alias("_id"), "shingle", "n", "rk")
     )
     a = pre.select(
-        F.col("_id").alias("doc_a"), "shingle", F.col("n").alias("_na")
+        F.col("_id").alias("doc_a"), "shingle",
+        F.col("n").alias("_na"), F.col("rk").alias("_rka"),
     )
     b = pre.select(
-        F.col("_id").alias("doc_b"), "shingle", F.col("n").alias("_nb")
+        F.col("_id").alias("doc_b"), "shingle",
+        F.col("n").alias("_nb"), F.col("rk").alias("_rkb"),
     )
     cand = (
         a.join(b, "shingle")
@@ -270,8 +283,17 @@ def prefix_filter_pairs(
             F.least("_na", "_nb") * 1000
             >= F.greatest("_na", "_nb") * F.lit(p)
         )
+        .groupBy("doc_a", "doc_b", "_na", "_nb")
+        .agg(F.min("_rka").alias("_ia"), F.min("_rkb").alias("_ib"))
+        # positional filter: (1 + min(n_a−i*, n_b−j*)) ≥ α, cross-
+        # multiplied by (1000+p) so α's ceil never materializes
+        .filter(
+            (F.lit(1) + F.least(
+                F.col("_na") - F.col("_ia"), F.col("_nb") - F.col("_ib")
+            )) * F.lit(1000 + p)
+            >= (F.col("_na") + F.col("_nb")) * F.lit(p)
+        )
         .select("doc_a", "doc_b", "_na", "_nb")
-        .distinct()
     )
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
