@@ -124,6 +124,8 @@ HEADLINE = [
     # round-8 additions
     "eta_routed_osm_planet_auto",  # zero-config derived hierarchy (HEM)
     "pipe_profile_table_kmv",  # KMV-sketched ANALYZE profile
+    "text_ngram_novelty",      # corpus-wide first-occurrence novelty
+    "pipe_global_offsets",     # distributed weighted prefix sum
 ]
 
 

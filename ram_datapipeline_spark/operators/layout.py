@@ -182,6 +182,77 @@ def global_row_index(
     return part.mapInPandas(_number, schema=out_schema).drop("_pid")
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_exprs: list[Column],
+    weight_col: str,
+    n_partitions: int,
+    out_col: str = "offset",
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``weight_col`` over the global
+    ``order_exprs`` order without a single-partition window — the
+    weighted generalization of :func:`global_row_index` (same two-pass
+    shape: one range exchange, a one-long-per-partition driver collect
+    of per-partition weight SUMS, then each partition accumulates
+    itself from its broadcast base in one Arrow pass).
+
+    This is the primitive behind GLOBAL sequence packing: with
+    ``weight_col`` = token counts, ``out_col`` is every document's
+    first-token offset in the corpus-wide concatenated stream, and
+    ``offset div budget`` is its training-sequence id — no shard key
+    needed (``corpus.sequence_packing`` packs within shards precisely
+    to avoid the global window; this removes that constraint). A bare
+    ``sum() OVER (ORDER BY …)`` funnels 100 TB through ONE task.
+
+    Exactness contract: integer weights (the sums are exact longs;
+    NULL weights count as 0). Caller contract: ``order_exprs`` must be
+    a total order (unique tiebreak), or the split between equal rows
+    is partition-dependent.
+    """
+    part = (
+        df.repartitionByRange(n_partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # Bounded driver collect: one (pid, sum) long per partition.
+    sums = {
+        r["_pid"]: int(r["s"] or 0)
+        for r in part.groupBy("_pid")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(sums):
+        offsets[pid] = running
+        running += sums[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(part.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def _accumulate(batches):
+        base = None
+        run = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: pdf.index.astype("int64")})
+                continue
+            if base is None:
+                base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            pdf = pdf.copy()
+            wv = pdf[weight_col].fillna(0).astype("int64")
+            cs = wv.cumsum()
+            pdf[out_col] = base + run + cs - wv  # exclusive of self
+            run += int(wv.sum())
+            yield pdf
+
+    return part.mapInPandas(_accumulate, schema=out_schema).drop("_pid")
+
+
 def compaction_bins(
     parts: DataFrame,
     order_col: str,

@@ -152,6 +152,41 @@ def shingles(
     return src.select(*keep, F.expr(sh).alias("shingle"))
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct word n-grams whose corpus-wide FIRST occurrence (minimum
+    ``id_col``) is this document — the cross-document memorization /
+    freshness signal a pretraining curator reads next to the
+    within-document ``repetition_ratio``. Returns
+    ``(id_col, n_grams, n_novel, novelty)``; documents shorter than
+    ``n`` words have no grams and drop out.
+
+    Plan shape: one shingle explode, a gram-keyed min aggregate
+    (map-side combined — the only corpus-sized exchange), a gram-keyed
+    join back, and a doc-keyed count aggregate. Never a self-join of
+    the corpus; all-integer until the one final division."""
+    sh = shingles(df, id_col, text_col, n)
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(
+                F.when(F.col("_first") == F.col(id_col), F.lit(1))
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.col("n_novel").cast("double") / F.col("n_grams")
+        )
+    )
+
+
 # --- PII scrubbing (training-data hygiene pass) -----------------------------
 #
 # Regex redaction of the classic PII shapes a pretraining pipeline masks

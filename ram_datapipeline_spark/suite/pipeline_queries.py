@@ -1434,6 +1434,47 @@ def q_pipe_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipe_global_offsets",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id, n_chars,
+             CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS tok_offset
+      FROM documents
+    )
+    SELECT doc_id, n_chars, tok_offset,
+           tok_offset // 4096 AS seq_id
+    FROM o
+    """,
+    survey="distributed global prefix sum: every document's first-token "
+           "offset in the corpus-wide concatenated stream + its "
+           "4096-budget training-sequence id, with NO shard key and NO "
+           "single-partition window (north star — global sequence "
+           "packing addressing)",
+    tags=("pipeline", "layout"),
+)
+def q_pipe_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token offsets by exclusive prefix sum of n_chars in
+    doc_id order (operators/layout.py::global_prefix_sum — range
+    exchange, one-long-per-partition collect of partition weight sums,
+    Arrow accumulation from broadcast bases; the weighted twin of
+    pipe_global_index). Unlike pipe_sequence_packing's per-shard
+    window, this addresses the WHOLE corpus stream. The oracle IS the
+    single-window form — same longs, the plan this operator exists to
+    avoid at 100 TB."""
+    from ram_datapipeline_spark.operators.layout import global_prefix_sum
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "n_chars")
+    out = global_prefix_sum(
+        docs, [F.col("doc_id")], "n_chars", n_partitions=16,
+        out_col="tok_offset",
+    )
+    return out.withColumn("seq_id", F.expr("tok_offset div 4096"))
+
+
 def _rp_oracle(out_dims: int = 4) -> str:
     cols = ",\n           ".join(
         "list_reduce(list_transform(generate_series(1, len(embedding)), "

@@ -1452,3 +1452,32 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness check, in the hard signal)."""
     t = load_tables(spark, sf_dir)
     return D.prefix_filter_pairs(t["documents"], threshold=0.8)
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    first_occ AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id, count(*) AS n_grams,
+           count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END) AS n_novel,
+           CAST(count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+                AS DOUBLE) / count(*) AS novelty
+    FROM sh JOIN first_occ f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+    survey="per-document n-gram novelty: fraction of a doc's distinct "
+           "trigrams first seen in this doc (cross-document freshness / "
+           "memorization signal, north star)",
+    tags=("text", "pipeline"),
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty per document (operators/text_ops.py::
+    ngram_novelty): corpus-wide first occurrence = min doc_id per gram,
+    then per-doc novel-gram fraction. One gram-keyed aggregate + join
+    back + one doc-keyed aggregate — never a corpus self-join;
+    all-integer counts, one final division."""
+    t = load_tables(spark, sf_dir)
+    return T.ngram_novelty(t["documents"], n=3)

@@ -234,3 +234,38 @@ def test_global_row_index_null_order_keys_first(spark):
         ).collect()
     }
     assert got == {2: 0, 4: 1, 3: 2, 1: 3}
+
+
+def test_global_prefix_sum_matches_window_form(spark):
+    """Exclusive weighted prefix sums across partitions equal the
+    single-window form, with ties on the order value broken by id and
+    NULL weights counting as 0."""
+    from ram_datapipeline_spark.operators.layout import global_prefix_sum
+
+    rows = [
+        (i, (i * 37) % 50, None if i % 11 == 0 else (i * 13) % 97)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+    out = global_prefix_sum(
+        df, [F.col("v"), F.col("id")], "w", n_partitions=8,
+        out_col="off",
+    ).collect()
+    expect = {}
+    run = 0
+    for r_id, _v, w in sorted(rows, key=lambda r: (r[1], r[0])):
+        expect[r_id] = run
+        run += w or 0
+    got = {r["id"]: r["off"] for r in out}
+    assert got == expect
+    assert len(out) == 400
+
+
+def test_global_prefix_sum_plan_has_no_global_window(spark):
+    from ram_datapipeline_spark.operators.layout import global_prefix_sum
+
+    df = spark.range(100).withColumn("w", F.col("id") % 7)
+    out = global_prefix_sum(df, [F.col("id")], "w", n_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan

@@ -113,6 +113,8 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     # rewrite at round end puts them in the window)
     "pipe_profile_table_kmv",
     "eta_routed_osm_planet_auto",
+    "text_ngram_novelty",
+    "pipe_global_offsets",
     # round-7 late-born queries (window already spent on the r3 tier)
     # — sweep-verified this round, first driver slot is r8's
     "agg_kmv_merge_rollup",
