@@ -63,73 +63,76 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-7 ROTATION (VERDICT r6 next-round #2): the window is spent
-    # on (a) the 3 queries with NO driver proof yet — the two r6-born
-    # queries the judge queued at the head (`pipe_winsorize_caps`,
-    # `pipe_token_budget_select`) plus round 7's new ranked-retrieval
-    # gate — then (b) the 7 queries whose CODE changed in round 7
-    # (zero-config CRP hierarchy derivation, batched-BPE admission
-    # truncation fix, broadcast+Arrow BPE segmenter, DC-only JPEG
-    # aHash + partial-row fix, CMS NULL-key contract, keyword-search
-    # duplicate-term dedupe), then (c) the ENTIRE 40-query r3-proven
-    # tier published as round 6's NEXT_ROUND_ROTATION — after this
-    # round no registered query's latest driver proof is older than
-    # r4. The 48-query r4 tier is queued for r8 (with any r7-born
-    # late queries at its head) in tests/test_registry_gate.py.
+    # ROUND-8 ROTATION (VERDICT r7 next-round #1, spent as published in
+    # round 7's NEXT_ROUND_ROTATION): (a) the 16 r7-born queries with
+    # NO driver proof yet, (b) the two CRP scales whose edge-extraction
+    # code changed late-r7 (oneway handling) plus mm_jpeg_flat_roundtrip
+    # (decode refactored onto the DC-path scaffolding in r7) and
+    # a7_operation_log / eta_routed_osm / s2_origins_scan (r7
+    # code-touch notes in VERDICT's table), (c) the queries BORN or
+    # CHANGED in round 8 (zero-config planet routing, KMV-profile gate,
+    # global prefix sum, n-gram novelty), then (d) as much of the
+    # r4-proven tier as fits, preferring sinks/pipelines/streaming and
+    # anything with operator-level churn over thin suite-only
+    # relational shapes. The ~20 most code-stable r4-tier entries slip
+    # to r9 (published as NEXT_ROUND_ROTATION in
+    # tests/test_registry_gate.py) — flagged in advance, exactly as r7
+    # flagged this round's queue.
     #
-    # never driver-gated (r6-born head-of-queue + r7 NEW)
-    "pipe_winsorize_caps",       # per-group winsorization caps (r6-born)
-    "pipe_token_budget_select",  # token-budget mixture selection (r6-born)
-    "text_keyword_rank_any",     # disjunctive + ranked tf-idf retrieval (r7 NEW)
-    # round-7 CHANGED — re-proven under the new code
-    "eta_routed_osm_planet",     # auto-derived hierarchy dispatcher (r6 #5)
-    "pipe_bpe_merges",           # batched-admission truncation fix (ADVICE r6)
-    "pipe_bpe_merges_batched",   # same trainer, batched mode
-    "pipe_bpe_segment_tokens",   # broadcast+Arrow segmenter ≥512 merges (r6 #4)
-    "agg_count_min_sketch",      # NULL-key filter + contract (ADVICE r6)
-    "text_keyword_search",       # duplicate-term dedupe (ADVICE r6)
-    "mm_image_ahash_dedup",      # DC-only JPEG fast path + all-or-null rows (r6 #3)
-    # r3-latest evidence — the full stale tier, re-proven
-    "dedup_fuzzy_name",
-    "ev_cohort_retention",
-    "ev_cumulative_users",
-    "ev_rolling_active",
-    "graph_clustering_coeff",
-    "graph_common_neighbors",
-    "graph_label_propagation",
-    "j2_point_in_geojson",
-    "j_band_price",
-    "mm_wav_roundtrip",
-    "pipe_chunk_overlap",
-    "pipe_domain_quota",
-    "pipe_incremental_dedup",
-    "pipe_quality_funnel",
-    "pipe_reservoir_topk",
-    "pipe_segment_dedup",
-    "pipe_snapshot_diff",
-    "pipe_split_assign",
-    "q10_returned_items",
-    "q11_important_value",
-    "q12_priority_split",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q19_or_of_ands",
-    "q20_bulk_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "q2_correlated_min",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "sim_sparse_tfidf_pairs",
-    "st_enrich_static",
-    "text_bigram_familiarity",
-    "text_repetition",
-    "ts_cdc_apply",
-    "ts_moving_avg",
-    "vec_label_centroids",
+    # (a) never driver-gated, r7-born — head of the published queue
+    "agg_kmv_merge_rollup",
+    "agg_incremental_maintain",
+    "pipe_zorder_layout",
+    "st_view_click_outer",
+    "agg_kmv_set_algebra",
+    "ts_time_weighted_avg",
+    "pipe_profile_table",        # also r8-touched: exact mode pinned
+    "k_zorder_prune_roundtrip",
+    "pipe_compaction_plan",
+    "pipe_global_index",
+    "dedup_canonical_pick",
+    "k_orc_roundtrip",
+    "vec_random_projection",
+    "eta_accessibility_index",
+    "w7_time_range_frame",
+    "dedup_prefix_filter_pairs",  # also r8-changed: positional filter
+    # (b) code changed late-r7, re-proven under the new code
+    "eta_routed_osm_large",
+    "eta_routed_osm_xlarge",
+    "mm_jpeg_flat_roundtrip",
+    "a7_operation_log",
+    "eta_routed_osm",
+    "s2_origins_scan",
+    # (c) round-8 born
+    "eta_routed_osm_planet_auto",  # zero-config HEM hierarchy (r7 #3)
+    "pipe_profile_table_kmv",      # KMV-profile scale default (r7 #2)
+    "pipe_global_offsets",
+    "text_ngram_novelty",
+    # (d) r4-proven tier, oldest evidence — heavier/churn-adjacent first
+    "ram_full_job",
+    "k1_normalized_roundtrip",
+    "k2_csv_roundtrip",
+    "k3_json_roundtrip",
+    "k4_geojson_roundtrip",
+    "s5_geojson_source",
+    "s8_osm_to_geojson",
+    "st_late_data_drop",
+    "dedup_semantic",
+    "dedup_ngram_containment",
+    "agg_quantile_sketch",
+    "agg_kmv_distinct",
+    "j_bucketed_colocated",
+    "j_salted_skew_join",
+    "j_interval_overlap",
+    "mm_payload_embedding",
+    "mm_png_resize_roundtrip",
+    "mm_wav_downsample",
+    "ts_ohlc_bars",
+    "ts_scd2_intervals",
+    "vec_pq_codes",
+    "sim_recall_at_k",
+    "q1_pricing_summary",
+    "q18_having_join_back",
 )
 
 

@@ -98,91 +98,32 @@ def test_gated_queries_all_have_oracles():
 
 
 # Rotation candidates for the NEXT round's window. Every registered query
-# is past-proven or in the current window (nothing invisible). Round 7
-# gated the 3 never-proven queries, the 7 whose code changed in r7, and
-# the ENTIRE 40-query r3-proven tier — so after r7 no query's latest
-# driver proof is older than r4. These are the 16 r7-late-born queries
-# plus the 48 r4-proven queries for the r8 window (66 candidates for 50
-# slots — r8 drops the ~10 most code-stable r4-tier entries to r9; all
-# are oracle-green in the per-round full mirror sweeps),
-# headed by the one r4-proven query whose CODE changed in round 7
-# (`mm_jpeg_flat_roundtrip` — `decode_jpeg_bytes` was refactored onto
-# the shared `_parse_stream` scaffolding the DC-only path uses).
+# is past-proven or in the current window (nothing invisible). Round 8
+# spent its window on the 16 never-gated r7-born queries, the late-r7
+# code changes (oneway edge extraction, JPEG decode refactor, oplog /
+# osm / origins touches), the 4 r8-born queries, and 24 of the 44
+# remaining r4-tier entries (heavier/churn-adjacent first). These are
+# the 20 r4-proven entries that slipped to r9 — deliberately the most
+# code-stable tier: thin suite-only relational/scalar shapes whose
+# operators have not been touched since r4, each still oracle-green in
+# every per-round full-registry sweep at sf0.01 AND sf0.1.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    # round-8-born queries (provisional home until the r8 GATE_ORDER
-    # rewrite at round end puts them in the window)
-    "pipe_profile_table_kmv",
-    "eta_routed_osm_planet_auto",
-    "text_ngram_novelty",
-    "pipe_global_offsets",
-    # round-7 late-born queries (window already spent on the r3 tier)
-    # — sweep-verified this round, first driver slot is r8's
-    "agg_kmv_merge_rollup",
-    "agg_incremental_maintain",
-    "pipe_zorder_layout",
-    "st_view_click_outer",
-    "agg_kmv_set_algebra",
-    "ts_time_weighted_avg",
-    "pipe_profile_table",
-    "k_zorder_prune_roundtrip",
-    "pipe_compaction_plan",
-    "pipe_global_index",
-    "dedup_canonical_pick",
-    "k_orc_roundtrip",
-    "vec_random_projection",
-    "eta_accessibility_index",
-    "w7_time_range_frame",
-    "dedup_prefix_filter_pairs",
-    # r5/r6-proven whose code changed late in r7 (oneway handling in
-    # osm_ways_to_road_edges — the window covers the change via
-    # eta_routed_osm_planet; these re-prove the other two CRP scales)
-    "eta_routed_osm_large",
-    "eta_routed_osm_xlarge",
-    # r4-proven whose code changed in r7
-    "mm_jpeg_flat_roundtrip",
-    "a7_operation_log",
     "agg_distinct_count",
-    "agg_kmv_distinct",
-    "agg_quantile_sketch",
     "agg_rollup_revenue",
-    "dedup_ngram_containment",
-    "dedup_semantic",
-    "eta_routed_osm",
     "f_polygon_shoelace",
     "j1_inner_equijoin",
     "j6_positional_explode",
-    "j_bucketed_colocated",
     "j_full_outer_reconcile",
-    "j_interval_overlap",
-    "j_salted_skew_join",
-    "k1_normalized_roundtrip",
-    "k2_csv_roundtrip",
-    "k3_json_roundtrip",
-    "k4_geojson_roundtrip",
-    "mm_payload_embedding",
-    "mm_png_resize_roundtrip",
     "mm_resize_meta",
-    "mm_wav_downsample",
     "p3_negated_predicate",
     "p7_scalar_subquery",
     "q13_outer_join_custdist",
-    "q18_having_join_back",
-    "q1_pricing_summary",
     "q4_exists_correlated",
     "q6_pushdown_revenue",
-    "ram_full_job",
-    "s2_origins_scan",
     "s3_settings_json_decode",
-    "s5_geojson_source",
-    "s8_osm_to_geojson",
     "semi_anti_join",
     "set_intersect_except",
-    "sim_recall_at_k",
-    "st_late_data_drop",
-    "ts_ohlc_bars",
-    "ts_scd2_intervals",
     "vec_normalize",
-    "vec_pq_codes",
     "vec_quantize_int8",
     "w4_moving_window_frame",
     "w5_lag_lead_gaps",
