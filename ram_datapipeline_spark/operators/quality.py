@@ -302,14 +302,33 @@ def profile_table(
 
     At 100 TB the exact count-distinct expansion is the costly part
     (the measured 8×-probe ratio is 4.09× versus ~1.5× for the other
-    single-agg profiles) — ``distinct_mode="kmv"`` replaces it with the
-    KMV bottom-k estimator per column: each column becomes a
-    column-pruned ``distinct → TakeOrdered(k)`` branch whose final
-    exchange carries k rows instead of the expand, the same trade
-    ``dq_checks(distinct_mode="kmv")`` makes. Columns with fewer than
+    single-agg profiles) — ``distinct_mode="kmv"`` replaces it with a
+    per-column KMV bottom-k estimator. Columns with fewer than
     ``kmv_k`` distinct values stay EXACT by construction (the sketch
     saw them all). In kmv mode ``n_distinct`` is a double estimate;
     nulls/min/max stay single-pass exact either way.
+
+    The kmv branch is engineered around the r8 64×-probe findings
+    (hashing, not the exchange, dominated: md5+conv reads ~27× the
+    cost of arithmetic hashing):
+
+    - INTEGER columns hash by a Weyl/LCG map — pure BIGINT arithmetic
+      ``((v % 2³¹ + 2³¹) % 2³¹ · 1103515245 + 12345) % 2³¹ / 2³¹`` —
+      exact and identical in any engine, ~an order of magnitude
+      cheaper than md5; a deterministic threshold prefilter
+      (``64·k/n_rows``, certified by a bounded count and dropped when
+      a duplicate-heavy column leaves < k distinct survivors) keeps
+      the per-column exchange at ~64·k values instead of the column's
+      cardinality. The certified result is IDENTICAL to the
+      unfiltered computation's (≥ k survivors ⟹ the k smallest
+      distinct draws all sit below the threshold), so a replay needn't
+      model the threshold at all.
+    - STRING (and other non-integer) columns hash by md5
+      (``sketches.kmv_uniform`` — the only portable string hash), with
+      a DISTINCT-on-raw-values pass FIRST so duplicate-heavy columns
+      collapse map-side before any hashing; a near-unique string
+      column pays one raw-value exchange, the same cost class as the
+      hash pass it replaces.
 
     ``distinct_mode="auto"`` (the default since round 8 — VERDICT r7
     #2: the exact expand read 26.9× at the 64× probe) picks per CALL
@@ -366,15 +385,52 @@ def profile_table(
 
     from ram_datapipeline_spark.operators.sketches import kmv_uniform
 
+    int_types = ("int", "bigint", "smallint", "tinyint")
+    dtypes = dict(df.dtypes)
+    n_rows = df.count()
+    thr = min(1.0, (64.0 * kmv_k) / max(n_rows, 1))
     ests = None
     for c in df.columns:
-        mins = (
-            df.select(kmv_uniform(F.col(c)).alias("_u"))
-            .where(F.col("_u").isNotNull())
-            .distinct()
-            .orderBy("_u")
-            .limit(kmv_k)
-        )
+        if dtypes[c] in int_types:
+            # Weyl/LCG arithmetic draw — exact BIGINT ops, no overflow:
+            # max intermediate (2³¹−1)·1103515245 + 12345 < 2⁶³
+            u = (
+                F.expr(
+                    f"((CAST(`{c}` AS BIGINT) % 2147483648 + 2147483648) "
+                    f"% 2147483648 * 1103515245 + 12345) % 2147483648"
+                ).cast("double")
+                / F.lit(float(1 << 31))
+            )
+            target = df.select(u.alias("_u")).where(F.col("_u").isNotNull())
+            mins = None
+            if thr < 1.0:
+                filtered = (
+                    target.where(F.col("_u") < F.lit(thr))
+                    .distinct()
+                    .orderBy("_u")
+                    .limit(kmv_k)
+                    # eager, tiny (≤ k rows): the certify count and the
+                    # final aggregate both read the checkpoint — the
+                    # column is scanned once
+                    .localCheckpoint()
+                )
+                if filtered.count() >= kmv_k:
+                    mins = filtered
+            if mins is None:
+                # duplicate-heavy column (< k distinct draws below thr
+                # ⟹ cardinality < k/thr ≈ n_rows/64): the unfiltered
+                # distinct collapses map-side, so the fallback and the
+                # expensive case never coincide
+                mins = target.distinct().orderBy("_u").limit(kmv_k)
+        else:
+            # distinct raw values FIRST, md5 only the survivors
+            vals = df.select(F.col(c)).where(F.col(c).isNotNull()).distinct()
+            mins = (
+                vals.select(kmv_uniform(F.col(c)).alias("_u"))
+                .distinct()
+                .orderBy("_u")
+                .limit(kmv_k)
+            )
         est = mins.agg(
             F.lit(c).alias("col_name"),
             F.when(

@@ -1232,16 +1232,22 @@ def derive_parent_map_topo(
 
     if fan < 2:
         raise ValueError("derive_parent_map_topo: fan must be ≥ 2")
+    # Arrow transfer (toPandas), not row collect — the cell graph is
+    # metadata-sized but can still be millions of rows at planet scale
     id_list = sorted(
-        r[0] for r in ids.select(child_col).distinct().collect()
+        int(v) for v in ids.select(child_col).distinct().toPandas().iloc[:, 0]
     )
     known = set(id_list)
+    import pandas as pd
+
+    adj_pdf = adj.toPandas()
+    has_w = adj_pdf.shape[1] > 2
     w: dict = {}
-    for r in adj.collect():
-        a, b = r[0], r[1]
+    for t in adj_pdf.itertuples(index=False):
+        a, b = int(t[0]), int(t[1])
         if a == b or a not in known or b not in known:
             continue
-        cw = int(r[2]) if len(r) > 2 and r[2] is not None else 1
+        cw = int(t[2]) if has_w and not pd.isna(t[2]) else 1
         k = (a, b) if a < b else (b, a)
         w[k] = w.get(k, 0) + cw
 

@@ -1278,15 +1278,33 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_u_int_sql(col: str) -> str:
+    """The integer-column Weyl/LCG draw profile_table's kmv mode uses —
+    pure BIGINT arithmetic, bit-identical in any engine."""
+    return (
+        f"((CAST({col} AS BIGINT) % 2147483648 + 2147483648) "
+        f"% 2147483648 * 1103515245 + 12345) % 2147483648 "
+        "/ 2147483648.0"
+    )
+
+
 def _profile_kmv_oracle(k: int = 64) -> str:
     from ram_datapipeline_spark.suite.analytic_queries import _kmv_u_sql
 
+    # (numeric min/max expr, u-draw expr) per column: integer columns
+    # take the arithmetic LCG draw, string columns the md5 draw — the
+    # same per-type split the engine makes. The replay is UNfiltered:
+    # the engine's threshold prefilter is certified to change nothing.
     cols = {
-        "o_orderkey": "CAST(o_orderkey AS DOUBLE)",
-        "o_custkey": "CAST(o_custkey AS DOUBLE)",
-        "o_orderstatus": "CAST(NULL AS DOUBLE)",
-        "o_orderpriority": "CAST(NULL AS DOUBLE)",
-        "o_orderdate_us": "CAST(o_orderdate_us AS DOUBLE)",
+        "o_orderkey": ("CAST(o_orderkey AS DOUBLE)", _kmv_u_int_sql("o_orderkey")),
+        "o_custkey": ("CAST(o_custkey AS DOUBLE)", _kmv_u_int_sql("o_custkey")),
+        "o_orderstatus": ("CAST(NULL AS DOUBLE)", _kmv_u_sql("o_orderstatus")),
+        "o_orderpriority": (
+            "CAST(NULL AS DOUBLE)", _kmv_u_sql("o_orderpriority")
+        ),
+        "o_orderdate_us": (
+            "CAST(o_orderdate_us AS DOUBLE)", _kmv_u_int_sql("o_orderdate_us")
+        ),
     }
     parts = [
         f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
@@ -1295,12 +1313,12 @@ def _profile_kmv_oracle(k: int = 64) -> str:
                                 THEN CAST(count(*) AS DOUBLE)
                                 ELSE {k - 1} / max(u) END
                     FROM (SELECT u FROM (
-                            SELECT DISTINCT {_kmv_u_sql(c)} AS u
+                            SELECT DISTINCT {u_sql} AS u
                             FROM o2 WHERE {c} IS NOT NULL)
                           ORDER BY u LIMIT {k})) AS n_distinct,
                    min({e}) AS min_num, max({e}) AS max_num
             FROM o2"""
-        for c, e in cols.items()
+        for c, (e, u_sql) in cols.items()
     ]
     body = " UNION ALL ".join(parts)
     return f"""

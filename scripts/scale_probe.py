@@ -88,7 +88,15 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "w7_time_range_frame",
           # round-7 late addition: prefix-filtered exact Jaccard (the
           # candidate exchange carries only rare-shingle postings)
-          "dedup_prefix_filter_pairs"]
+          "dedup_prefix_filter_pairs",
+          # round-8 additions: KMV profile (the scale default — each
+          # column's final exchange carries k rows, not the exact
+          # expand), global prefix sum (range exchange + Arrow pass,
+          # both linear), novelty (two map-side-combined gram/doc
+          # aggregates), zero-config planet routing (fixed network,
+          # scaled origins/POIs — derivation cost is cell-graph-bound)
+          "pipe_profile_table_kmv", "pipe_global_offsets",
+          "text_ngram_novelty", "eta_routed_osm_planet_auto"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -862,6 +862,39 @@ def test_profile_table_kmv_mode_bounds_and_exact_small(spark):
         profile_table(df, distinct_mode="approx")
 
 
+def test_profile_table_kmv_threshold_certify_and_fallback_exact(spark):
+    """r8 kmv branch: with k small enough that the deterministic
+    threshold prefilter engages (thr = 64k/n < 1), a near-unique int
+    column goes through the CERTIFIED filtered path and a
+    duplicate-heavy int column through the unfiltered fallback — and
+    BOTH must equal a driver-side replay of the plain (unfiltered)
+    LCG bottom-k computation, proving the threshold machinery changes
+    nothing."""
+    from ram_datapipeline_spark.operators.quality import profile_table
+
+    n, k = 4000, 8  # thr = 64*8/4000 = 0.128 < 1
+    df = spark.range(n).select(
+        F.col("id").alias("hi"),          # 4000 distincts — certified path
+        (F.col("id") % 3).alias("lo"),    # 3 distincts — fallback path
+    )
+    out = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_table(df, distinct_mode="kmv", kmv_k=k).collect()
+    }
+
+    def lcg_u(v: int) -> float:
+        return ((v % 2**31 + 2**31) % 2**31 * 1103515245 + 12345) % 2**31 / 2.0**31
+
+    def replay(values) -> float:
+        us = sorted({lcg_u(v) for v in values})
+        return float(len(us)) if len(us) < k else (k - 1) / us[k - 1]
+
+    assert out["hi"] == replay(range(n))
+    assert out["lo"] == replay([0, 1, 2]) == 3.0
+    # sanity: the certified estimate is actually close to the truth
+    assert n * 0.5 <= out["hi"] <= n * 2.0, out["hi"]
+
+
 def test_profile_table_auto_mode_switches_on_plan_size(spark):
     """distinct_mode='auto' (the r8 default — VERDICT r7 #2) picks the
     branch from Catalyst's metadata size estimate: below the threshold
@@ -915,6 +948,44 @@ def test_prefix_filter_equals_inverted_index_join(spark):
         }
         assert pref == full, (t, len(pref), len(full))
         assert full, f"fixture yields no pairs at t={t}: vacuous test"
+
+
+def test_positional_filter_prunes_impossible_candidates(spark):
+    """The r8 positional filter must reject a candidate pair whose
+    first shared prefix token sits too DEEP on both sides to reach the
+    minimum overlap — here docs 1/2 share only their rarest shingle
+    (prefix-joinable) but can't reach Jaccard 0.5, so the pair must be
+    absent from the output AND the positional bound alone (not the
+    verification step) must already cut it: α = ⌈0.5·(n_a+n_b)/1.5⌉ =
+    ⌈0.5·12/1.5⌉ = 4 > 1 + min(n−i*) when the shared token is last in
+    both prefixes. Output equality with the full join is asserted too,
+    so the filter can only ever prune, never drop."""
+    from ram_datapipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    rows = [
+        # 6 shingles each (8 words), exactly one shared rare shingle
+        # ("x y z" appears in both, nothing else overlaps)
+        (1, "a1 a2 a3 a4 a5 x y z"),
+        (2, "b1 b2 b3 b4 b5 x y z"),
+        # an actual near-dup pair to keep the test non-vacuous
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),
+        (4, "c1 c2 c3 c4 c5 c6 c7 c9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_pairs(df, threshold=0.5).collect()
+    }
+    assert pref == full
+    assert (3, 4) in pref
+    assert (1, 2) not in pref
 
 
 def test_prefix_filter_edges_threshold_one_and_short_docs(spark):
