@@ -80,14 +80,16 @@ def test_coverage_md_registry_count_in_sync():
     import pathlib
     import re
 
-    text = (
-        pathlib.Path(__file__).resolve().parents[1] / "COVERAGE.md"
-    ).read_text()
-    m = re.search(r"\((\d+) registered", text)
+    root = pathlib.Path(__file__).resolve().parents[1]
+    m = re.search(r"\((\d+) registered", (root / "COVERAGE.md").read_text())
     assert m, "COVERAGE.md header lost its '(N registered' count"
     assert int(m.group(1)) == len(Q.REGISTRY), (
         f"COVERAGE.md says {m.group(1)} registered, REGISTRY has "
         f"{len(Q.REGISTRY)} — update the header"
+    )
+    m2 = re.search(r"(\d+) registered queries", (root / "README.md").read_text())
+    assert m2 and int(m2.group(1)) == len(Q.REGISTRY), (
+        "README.md query count out of sync with REGISTRY"
     )
 
 
