@@ -386,3 +386,22 @@ def test_profile_table_single_scan_two_phase_distinct(spark):
     assert n_ops(p, "Scan parquet") == 1
     assert n_data_shuffles(p) == 2
     assert "Python" not in p and "Arrow" not in p
+
+
+def test_ngram_novelty_no_self_join_bounded_shuffles(spark):
+    """Novelty is two map-side-combined aggregates and a gram-keyed
+    join — never a cartesian/nested-loop corpus self-join; the only
+    exchanges are the gram agg, the gram join, and the doc agg."""
+    p = plan_text(spark, "text_ngram_novelty")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p and "Arrow" not in p  # pure JVM expressions
+    assert n_data_shuffles(p) <= 4, p
+
+
+def test_global_offsets_no_window_range_exchange(spark):
+    """The registered gate (not just the operator) must carry the
+    two-pass shape: one range exchange, no Window anywhere."""
+    p = plan_text(spark, "pipe_global_offsets")
+    assert n_ops(p, "Window") == 0
+    assert "rangepartitioning" in p.lower()
