@@ -126,6 +126,10 @@ HEADLINE = [
     "pipe_profile_table_kmv",  # KMV-sketched ANALYZE profile
     "text_ngram_novelty",      # corpus-wide first-occurrence novelty
     "pipe_global_offsets",     # distributed weighted prefix sum
+    "text_bm25_rank",          # BM25 retrieval, rational idf
+    "dedup_sorted_neighborhood",  # SNM sort-based blocking
+    "pipe_systematic_sample",  # weight-proportional systematic sample
+    "ts_anomaly_zscore",       # integer-exact rolling z-score flags
 ]
 
 

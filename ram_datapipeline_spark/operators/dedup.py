@@ -674,3 +674,81 @@ def semantic_dedup(
             (F.coalesce("n_close_lower", F.lit(0)) == 0).alias("kept"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_len: int = 24,
+    window: int = 3,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    n_partitions: int = 16,
+) -> DataFrame:
+    """Sorted-Neighborhood Method (SNM) blocking — the sort-based
+    alternative to hash blocking (LSH bands, simhash words): sort the
+    corpus once by a cheap blocking key (here the lowercased text
+    prefix), then compare each record only to its ``window`` successors
+    in that global order, verifying candidates with an exact
+    distinct-token Jaccard at ``threshold_num/threshold_den``
+    (integer cross-multiplication — no float similarity).
+
+    Scale shape: the global order comes from
+    :func:`~ram_datapipeline_spark.operators.layout.global_row_index`
+    (one range exchange + a one-long-per-partition collect — never a
+    single-partition window); the neighbor expansion is a bounded
+    ``explode`` of ``window`` offsets joined back by rank EQUALITY
+    (an equi-join Catalyst shuffles on the rank — no theta join, no
+    corpus self-join); verification intersects the two carried
+    distinct-token arrays JVM-side. Candidates are exactly
+    ``window × N`` — linear in the corpus, the SNM guarantee.
+
+    Output: (doc_a, doc_b, rank_gap, inter, uni) for pairs at or above
+    the threshold, doc_a the earlier rank. Deterministic: the sort key
+    is (prefix, id).
+    """
+    from ram_datapipeline_spark.operators.layout import global_row_index
+
+    if window <= 0:
+        raise ValueError("sorted_neighborhood_pairs: window must be positive")
+    keyed = df.select(
+        F.col(id_col),
+        F.substring(F.lower(F.col(text_col)), 1, key_len).alias("_k"),
+        F.array_sort(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("_toks"),
+    )
+    ranked = global_row_index(
+        keyed, [F.col("_k"), F.col(id_col)], n_partitions, idx_col="_rn"
+    ).select(id_col, "_rn", "_toks")
+    probe = ranked.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_toks").alias("_ta"),
+        F.col("_rn").alias("_ra"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, window + 1)])
+        ).alias("_off"),
+    ).withColumn("_rb", F.col("_ra") + F.col("_off"))
+    cand = probe.join(
+        ranked.select(
+            F.col(id_col).alias("doc_b"),
+            F.col("_toks").alias("_tb"),
+            F.col("_rn").alias("_rb"),
+        ),
+        "_rb",
+    )
+    scored = cand.select(
+        "doc_a",
+        "doc_b",
+        F.col("_off").cast("long").alias("rank_gap"),
+        F.size(F.array_intersect("_ta", "_tb")).cast("long").alias("inter"),
+        (
+            F.size("_ta").cast("long")
+            + F.size("_tb").cast("long")
+            - F.size(F.array_intersect("_ta", "_tb")).cast("long")
+        ).alias("uni"),
+    )
+    return scored.where(
+        F.col("inter") * threshold_den >= threshold_num * F.col("uni")
+    )

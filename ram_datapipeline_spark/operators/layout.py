@@ -281,3 +281,59 @@ def compaction_bins(
     return parts.withColumn(
         "bin", F.floor(before / F.lit(target_bytes)).cast("long")
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    order_exprs: list[Column],
+    weight_col: str,
+    k: int,
+    n_partitions: int,
+    offset_col: str = "offset",
+    picks_col: str = "n_picks",
+) -> DataFrame:
+    """Weight-proportional SYSTEMATIC sampling — the deterministic,
+    integer-exact alternative to Efraimidis–Spirtes key sampling
+    (whose ``u^(1/w)`` needs libm and a RNG): lay every row's weight
+    end-to-end on the global line via :func:`global_prefix_sum`, then
+    select the rows whose interval ``(offset, offset + w]`` contains a
+    multiple of ``step = total div k``. Selection probability is
+    exactly proportional to weight (a row of weight ``w`` owns ``w``
+    points of the line and is hit by ``~w/step`` of the ``k`` evenly
+    spaced probes); heavy rows can be hit multiple times —
+    ``picks_col`` carries the exact multiplicity, so downstream
+    token-budget mixtures can honor it.
+
+    Engine-portable by construction: all arithmetic is BIGINT and
+    every quantity is non-negative, so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree. The only non-map stages are the
+    prefix sum's range exchange and a broadcast 1-row total.
+
+    Output: input columns + ``offset_col`` (exclusive prefix sum) +
+    ``picks_col`` >= 1, filtered to selected rows (~k of them).
+    """
+    if k <= 0:
+        raise ValueError("systematic_sample: k must be positive")
+    pref = global_prefix_sum(
+        df, order_exprs, weight_col, n_partitions, out_col=offset_col
+    )
+    total = df.agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_total")
+    ).select(
+        F.greatest(F.expr(f"_total div {k}"), F.lit(1).cast("long")).alias(
+            "_step"
+        )
+    )
+    out = (
+        pref.crossJoin(F.broadcast(total))
+        .withColumn(
+            picks_col,
+            F.expr(
+                f"(({offset_col} + CAST(coalesce({weight_col}, 0) AS BIGINT))"
+                f" div _step) - ({offset_col} div _step)"
+            ),
+        )
+        .where(F.col(picks_col) >= 1)
+        .drop("_step")
+    )
+    return out

@@ -442,3 +442,127 @@ def profile_table(
         "col_name", "n_rows", "n_nulls",
         F.col("_est").alias("n_distinct"), "min_num", "max_num",
     )
+
+
+def equiwidth_histogram(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    bins: int = 10,
+    value_name: str = "bin_lo",
+) -> DataFrame:
+    """Per-group equi-width histogram over an INTEGER measure — the
+    distribution half of :func:`profile_table` (which summarizes;
+    this shapes). All arithmetic is BIGINT on non-negative spans, so
+    the bin assignment ``((x - lo) * bins) div (hi - lo + 1)`` replays
+    bit-exact in any engine — no float bin edges, no boundary drift.
+
+    Scale shape: one grouped min/max aggregate (map-side combined,
+    group-cardinality-sized result) broadcast-joined back, then one
+    grouped count on (group, bin) — two small shuffles, no window, no
+    sort. Degenerate groups (hi == lo) land everything in bin 0.
+
+    Output: group_cols + (bin, ``value_name`` = inclusive lower edge,
+    cnt), <= bins rows per group.
+    """
+    if bins <= 0:
+        raise ValueError("equiwidth_histogram: bins must be positive")
+    v = value.cast("long").alias("_v")
+    base = df.select(*group_cols, v)
+    rng = base.groupBy(*group_cols).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    binned = base.join(F.broadcast(rng), group_cols).withColumn(
+        "bin",
+        F.expr(f"least({bins} - 1, ((_v - _lo) * {bins}) div (_hi - _lo + 1))"),
+    )
+    return (
+        binned.groupBy(*group_cols, "bin")
+        .agg(
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            *group_cols,
+            F.col("bin").cast("long").alias("bin"),
+            F.expr(f"_lo + (bin * (_hi - _lo + 1)) div {bins}").alias(
+                value_name
+            ),
+            F.col("cnt"),
+        )
+    )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Median/MAD robust outlier detection per group, INTEGER-EXACT:
+    flags ``|x - median| > (k_num/k_den) * MAD`` without ever forming
+    a float — medians are carried as ``2x`` sums of the two middle
+    order statistics (``med2``; equal middles when n is odd), absolute
+    deviations as ``dev = |2x - med2|`` (= 2|x - median|), the MAD as
+    ``mad2`` (the med2 of dev, = 4*MAD), and the flag as the
+    cross-multiplied ``2 * k_den * dev > k_num * mad2``.
+
+    Scale shape: two rounds of (group-partitioned rank window → two
+    middle rows → group-sized aggregate broadcast back) — windows are
+    always partitioned by the group key (never single-partition), the
+    per-group stats tables are group-cardinality-sized broadcasts, and
+    the final count is one map-side-combined aggregate.
+
+    Output per group: (group_cols..., n, med2, mad2, n_outliers).
+    """
+    from pyspark.sql import Window
+
+    v = value.cast("long").alias("_v")
+    base = df.select(*group_cols, v)
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    wc = Window.partitionBy(*group_cols)
+    ranked = base.select(
+        *group_cols,
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_cnt"),
+    )
+    mids = "(_cnt + 1) div 2", "(_cnt + 2) div 2"
+    med = ranked.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"CASE WHEN _rn = {mids[0]} THEN _v ELSE 0 END")
+            + F.expr(f"CASE WHEN _rn = {mids[1]} THEN _v ELSE 0 END")
+        ).alias("med2"),
+    )
+    dev = base.join(F.broadcast(med), group_cols).withColumn(
+        "_dev", F.abs(2 * F.col("_v") - F.col("med2"))
+    )
+    wd = Window.partitionBy(*group_cols).orderBy("_dev")
+    dranked = dev.select(
+        *group_cols,
+        "_dev",
+        F.row_number().over(wd).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_cnt"),
+    )
+    mad = dranked.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"CASE WHEN _rn = {mids[0]} THEN _dev ELSE 0 END")
+            + F.expr(f"CASE WHEN _rn = {mids[1]} THEN _dev ELSE 0 END")
+        ).alias("mad2")
+    )
+    flagged = dev.join(F.broadcast(mad), group_cols).withColumn(
+        "_out",
+        (2 * k_den * F.col("_dev") > k_num * F.col("mad2")).cast("long"),
+    )
+    return (
+        flagged.groupBy(*group_cols)
+        .agg(
+            F.max("med2").alias("med2"),
+            F.max("mad2").alias("mad2"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_out").alias("n_outliers"),
+        )
+        .select(*group_cols, "n", "med2", "mad2", "n_outliers")
+    )

@@ -413,3 +413,156 @@ def keyword_search_ranked(
     if mode == "all":
         scored = scored.where(F.col("matched_terms") == len(tl))
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = None,
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25-graded disjunctive retrieval (Robertson/Sparck-Jones) —
+    the saturation-weighted upgrade of ``keyword_search_ranked``:
+    top-``k`` documents for a term set, scored by a DETERMINISTIC
+    BM25 with k1 = 6/5 and b = 3/4 held as exact rationals.
+
+    Engine-portable scoring, no libm: the classic BM25 idf
+    ``ln((N-df+0.5)/(df+0.5))`` is replaced by its argument as an
+    exact rational ``(2N-2df+1)/(2df+1)`` (same ordering — ln is
+    monotone — and no transcendental, so DuckDB replays it exactly).
+    The tf-saturation term with k1=6/5, b=3/4 and dl/avgdl expanded
+    through avgdl = total_len/N becomes the exact integer ratio
+
+        tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+          = 22·tf·total_len / (10·tf·total_len + 3·total_len + 9·dl·N)
+
+    Each per-term score is evaluated as a pinned-order double product
+    of the two ratios (IEEE division/multiplication is exactly
+    specified, so both engines produce the identical double), floored
+    to a ``scale``-scaled BIGINT, then SUMMED as integers — float
+    addition order never matters. Ties break on the id: the cut is
+    total-ordered and re-run/engine stable.
+
+    Scale shape (same as keyword_search_ranked): tokens are filtered
+    to the query's terms BEFORE the only corpus exchange; df_t is a
+    window over the posting-sized table; N and total_len ride a
+    broadcast 1-row aggregate; the cut is a TakeOrdered. ``len_col``
+    names a pre-materialized document-length column (e.g. n_chars) so
+    the corpus is tokenized once, not twice; default derives token
+    counts inline.
+
+    Output: (id, matched_terms, score), <= k rows, score BIGINT.
+    """
+    from pyspark.sql import Window
+
+    if not terms:
+        raise ValueError("bm25_rank: empty term list")
+    if k <= 0:
+        raise ValueError("bm25_rank: k must be positive")
+    tl = sorted({t.lower() for t in terms})
+    dl = (
+        F.col(len_col).cast("long")
+        if len_col
+        else F.size(tokens(F.lower(F.col(text_col)))).cast("long")
+    )
+    base = df.select(F.col(id_col), dl.alias("dl"), F.col(text_col))
+    tf = (
+        base.select(
+            F.col(id_col),
+            F.col("dl"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .where(F.col("term").isin(tl))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    per_term = (
+        tf.withColumn(
+            "df_t",
+            F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"),
+        )
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "score_t",
+            F.expr(
+                f"CAST(FLOOR({scale}.0"
+                " * (CAST(2 * n_docs - 2 * df_t + 1 AS DOUBLE)"
+                "    / CAST(2 * df_t + 1 AS DOUBLE))"
+                " * (CAST(22 * tf * total_len AS DOUBLE)"
+                "    / CAST(10 * tf * total_len + 3 * total_len"
+                "           + 9 * dl * n_docs AS DOUBLE))) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.sum("score_t").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Type-token Gini diversity per document — an integer-exact
+    repetition/quality signal: ``1 - sum(tf_i^2)/T^2`` over the
+    document's token frequency distribution (1 = every token distinct,
+    0 = one token repeated T times), emitted as ``(T^2 - sum tf_i^2) *
+    scale div T^2`` so it replays bit-exact cross-engine (Shannon
+    entropy needs libm; the Gini form is pure integer arithmetic).
+
+    ZERO-SHUFFLE by construction — the per-document frequency profile
+    is computed inside one codegen'd projection chain (sort the token
+    array, find run boundaries with a filter lambda over ``get()`` —
+    ANSI-safe at i=0 — square the run lengths with zip_with) instead
+    of explode + groupBy, so at 100 TB this is a map-only pass over
+    the corpus: no exchange, no aggregation state, nothing
+    proportional to vocabulary size.
+
+    Output: (id, n_tokens, distinct_tokens, gini_scaled BIGINT).
+    """
+    step = (
+        df.select(
+            F.col(id_col),
+            F.expr(f"array_sort(split({text_col}, ' '))").alias("_arr"),
+        )
+        .withColumn("_n", F.expr("CAST(size(_arr) AS BIGINT)"))
+        .withColumn(
+            "_bnd",
+            F.expr(
+                "filter(sequence(0, CAST(_n AS INT) - 1),"
+                " i -> i = 0 OR get(_arr, i) != get(_arr, i - 1))"
+            ),
+        )
+        .withColumn(
+            "_sumsq",
+            F.expr(
+                "aggregate(zip_with(_bnd,"
+                " concat(slice(_bnd, 2, size(_bnd) - 1),"
+                "        array(CAST(_n AS INT))),"
+                " (s, e) -> CAST(e - s AS BIGINT) * CAST(e - s AS BIGINT)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    return step.select(
+        id_col,
+        F.col("_n").alias("n_tokens"),
+        F.expr("CAST(size(_bnd) AS BIGINT)").alias("distinct_tokens"),
+        F.expr(f"(_n * _n - _sumsq) * CAST({scale} AS BIGINT) div (_n * _n)")
+        .alias("gini_scaled"),
+    )

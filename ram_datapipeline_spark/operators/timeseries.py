@@ -240,3 +240,73 @@ def time_weighted_avg(
             / F.sum("_dt_us").cast("double")
         ).alias("twap"),
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    cents: F.Column,
+    lookback: int = 24,
+    min_n: int = 8,
+    k_sigma: int = 3,
+) -> DataFrame:
+    """Rolling z-score anomaly detection, INTEGER-EXACT — flag events
+    whose value deviates more than ``k_sigma`` standard deviations
+    from the trailing ``lookback``-row window, with zero float
+    accumulation: over integer cents, ``(x - mean)^2 > k^2 * var``
+    cross-multiplies to
+
+        (n*x - S)^2 > k^2 * (n*Q - S^2)
+
+    where S/Q are the window's exact BIGINT sum and sum-of-squares —
+    the n^2 denominators cancel algebraically, so no division, no
+    sqrt, no drift, and the DuckDB oracle replays the same longs.
+
+    Scale shape: ONE window pass, partitioned by the key (never
+    single-partition), ROWS-framed to the trailing ``lookback`` rows
+    EXCLUDING current (no self-masking); state per partition is the
+    frame, O(lookback). The order is total — (ts, tiebreak) — so the
+    frame content is engine- and shuffle-order-independent.
+
+    Output: flagged rows only — key_cols + (tiebreak, ts, cents,
+    win_n, dev_num = |n*x - S|, bound_sq = k^2*(n*Q - S^2)).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-lookback, -1)
+    )
+    base = df.select(
+        *key_cols, tiebreak_col, ts_col, cents.cast("long").alias("cents")
+    )
+    stats = base.select(
+        *key_cols,
+        tiebreak_col,
+        ts_col,
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+        F.sum("cents").over(w).alias("_s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("_q"),
+    )
+    k2 = k_sigma * k_sigma
+    return (
+        stats.where(F.col("win_n") >= min_n)
+        .withColumn("_lhs", F.expr("win_n * cents - _s"))
+        .withColumn(
+            "bound_sq", F.expr(f"{k2} * (win_n * _q - _s * _s)")
+        )
+        .where(F.expr("_lhs * _lhs > bound_sq"))
+        .select(
+            *key_cols,
+            tiebreak_col,
+            ts_col,
+            "cents",
+            "win_n",
+            F.abs(F.col("_lhs")).alias("dev_num"),
+            "bound_sq",
+        )
+    )

@@ -976,3 +976,115 @@ def q_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("hour_cents"),
         F.count(F.lit(1)).over(w).alias("hour_n"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), rng AS (
+      SELECT flag, min(c) AS lo, max(c) AS hi FROM base GROUP BY flag
+    ), binned AS (
+      SELECT b.flag,
+             least(9, ((b.c - r.lo) * 10) // (r.hi - r.lo + 1)) AS bin,
+             r.lo, r.hi
+      FROM base b JOIN rng r ON r.flag = b.flag
+    )
+    SELECT flag, CAST(bin AS BIGINT) AS bin,
+           CAST(min(lo) + (bin * (min(hi) - min(lo) + 1)) // 10
+                AS BIGINT) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM binned GROUP BY flag, bin
+    """,
+    survey=(
+        "per-group equi-width histogram over integer cents: BIGINT bin "
+        "arithmetic (no float edges), grouped min/max broadcast back, "
+        "one (group, bin) count — the distribution-shape half of "
+        "table profiling (north star)"
+    ),
+    tags=("aggregate", "profile"),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bin equi-width histogram of lineitem price cents per return
+    flag (operators/quality.py::equiwidth_histogram): bin edges are
+    exact integers — ((c - lo) * bins) div (hi - lo + 1) — so every
+    engine agrees on boundary rows; two map-side-combined aggregates
+    and one broadcast join, no window, no sort."""
+    from ram_datapipeline_spark.operators.quality import equiwidth_histogram
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        F.col("l_returnflag").alias("flag"), "l_extendedprice"
+    )
+    return equiwidth_histogram(
+        li,
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5),
+        ["flag"],
+        bins=10,
+        value_name="bin_lo",
+    )
+
+
+@query(
+    "agg_robust_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+    ), ranked AS (
+      SELECT source, v,
+             row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+      FROM base
+    ), med AS (
+      SELECT source,
+             CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN v ELSE 0 END)
+                + sum(CASE WHEN rn = (cnt + 2) // 2 THEN v ELSE 0 END)
+                AS BIGINT) AS med2
+      FROM ranked GROUP BY source
+    ), dev AS (
+      SELECT b.source, b.v, abs(2 * b.v - m.med2) AS d, m.med2
+      FROM base b JOIN med m ON m.source = b.source
+    ), dranked AS (
+      SELECT source, d,
+             row_number() OVER (PARTITION BY source ORDER BY d) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+      FROM dev
+    ), mad AS (
+      SELECT source,
+             CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN d ELSE 0 END)
+                + sum(CASE WHEN rn = (cnt + 2) // 2 THEN d ELSE 0 END)
+                AS BIGINT) AS mad2
+      FROM dranked GROUP BY source
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(d.med2) AS BIGINT) AS med2,
+           CAST(max(md.mad2) AS BIGINT) AS mad2,
+           CAST(sum(CASE WHEN 2 * d.d > 3 * md.mad2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad md ON md.source = d.source
+    GROUP BY d.source
+    """,
+    survey=(
+        "median/MAD robust outlier stats per group, integer-exact: "
+        "medians as 2x middle-order-statistic sums, MAD as the med2 of "
+        "|2x - med2|, flags by cross-multiplication — no floats, no "
+        "percentile interpolation drift (north star — quality gating)"
+    ),
+    tags=("aggregate", "profile"),
+)
+def q_agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier profile of document lengths
+    (operators/quality.py::robust_outlier_stats): |x - median| >
+    3 * MAD evaluated entirely in BIGINT via the 2x/4x scaled order
+    statistics. Group-partitioned rank windows (never a global
+    window), group-sized broadcast joins back."""
+    from ram_datapipeline_spark.operators.quality import robust_outlier_stats
+
+    t = load_tables(spark, sf_dir)
+    return robust_outlier_stats(
+        t["documents"], F.col("n_chars"), ["source"], k_num=3, k_den=1
+    )

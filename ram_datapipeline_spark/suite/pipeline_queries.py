@@ -1523,3 +1523,145 @@ def q_vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(
         t["embeddings"].select("vec_id", "embedding"), out_dims=4
     ).drop("embedding")
+
+
+@query(
+    "pipe_systematic_sample",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS tok_offset
+      FROM documents
+    ), t AS (
+      SELECT greatest(CAST(sum(n_chars) AS BIGINT) // 32,
+                      CAST(1 AS BIGINT)) AS step
+      FROM documents
+    )
+    SELECT doc_id, n_chars, tok_offset,
+           CAST(((tok_offset + n_chars) // step)
+                - (tok_offset // step) AS BIGINT) AS n_picks
+    FROM o, t
+    WHERE ((tok_offset + n_chars) // step) - (tok_offset // step) >= 1
+    """,
+    survey=(
+        "weight-proportional systematic sampling on the global weight "
+        "line: deterministic, integer-exact alternative to "
+        "Efraimidis-Spirtes key sampling — k evenly spaced probes over "
+        "the corpus-wide prefix sum, no RNG, no libm, exact "
+        "multiplicities (north star — corpus subsetting)"
+    ),
+    tags=("pipeline", "layout"),
+)
+def q_pipe_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~32-document weight-proportional sample of the corpus by token
+    mass (operators/layout.py::systematic_sample over
+    global_prefix_sum): every document owns an interval of the global
+    weight line; the ones hit by a multiple of step = total div 32 are
+    selected with their exact hit multiplicity. One range exchange +
+    a broadcast 1-row total — the oracle replays the line as the
+    single global window this operator avoids."""
+    from ram_datapipeline_spark.operators.layout import systematic_sample
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "n_chars")
+    return systematic_sample(
+        docs, [F.col("doc_id")], "n_chars", k=32, n_partitions=16,
+        offset_col="tok_offset",
+    )
+
+
+@query(
+    "pipe_corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('r8:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+    survey=(
+        "deterministic corpus shuffle: md5-keyed global permutation for "
+        "training order — reproducible across runs/engines, assigned by "
+        "the distributed two-pass row index, never a single-partition "
+        "window (north star — epoch shuffling at 100 TB)"
+    ),
+    tags=("pipeline", "layout"),
+)
+def q_pipe_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order assignment: each document's position in the
+    md5('r8:' || doc_id) permutation — the salt re-keys the shuffle per
+    epoch without touching data. Order comes from
+    layout.global_row_index (one range exchange + one-long-per-
+    partition collect); the oracle's single global row_number() is the
+    plan this avoids. Hash order is uniform, so range partitions are
+    balanced by construction — no skew, no RNG state."""
+    from ram_datapipeline_spark.operators.layout import global_row_index
+
+    t = load_tables(spark, sf_dir)
+    keyed = t["documents"].select(
+        "doc_id",
+        F.md5(F.concat(F.lit("r8:"), F.col("doc_id").cast("string"))).alias(
+            "_k"
+        ),
+    )
+    return global_row_index(
+        keyed, [F.col("_k"), F.col("doc_id")], n_partitions=16,
+        idx_col="shuffle_pos",
+    ).select("doc_id", "shuffle_pos")
+
+
+@query(
+    "pipe_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(CASE WHEN cnt > 1
+                THEN ((rnk - 1) * 1000000) // (cnt - 1)
+                ELSE 0 END AS BIGINT) AS pct_scaled
+    FROM ranked
+    """,
+    survey=(
+        "per-source quantile (percentile-rank) normalization of a "
+        "quality score: rank-based calibration so thresholds mean the "
+        "same thing in every domain — integer-exact scaled ranks, no "
+        "interpolation (north star — cross-domain quality gating)"
+    ),
+    tags=("pipeline", "quality"),
+)
+def q_pipe_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile rank of document length WITHIN its source, scaled to
+    [0, 1e6]: (rank-1)*1e6 div (cnt-1), ties broken by doc_id so the
+    assignment is total-ordered and engine-stable. One source-
+    partitioned window pass (never single-partition); downstream
+    mixture selection can then threshold at the same percentile in
+    every domain regardless of its raw length distribution."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = W.partitionBy("source")
+    ranked = t["documents"].select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w).cast("long").alias("_rnk"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("_cnt"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            "CAST(CASE WHEN _cnt > 1 THEN ((_rnk - 1) * 1000000)"
+            " div (_cnt - 1) ELSE CAST(0 AS BIGINT) END AS BIGINT)"
+        ).alias("pct_scaled"),
+    )

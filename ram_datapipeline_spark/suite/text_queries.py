@@ -1481,3 +1481,170 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-integer counts, one final division."""
     t = load_tables(spark, sf_dir)
     return T.ngram_novelty(t["documents"], n=3)
+
+
+@query(
+    "text_bm25_rank",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS dl, text FROM documents
+    ), corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM base
+    ), tf AS (
+      SELECT doc_id, term,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(min(dl) AS BIGINT) AS dl
+      FROM (
+        SELECT doc_id, dl, unnest(string_split(lower(text), ' ')) AS term
+        FROM base
+      ) WHERE term IN ('scan', 'join', 'window', 'stream')
+      GROUP BY doc_id, term
+    ), w AS (
+      SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df_t
+      FROM tf
+    ), scored AS (
+      SELECT doc_id,
+             CAST(FLOOR(CAST(1000000 AS DOUBLE)
+               * (CAST(2 * n_docs - 2 * df_t + 1 AS DOUBLE)
+                  / CAST(2 * df_t + 1 AS DOUBLE))
+               * (CAST(22 * tf * total_len AS DOUBLE)
+                  / CAST(10 * tf * total_len + 3 * total_len
+                         + 9 * dl * n_docs AS DOUBLE))) AS BIGINT) AS score_t
+      FROM w, corpus
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+           CAST(sum(score_t) AS BIGINT) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    survey=(
+        "BM25-graded disjunctive retrieval: rational idf (no libm), "
+        "exact-integer tf saturation with k1=6/5 b=3/4, per-term "
+        "floor-scaled doubles summed as BIGINT — engine-replayable "
+        "BM25 with the same filter-before-shuffle posting shape as "
+        "text_keyword_rank_any (north star)"
+    ),
+    tags=("text",),
+)
+def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for {scan, join, window, stream} under
+    deterministic BM25 (operators/text_ops.py::bm25_rank): idf as the
+    exact rational (2N-2df+1)/(2df+1) — ln's argument, same ordering,
+    no transcendental — and dl/avgdl expanded through integer
+    cross-multiplication so the only doubles are two IEEE divisions
+    and two multiplications in pinned order, floored to scaled BIGINTs
+    before the order-free integer sum. dl = n_chars (pre-materialized
+    length column: the corpus is tokenized once, for the posting
+    lists, never a second time for lengths)."""
+    from ram_datapipeline_spark.operators.text_ops import bm25_rank
+
+    t = load_tables(spark, sf_dir)
+    return bm25_rank(
+        t["documents"],
+        ("scan", "join", "window", "stream"),
+        len_col="n_chars",
+        k=10,
+    )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      )
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           CAST((sum(tf) * sum(tf) - sum(tf * tf)) * 1000000000
+                // (sum(tf) * sum(tf)) AS BIGINT) AS gini_scaled
+    FROM tf GROUP BY doc_id
+    """,
+    survey=(
+        "type-token Gini diversity: integer-exact repetition/quality "
+        "signal (1 - sum tf^2 / T^2, scaled) computed ZERO-SHUFFLE via "
+        "sorted-array run lengths inside one codegen projection — the "
+        "map-only replacement for entropy scoring at 100 TB (north star)"
+    ),
+    tags=("text",),
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity
+    (operators/text_ops.py::lexical_diversity): the token frequency
+    profile never leaves the row — array_sort + run-boundary filter +
+    zip_with squares inside whole-stage codegen, so the corpus pass is
+    map-only (the oracle's explode + GROUP BY is the plan this
+    operator exists to avoid; same integers)."""
+    from ram_datapipeline_spark.operators.text_ops import lexical_diversity
+
+    t = load_tables(spark, sf_dir)
+    return lexical_diversity(t["documents"])
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, substr(lower(text), 1, 24) AS k, text FROM documents
+    ), ranked AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY k, doc_id) AS rn
+      FROM keyed
+    ), tok AS (
+      SELECT DISTINCT rn, doc_id,
+             unnest(string_split(text, ' ')) AS term
+      FROM ranked
+    ), sizes AS (
+      SELECT rn, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY rn
+    ), cand AS (
+      SELECT a.rn AS ra, a.doc_id AS doc_a, b.rn AS rb, b.doc_id AS doc_b
+      FROM ranked a JOIN ranked b
+        ON b.rn > a.rn AND b.rn <= a.rn + 3
+    ), inter AS (
+      SELECT c.ra, c.rb, min(c.doc_a) AS doc_a, min(c.doc_b) AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN tok ta ON ta.rn = c.ra
+      JOIN tok tb ON tb.rn = c.rb AND tb.term = ta.term
+      GROUP BY c.ra, c.rb
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.rb - i.ra AS BIGINT) AS rank_gap,
+           i.inter,
+           CAST(sa.n + sb.n - i.inter AS BIGINT) AS uni
+    FROM inter i
+    JOIN sizes sa ON sa.rn = i.ra
+    JOIN sizes sb ON sb.rn = i.rb
+    WHERE i.inter * 10 >= 8 * (sa.n + sb.n - i.inter)
+    """,
+    survey=(
+        "sorted-neighborhood (SNM) dedup blocking: global sort by a "
+        "cheap key, compare only the w successors — window x N "
+        "candidates, linear in the corpus; exact distinct-token "
+        "Jaccard verify by integer cross-multiplication (north star)"
+    ),
+    tags=("dedup",),
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM candidate pairs at Jaccard >= 0.8 within a 3-successor
+    window of the (text-prefix, doc_id) global order
+    (operators/dedup.py::sorted_neighborhood_pairs). The global rank
+    comes from layout.global_row_index — one range exchange, never a
+    single-partition window (the oracle's row_number() OVER (ORDER BY)
+    is exactly the plan being avoided); neighbors join back by rank
+    EQUALITY after a bounded offset explode."""
+    return D.sorted_neighborhood_pairs(
+        load_tables(spark, sf_dir)["documents"],
+        key_len=24,
+        window=3,
+        threshold_num=8,
+        threshold_den=10,
+    )

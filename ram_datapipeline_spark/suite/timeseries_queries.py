@@ -296,3 +296,58 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"], ["event_type"], ts_col="ts", val_col="value",
         tiebreak_col="event_id",
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), stats AS (
+      SELECT event_type, event_id, ts, cents,
+             CAST(count(*) OVER w AS BIGINT) AS win_n,
+             CAST(sum(cents) OVER w AS BIGINT) AS s,
+             CAST(sum(cents * cents) OVER w AS BIGINT) AS q
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id, ts, cents, win_n,
+           CAST(abs(win_n * cents - s) AS BIGINT) AS dev_num,
+           CAST(9 * (win_n * q - s * s) AS BIGINT) AS bound_sq
+    FROM stats
+    WHERE win_n >= 8
+      AND (win_n * cents - s) * (win_n * cents - s)
+          > 9 * (win_n * q - s * s)
+    """,
+    survey=(
+        "rolling z-score anomaly flags, integer-exact: trailing-24-row "
+        "window sum/sum-of-squares in BIGINT, (n*x - S)^2 > 9*(n*Q - "
+        "S^2) — the n^2 denominators cancel, no sqrt, no float "
+        "accumulation (north star — streaming-adjacent monitoring)"
+    ),
+    tags=("timeseries",),
+)
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events more than 3 sigma from their type's trailing 24-event
+    window (operators/timeseries.py::rolling_zscore_anomalies): one
+    key-partitioned ROWS-framed window pass over integer cents —
+    exact cross-multiplied variance test, frame excludes the current
+    row (no self-masking), (ts, event_id) total order."""
+    from ram_datapipeline_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return rolling_zscore_anomalies(
+        t["events"],
+        ["event_type"],
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5),
+        lookback=24,
+        min_n=8,
+        k_sigma=3,
+    )

@@ -96,7 +96,18 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # aggregates), zero-config planet routing (fixed network,
           # scaled origins/POIs — derivation cost is cell-graph-bound)
           "pipe_profile_table_kmv", "pipe_global_offsets",
-          "text_ngram_novelty", "eta_routed_osm_planet_auto"]
+          "text_ngram_novelty", "eta_routed_osm_planet_auto",
+          # round-8 additions: BM25 (posting lists scale, weights stay
+          # query-sized), lexical diversity (map-only), SNM dedup
+          # (candidates = window x N, linear by construction),
+          # systematic sample (range exchange + broadcast total),
+          # histogram/outliers (group-bounded windows + broadcasts),
+          # rolling z-score (one key-partitioned window), corpus
+          # shuffle + quantile normalize (range exchange / group windows)
+          "text_bm25_rank", "text_lexical_diversity",
+          "dedup_sorted_neighborhood", "pipe_systematic_sample",
+          "agg_histogram", "agg_robust_outliers", "ts_anomaly_zscore",
+          "pipe_corpus_shuffle", "pipe_quantile_normalize"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

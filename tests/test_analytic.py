@@ -1013,3 +1013,48 @@ def test_prefix_filter_edges_threshold_one_and_short_docs(spark):
     pref = {(r["doc_a"], r["doc_b"]) for r in
             prefix_filter_pairs(df, threshold=0.3).collect()}
     assert pref == full and (1, 3) in pref
+
+
+def test_equiwidth_histogram_edges_and_degenerate_group(spark):
+    """Bin arithmetic is integer-exact: min lands in bin 0, max in the
+    last bin, and a constant group collapses into bin 0."""
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.operators.quality import equiwidth_histogram
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [0, 1, 5, 9, 10]] + [("b", 7), ("b", 7)],
+        "g string, v long",
+    )
+    out = equiwidth_histogram(
+        df, F.col("v"), ["g"], bins=5, value_name="lo_edge"
+    ).collect()
+    a = {r["bin"]: (r["lo_edge"], r["cnt"]) for r in out if r["g"] == "a"}
+    # span (0..10) -> width 11/5: bins 0:[0,2] 1:[3,4] 2:[5,6] 3:[7,8] 4:[9,10]
+    assert a[0] == (0, 2) and a[2] == (4, 1) and a[4] == (8, 2)
+    b = {r["bin"]: r["cnt"] for r in out if r["g"] == "b"}
+    assert b == {0: 2}
+
+
+def test_robust_outlier_stats_odd_even_and_flags(spark):
+    """Odd group: med2 = 2x middle; even group: sum of the two middles;
+    the 3*MAD flag uses the exact cross-multiplied rule."""
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.operators.quality import robust_outlier_stats
+
+    df = spark.createDataFrame(
+        # odd group: values 1,2,3,4,100 -> median 3, MAD over |x-3| =
+        # {2,1,0,1,97} sorted {0,1,1,2,97} -> MAD 1; only 100 breaks 3*MAD
+        [("odd", v) for v in [1, 2, 3, 4, 100]]
+        # even group: 1,2,4,8 -> med2 = 2+4 = 6 (median 3);
+        # dev = |2x-6| = {4,2,2,10} sorted -> mad2 = 2+4 = 6 (MAD 1.5);
+        # flag 2*dev > 3*mad2=18 -> only x=8 (dev 10 -> 20 > 18)
+        + [("even", v) for v in [1, 2, 4, 8]],
+        "g string, v long",
+    )
+    out = {r["g"]: r for r in robust_outlier_stats(df, F.col("v"), ["g"]).collect()}
+    assert (out["odd"]["n"], out["odd"]["med2"], out["odd"]["mad2"]) == (5, 6, 4)
+    assert out["odd"]["n_outliers"] == 1
+    assert (out["even"]["n"], out["even"]["med2"], out["even"]["mad2"]) == (4, 6, 6)
+    assert out["even"]["n_outliers"] == 1

@@ -269,3 +269,36 @@ def test_global_prefix_sum_plan_has_no_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_systematic_sample_exact_multiplicities(spark):
+    """Weights 10,10,10,10 with k=4 -> step=10: each row's interval
+    (10i, 10i+10] contains exactly one probe; a heavy row swallows
+    multiple probes; zero/null weights are never selected."""
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.operators.layout import systematic_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 10)], "id long, w long"
+    )
+    out = {
+        r["id"]: r["n_picks"]
+        for r in systematic_sample(
+            df, [F.col("id")], "w", k=4, n_partitions=2
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    heavy = spark.createDataFrame(
+        [(1, 1), (2, 30), (3, 1), (4, None), (5, 8)],
+        "id long, w long",
+    )
+    # total=40, k=4 -> step=10; intervals: (0,1],(1,31],(31,32],(32,32],(32,40]
+    got = {
+        r["id"]: r["n_picks"]
+        for r in systematic_sample(
+            heavy, [F.col("id")], "w", k=4, n_partitions=2
+        ).collect()
+    }
+    assert got == {2: 3, 5: 1}  # probes 10,20,30 in (1,31]; 40 in (32,40]

@@ -405,3 +405,93 @@ def test_global_offsets_no_window_range_exchange(spark):
     p = plan_text(spark, "pipe_global_offsets")
     assert n_ops(p, "Window") == 0
     assert "rangepartitioning" in p.lower()
+
+
+def test_lexical_diversity_map_only(spark):
+    """The whole per-document frequency profile stays inside one codegen
+    projection: zero exchanges, zero windows, zero Python."""
+    p = plan_text(spark, "text_lexical_diversity")
+    assert n_data_shuffles(p) == 0, p
+    assert n_ops(p, "Window") == 0
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_bm25_filter_before_shuffle_and_takeordered(spark):
+    """Tokens are filtered to the query terms before the posting
+    aggregate; corpus stats ride a broadcast; the cut is a TakeOrdered,
+    never a global Sort."""
+    p = plan_text(spark, "text_bm25_rank")
+    assert "TakeOrderedAndProject" in p
+    assert n_ops(p, "Sort") <= 2  # window + agg-side sorts only, no global
+    assert "CartesianProduct" not in p
+    assert "Python" not in p and "Arrow" not in p
+    # the explode's output is filtered by an isin on the term column
+    assert re.search(r"Filter.*term.*IN|term#\d+ IN", p, re.S), p
+
+
+def test_sorted_neighborhood_rank_equijoin_no_global_window(spark):
+    """SNM candidates come from a bounded offset explode joined back by
+    rank EQUALITY: no cartesian/nested-loop join, and the global order
+    comes from global_row_index — never a single-partition window."""
+    p = plan_text(spark, "dedup_sorted_neighborhood")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange SinglePartition" not in p
+    assert n_ops(p, "Window") == 0
+
+
+def test_systematic_sample_no_window_range_exchange(spark):
+    """The weight line is the global prefix sum's two-pass shape: one
+    range exchange, a broadcast 1-row total, no Window anywhere."""
+    p = plan_text(spark, "pipe_systematic_sample")
+    assert n_ops(p, "Window") == 0
+    assert "rangepartitioning" in p.lower()
+    assert n_ops(p, "BroadcastExchange") >= 1
+
+
+def test_histogram_broadcast_range_no_window(spark):
+    """Per-group min/max joins back by broadcast; two grouped aggregates,
+    no window, no sort, pure JVM."""
+    p = plan_text(spark, "agg_histogram")
+    assert n_ops(p, "Window") == 0
+    assert n_ops(p, "BroadcastHashJoin") >= 1
+    assert "Python" not in p and "Arrow" not in p
+    assert n_data_shuffles(p) <= 3, p
+
+
+def test_robust_outliers_group_windows_broadcast_stats(spark):
+    """Both rank windows are group-partitioned (never SinglePartition);
+    the med2/mad2 tables join back by broadcast."""
+    p = plan_text(spark, "agg_robust_outliers")
+    assert "Exchange SinglePartition" not in p
+    assert n_ops(p, "BroadcastHashJoin") >= 2
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_zscore_anomalies_one_window_pass(spark):
+    """One key-partitioned ROWS-framed window computes count/sum/sumsq
+    together: exactly one Window op, one data exchange, no Python."""
+    p = plan_text(spark, "ts_anomaly_zscore")
+    assert n_ops(p, "Window") == 1
+    assert "Exchange SinglePartition" not in p
+    assert n_data_shuffles(p) == 1, p
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_corpus_shuffle_no_window_range_exchange(spark):
+    """The md5 permutation is assigned by the two-pass global index:
+    range exchange on the hash key, no Window, no SinglePartition."""
+    p = plan_text(spark, "pipe_corpus_shuffle")
+    assert n_ops(p, "Window") == 0
+    assert "Exchange SinglePartition" not in p
+    assert "rangepartitioning" in p.lower()
+
+
+def test_quantile_normalize_group_window_only(spark):
+    """Both window specs (ordered rank, unordered count) evaluate over
+    ONE source-keyed exchange — never SinglePartition, pure JVM."""
+    p = plan_text(spark, "pipe_quantile_normalize")
+    assert n_ops(p, "Window") <= 2
+    assert "Exchange SinglePartition" not in p
+    assert n_data_shuffles(p) == 1, p
+    assert "Python" not in p and "Arrow" not in p

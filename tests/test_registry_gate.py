@@ -110,6 +110,18 @@ def test_gated_queries_all_have_oracles():
 # operators have not been touched since r4, each still oracle-green in
 # every per-round full-registry sweep at sf0.01 AND sf0.1.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    # born in round 8 AFTER the window was frozen — first driver proof
+    # must come in r9 (all already oracle-green in the builder's sweeps)
+    "text_bm25_rank",
+    "text_lexical_diversity",
+    "dedup_sorted_neighborhood",
+    "pipe_systematic_sample",
+    "agg_histogram",
+    "agg_robust_outliers",
+    "ts_anomaly_zscore",
+    "pipe_corpus_shuffle",
+    "pipe_quantile_normalize",
+    # the 20 code-stable r4-proven entries that slipped from the r8 window
     "agg_distinct_count",
     "agg_rollup_revenue",
     "f_polygon_shoelace",

@@ -20,3 +20,79 @@ def test_ngram_novelty_first_occurrence_fractions(spark):
     assert out[1]["novelty"] == 1.0
     assert (out[2]["n_grams"], out[2]["n_novel"]) == (3, 2)
     assert out[2]["novelty"] == 2.0 / 3.0
+
+
+def test_lexical_diversity_hand_values(spark):
+    """gini = (T^2 - sum tf^2) * 1e9 div T^2 on hand-checkable docs."""
+    from ram_datapipeline_spark.operators.text_ops import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),      # T=4, sumsq=16 -> gini 0
+            (2, "a b c d"),      # T=4, sumsq=4 -> (16-4)*1e9 div 16
+            (3, "a a b"),        # T=3, sumsq=5 -> (9-5)*1e9 div 9
+            (4, "solo"),         # T=1 -> gini 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lexical_diversity(docs).collect()}
+    assert (out[1]["n_tokens"], out[1]["distinct_tokens"]) == (4, 1)
+    assert out[1]["gini_scaled"] == 0
+    assert out[2]["gini_scaled"] == (16 - 4) * 10**9 // 16
+    assert out[2]["distinct_tokens"] == 4
+    assert out[3]["gini_scaled"] == (9 - 5) * 10**9 // 9
+    assert out[4]["gini_scaled"] == 0
+
+
+def test_bm25_rank_saturation_and_idf_ordering(spark):
+    """A doc repeating the term beats one mention but saturates (less
+    than proportional); rarer terms out-weigh common ones; k cuts with
+    (score desc, id asc) ties."""
+    from ram_datapipeline_spark.operators.text_ops import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common filler one", 4),
+            (2, "common common common common", 4),
+            (3, "common filler pad pad", 4),
+            (4, "pad pad pad pad", 4),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = bm25_rank(
+        docs, ("rare", "common"), len_col="n_chars", k=10
+    ).collect()
+    scores = {r["doc_id"]: r["score"] for r in out}
+    # doc 1 has the rare term (df=1) -> dominates docs with common only
+    assert scores[1] > scores[2] > scores[3]
+    assert 4 not in scores
+    # tf saturation: 3 extra mentions of 'common' gain < 3x one mention
+    d2_common, d3_common = scores[2], scores[3]
+    assert d2_common < 3 * d3_common
+    assert out == sorted(out, key=lambda r: (-r["score"], r["doc_id"]))
+
+
+def test_sorted_neighborhood_window_and_threshold(spark):
+    """Identical texts sort adjacent and pair at Jaccard 1.0; a doc
+    beyond the rank window never pairs even if identical."""
+    from ram_datapipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "alpha beta delta x"),
+            (4, "zz totally different words"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = sorted_neighborhood_pairs(
+        docs, window=2, threshold_num=1, threshold_den=3, n_partitions=2
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["uni"]) for r in pairs}
+    # sort order: doc3 ('...delta') < doc1 = doc2 ('...gamma') < doc4
+    assert got[(1, 2)] == (3, 3)  # exact clones, adjacent ranks
+    assert got[(3, 1)] == (2, 5)  # 2/5 Jaccard passes 1/3 inside the window
+    assert all(a != 4 and b != 4 for a, b in got)  # doc4 shares no token

@@ -257,3 +257,41 @@ def test_time_weighted_avg_hand_case_and_single_point_key(spark):
     assert got["c"]["n_intervals"] == 2
     assert got["c"]["total_us"] == 2_000_000
     assert got["c"]["twap"] == 3.00
+
+
+def test_rolling_zscore_anomalies_exact_rule(spark):
+    """Constant window -> zero variance -> strict > never flags the
+    same value but flags any deviation; warmup rows below min_n are
+    never emitted."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", i, t0 + dt.timedelta(minutes=i), 5.0) for i in range(10)
+    ] + [
+        ("k", 10, t0 + dt.timedelta(minutes=10), 5.0),   # equal: no flag
+        ("k", 11, t0 + dt.timedelta(minutes=11), 6.0),   # deviates: flag
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, event_id long, ts timestamp, value double"
+    )
+    out = rolling_zscore_anomalies(
+        df,
+        ["key"],
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5),
+        lookback=4,
+        min_n=3,
+        k_sigma=3,
+    ).collect()
+    ids = sorted(r["event_id"] for r in out)
+    assert ids == [11]
+    (r,) = [r for r in out if r["event_id"] == 11]
+    assert r["win_n"] == 4 and r["bound_sq"] == 0 and r["dev_num"] > 0
