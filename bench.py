@@ -130,6 +130,12 @@ HEADLINE = [
     "dedup_sorted_neighborhood",  # SNM sort-based blocking
     "pipe_systematic_sample",  # weight-proportional systematic sample
     "ts_anomaly_zscore",       # integer-exact rolling z-score flags
+    "ev_sessionize_batch",     # native session_window gap sessions
+    "ts_resample_interp",      # exact-rational grid interpolation
+    "pipe_interleave_sources", # proportional training-order interleave
+    "graph_khop_reach",        # bounded BFS frontier joins (1996-Q1)
+    "agg_weighted_median",     # integer-exact weighted median
+    "pipe_length_buckets",     # dynamic-padding batch packing
 ]
 
 

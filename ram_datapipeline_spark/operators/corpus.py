@@ -965,3 +965,164 @@ def bpe_segment(
             yield pdf
 
     return df.mapInPandas(gen, schema=out_schema).select(*cols, out_col)
+
+
+def mixture_epochs(
+    df: DataFrame,
+    weight: Column,
+    budget_tokens: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Epoch/repetition plan for a weighted training mixture — given a
+    global token ``budget_tokens`` and an integer ``weight`` expression
+    per domain, decide how many tokens each domain contributes and how
+    many passes (epochs) over its available data that requires (the
+    planner behind "repeat small high-weight domains, subsample large
+    low-weight ones").
+
+    INTEGER-EXACT end to end: available tokens are whitespace-token
+    counts summed per domain; the allocation is
+    ``floor(budget * w_d / sum_w)``; epochs are the ceiling division
+    ``(alloc + avail - 1) // avail``; ``last_epoch_tokens`` is the
+    remainder the final partial pass takes. No float enters, so the
+    DuckDB oracle replays every BIGINT.
+
+    Scale shape: ONE aggregate to the domain grain (map-side combined
+    token-count sum over the corpus scan), then a 1-row total
+    broadcast-joined back — the corpus is touched once; everything
+    after is domain-table-sized.
+    """
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(word_count(F.col(text_col))).cast("long").alias("avail_tokens"),
+        F.first(weight).cast("long").alias("w"),
+    )
+    total = per.agg(F.sum("w").cast("long").alias("sum_w"))
+    b = int(budget_tokens)
+    # BIGINT `DIV`, not `/`: double division then floor can cross an
+    # integer boundary the exact quotient does not — the oracle's `//`
+    # and this DIV are the same exact operation.
+    return (
+        per.join(F.broadcast(total))
+        .withColumn(
+            "alloc_tokens", F.expr(f"(CAST({b} AS BIGINT) * w) DIV sum_w")
+        )
+        .withColumn(
+            "epochs",
+            F.expr("(alloc_tokens + avail_tokens - 1) DIV avail_tokens"),
+        )
+        .withColumn(
+            "last_epoch_tokens",
+            (
+                F.col("alloc_tokens")
+                - (F.col("epochs") - 1) * F.col("avail_tokens")
+            ).cast("long"),
+        )
+        .select(
+            "domain", "avail_tokens", "w", "alloc_tokens", "epochs",
+            "last_epoch_tokens",
+        )
+    )
+
+
+def interleave_sources(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    n_partitions: int = 8,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Proportional round-robin interleave of a multi-source corpus —
+    the deterministic training-order primitive that feeds a data loader
+    sources at their natural rates instead of in source-sized blocks
+    (stride scheduling / virtual-time fair queuing: the r-th document
+    of a domain with n_d documents is scheduled at virtual time r/n_d).
+
+    INTEGER-EXACT: the sort key is ``floor(r * scale / n_d)`` — the
+    rational schedule scaled to BIGINT, identical in both engines —
+    with (domain, r) as the total-order tiebreak. The global position
+    is assigned by ``global_row_index`` (range exchange + per-partition
+    offsets, operators/layout.py), NOT a single-partition window, so
+    the assignment step scales with partitions.
+
+    Scale shape: one window per domain for r (key-partitioned), one
+    domain-grain count broadcast back, one range exchange for the
+    global index. Output: (doc_id, domain, r, vkey, train_pos).
+    """
+    from pyspark.sql import Window
+
+    from ram_datapipeline_spark.operators.layout import global_row_index
+
+    w = Window.partitionBy("domain").orderBy(id_col)
+    ranked = df.select(
+        F.col(id_col), F.col(domain_col).alias("domain")
+    ).withColumn("r", F.row_number().over(w).cast("long"))
+    counts = ranked.groupBy("domain").agg(F.count("*").alias("n_d"))
+    # BIGINT DIV (never double /): r*scale must stay under 2^63 — pick
+    # `scale` so that max domain size × scale < 9.2e18 (collisions from
+    # a coarser scale only soften the interleave; (domain, r) still
+    # totally orders every row).
+    keyed = ranked.join(F.broadcast(counts), "domain").select(
+        id_col,
+        "domain",
+        "r",
+        F.expr(f"(r * CAST({int(scale)} AS BIGINT)) DIV n_d").alias("vkey"),
+    )
+    return global_row_index(
+        keyed,
+        [F.col("vkey"), F.col("domain"), F.col("r")],
+        n_partitions,
+        idx_col="train_pos",
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    edges: tuple[int, ...] = (16, 32, 64, 128),
+) -> DataFrame:
+    """Length-bucketed batch packing — group documents of similar token
+    length and cut each bucket into fixed-count batches, longest first,
+    so every batch pads to its own max instead of the corpus max (the
+    standard dynamic-padding trick; padding waste is the metric).
+
+    INTEGER-EXACT: bucket = index of the first edge above the
+    whitespace token count (a CASE chain — no log2/libm); rank inside
+    a bucket is (n_tokens DESC, id) — total order; batch id is the
+    rank's ``DIV batch_size``; waste = n_docs*max_len - sum_len.
+
+    Scale shape: one map-only projection for counts, ONE bucket-keyed
+    rank window (buckets are few but each window partition only sorts
+    its bucket — for corpus-scale inputs swap the rank for
+    layout.global_row_index per bucket; documented trade), one
+    (bucket, batch) aggregate on the same key prefix. Emits per-batch
+    (bucket, batch_id, n_docs, max_len, sum_len, padding_waste).
+    """
+    from pyspark.sql import Window
+
+    n = word_count(F.col(text_col))
+    bucket = F.lit(len(edges))
+    for i, e in reversed(list(enumerate(edges))):
+        bucket = F.when(n < e, F.lit(i)).otherwise(bucket)
+    sized = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        bucket.cast("long").alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("n_tokens"), F.asc(id_col)
+    )
+    # integer DIV, not double /: exact for any batch_size
+    batched = sized.withColumn("_r", F.row_number().over(w)).withColumn(
+        "batch_id", F.expr(f"CAST((_r - 1) DIV {int(batch_size)} AS BIGINT)")
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("sum_len"),
+        (
+            F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+        ).alias("padding_waste"),
+    )

@@ -565,3 +565,54 @@ def label_propagation(
             .select(F.col("src").alias("node"), "lbl")
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def khop_reach(
+    edges: DataFrame,
+    hops: int = 2,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Bounded k-hop reachability: for every node of an undirected
+    simple graph, the number of DISTINCT other nodes reachable in at
+    most ``hops`` edges — the neighborhood-growth statistic behind
+    influence/coverage scoring and the degrees-of-separation profile
+    (the fifth iterative pattern in this module; hop expansion is the
+    BFS frontier as a join, unrolled a FIXED number of times so a SQL
+    oracle can replay it).
+
+    Per hop: ONE self-equi-join of the symmetric edge list against the
+    current reach set on the frontier key + a distinct — the exchange
+    carries the (node, reached) pair set, which is exactly the output
+    being built (candidate-bounded, wedge-sized at hops=2; for larger
+    hops the set itself is the cost, as in any transitive closure).
+    ``hops`` is a small fixed constant by contract — this is NOT an
+    unbounded closure (``min_plus_closure`` handles that shape with
+    doubling).
+
+    Emits ``(node, reach_k)`` with self excluded.
+    """
+    if hops < 1:
+        raise ValueError("khop_reach: hops must be >= 1")
+    e0 = edges.select(F.col(u).alias("a"), F.col(v).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    reach = sym
+    for _ in range(hops - 1):
+        ext = (
+            reach.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(
+                sym.select(F.col("src").alias("mid"), F.col("dst")), "mid"
+            )
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+        )
+        reach = reach.unionAll(ext).distinct()
+    return reach.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias(f"reach_{hops}")
+    )

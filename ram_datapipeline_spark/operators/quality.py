@@ -566,3 +566,81 @@ def robust_outlier_stats(
         )
         .select(*group_cols, "n", "med2", "mad2", "n_outliers")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    weight: Column,
+) -> DataFrame:
+    """Lower weighted median per group, INTEGER-EXACT: the smallest
+    value v whose cumulative weight reaches half the group total —
+    ``2 * cumw(<=v) >= W`` by cross-multiplication, so no W/2 division
+    and no interpolation (the percentile-interpolation drift that keeps
+    float quantiles out of the hard signal doesn't exist here).
+
+    Scale shape: ONE exchange — pre-aggregate to the (group, value)
+    grain (map-side combined; the window then sorts distinct values,
+    not rows), one group-keyed cumulative-sum window that also carries
+    the group total (same spec, unbounded frame), one filter + min
+    aggregate reusing the same partitioning. Never SinglePartition.
+
+    Emits (group_cols..., w_total, w_median).
+    """
+    from pyspark.sql import Window
+
+    per_v = df.groupBy(
+        *group_cols, value.cast("long").alias("v")
+    ).agg(F.sum(weight.cast("long")).alias("wv"))
+    cum_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(*group_cols)
+    staged = per_v.select(
+        *group_cols,
+        "v",
+        F.sum("wv").over(cum_w).alias("cumw"),
+        F.sum("wv").over(tot_w).alias("w_total"),
+    )
+    return (
+        staged.where(2 * F.col("cumw") >= F.col("w_total"))
+        .groupBy(*group_cols)
+        .agg(
+            F.first("w_total").alias("w_total"),
+            F.min("v").alias("w_median"),
+        )
+    )
+
+
+def corr_components(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Exact integer sufficient statistics for per-group Pearson
+    correlation: (n, sx, sy, sxx, syy, sxy) as BIGINTs — the mergeable
+    partial state (same philosophy as operators/incremental.py: emit
+    the exact components, let the caller take the one float ratio).
+    ``corr()`` itself float-accumulates in shuffle order and can't
+    hash-match across engines; these sums are associative integers.
+
+    Caller contract: x and y must be integer-valued expressions scaled
+    so that sum(x*x) etc. fit BIGINT at the target data size (e.g.
+    whole dollars, not cents, for 1e8-row groups).
+
+    ONE map-side-combined aggregate — nothing else moves.
+    """
+    xl = x.cast("long")
+    yl = y.cast("long")
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xl).alias("sx"),
+        F.sum(yl).alias("sy"),
+        F.sum(xl * xl).alias("sxx"),
+        F.sum(yl * yl).alias("syy"),
+        F.sum(xl * yl).alias("sxy"),
+    )

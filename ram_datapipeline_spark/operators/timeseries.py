@@ -310,3 +310,171 @@ def rolling_zscore_anomalies(
             "bound_sq",
         )
     )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    type_col: str | None = None,
+) -> DataFrame:
+    """Batch gap-sessionization via Spark's native ``session_window``
+    aggregate (the batch twin of ``streaming/events.py``'s stateful
+    sessionizer): consecutive events of a key belong to one session
+    while each inter-event gap is strictly under ``gap``; a gap of
+    exactly ``gap`` or more starts a new session (session windows
+    ``[t, t+gap)`` merge only when they overlap).
+
+    Spark-first: ``session_window`` is evaluated inside the aggregate
+    itself — ONE exchange on the key, merge happens in the aggregation
+    buffer, no row_number/lag window pass and no second shuffle (the
+    lag+cumsum formulation needs a windowed sort AND a re-aggregation;
+    this is the operator Spark grew so you don't build that). The
+    DuckDB oracle replays the lag/cumsum formulation — an independent
+    algorithm for the same partition of the event stream.
+
+    Output grain: one row per (key, session): session_start/end are
+    the observed extremes (exact timestamps, selected not computed),
+    ``n_events``, optional ``n_types`` distinct-count, and the exact
+    BIGINT microsecond duration.
+    """
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if type_col is not None:
+        aggs.append(F.countDistinct(type_col).alias("n_types"))
+    return (
+        events.groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap)
+        )
+        .agg(*aggs)
+        .select(
+            key_col,
+            "session_start",
+            "session_end",
+            "n_events",
+            *(["n_types"] if type_col is not None else []),
+            (
+                F.unix_micros("session_end") - F.unix_micros("session_start")
+            ).alias("duration_us"),
+        )
+    )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    step_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Linear-interpolation resampling onto a fixed ``step_us`` grid per
+    key — the lossy-but-regular twin of ``resample_gapfill_locf`` (LOCF
+    holds the last value; interpolation draws the line between the
+    bracketing observations, what metric rollups and training-curve
+    alignment want).
+
+    EXACT RATIONAL OUTPUT: the interpolated value at grid point g with
+    bracketing events (t1, c1), (t2, c2) (cents, BIGINT) is emitted as
+    the integer pair
+
+        interp_num = c1*(t2-g) + c2*(g-t1),   interp_den = t2-t1
+
+    (value = num/den cents) — no float math anywhere in the operator, so
+    the DuckDB oracle matches bit-for-bit; a convenience double is
+    derived by one CAST+division, identical in both engines (IEEE
+    correctly-rounded single operation). Ties (two events of a key on
+    the same microsecond) are resolved BEFORE bracketing by a
+    deterministic max-``id_col`` pick, so prev/next are well-defined
+    under any shuffle order.
+
+    Scale shape: one (key, t) pre-aggregation, a per-key grid built by
+    ``sequence()`` (output-sized, never a driver loop), then ONE
+    exchange on the key feeding two ordered window passes (forward fill
+    for the previous observation, backward fill for the next — the
+    second pass re-sorts but does NOT re-shuffle, partitioning is
+    preserved). The union of anchors+grid is what flows through — never
+    a range join of events × grid. Grid points outside a key's observed
+    span are not emitted (no extrapolation).
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col(val_col) * 100.0 + 0.5).cast("long")
+    dedup = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.unix_micros(F.col(ts_col)).alias("t"),
+            cents.alias("c"),
+            F.col(id_col).alias("i"),
+        )
+        .groupBy("k", "t")
+        .agg(F.expr("max_by(c, i)").alias("c"))
+    )
+    step = F.lit(step_us).cast("long")
+    bounds = dedup.groupBy("k").agg(
+        (-F.floor(-F.min("t") / step) * step).cast("long").alias("lo"),
+        F.max("t").alias("hi"),
+    )
+    grid = bounds.select(
+        "k", F.explode(F.expr(f"sequence(lo, hi, {step_us})")).alias("t")
+    )
+    stacked = dedup.select(
+        "k", "t", "c", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select("k", "t", F.lit(None).cast("long").alias("c"),
+                    F.lit(1).alias("is_grid"))
+    )
+    # Anchors sort before a same-microsecond grid point in BOTH passes
+    # (is_grid ascending under t asc and t desc alike), so an exact hit
+    # brackets itself: prev_t = next_t = g -> den 0 -> emitted as c/1.
+    fwd = Window.partitionBy("k").orderBy("t", "is_grid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bwd = Window.partitionBy("k").orderBy(
+        F.desc("t"), F.asc("is_grid")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    anchored = stacked.select(
+        "k",
+        "t",
+        "is_grid",
+        F.last("c", ignorenulls=True).over(fwd).alias("prev_c"),
+        F.last(
+            F.when(F.col("is_grid") == 0, F.col("t")), ignorenulls=True
+        ).over(fwd).alias("prev_t"),
+        F.last("c", ignorenulls=True).over(bwd).alias("next_c"),
+        F.last(
+            F.when(F.col("is_grid") == 0, F.col("t")), ignorenulls=True
+        ).over(bwd).alias("next_t"),
+    )
+    num = F.col("prev_c") * (F.col("next_t") - F.col("t")) + F.col(
+        "next_c"
+    ) * (F.col("t") - F.col("prev_t"))
+    exact_hit = F.col("next_t") == F.col("prev_t")
+    return (
+        anchored.where(
+            (F.col("is_grid") == 1)
+            & F.col("prev_t").isNotNull()
+            & F.col("next_t").isNotNull()
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.timestamp_micros(F.col("t")).alias("grid_ts"),
+            F.col("prev_t").alias("prev_t_us"),
+            F.col("next_t").alias("next_t_us"),
+            F.when(exact_hit, F.col("prev_c")).otherwise(num)
+            .cast("long").alias("interp_num"),
+            F.when(exact_hit, F.lit(1).cast("long"))
+            .otherwise((F.col("next_t") - F.col("prev_t")).cast("long"))
+            .alias("interp_den"),
+        )
+        .withColumn(
+            "interp_value",
+            F.col("interp_num").cast("double")
+            / F.col("interp_den").cast("double")
+            / F.lit(100.0),
+        )
+    )

@@ -1088,3 +1088,177 @@ def q_agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outlier_stats(
         t["documents"], F.col("n_chars"), ["source"], k_num=3, k_den=1
     )
+
+
+@query(
+    "ev_sessionize_batch",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    numbered AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM numbered GROUP BY user_id, sess_no
+    """,
+    survey=(
+        "batch gap-sessionization via Spark's native session_window "
+        "aggregate (one exchange, merge inside the aggregation buffer) "
+        "— event analytics, beyond ref"
+    ),
+    tags=("events",),
+)
+def q_ev_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user
+    (operators/timeseries.py::sessionize_batch): ``session_window``
+    merges in the aggregate itself — no lag/cumsum window pass, no
+    second shuffle. The oracle IS the lag/cumsum formulation (a gap of
+    EXACTLY 30 min still merges — session_window closes the gap
+    interval, so the split condition is strictly-greater; pinned by
+    tests/test_timeseries.py)."""
+    from ram_datapipeline_spark.operators.timeseries import sessionize_batch
+
+    t = load_tables(spark, sf_dir)
+    return sessionize_batch(
+        t["events"], key_col="user_id", ts_col="ts", gap="30 minutes",
+        type_col="event_type",
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH per_v AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+      FROM lineitem
+      GROUP BY l_returnflag, CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                  AS BIGINT)
+    ),
+    staged AS (
+      SELECT l_returnflag, v,
+             sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(wv) OVER (PARTITION BY l_returnflag) AS w_total
+      FROM per_v
+    )
+    SELECT l_returnflag, CAST(min(w_total) AS BIGINT) AS w_total,
+           min(v) AS w_median
+    FROM staged WHERE 2 * cumw >= w_total
+    GROUP BY l_returnflag
+    """,
+    survey=(
+        "weighted median per group, integer-exact (cumulative-weight "
+        "cross-multiplication, no interpolation) — robust analytics, "
+        "beyond ref"
+    ),
+    tags=("analytic",),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price cents per return flag
+    (operators/quality.py::weighted_median): (group, value)-grain
+    pre-aggregate, ONE group-keyed cumulative window carrying the
+    total, 2*cumw >= W test — the interpolation-free definition that
+    hash-matches."""
+    from ram_datapipeline_spark.operators.quality import weighted_median
+
+    t = load_tables(spark, sf_dir)
+    return weighted_median(
+        t["lineitem"],
+        ["l_returnflag"],
+        value=F.floor(F.col("l_extendedprice") * 100.0 + 0.5),
+        weight=F.col("l_quantity"),
+    )
+
+
+@query(
+    "agg_corr_components",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+           CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(sum(CAST(l_quantity AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+           CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+               * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+           CAST(sum(CAST(l_quantity AS BIGINT)
+               * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey=(
+        "exact Pearson-correlation sufficient statistics per group "
+        "(mergeable integer partials; corr() itself float-drifts) — "
+        "beyond ref"
+    ),
+    tags=("analytic",),
+)
+def q_corr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (n, sx, sy, sxx, syy, sxy) for quantity-vs-price per
+    return flag (operators/quality.py::corr_components): one map-side
+    combined aggregate; whole dollars keep syy under BIGINT at probe
+    scales (contract in the docstring)."""
+    from ram_datapipeline_spark.operators.quality import corr_components
+
+    t = load_tables(spark, sf_dir)
+    return corr_components(
+        t["lineitem"],
+        ["l_returnflag"],
+        x=F.col("l_quantity"),
+        y=F.floor(F.col("l_extendedprice")),
+    )
+
+
+@query(
+    "ev_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    survey=(
+        "event-type transition matrix (user-journey bigram counts) — "
+        "event analytics, beyond ref"
+    ),
+    tags=("events",),
+)
+def q_ev_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive event-type bigrams per user: one user-keyed lag
+    window ((ts, event_id) total order) + one count aggregate — the
+    journey/Markov-chain input matrix."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

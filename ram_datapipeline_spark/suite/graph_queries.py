@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.operators.graph import (
     common_neighbor_counts,
+    khop_reach,
     label_propagation,
     kcore_peel,
     pagerank_int,
@@ -375,3 +376,77 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _co_order_edges(spark, sf_dir), rounds=2, u="u", v="v"
     )
     return lp.select(F.col("node").alias("part_key"), "community")
+
+
+@query(
+    "graph_khop_reach",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION SELECT v, u FROM edges
+    ),
+    two AS (
+      SELECT s1.src, s2.dst
+      FROM sym s1 JOIN sym s2 ON s1.dst = s2.src
+      WHERE s1.src <> s2.dst
+    ),
+    reach AS (
+      SELECT src, dst FROM sym UNION SELECT src, dst FROM two
+    )
+    SELECT src AS node, count(*) AS reach_2
+    FROM reach GROUP BY src
+    """,
+    survey=(
+        "bounded k-hop reachability (BFS frontier as unrolled joins) — "
+        "graph analytics, beyond ref"
+    ),
+    tags=("graph",),
+)
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct nodes reachable in <=2 hops per part of the 1996-Q1
+    co-order graph (operators/graph.py::khop_reach): one frontier
+    equi-join + distinct per hop, hop count fixed — the exchange
+    carries the (node, reached) pair set being built, never an
+    unbounded closure. The graph is scoped to one quarter of orders BY
+    THE QUERY, not the operator: the 2-hop set on the full-year graph
+    is neighborhood-quadratic (that graph stays the domain of the
+    wedge-bounded ops — triangles, common neighbors); reach profiles
+    are a windowed analysis in practice anyway."""
+    t = load_tables(spark, sf_dir)
+    items = (
+        t["lineitem"]
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    sets = items.groupBy("ok").agg(
+        F.sort_array(F.collect_set("pk")).alias("pks")
+    )
+    edges = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(pks, (x, i) -> "
+                "transform(slice(pks, i + 2, size(pks)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v").distinct()
+    return khop_reach(edges, hops=2, u="u", v="v")

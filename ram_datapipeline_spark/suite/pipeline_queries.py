@@ -1665,3 +1665,130 @@ def q_pipe_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (_cnt - 1) ELSE CAST(0 AS BIGINT) END AS BIGINT)"
         ).alias("pct_scaled"),
     )
+
+
+@query(
+    "pipe_mixture_epochs",
+    oracle="""
+    WITH per AS (
+      SELECT source AS domain,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS avail_tokens,
+             CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w
+      FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM per)
+    SELECT domain, avail_tokens, w,
+           (2000000 * w) // sum_w AS alloc_tokens,
+           ((2000000 * w) // sum_w + avail_tokens - 1) // avail_tokens
+             AS epochs,
+           (2000000 * w) // sum_w
+             - (((2000000 * w) // sum_w + avail_tokens - 1)
+                // avail_tokens - 1) * avail_tokens AS last_epoch_tokens
+    FROM per, tot
+    """,
+    survey=(
+        "training-mixture epoch planner: integer token budget split by "
+        "domain weight, repetition (epochs) + final-pass remainder — "
+        "LLM-pipeline, beyond ref"
+    ),
+    tags=("pipeline",),
+)
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many passes over each source a 2M-token budget requires
+    under per-source integer weights
+    (operators/corpus.py::mixture_epochs): ONE corpus aggregate to the
+    domain grain, a 1-row broadcast total, BIGINT DIV throughout —
+    the oracle replays the same integers."""
+    t = load_tables(spark, sf_dir)
+    return C.mixture_epochs(
+        t["documents"],
+        weight=F.expr("CAST(substring(source, 4, 10) AS INT) % 3 + 1"),
+        budget_tokens=2_000_000,
+        domain_col="source",
+        text_col="text",
+    )
+
+
+@query(
+    "pipe_interleave_sources",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source AS domain,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY doc_id) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_d
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, domain, r,
+             (r * CAST(1000000000000 AS BIGINT)) // n_d AS vkey
+      FROM ranked
+    )
+    SELECT doc_id, domain, r, vkey,
+           CAST(row_number() OVER (ORDER BY vkey, domain, r) - 1
+                AS BIGINT) AS train_pos
+    FROM keyed
+    """,
+    survey=(
+        "proportional source interleave (stride-scheduling virtual "
+        "time) + distributed global position — LLM training-order "
+        "primitive, beyond ref"
+    ),
+    tags=("pipeline",),
+)
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional interleave of the corpus's sources
+    (operators/corpus.py::interleave_sources): BIGINT virtual-time keys
+    r*scale DIV n_d, global position via global_row_index (range
+    exchange + per-partition offsets — no single-partition window; the
+    oracle replays it as the one global window)."""
+    t = load_tables(spark, sf_dir)
+    return C.interleave_sources(
+        t["documents"], domain_col="source", id_col="doc_id",
+        n_partitions=8,
+    )
+
+
+@query(
+    "pipe_length_buckets",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN len(string_split(text, ' ')) < 16 THEN 0
+                       WHEN len(string_split(text, ' ')) < 32 THEN 1
+                       WHEN len(string_split(text, ' ')) < 64 THEN 2
+                       WHEN len(string_split(text, ' ')) < 128 THEN 3
+                       ELSE 4 END AS BIGINT) AS bucket
+      FROM documents
+    ),
+    batched AS (
+      SELECT *, (row_number() OVER (PARTITION BY bucket
+                                    ORDER BY n_tokens DESC, doc_id)
+                 - 1) // 32 AS batch_id
+      FROM sized
+    )
+    SELECT bucket, CAST(batch_id AS BIGINT) AS batch_id,
+           count(*) AS n_docs, max(n_tokens) AS max_len,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+             AS padding_waste
+    FROM batched GROUP BY bucket, batch_id
+    """,
+    survey=(
+        "length-bucketed batch packing (dynamic-padding batches, "
+        "padding-waste accounting) — LLM dataloader prep, beyond ref"
+    ),
+    tags=("pipeline",),
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut each token-length bucket into 32-doc batches, longest first
+    (operators/corpus.py::length_buckets): CASE-chain bucket edges (no
+    libm), one bucket-keyed rank window, per-batch padding waste in
+    exact integers."""
+    t = load_tables(spark, sf_dir)
+    return C.length_buckets(
+        t["documents"], batch_size=32, id_col="doc_id", text_col="text",
+    )

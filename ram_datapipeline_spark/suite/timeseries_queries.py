@@ -351,3 +351,73 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_n=8,
         k_sigma=3,
     )
+
+
+@query(
+    "ts_resample_interp",
+    oracle="""
+    WITH dedup AS (
+      SELECT event_type AS k, epoch_us(ts) AS t,
+             arg_max(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                     event_id) AS c
+      FROM events GROUP BY event_type, epoch_us(ts)
+    ),
+    bounds AS (
+      SELECT k, ((min(t) + 3599999999) // 3600000000) * 3600000000 AS lo,
+             max(t) AS hi
+      FROM dedup GROUP BY k
+    ),
+    grid AS (
+      SELECT k, unnest(generate_series(lo, hi, 3600000000)) AS g
+      FROM bounds
+    ),
+    p AS (
+      SELECT grid.k, grid.g, max(d.t) AS prev_t,
+             arg_max(d.c, d.t) AS prev_c
+      FROM grid JOIN dedup d ON d.k = grid.k AND d.t <= grid.g
+      GROUP BY grid.k, grid.g
+    ),
+    n AS (
+      SELECT grid.k, grid.g, min(d.t) AS next_t,
+             arg_min(d.c, d.t) AS next_c
+      FROM grid JOIN dedup d ON d.k = grid.k AND d.t >= grid.g
+      GROUP BY grid.k, grid.g
+    ),
+    r AS (
+      SELECT p.k, p.g, p.prev_t, n.next_t,
+             CASE WHEN n.next_t = p.prev_t THEN p.prev_c
+                  ELSE p.prev_c * (n.next_t - p.g)
+                       + n.next_c * (p.g - p.prev_t) END AS interp_num,
+             CASE WHEN n.next_t = p.prev_t THEN CAST(1 AS BIGINT)
+                  ELSE n.next_t - p.prev_t END AS interp_den
+      FROM p JOIN n ON p.k = n.k AND p.g = n.g
+    )
+    SELECT k AS event_type, make_timestamp(g) AS grid_ts,
+           prev_t AS prev_t_us, next_t AS next_t_us,
+           interp_num, interp_den,
+           CAST(interp_num AS DOUBLE) / CAST(interp_den AS DOUBLE)
+             / 100.0 AS interp_value
+    FROM r
+    """,
+    survey=(
+        "linear-interpolation resampling onto a fixed grid, exact "
+        "rational output (num/den BIGINT pair — no float in the "
+        "operator) — timeseries regularization, beyond ref"
+    ),
+    tags=("timeseries",),
+)
+def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly linear interpolation per event type
+    (operators/timeseries.py::resample_interpolate): anchors+grid
+    union through ONE key exchange and two ordered window passes; the
+    oracle brackets each grid point with range-join aggregates — an
+    independent algorithm for the same rationals."""
+    from ram_datapipeline_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return resample_interpolate(
+        t["events"], key_col="event_type", ts_col="ts", val_col="value",
+        id_col="event_id", step_us=3_600_000_000,
+    )

@@ -107,7 +107,23 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "text_bm25_rank", "text_lexical_diversity",
           "dedup_sorted_neighborhood", "pipe_systematic_sample",
           "agg_histogram", "agg_robust_outliers", "ts_anomaly_zscore",
-          "pipe_corpus_shuffle", "pipe_quantile_normalize"]
+          "pipe_corpus_shuffle", "pipe_quantile_normalize",
+          # round-8 late additions: native session_window (one key
+          # exchange, merge in the aggregation buffer), rational
+          # interpolation (anchors+grid through one key exchange),
+          # mixture planner (one corpus agg + broadcast total),
+          # proportional interleave (rank window + range exchange),
+          # bounded k-hop reach (frontier equi-joins; candidate set =
+          # the output being built)
+          "ev_sessionize_batch", "ts_resample_interp",
+          "pipe_mixture_epochs", "pipe_interleave_sources",
+          "graph_khop_reach",
+          # round-8 late additions: weighted median (window input is the
+          # distinct-value grain, not rows), corr components (one
+          # map-side-combined agg), length buckets (bucket-keyed rank
+          # window), type transitions (one user-keyed lag window)
+          "agg_weighted_median", "agg_corr_components",
+          "pipe_length_buckets", "ev_type_transitions"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

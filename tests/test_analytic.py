@@ -1058,3 +1058,43 @@ def test_robust_outlier_stats_odd_even_and_flags(spark):
     assert out["odd"]["n_outliers"] == 1
     assert (out["even"]["n"], out["even"]["med2"], out["even"]["mad2"]) == (4, 6, 6)
     assert out["even"]["n_outliers"] == 1
+
+
+def test_weighted_median_hand_cases(spark):
+    from ram_datapipeline_spark.operators.quality import weighted_median
+
+    df = spark.createDataFrame(
+        [
+            # group a: values 1 (w=1), 2 (w=1), 3 (w=2) -> W=4,
+            # cum at 2 = 2 -> 2*2 >= 4 -> median 2 (lower median)
+            ("a", 1, 1), ("a", 2, 1), ("a", 3, 2),
+            # group b: one dominant weight -> median is that value
+            ("b", 10, 1), ("b", 20, 100), ("b", 30, 1),
+            # group c: duplicate values merge at the (group, value) grain
+            ("c", 5, 1), ("c", 5, 1), ("c", 7, 1),
+        ],
+        "g string, v int, w int",
+    )
+    out = {
+        r.g: r
+        for r in weighted_median(
+            df, ["g"], value=F.col("v"), weight=F.col("w")
+        ).collect()
+    }
+    assert (out["a"].w_total, out["a"].w_median) == (4, 2)
+    assert (out["b"].w_total, out["b"].w_median) == (102, 20)
+    assert (out["c"].w_total, out["c"].w_median) == (3, 5)
+
+
+def test_corr_components_exact_sums(spark):
+    from ram_datapipeline_spark.operators.quality import corr_components
+
+    df = spark.createDataFrame(
+        [("g", 1, 2), ("g", 2, 4), ("g", 3, 6)], "k string, x int, y int"
+    )
+    r = corr_components(df, ["k"], F.col("x"), F.col("y")).collect()[0]
+    assert (r.n, r.sx, r.sy) == (3, 6, 12)
+    assert (r.sxx, r.syy, r.sxy) == (14, 56, 28)
+    # perfectly correlated: corr_num^2 == varx*vary (cross-multiplied)
+    num = r.n * r.sxy - r.sx * r.sy
+    assert num * num == (r.n * r.sxx - r.sx**2) * (r.n * r.syy - r.sy**2)

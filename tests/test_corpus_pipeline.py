@@ -126,3 +126,93 @@ def test_token_budget_select_prefix_semantics(spark):
     assert all(r["source"] == "a" for r in out)  # 'zzz' dropped
     with pytest.raises(ValueError, match="empty budget"):
         token_budget_select(df, {})
+
+
+def test_mixture_epochs_integer_identities(spark):
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.operators.corpus import mixture_epochs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "small"),    # 3 tokens
+            (2, "a b c d e", "big"),  # 5 tokens
+            (3, "x y z w q", "big"),  # 5 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.domain: r
+        for r in mixture_epochs(
+            docs,
+            weight=F.when(F.col("source") == "small", 3).otherwise(1),
+            budget_tokens=100,
+        ).collect()
+    }
+    # sum_w = 4 -> small gets 75 tokens over 3 available -> 25 epochs
+    s = out["small"]
+    assert (s.avail_tokens, s.w, s.alloc_tokens) == (3, 3, 75)
+    assert (s.epochs, s.last_epoch_tokens) == (25, 3)
+    # big gets 25 over 10 -> 3 epochs, 5 tokens in the last pass
+    b = out["big"]
+    assert (b.avail_tokens, b.alloc_tokens) == (10, 25)
+    assert (b.epochs, b.last_epoch_tokens) == (3, 5)
+    # identities: (epochs-1)*avail < alloc <= epochs*avail
+    for r in out.values():
+        assert (r.epochs - 1) * r.avail_tokens < r.alloc_tokens
+        assert r.alloc_tokens <= r.epochs * r.avail_tokens
+        assert r.last_epoch_tokens == (
+            r.alloc_tokens - (r.epochs - 1) * r.avail_tokens
+        )
+
+
+def test_interleave_sources_proportional_permutation(spark):
+    from ram_datapipeline_spark.operators.corpus import interleave_sources
+
+    # 6 docs of A vs 2 of B -> B's docs land near positions 1/2 and 1/1
+    # of the schedule; every prefix of the order is a fair share
+    docs = spark.createDataFrame(
+        [(i, "A") for i in range(6)] + [(100 + i, "B") for i in range(2)],
+        "doc_id long, source string",
+    )
+    rows = (
+        interleave_sources(docs, n_partitions=3)
+        .orderBy("train_pos")
+        .collect()
+    )
+    # a permutation: every position exactly once
+    assert [r.train_pos for r in rows] == list(range(8))
+    order = [r.domain for r in rows]
+    # proportional: first half of the schedule has half of EACH source
+    assert order.count("A") == 6 and order.count("B") == 2
+    assert order[:4].count("A") == 3 and order[:4].count("B") == 1
+    # within a source, document order is preserved
+    a_ids = [r.doc_id for r in rows if r.domain == "A"]
+    assert a_ids == sorted(a_ids)
+
+
+def test_length_buckets_edges_batches_waste(spark):
+    from ram_datapipeline_spark.operators.corpus import length_buckets
+
+    def doc(i, n):
+        return (i, " ".join(["w"] * n))
+
+    # bucket 1 = [16,32): 3 docs with batch_size=2 -> batches of 2+1,
+    # longest first; bucket edges are strict upper bounds
+    docs = spark.createDataFrame(
+        [doc(1, 20), doc(2, 31), doc(3, 16), doc(4, 15), doc(5, 200)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.bucket, r.batch_id): r
+        for r in length_buckets(docs, batch_size=2).collect()
+    }
+    b0 = out[(0, 0)]          # the 15-token doc: below the first edge
+    assert (b0.n_docs, b0.max_len, b0.padding_waste) == (1, 15, 0)
+    b1a = out[(1, 0)]         # 31 and 20 -> waste = 2*31 - 51
+    assert (b1a.n_docs, b1a.max_len, b1a.sum_len) == (2, 31, 51)
+    assert b1a.padding_waste == 11
+    b1b = out[(1, 1)]         # the 16-token doc alone
+    assert (b1b.n_docs, b1b.max_len, b1b.padding_waste) == (1, 16, 0)
+    assert out[(4, 0)].max_len == 200   # >= last edge -> overflow bucket
+    assert len(out) == 4

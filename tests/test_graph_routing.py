@@ -349,3 +349,21 @@ def test_osm_oneway_and_roundabout_directionality(spark):
     off = {(r["src"], r["dst"]) for r in
            osm_ways_to_road_edges(nodes, ways, honor_oneway=False).collect()}
     assert off == {(a, b) for a, b in got} | {(b, a) for a, b in got}
+
+
+def test_khop_reach_matches_bruteforce_path_graph(spark):
+    from ram_datapipeline_spark.operators.graph import khop_reach
+
+    # path 1-2-3-4-5 plus a triangle 10-11-12
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "u long, v long",
+    )
+    two = {r.node: r.reach_2 for r in khop_reach(edges, hops=2).collect()}
+    assert two == {1: 2, 2: 3, 3: 4, 4: 3, 5: 2, 10: 2, 11: 2, 12: 2}
+    three = {r.node: r.reach_3 for r in khop_reach(edges, hops=3).collect()}
+    # path interior now sees everything within 3 edges
+    assert three[1] == 3 and three[2] == 4 and three[3] == 4
+    # hops=1 is just the degree
+    one = {r.node: r.reach_1 for r in khop_reach(edges, hops=1).collect()}
+    assert one == {1: 1, 2: 2, 3: 2, 4: 2, 5: 1, 10: 2, 11: 2, 12: 2}

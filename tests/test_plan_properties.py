@@ -495,3 +495,96 @@ def test_quantile_normalize_group_window_only(spark):
     assert "Exchange SinglePartition" not in p
     assert n_data_shuffles(p) == 1, p
     assert "Python" not in p and "Arrow" not in p
+
+
+def test_sessionize_batch_single_aggregate_no_window(spark):
+    """session_window merges inside the aggregation buffer: one
+    user-keyed exchange, NO analytic Window pass, no Python."""
+    p = plan_text(spark, "ev_sessionize_batch")
+    assert n_ops(p, "Window") == 0
+    assert "Exchange SinglePartition" not in p
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_resample_interp_one_key_exchange_two_sorts(spark):
+    """Anchors+grid union flows through key-partitioned windows only;
+    the backward pass re-sorts but never re-shuffles."""
+    p = plan_text(spark, "ts_resample_interp")
+    assert n_ops(p, "Window") >= 1
+    assert "Exchange SinglePartition" not in p
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_mixture_epochs_one_corpus_agg_broadcast_total(spark):
+    """The corpus is scanned once into a domain-grain aggregate; the
+    1-row sum_w total comes back by broadcast — no window, no Python.
+    The plan's only SinglePartition exchange is the sum_w global
+    aggregate, whose input is the (tiny) domain table, never the
+    corpus — the documented bounded-total pattern."""
+    p = plan_text(spark, "pipe_mixture_epochs")
+    assert n_ops(p, "Window") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") + n_ops(
+        p, "BroadcastHashJoin"
+    ) >= 1
+    assert p.count("Exchange SinglePartition") <= 1
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_interleave_sources_range_exchange_no_global_window(spark):
+    """Per-domain rank windows are key-partitioned; the global position
+    is the two-pass range-exchange index — never a SinglePartition
+    window over the corpus."""
+    p = plan_text(spark, "pipe_interleave_sources")
+    assert "rangepartitioning" in p.lower()
+    assert "Exchange SinglePartition" not in p
+    for line in p.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "domain" in line  # every window spec is domain-keyed
+
+
+def test_khop_reach_equijoins_only(spark):
+    """Hop expansion is an equi-join of the symmetric edge list — no
+    cartesian product, no window, no Python."""
+    p = plan_text(spark, "graph_khop_reach")
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert n_ops(p, "Window") == 0
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_weighted_median_one_exchange_group_windows(spark):
+    """(group, value)-grain pre-aggregate, then both window specs and
+    the final aggregate ride the same group partitioning — never
+    SinglePartition, pure JVM."""
+    p = plan_text(spark, "agg_weighted_median")
+    assert "Exchange SinglePartition" not in p
+    assert n_ops(p, "Window") <= 2
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_corr_components_single_pass_agg(spark):
+    """One map-side-combined aggregate over the scan: no window, no
+    join, one data exchange, pure JVM."""
+    p = plan_text(spark, "agg_corr_components")
+    assert n_ops(p, "Window") == 0
+    assert n_ops(p, "BroadcastHashJoin") == 0
+    assert n_data_shuffles(p) == 1, p
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_length_buckets_bucket_window_only(spark):
+    """The rank window is bucket-partitioned (never SinglePartition);
+    the batch aggregate reuses the bucket key prefix."""
+    p = plan_text(spark, "pipe_length_buckets")
+    assert "Exchange SinglePartition" not in p
+    assert n_ops(p, "Window") == 1
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_ev_type_transitions_one_user_exchange(spark):
+    """One user-keyed lag window + one count aggregate, no
+    SinglePartition, pure JVM."""
+    p = plan_text(spark, "ev_type_transitions")
+    assert n_ops(p, "Window") == 1
+    assert "Exchange SinglePartition" not in p
+    assert "Python" not in p and "Arrow" not in p

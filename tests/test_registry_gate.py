@@ -112,6 +112,15 @@ def test_gated_queries_all_have_oracles():
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
     # born in round 8 AFTER the window was frozen — first driver proof
     # must come in r9 (all already oracle-green in the builder's sweeps)
+    "ev_sessionize_batch",
+    "ts_resample_interp",
+    "pipe_length_buckets",
+    "agg_weighted_median",
+    "agg_corr_components",
+    "ev_type_transitions",
+    "pipe_mixture_epochs",
+    "pipe_interleave_sources",
+    "graph_khop_reach",
     "text_bm25_rank",
     "text_lexical_diversity",
     "dedup_sorted_neighborhood",

@@ -295,3 +295,76 @@ def test_rolling_zscore_anomalies_exact_rule(spark):
     assert ids == [11]
     (r,) = [r for r in out if r["event_id"] == 11]
     assert r["win_n"] == 4 and r["bound_sq"] == 0 and r["dev_num"] > 0
+
+
+def test_sessionize_batch_gap_boundary_and_merge(spark):
+    from ram_datapipeline_spark.operators.timeseries import sessionize_batch
+
+    events = spark.createDataFrame(
+        [
+            # user 1: three events 10 min apart -> ONE session
+            (1, _ts(0, 0), "a", 1),
+            (1, _ts(0, 10), "b", 2),
+            (1, _ts(0, 20), "a", 3),
+            # exactly 30 min after the last -> session_window treats the
+            # gap as a CLOSED interval, so a boundary-exact gap still
+            # MERGES (the oracle's split condition is strictly-greater;
+            # this pins that semantics choice)
+            (1, _ts(0, 50), "c", 4),
+            # 30 min + 1 us after -> strictly over the gap -> NEW session
+            (1, dt.datetime(2024, 1, 1, 1, 20, 0, 1), "d", 5),
+            # user 2: single event
+            (2, _ts(5, 0), "a", 6),
+        ],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = sessionize_batch(
+        events, key_col="user_id", gap="30 minutes", type_col="event_type"
+    ).orderBy("user_id", "session_start").collect()
+    assert len(out) == 3
+    s1, s2, s3 = out
+    assert (s1.n_events, s1.n_types) == (4, 3)
+    assert s1.duration_us == 50 * 60 * 1_000_000
+    assert (s2.n_events, s2.session_start) == (
+        1, dt.datetime(2024, 1, 1, 1, 20, 0, 1),
+    )
+    assert (s3.user_id, s3.n_events, s3.duration_us) == (2, 1, 0)
+
+
+def test_resample_interpolate_exact_rationals(spark):
+    from ram_datapipeline_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    events = spark.createDataFrame(
+        [
+            # key "x": events at 00:30 (v=1.00) and 02:30 (v=3.00)
+            ("x", dt.datetime(2024, 1, 1, 0, 30), 1.0, 1),
+            ("x", dt.datetime(2024, 1, 1, 2, 30), 3.0, 2),
+            # key "y": one event exactly on the grid (01:00), plus a
+            # same-microsecond duplicate -> max event_id wins the dedup
+            ("y", dt.datetime(2024, 1, 1, 1, 0), 5.0, 3),
+            ("y", dt.datetime(2024, 1, 1, 1, 0), 7.0, 4),
+            ("y", dt.datetime(2024, 1, 1, 3, 0), 9.0, 5),
+        ],
+        "event_type string, ts timestamp, value double, event_id long",
+    )
+    out = {
+        (r.event_type, r.grid_ts): r
+        for r in resample_interpolate(events).collect()
+    }
+    # x grid points: 01:00 and 02:00 (inside (00:30, 02:30))
+    g1 = out[("x", dt.datetime(2024, 1, 1, 1, 0))]
+    # num = 100*(t2-g) + 300*(g-t1); t2-g = 90min, g-t1 = 30min (us)
+    assert g1.interp_den == 120 * 60 * 1_000_000
+    assert g1.interp_num == (100 * 90 + 300 * 30) * 60 * 1_000_000
+    assert g1.interp_value == 1.5
+    g2 = out[("x", dt.datetime(2024, 1, 1, 2, 0))]
+    assert g2.interp_value == 2.5
+    # y at 01:00: exact hit -> dedup picked event_id 4 (7.00) -> c/1
+    y1 = out[("y", dt.datetime(2024, 1, 1, 1, 0))]
+    assert (y1.interp_num, y1.interp_den) == (700, 1)
+    assert y1.interp_value == 7.0
+    # no extrapolation: nothing before a key's first or after its last
+    assert ("x", dt.datetime(2024, 1, 1, 0, 0)) not in out
+    assert ("x", dt.datetime(2024, 1, 1, 3, 0)) not in out
