@@ -136,6 +136,12 @@ HEADLINE = [
     "graph_khop_reach",        # bounded BFS frontier joins (1996-Q1)
     "agg_weighted_median",     # integer-exact weighted median
     "pipe_length_buckets",     # dynamic-padding batch packing
+    "ev_rfm_scores",           # order-statistic RFM quintiles
+    "w8_running_distinct",     # cumulative distinct per key
+    "ts_cusum_drift",          # CUSUM drift via prefix-min identity
+    "j_asof_forward",          # forward as-of join (time to conversion)
+    "dedup_minhash_eval",      # LSH candidate precision/recall audit
+    "text_rake_keyphrases",    # RAKE keyphrases, fixed-point scores
 ]
 
 

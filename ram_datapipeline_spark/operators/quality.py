@@ -644,3 +644,124 @@ def corr_components(
         F.sum(yl * yl).alias("syy"),
         F.sum(xl * yl).alias("sxy"),
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value: Column,
+    k: int,
+    metric_col: str | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Scale-safe ntile: assign every row its k-quantile bucket (1..k)
+    WITHOUT the global single-partition sort ``ntile()`` needs.
+
+    Cutoff t_j (j = 1..k-1) is the lower j/k order statistic — the
+    smallest value whose cumulative count satisfies ``k*cum >= j*n``
+    (integer cross-multiplication, no division) — computed on the
+    (metric, value)-grain count table, so the only window sorts
+    DISTINCT values per metric, never rows. The bucket is
+    ``1 + #cutoffs strictly below the value`` via a broadcast join of
+    the (k-1) × metrics cutoff table. Ties share a bucket (every equal
+    value gets the same score — the property ntile lacks), so bucket
+    POPULATIONS are approximately n/k, exactly n/k when values are
+    distinct.
+
+    ``metric_col``: optional column partitioning independent metrics
+    (unpivoted long format — one call buckets many metrics at once).
+    Input column layout is preserved; ``out_col`` is appended.
+    """
+    from pyspark.sql import Window
+
+    m = (
+        F.col(metric_col)
+        if metric_col is not None
+        else F.lit("_all").alias("_m")
+    )
+    base = df.withColumn("_v", value.cast("long")).withColumn(
+        "_m", m.cast("string")
+    )
+    counts = base.groupBy("_m", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    cum_w = (
+        Window.partitionBy("_m")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("_m")
+    staged = counts.select(
+        "_m",
+        "_v",
+        F.sum("_c").over(cum_w).alias("_cum"),
+        F.sum("_c").over(tot_w).alias("_n"),
+    )
+    cuts = None
+    for j in range(1, k):
+        cj = (
+            staged.where(k * F.col("_cum") >= j * F.col("_n"))
+            .groupBy("_m")
+            .agg(F.min("_v").alias("_t"))
+        )
+        cuts = cj if cuts is None else cuts.unionByName(cj)
+    # The broadcast side is the (k-1) × metrics cutoff table folded to
+    # ONE array row per metric — never a value-grain table.
+    cut_arrays = cuts.groupBy("_m").agg(
+        F.array_sort(F.collect_list("_t")).alias("_ts")
+    )
+    return (
+        base.join(F.broadcast(cut_arrays), "_m")
+        .withColumn(
+            out_col,
+            F.lit(1)
+            + F.size(F.filter("_ts", lambda t: F.col("_v") > t)),
+        )
+        .drop("_ts", "_v", "_m")
+    )
+
+
+def rfm_scores(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    event_filter: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quantile scoring — the
+    classic customer-value segmentation, built scale-safe: the three
+    per-key metrics unpivot to a (key, metric, value) long table and
+    ONE ``quantile_buckets`` call scores all three against exact
+    order-statistic cutoffs (no global ntile window; cutoffs broadcast
+    as a (k-1)-element array per metric).
+
+    INTEGER-EXACT: recency is the max event microsecond timestamp
+    (later = better), frequency the exact count, monetary the exact
+    cent sum; equal metric values always score equally (ntile splits
+    ties arbitrarily across buckets — not engine-reproducible).
+
+    Emits (key, r_score, f_score, m_score, rfm) with rfm = 100r+10f+m.
+    """
+    src = events if event_filter is None else events.where(event_filter)
+    per_key = src.groupBy(key_col).agg(
+        F.max(F.unix_micros(F.col(ts_col))).alias("_r"),
+        F.count(F.lit(1)).alias("_f"),
+        F.sum(F.floor(F.col(val_col) * 100.0 + 0.5)).cast("long").alias("_m"),
+    )
+    long = per_key.selectExpr(
+        key_col,
+        "stack(3, 'R', _r, 'F', _f, 'M', _m) AS (metric, v)",
+    )
+    scored = quantile_buckets(
+        long, F.col("v"), k, metric_col="metric", out_col="score"
+    )
+    return (
+        scored.groupBy(key_col)
+        .pivot("metric", ["R", "F", "M"])
+        .agg(F.first("score"))
+        .select(
+            key_col,
+            F.col("R").alias("r_score"),
+            F.col("F").alias("f_score"),
+            F.col("M").alias("m_score"),
+            (F.col("R") * 100 + F.col("F") * 10 + F.col("M")).alias("rfm"),
+        )
+    )

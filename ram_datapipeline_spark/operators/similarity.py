@@ -646,3 +646,52 @@ def mmr_rerank(
             schema="query_id long, neighbor_id long, rel double, mmr_rank int",
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the ``k`` most-similar vectors carrying a DIFFERENT label — the
+    near-the-margin negatives that make a metric-learning batch
+    informative (easy random negatives teach nothing).
+
+    Same fenced brute-force shape as ``cosine_topk`` (the query side
+    broadcasts; at corpus scale swap the candidate generation for the
+    IVF/LSH paths and keep the label-inequality filter + rank) — the
+    label filter is applied BEFORE the rank window, so k survivors per
+    query are guaranteed hard negatives, not top-k-then-filter leftovers.
+
+    Emits (query_id, label, neg_id, neg_label, cos, rk).
+    """
+    q = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("label"),
+        F.col("_e").alias("_eq"),
+        F.col("_nrm").alias("_nq"),
+    )
+    # the probe side must spread over the cluster BEFORE the fan-out —
+    # a one-file parquet scan would grind the whole cross join on one
+    # core (same fix as cosine_topk)
+    c = with_norm(ensure_parallelism(corpus), vec_col).select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col("_e").alias("_ec"),
+        F.col("_nrm").alias("_nc"),
+    )
+    cos = _dot(F.col("_eq"), F.col("_ec")) / (F.col("_nq") * F.col("_nc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neg_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("neg_label"))
+        .withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "label", "neg_id", "neg_label", "cos", "rk")
+    )

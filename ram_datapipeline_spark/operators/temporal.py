@@ -260,3 +260,138 @@ def interval_overlap_join(
         .distinct()
     )
     return pairs
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the EARLIEST right row with
+    ``right.ts >= left.ts`` and the same ``on`` key — the forward as-of
+    join (time-to-next-event / conversion-lag lookups; the backward
+    variant is ``asof_join``).
+
+    Same shape as the backward join with the scan reversed: union both
+    sides, order ``(ts DESC, side)`` per key (right rows first at equal
+    ts → inclusive >=), carry the last-seen right payload — which,
+    scanning backward in time, is the nearest FUTURE right row. One
+    shuffle, linear state, no range explosion.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, ts_col)
+    ]
+    payload = F.struct(
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        *[F.col(c) for c in right_cols],
+    )
+    l_tag = left.withColumn("_payload", F.lit(None).cast(
+        right.select(payload.alias("p")).schema["p"].dataType
+    )).withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts_col),
+        payload.alias("_payload"),
+        F.lit(0).alias("_side"),
+    )
+    for c in left.columns:
+        if c not in (on, ts_col):
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r_tag = r_tag.select(*[c for c in l_tag.columns])
+
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.desc(ts_col), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_payload", "_side")
+    flat = [F.col(c) for c in left.columns] + [
+        F.col(f"_match.{f}").alias(f)
+        for f in [f"{ts_col}{suffix}", *right_cols]
+    ]
+    return out.select(*flat)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, the right row NEAREST in time (either
+    direction), same key — pandas ``merge_asof(direction='nearest')``
+    semantics, ties (equidistant before/after) resolved to the EARLIER
+    right row (deterministic, and what 'state at that moment' usually
+    wants).
+
+    Built as the backward and forward scans over the SAME union input —
+    both window passes ride one key exchange (the second pass re-sorts,
+    partitioning is preserved), then a projection picks the nearer
+    match per row. No range join, linear state.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, ts_col)
+    ]
+    payload = F.struct(
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        *[F.col(c) for c in right_cols],
+    )
+    l_tag = left.withColumn("_payload", F.lit(None).cast(
+        right.select(payload.alias("p")).schema["p"].dataType
+    )).withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts_col),
+        payload.alias("_payload"),
+        F.lit(0).alias("_side"),
+    )
+    for c in left.columns:
+        if c not in (on, ts_col):
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r_tag = r_tag.select(*[c for c in l_tag.columns])
+
+    u = l_tag.unionByName(r_tag)
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.desc(ts_col), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "_back", F.last("_payload", ignorenulls=True).over(wb)
+    ).withColumn(
+        "_fwd", F.last("_payload", ignorenulls=True).over(wf)
+    )
+    t_us = F.unix_micros(F.col(ts_col))
+    back_d = t_us - F.unix_micros(F.col(f"_back.{ts_col}{suffix}"))
+    fwd_d = F.unix_micros(F.col(f"_fwd.{ts_col}{suffix}")) - t_us
+    nearer = (
+        F.when(F.col("_back").isNull(), F.col("_fwd"))
+        .when(F.col("_fwd").isNull(), F.col("_back"))
+        # tie -> earlier (backward) match
+        .when(back_d <= fwd_d, F.col("_back"))
+        .otherwise(F.col("_fwd"))
+    )
+    out = (
+        carried.filter(F.col("_side") == 1)
+        .withColumn("_match", nearer)
+        .drop("_payload", "_side", "_back", "_fwd")
+    )
+    flat = [F.col(c) for c in left.columns] + [
+        F.col(f"_match.{f}").alias(f)
+        for f in [f"{ts_col}{suffix}", *right_cols]
+    ]
+    return out.select(*flat)

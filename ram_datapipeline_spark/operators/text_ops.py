@@ -566,3 +566,88 @@ def lexical_diversity(
         F.expr(f"(_n * _n - _sumsq) * CAST({scale} AS BIGINT) div (_n * _n)")
         .alias("gini_scaled"),
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    stopwords: tuple[str, ...] = ("a", "the"),
+    top_k: int = 2,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010), integer-exact:
+    candidate phrases are maximal runs of non-stopword tokens; each
+    word scores deg(w)/freq(w) — degree = total length of the doc's
+    phrase occurrences containing w, frequency = w's occurrence count —
+    and a phrase scores the sum over its token instances. The division
+    is fixed-point ``deg*scale DIV freq`` so both engines replay the
+    same BIGINTs (RAKE's float ratios would ULP-drift in sum order).
+
+    Shapes: token explode with position; stopword rows become phrase
+    delimiters via a doc-keyed running count (one window); phrase
+    reassembly, word stats, and scoring are (doc)- or (doc, word)-grain
+    aggregates; the final top-k rank window partitions by doc (bounded
+    by the doc's phrase count). No corpus-wide state — RAKE is
+    per-document by definition, so every exchange key contains the doc
+    id and the operator scales with documents, not pairs.
+
+    Emits (id_col, phrase, score_scaled, rk) — top_k per document,
+    ties broken by (phrase text, occurrence id).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).withColumn("is_stop", F.col("w").isin(*stopwords))
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    words = (
+        tok.withColumn(
+            "phrase_id", F.sum(F.col("is_stop").cast("int")).over(run)
+        )
+        .where(~F.col("is_stop") & (F.col("w") != ""))
+        .select(id_col, "phrase_id", "pos", "w")
+    )
+    phrases = words.groupBy(id_col, "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("phrase"),
+    )
+    freq = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("freq"))
+    deg = (
+        words.join(phrases.select(id_col, "phrase_id", "plen"),
+                   [id_col, "phrase_id"])
+        .groupBy(id_col, "w")
+        .agg(F.sum("plen").alias("deg"))
+    )
+    wscore = freq.join(deg, [id_col, "w"]).select(
+        id_col,
+        "w",
+        F.expr(f"(deg * CAST({int(scale)} AS BIGINT)) DIV freq").alias(
+            "wscore"
+        ),
+    )
+    pscore = (
+        words.join(wscore, [id_col, "w"])
+        .groupBy(id_col, "phrase_id")
+        .agg(F.sum("wscore").alias("score_scaled"))
+        .join(phrases, [id_col, "phrase_id"])
+    )
+    topw = Window.partitionBy(id_col).orderBy(
+        F.desc("score_scaled"), F.asc("phrase"), F.asc("phrase_id")
+    )
+    return (
+        pscore.withColumn("rk", F.row_number().over(topw))
+        .where(F.col("rk") <= top_k)
+        .select(id_col, "phrase", "score_scaled", "rk")
+    )

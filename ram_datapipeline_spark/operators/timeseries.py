@@ -478,3 +478,74 @@ def resample_interpolate(
             / F.lit(100.0),
         )
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    cents: F.Column,
+    target_cents: int,
+    slack_cents: int,
+    h_cents: int,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection, INTEGER-EXACT and
+    window-expressible: the textbook recursions
+
+        S+_i = max(0, S+_{i-1} + (x_i - target) - slack)
+        S-_i = max(0, S-_{i-1} - (x_i - target) - slack)
+
+    look sequential, but each unrolls to a prefix-sum identity —
+    with P_i = Σ_{j<=i} (d_j - slack),
+
+        S+_i = P_i - min(0, min_{j<=i} P_j)
+
+    (the reset simply re-bases the sum at the running minimum) — so
+    both sides are two running aggregates over ONE key-partitioned
+    ordered window pass: cumulative sum + cumulative min, all BIGINT,
+    replayed exactly by the SQL oracle. Flags rows where either side
+    exceeds the decision threshold ``h_cents``.
+
+    Emits every row with (cents, s_plus, s_minus, drift_up, drift_down)
+    — the monitoring table; filter on the flags downstream.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        *key_cols, tiebreak_col, ts_col, cents.cast("long").alias("cents")
+    )
+    d_up = F.col("cents") - F.lit(target_cents) - F.lit(slack_cents)
+    d_dn = F.lit(target_cents) - F.col("cents") - F.lit(slack_cents)
+    staged = base.select(
+        *key_cols,
+        tiebreak_col,
+        ts_col,
+        "cents",
+        F.sum(d_up).over(w).alias("_pu"),
+        F.sum(d_dn).over(w).alias("_pd"),
+    ).select(
+        *key_cols,
+        tiebreak_col,
+        ts_col,
+        "cents",
+        "_pu",
+        "_pd",
+        F.min(F.least(F.col("_pu"), F.lit(0))).over(w).alias("_mu"),
+        F.min(F.least(F.col("_pd"), F.lit(0))).over(w).alias("_md"),
+    )
+    return staged.select(
+        *key_cols,
+        tiebreak_col,
+        ts_col,
+        "cents",
+        (F.col("_pu") - F.col("_mu")).alias("s_plus"),
+        (F.col("_pd") - F.col("_md")).alias("s_minus"),
+        (F.col("_pu") - F.col("_mu") > h_cents).alias("drift_up"),
+        (F.col("_pd") - F.col("_md") > h_cents).alias("drift_down"),
+    )

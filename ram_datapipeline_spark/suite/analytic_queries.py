@@ -1262,3 +1262,273 @@ def q_ev_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "ev_rfm_scores",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS _r,
+             count(*) AS _f,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS _m
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    long AS (
+      SELECT user_id, 'R' AS metric, _r AS v FROM per_key
+      UNION ALL SELECT user_id, 'F', _f FROM per_key
+      UNION ALL SELECT user_id, 'M', _m FROM per_key
+    ),
+    counts AS (
+      SELECT metric, v, count(*) AS c FROM long GROUP BY metric, v
+    ),
+    staged AS (
+      SELECT metric, v,
+             sum(c) OVER (PARTITION BY metric ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY metric) AS n
+      FROM counts
+    ),
+    cuts AS (
+      SELECT metric, min(v) AS t FROM staged
+      WHERE 5 * cum >= 1 * n GROUP BY metric
+      UNION ALL SELECT metric, min(v) FROM staged
+      WHERE 5 * cum >= 2 * n GROUP BY metric
+      UNION ALL SELECT metric, min(v) FROM staged
+      WHERE 5 * cum >= 3 * n GROUP BY metric
+      UNION ALL SELECT metric, min(v) FROM staged
+      WHERE 5 * cum >= 4 * n GROUP BY metric
+    ),
+    scored AS (
+      SELECT l.user_id, l.metric,
+             CAST(1 + count(*) FILTER (WHERE l.v > c.t) AS BIGINT)
+               AS score
+      FROM long l JOIN cuts c ON l.metric = c.metric
+      GROUP BY l.user_id, l.metric
+    )
+    SELECT user_id,
+           max(CASE WHEN metric = 'R' THEN score END) AS r_score,
+           max(CASE WHEN metric = 'F' THEN score END) AS f_score,
+           max(CASE WHEN metric = 'M' THEN score END) AS m_score,
+           max(CASE WHEN metric = 'R' THEN score END) * 100
+             + max(CASE WHEN metric = 'F' THEN score END) * 10
+             + max(CASE WHEN metric = 'M' THEN score END) AS rfm
+    FROM scored GROUP BY user_id
+    """,
+    survey=(
+        "RFM customer segmentation via exact order-statistic quantile "
+        "buckets (scale-safe ntile: distinct-value-grain cutoffs, no "
+        "global sort; ties score equally) — event analytics, beyond ref"
+    ),
+    tags=("events",),
+)
+def q_ev_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quintile R/F/M scores over purchase events
+    (operators/quality.py::rfm_scores on ::quantile_buckets): one
+    key-grain aggregate, metrics unpivoted long, cutoffs as the
+    smallest value with 5*cum >= j*n on the (metric, value) count
+    grain, broadcast back as a 4-element array per metric."""
+    from ram_datapipeline_spark.operators.quality import rfm_scores
+
+    t = load_tables(spark, sf_dir)
+    return rfm_scores(
+        t["events"],
+        key_col="user_id",
+        event_filter=F.col("event_type") == "purchase",
+        k=5,
+    ).select(
+        "user_id",
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        F.col("rfm").cast("long").alias("rfm"),
+    )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH counts AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+             count(*) AS cnt
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_mktsegment
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY nation
+                                   ORDER BY cnt DESC, seg) AS rn
+      FROM counts
+    )
+    SELECT nation, seg AS mode_segment, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    survey=(
+        "exact per-group mode with deterministic tie-break (max count, "
+        "then smallest value) — beyond ref"
+    ),
+    tags=("analytic",),
+)
+def q_agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common market segment per nation: count to the (group,
+    value) grain, then a group-bounded rank window (partition size =
+    the group's distinct values, never the corpus) with the total
+    (cnt DESC, value ASC) order both engines replay."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["customer"]
+        .join(
+            t["nation"], F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("cnt"), F.asc("seg"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "nation",
+            F.col("seg").alias("mode_segment"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "j_asof_forward",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id AS view_id
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts,
+             arg_max(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                     event_id) AS purchase_cents,
+             max(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    nxt AS (
+      SELECT v.user_id, v.ts, v.view_id, min(p.ts) AS ts_right
+      FROM v JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts
+      GROUP BY v.user_id, v.ts, v.view_id
+    )
+    SELECT v.user_id, v.ts, v.view_id, nxt.ts_right,
+           p.purchase_cents, p.purchase_id
+    FROM v
+    LEFT JOIN nxt ON v.user_id = nxt.user_id AND v.ts = nxt.ts
+                  AND v.view_id = nxt.view_id
+    LEFT JOIN p ON p.user_id = nxt.user_id AND p.ts = nxt.ts_right
+    """,
+    survey=(
+        "FORWARD as-of join (earliest right row at-or-after each left "
+        "row — time-to-conversion lookups): union + reversed-scan "
+        "running-last window, one shuffle, no range explosion "
+        "(backward variant = j_asof_click_view)"
+    ),
+    tags=("analytic",),
+)
+def q_j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each view's NEXT purchase by the same user (>= inclusive)
+    (operators/temporal.py::asof_join_forward). Purchases are
+    pre-deduplicated per (user, microsecond) by max event_id so the
+    carried payload is deterministic; the oracle is the independent
+    range-join-aggregate formulation."""
+    from ram_datapipeline_spark.operators.temporal import asof_join_forward
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.expr(
+                "max_by(CAST(floor(value * 100.0 + 0.5) AS BIGINT),"
+                " event_id)"
+            ).alias("purchase_cents"),
+            F.max("event_id").alias("purchase_id"),
+        )
+    )
+    return asof_join_forward(
+        views, purchases, on="user_id",
+        right_cols=["purchase_cents", "purchase_id"],
+    )
+
+
+@query(
+    "j_asof_nearest",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id AS view_id
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts,
+             arg_max(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                     event_id) AS purchase_cents,
+             max(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    best AS (
+      SELECT user_id, ts, view_id, p_ts AS ts_right FROM (
+        SELECT v.user_id, v.ts, v.view_id, p.ts AS p_ts,
+               row_number() OVER (
+                 PARTITION BY v.user_id, v.ts, v.view_id
+                 ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)), p.ts
+               ) AS rn
+        FROM v JOIN p ON p.user_id = v.user_id
+      ) WHERE rn = 1
+    )
+    SELECT v.user_id, v.ts, v.view_id, best.ts_right,
+           p.purchase_cents, p.purchase_id
+    FROM v
+    LEFT JOIN best ON v.user_id = best.user_id AND v.ts = best.ts
+                   AND v.view_id = best.view_id
+    LEFT JOIN p ON p.user_id = best.user_id AND p.ts = best.ts_right
+    """,
+    survey=(
+        "NEAREST as-of join (either direction, tie to the earlier "
+        "right row — pandas merge_asof direction='nearest'): both "
+        "scans over one union + one key exchange"
+    ),
+    tags=("analytic",),
+)
+def q_j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each view's nearest purchase in time, before or after
+    (operators/temporal.py::asof_join_nearest). The oracle is the
+    independent argmin-over-|Δt| range formulation; equidistant ties
+    pick the earlier purchase in both."""
+    from ram_datapipeline_spark.operators.temporal import asof_join_nearest
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.expr(
+                "max_by(CAST(floor(value * 100.0 + 0.5) AS BIGINT),"
+                " event_id)"
+            ).alias("purchase_cents"),
+            F.max("event_id").alias("purchase_id"),
+        )
+    )
+    return asof_join_nearest(
+        views, purchases, on="user_id",
+        right_cols=["purchase_cents", "purchase_id"],
+    )

@@ -1792,3 +1792,56 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.length_buckets(
         t["documents"], batch_size=32, id_col="doc_id", text_col="text",
     )
+
+
+@query(
+    "pipe_tokenizer_fertility",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))
+                AS BIGINT) AS n_re,
+           CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    AS DOUBLE) AS chars_per_ws_token,
+           CAST(CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))
+                     AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    AS DOUBLE) AS fertility
+    FROM documents GROUP BY source
+    """,
+    survey=(
+        "tokenizer fertility report per source (chars/token, "
+        "subword-per-word ratio — the tokenizer-efficiency metric "
+        "multilingual corpus work tracks) — LLM pipeline, beyond ref"
+    ),
+    tags=("pipeline",),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer efficiency: exact BIGINT char/token sums in
+    ONE map-side-combined aggregate; the two ratios are single IEEE
+    divisions of exact integers (identical in both engines)."""
+    from ram_datapipeline_spark.operators.text_ops import (
+        regex_token_count,
+        word_count,
+    )
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(word_count(F.col("text"))).cast("long").alias("n_ws"),
+        F.sum(regex_token_count(F.col("text"))).cast("long").alias("n_re"),
+    )
+    return agg.select(
+        "*",
+        (
+            F.col("n_chars").cast("double") / F.col("n_ws").cast("double")
+        ).alias("chars_per_ws_token"),
+        (
+            F.col("n_re").cast("double") / F.col("n_ws").cast("double")
+        ).alias("fertility"),
+    )

@@ -1648,3 +1648,210 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_num=8,
         threshold_den=10,
     )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM v
+    )
+    SELECT query_id, label, neg_id, neg_label, cos, rk FROM (
+      SELECT query_id, label, neg_id, neg_label, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neg_id) AS rk
+      FROM (
+        SELECT q.vec_id AS query_id, q.label AS label,
+               c.vec_id AS neg_id, c.label AS neg_label,
+               list_reduce(list_transform(list_zip(q.e, c.e),
+                                           x -> x[1] * x[2]),
+                           (p, q2) -> p + q2) / (q.nrm * c.nrm) AS cos
+        FROM n q JOIN n c ON q.label <> c.label
+      )
+    ) WHERE rk <= 3
+    """,
+    survey=(
+        "hard-negative mining for contrastive training: top-k "
+        "most-similar vectors with a DIFFERENT label, filter before "
+        "rank (north star, beyond ref)"
+    ),
+    tags=("similarity",),
+)
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-the-margin negatives a metric-learning batch needs
+    (operators/similarity.py::hard_negatives): fenced brute force like
+    the cosine_topk baseline — at corpus scale the candidate stage
+    swaps for IVF/LSH with the same label-inequality filter + rank."""
+    t = load_tables(spark, sf_dir)
+    return SIM.hard_negatives(t["embeddings"], k=3)
+
+
+@query(
+    "dedup_minhash_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hx AS (
+      SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, 10),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) AS h1,
+             list_reduce(list_transform(generate_series(11, 20),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, p, min((h1 + p * h2) % 1099511627776) AS h
+      FROM hx, LATERAL (SELECT unnest(generate_series(0, 15)) AS p) pp
+      GROUP BY doc_id, p
+    ),
+    bands AS (
+      SELECT doc_id, p // 2 AS band,
+             max(CASE WHEN p % 2 = 0 THEN h END) || '-' ||
+             max(CASE WHEN p % 2 = 1 THEN h END) AS sig
+      FROM mh GROUP BY doc_id, p // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE 2 * inter >= sa.n + sb.n - inter
+    )
+    SELECT
+      (SELECT count(*) FROM cand) AS n_candidates,
+      (SELECT count(*) FROM truth) AS n_true,
+      (SELECT count(*) FROM cand JOIN truth
+         ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b) AS tp,
+      (SELECT count(*) FROM cand) - (SELECT count(*) FROM cand JOIN truth
+         ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b) AS fp,
+      (SELECT count(*) FROM truth) - (SELECT count(*) FROM cand JOIN truth
+         ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b) AS fn
+    """,
+    survey=(
+        "dedup blocking EVALUATION: exact TP/FP/FN of the MinHash+LSH "
+        "candidate set against ground-truth Jaccard >= 0.5 pairs — the "
+        "precision/recall audit a production dedup pipeline publishes "
+        "(north star, beyond ref)"
+    ),
+    tags=("dedup",),
+)
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality audit: LSH candidates vs the inverted-index
+    exact-Jaccard truth set (threshold by 2·I >= |A|+|B|−I integer
+    cross-multiplication — no float threshold), reduced to one exact
+    (n_candidates, n_true, tp, fp, fn) row. Composes the two existing
+    oracle-proven pipelines; both sides stay bucket-/posting-bounded."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    cand = D.minhash_lsh_pairs(d).select("doc_a", "doc_b")
+    jac = D.ngram_jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    tp_df = cand.join(jac, ["doc_a", "doc_b"])
+    counts = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(jac.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(tp_df.agg(F.count(F.lit(1)).alias("tp")))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_true",
+        "tp",
+        (F.col("n_candidates") - F.col("tp")).alias("fp"),
+        (F.col("n_true") - F.col("tp")).alias("fn"),
+    )
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, i - 1 AS pos, arr[i] AS w,
+             arr[i] IN ('a', 'the') AS is_stop
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) u
+    ),
+    runs AS (
+      SELECT doc_id, pos, w, is_stop,
+             sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM tok
+    ),
+    words AS (
+      SELECT doc_id, phrase_id, pos, w FROM runs
+      WHERE NOT is_stop AND w <> ''
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id, count(*) AS plen,
+             string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM words GROUP BY doc_id, phrase_id
+    ),
+    freq AS (
+      SELECT doc_id, w, count(*) AS freq FROM words GROUP BY doc_id, w
+    ),
+    deg AS (
+      SELECT words.doc_id, words.w,
+             CAST(sum(phrases.plen) AS BIGINT) AS deg
+      FROM words JOIN phrases
+        ON words.doc_id = phrases.doc_id
+       AND words.phrase_id = phrases.phrase_id
+      GROUP BY words.doc_id, words.w
+    ),
+    wscore AS (
+      SELECT freq.doc_id, freq.w,
+             (deg.deg * 1000000) // freq.freq AS wscore
+      FROM freq JOIN deg ON freq.doc_id = deg.doc_id AND freq.w = deg.w
+    ),
+    pscore AS (
+      SELECT words.doc_id, words.phrase_id,
+             CAST(sum(wscore.wscore) AS BIGINT) AS score_scaled
+      FROM words JOIN wscore
+        ON words.doc_id = wscore.doc_id AND words.w = wscore.w
+      GROUP BY words.doc_id, words.phrase_id
+    ),
+    ranked AS (
+      SELECT p.doc_id, ph.phrase, p.score_scaled,
+             CAST(row_number() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY p.score_scaled DESC, ph.phrase, p.phrase_id
+             ) AS BIGINT) AS rk
+      FROM pscore p JOIN phrases ph
+        ON p.doc_id = ph.doc_id AND p.phrase_id = ph.phrase_id
+    )
+    SELECT doc_id, phrase, score_scaled, rk FROM ranked WHERE rk <= 2
+    """,
+    survey=(
+        "RAKE keyphrase extraction, fixed-point deg/freq scoring "
+        "(stopword-delimited phrase runs, per-document by definition) "
+        "— text mining, beyond ref"
+    ),
+    tags=("text",),
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 RAKE keyphrases per document
+    (operators/text_ops.py::rake_keyphrases): every exchange keys on
+    the doc id, scores are deg*1e6 DIV freq BIGINTs."""
+    t = load_tables(spark, sf_dir)
+    return T.rake_keyphrases(
+        t["documents"], stopwords=("a", "the"), top_k=2
+    ).select(
+        "doc_id", "phrase", "score_scaled", F.col("rk").cast("long").alias("rk")
+    )

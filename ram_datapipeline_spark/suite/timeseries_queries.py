@@ -421,3 +421,118 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"], key_col="event_type", ts_col="ts", val_col="value",
         id_col="event_id", step_us=3_600_000_000,
     )
+
+
+@query(
+    "w8_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CAST(sum(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_types_seen
+    FROM flagged
+    """,
+    survey=(
+        "running distinct count per key (cumulative behavior-adoption "
+        "curve: first-occurrence flag + running sum — the streaming-"
+        "unfriendly COUNT(DISTINCT) OVER, made exact) — beyond ref"
+    ),
+    tags=("timeseries",),
+)
+def q_w8_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct event types each user has exhibited up to each
+    event: a (user, type)-keyed first-occurrence window then a
+    user-keyed running sum — two key-partitioned exchanges, no
+    distinct-state blowup (the naive set-union window carries a set
+    per row)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = t["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("first_seen").over(w_run).cast("long").alias("n_types_seen"),
+    )
+
+
+@query(
+    "ts_cusum_drift",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    pre AS (
+      SELECT *,
+             CAST(sum(cents - 5000 - 500) OVER w AS BIGINT) AS pu,
+             CAST(sum(5000 - cents - 500) OVER w AS BIGINT) AS pd
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    st AS (
+      SELECT *,
+             CAST(min(least(pu, 0)) OVER w AS BIGINT) AS mu,
+             CAST(min(least(pd, 0)) OVER w AS BIGINT) AS md
+      FROM pre
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, event_id, ts, cents,
+           pu - mu AS s_plus, pd - md AS s_minus,
+           pu - mu > 5000 AS drift_up, pd - md > 5000 AS drift_down
+    FROM st
+    """,
+    survey=(
+        "two-sided CUSUM drift detection, integer-exact: the max(0, "
+        "S+d) reset recursion unrolled to prefix-sum minus running "
+        "prefix-min — sequential-looking change detection as two "
+        "running aggregates over one window pass (beyond ref)"
+    ),
+    tags=("timeseries",),
+)
+def q_ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM monitoring of event values per type against a 50.00
+    target (slack 5.00, decision threshold 50.00)
+    (operators/timeseries.py::cusum_drift): one key exchange, cumsum +
+    running-min over the same total order, all BIGINT cents."""
+    from ram_datapipeline_spark.operators.timeseries import cusum_drift
+
+    t = load_tables(spark, sf_dir)
+    return cusum_drift(
+        t["events"],
+        ["event_type"],
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5),
+        target_cents=5000,
+        slack_cents=500,
+        h_cents=5000,
+    )

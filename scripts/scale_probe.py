@@ -123,7 +123,26 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # map-side-combined agg), length buckets (bucket-keyed rank
           # window), type transitions (one user-keyed lag window)
           "agg_weighted_median", "agg_corr_components",
-          "pipe_length_buckets", "ev_type_transitions"]
+          "pipe_length_buckets", "ev_type_transitions",
+          # round-8 late additions: RFM (cutoffs broadcast as 4-element
+          # arrays per metric, windows on the distinct-value grain),
+          # exact mode (group-bounded rank window), fertility (one
+          # agg), running distinct (two key-partitioned windows)
+          "ev_rfm_scores", "agg_mode_exact",
+          "pipe_tokenizer_fertility", "w8_running_distinct",
+          # round-8 late additions: CUSUM (one window pass), forward
+          # as-of (union + one key window). sim_hard_negatives is NOT
+          # probed: it is the fenced brute-force baseline (quadratic by
+          # definition, like the un-probed sim_cosine_topk/pairs) — the
+          # scale path swaps its candidate stage for IVF/LSH
+          "ts_cusum_drift", "j_asof_forward",
+          # round-8 late additions: nearest as-of (one exchange, two
+          # window passes), LSH blocking audit (bucket/posting-bounded
+          # sides reduced to one count row)
+          "j_asof_nearest", "dedup_minhash_eval",
+          # round-8 late addition: RAKE (per-document by definition —
+          # every exchange keys on the doc id)
+          "text_rake_keyphrases"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -1098,3 +1098,118 @@ def test_corr_components_exact_sums(spark):
     # perfectly correlated: corr_num^2 == varx*vary (cross-multiplied)
     num = r.n * r.sxy - r.sx * r.sy
     assert num * num == (r.n * r.sxx - r.sx**2) * (r.n * r.syy - r.sy**2)
+
+
+def test_quantile_buckets_exact_cutoffs_and_ties(spark):
+    from ram_datapipeline_spark.operators.quality import quantile_buckets
+
+    # 10 distinct values 1..10, k=5 -> buckets of exactly 2
+    df = spark.createDataFrame([(v,) for v in range(1, 11)], "v int")
+    out = {
+        r.v: r.bucket
+        for r in quantile_buckets(df, F.col("v"), 5).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4,
+                   9: 5, 10: 5}
+    # ties share a bucket: eight equal values + two larger
+    tied = spark.createDataFrame(
+        [(5,)] * 8 + [(9,), (10,)], "v int"
+    )
+    outt = {
+        (r.v, r.bucket)
+        for r in quantile_buckets(tied, F.col("v"), 5).collect()
+    }
+    # all the 5s land in ONE bucket (1) — with 80% of mass on the value
+    # 5, every cutoff IS 5, so anything above it takes the top bucket
+    assert {(5, 1), (9, 5), (10, 5)} == outt
+
+
+def test_rfm_scores_hand_case(spark):
+    import datetime as dt
+
+    from ram_datapipeline_spark.operators.quality import rfm_scores
+
+    def e(uid, day, n, amount):
+        return [
+            (uid, dt.datetime(2024, 1, day, i), "purchase", amount, i)
+            for i in range(n)
+        ]
+
+    # u1: recent, frequent, big. u2: old, rare, small. u3-u5 in between.
+    rows = (
+        e(1, 20, 5, 100.0) + e(2, 1, 1, 1.0) + e(3, 10, 2, 10.0)
+        + e(4, 12, 3, 20.0) + e(5, 15, 4, 50.0)
+    )
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, "
+        "value double, event_id long",
+    )
+    out = {
+        r.user_id: r
+        for r in rfm_scores(
+            events, event_filter=F.col("event_type") == "purchase"
+        ).collect()
+    }
+    # 5 users, k=5, all metrics distinct & aligned -> scores = rank
+    assert (out[1].r_score, out[1].f_score, out[1].m_score) == (5, 5, 5)
+    assert out[1].rfm == 555
+    assert (out[2].r_score, out[2].f_score, out[2].m_score) == (1, 1, 1)
+    assert out[3].rfm == 222 and out[4].rfm == 333 and out[5].rfm == 444
+
+
+def test_asof_join_forward_inclusive_and_unmatched(spark):
+    import datetime as dt
+
+    from ram_datapipeline_spark.operators.temporal import asof_join_forward
+
+    def _t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, _t(0), 10), (1, _t(5), 11), (1, _t(30), 12), (2, _t(0), 13)],
+        "user_id long, ts timestamp, view_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(5), 500), (1, _t(20), 600)],
+        "user_id long, ts timestamp, cents long",
+    )
+    out = {
+        r.view_id: r
+        for r in asof_join_forward(
+            left, right, on="user_id", right_cols=["cents"]
+        ).collect()
+    }
+    assert out[10].cents == 500            # earliest future right
+    assert out[11].cents == 500            # equal ts matches (inclusive)
+    assert out[11].ts_right == _t(5)
+    assert out[12].cents is None           # nothing after 00:30
+    assert out[13].cents is None           # key with no right rows
+
+
+def test_asof_join_nearest_directions_and_tie(spark):
+    import datetime as dt
+
+    from ram_datapipeline_spark.operators.temporal import asof_join_nearest
+
+    def _t(m, s=0):
+        return dt.datetime(2024, 1, 1, 0, m, s)
+
+    left = spark.createDataFrame(
+        [(1, _t(10), 1), (1, _t(21), 2), (1, _t(15), 3), (2, _t(0), 4)],
+        "user_id long, ts timestamp, view_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(12), 500), (1, _t(18), 600)],
+        "user_id long, ts timestamp, cents long",
+    )
+    out = {
+        r.view_id: r
+        for r in asof_join_nearest(
+            left, right, on="user_id", right_cols=["cents"]
+        ).collect()
+    }
+    assert out[1].cents == 500   # 10 -> nearest is 12 (forward, 2 min)
+    assert out[2].cents == 600   # 21 -> nearest is 18 (backward, 3 min)
+    # 15 is equidistant from 12 and 18 -> tie goes to the EARLIER row
+    assert out[3].cents == 500 and out[3].ts_right == _t(12)
+    assert out[4].cents is None  # key with no right rows

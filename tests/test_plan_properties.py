@@ -588,3 +588,103 @@ def test_ev_type_transitions_one_user_exchange(spark):
     assert n_ops(p, "Window") == 1
     assert "Exchange SinglePartition" not in p
     assert "Python" not in p and "Arrow" not in p
+
+
+def test_rfm_scores_no_global_window_cutoffs_broadcast(spark):
+    """No ntile: the only windows run on the (metric, value) count
+    grain; cutoff arrays come back by broadcast; never
+    SinglePartition over event-scale data (the one SinglePartition
+    exchange is the 15-row metric-grain cutoff fold)."""
+    p = plan_text(spark, "ev_rfm_scores")
+    assert "ntile" not in p.lower()
+    assert n_ops(p, "BroadcastHashJoin") >= 1
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_m" in line or "metric" in line
+
+
+def test_agg_mode_exact_group_bounded_window(spark):
+    """The rank window's partitions are (group, value) count rows —
+    never event rows; one data exchange chain, pure JVM."""
+    p = plan_text(spark, "agg_mode_exact")
+    assert "Exchange SinglePartition" not in p
+    assert n_ops(p, "Window") == 1
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_tokenizer_fertility_single_agg(spark):
+    """One map-side-combined aggregate, no window, no join."""
+    p = plan_text(spark, "pipe_tokenizer_fertility")
+    assert n_ops(p, "Window") == 0
+    assert n_data_shuffles(p) == 1, p
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_running_distinct_two_key_windows(spark):
+    """Both windows are key-partitioned ((user, type) then user) —
+    no SinglePartition, no Python, exactly two data exchanges."""
+    p = plan_text(spark, "w8_running_distinct")
+    assert "Exchange SinglePartition" not in p
+    assert n_ops(p, "Window") == 2
+    assert n_data_shuffles(p) == 2, p
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_cusum_one_window_pass(spark):
+    """Both CUSUM sides are running aggregates over the same key-
+    partitioned total order: one data exchange, pure JVM."""
+    p = plan_text(spark, "ts_cusum_drift")
+    assert "Exchange SinglePartition" not in p
+    assert n_data_shuffles(p) == 1, p
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_asof_forward_one_shuffle_no_range_join(spark):
+    """Forward as-of = union + one key-partitioned window; never a
+    range join of views x purchases."""
+    p = plan_text(spark, "j_asof_forward")
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert n_ops(p, "Window") == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_hard_negatives_filter_before_rank(spark):
+    """The label-inequality filter sits under the rank window (k
+    survivors are guaranteed negatives); query side broadcasts."""
+    p = plan_text(spark, "sim_hard_negatives")
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 1  # the fenced brute force
+    assert n_ops(p, "Window") == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_asof_nearest_one_exchange_two_window_passes(spark):
+    """Backward and forward scans ride ONE union + one key exchange
+    (the second pass re-sorts, never re-shuffles); no range join."""
+    p = plan_text(spark, "j_asof_nearest")
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert n_ops(p, "Window") == 2
+    assert "Exchange SinglePartition" not in p
+
+
+def test_minhash_eval_no_allpairs(spark):
+    """Both the candidate and the truth side stay bucket-/posting-
+    bounded — no cartesian product anywhere in the audit."""
+    p = plan_text(spark, "dedup_minhash_eval")
+    assert n_ops(p, "CartesianProduct") == 0
+    # the three 1-row count aggregates join by broadcast nested loop
+    # (1-row appends) — data-scale sides never nested-loop
+
+
+def test_rake_all_exchanges_doc_keyed(spark):
+    """RAKE is per-document by definition: every window spec and every
+    join key contains the doc id — no corpus-wide window, no cartesian
+    product, pure JVM."""
+    p = plan_text(spark, "text_rake_keyphrases")
+    assert n_ops(p, "CartesianProduct") == 0
+    assert "Exchange SinglePartition" not in p
+    assert "Python" not in p and "Arrow" not in p
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line

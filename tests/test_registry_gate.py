@@ -114,6 +114,16 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     # must come in r9 (all already oracle-green in the builder's sweeps)
     "ev_sessionize_batch",
     "ts_resample_interp",
+    "text_rake_keyphrases",
+    "j_asof_nearest",
+    "dedup_minhash_eval",
+    "ts_cusum_drift",
+    "j_asof_forward",
+    "sim_hard_negatives",
+    "ev_rfm_scores",
+    "agg_mode_exact",
+    "pipe_tokenizer_fertility",
+    "w8_running_distinct",
     "pipe_length_buckets",
     "agg_weighted_median",
     "agg_corr_components",

@@ -278,3 +278,27 @@ def test_random_projection_empty_and_null_vectors(spark):
     assert rows[1]["p0"] == 0.0 and rows[1]["p1"] == 0.0
     assert rows[2]["p0"] is None and rows[2]["p1"] is None
     assert rows[3]["p0"] in (1.0, -1.0)
+
+
+def test_hard_negatives_label_exclusion_and_rank(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ram_datapipeline_spark.operators.similarity import hard_negatives
+
+    # two labels; vec 1's nearest same-label twin must NOT appear
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.999, 0.04], 0),   # same label, nearly identical to 1
+        (3, [0.9, 0.43], 1),     # different label, close
+        (4, [0.0, 1.0], 1),      # different label, far
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = [
+        (r.query_id, r.neg_id, r.rk)
+        for r in hard_negatives(df, k=2).orderBy("query_id", "rk").collect()
+    ]
+    # query 1: negatives are 3 then 4 (never 2 — same label)
+    assert out[0] == (1, 3, 1) and out[1] == (1, 4, 2)
+    # every emitted pair crosses labels
+    full = hard_negatives(df, k=2).collect()
+    assert all(r.label != r.neg_label for r in full)

@@ -96,3 +96,33 @@ def test_sorted_neighborhood_window_and_threshold(spark):
     assert got[(1, 2)] == (3, 3)  # exact clones, adjacent ranks
     assert got[(3, 1)] == (2, 5)  # 2/5 Jaccard passes 1/3 inside the window
     assert all(a != 4 and b != 4 for a, b in got)  # doc4 shares no token
+
+
+def test_rake_keyphrases_hand_example(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ram_datapipeline_spark.operators.text_ops import rake_keyphrases
+
+    # classic RAKE behavior: longer runs outrank frequent single words
+    docs = spark.createDataFrame(
+        [(1, "deep learning beats the shallow model a deep model")],
+        "doc_id long, text string",
+    )
+    out = rake_keyphrases(docs, stopwords=("a", "the"), top_k=3).collect()
+    by_rank = {r.rk: r for r in out}
+    # phrases: "deep learning beats" (run 0), "shallow model" (run 1),
+    # "deep model" (run 2). freq: deep 2, learning 1, beats 1,
+    # shallow 1, model 2. deg: deep 3+2=5, learning 3, beats 3,
+    # shallow 2, model 2+2=4.
+    S = 1_000_000
+    exp = {
+        "deep learning beats": (5 * S) // 2 + 3 * S + 3 * S,
+        "shallow model": 2 * S + (4 * S) // 2,
+        "deep model": (5 * S) // 2 + (4 * S) // 2,
+    }
+    got = {r.phrase: r.score_scaled for r in out}
+    assert got == exp
+    assert by_rank[1].phrase == "deep learning beats"
+    # stopword runs delimit correctly: no phrase contains 'a' or 'the'
+    assert all(" a " not in f" {p} " and " the " not in f" {p} "
+               for p in got)

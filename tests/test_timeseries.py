@@ -368,3 +368,34 @@ def test_resample_interpolate_exact_rationals(spark):
     # no extrapolation: nothing before a key's first or after its last
     assert ("x", dt.datetime(2024, 1, 1, 0, 0)) not in out
     assert ("x", dt.datetime(2024, 1, 1, 3, 0)) not in out
+
+
+def test_cusum_drift_matches_sequential_recursion(spark):
+    from ram_datapipeline_spark.operators.timeseries import cusum_drift
+
+    vals = [50, 52, 70, 71, 69, 50, 30, 31, 29, 50]
+    rows = [("k", _ts(0, i), float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    out = {
+        r.event_id: r
+        for r in cusum_drift(
+            df, ["event_type"], "ts", "event_id",
+            F.floor(F.col("value") * 100.0 + 0.5),
+            target_cents=5000, slack_cents=500, h_cents=2500,
+        ).collect()
+    }
+    # replay the textbook recursion in python
+    sp = sm = 0
+    for i, v in enumerate(vals):
+        c = v * 100
+        sp = max(0, sp + (c - 5000) - 500)
+        sm = max(0, sm + (5000 - c) - 500)
+        assert (out[i].s_plus, out[i].s_minus) == (sp, sm), i
+        assert out[i].drift_up == (sp > 2500)
+        assert out[i].drift_down == (sm > 2500)
+    # the up-drift run (70,71,69) must flag; CUSUM decays by the slack,
+    # so the flag clears two low observations later, not instantly
+    assert out[3].drift_up and out[5].drift_up and not out[6].drift_up
+    assert out[8].drift_down
