@@ -1532,3 +1532,110 @@ def q_j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         views, purchases, on="user_id",
         right_cols=["purchase_cents", "purchase_id"],
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+             count(*) AS cnt
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_mktsegment
+    )
+    SELECT nation,
+           count(*) AS n_segments,
+           CAST(sum(cnt) AS BIGINT) AS total,
+           CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+           CAST(CAST(sum(cnt * cnt) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT)
+                    AS DOUBLE) AS hhi
+    FROM per GROUP BY nation
+    """,
+    survey=(
+        "Herfindahl–Hirschman concentration index per group, exact "
+        "integer numerator/denominator (Σc² / (Σc)² — share squares "
+        "never materialize as floats) — distribution analytics, "
+        "beyond ref"
+    ),
+    tags=("analytic",),
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment concentration per nation: two map-side-combined
+    aggregates (value grain then group grain); the HHI double is one
+    IEEE division of exact BIGINTs."""
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
+    ).select(
+        "*",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total") * F.col("total")).cast("double")
+        ).alias("hhi"),
+    )
+
+
+@query(
+    "ev_inter_event_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    survey=(
+        "inter-event gap statistics per key (activity-cadence profile: "
+        "exact µs min/max/sum, one-division mean) — event analytics, "
+        "beyond ref"
+    ),
+    tags=("events",),
+)
+def q_ev_inter_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile: one user-keyed lag window, one
+    aggregate on the same key — exact BIGINT microsecond arithmetic."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t["events"].select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    return (
+        gaps.where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        )
+        .select(
+            "*",
+            (
+                F.col("sum_gap_us").cast("double")
+                / F.col("n_gaps").cast("double")
+            ).alias("mean_gap_us"),
+        )
+    )

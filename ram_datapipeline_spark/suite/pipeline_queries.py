@@ -1845,3 +1845,46 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_re").cast("double") / F.col("n_ws").cast("double")
         ).alias("fertility"),
     )
+
+
+@query(
+    "pipe_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+           CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+    survey=(
+        "per-source exact duplication-rate report (corpus-health "
+        "metric: docs minus distinct content hashes) — LLM pipeline, "
+        "beyond ref"
+    ),
+    tags=("pipeline",),
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each source is exact-duplicate content: one
+    aggregate with an md5 distinct-count (at 100 TB swap the distinct
+    for the KMV sketch as in profile_table — surface unchanged)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_dup_docs"),
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )

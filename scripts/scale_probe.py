@@ -142,7 +142,12 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "j_asof_nearest", "dedup_minhash_eval",
           # round-8 late addition: RAKE (per-document by definition —
           # every exchange keys on the doc id)
-          "text_rake_keyphrases"]
+          "text_rake_keyphrases",
+          # round-8 final additions: HHI (two map-side aggs), gap
+          # stats (one key window+agg), dup rate (one agg; KMV is the
+          # documented at-scale distinct swap)
+          "agg_hhi_concentration", "ev_inter_event_stats",
+          "pipe_dup_rate_by_source"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

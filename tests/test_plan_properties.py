@@ -688,3 +688,27 @@ def test_rake_all_exchanges_doc_keyed(spark):
     for line in p.splitlines():
         if "windowspecdefinition" in line:
             assert "doc_id" in line
+
+
+def test_hhi_two_stage_agg_no_window(spark):
+    """Value-grain then group-grain aggregates, no window, pure JVM."""
+    p = plan_text(spark, "agg_hhi_concentration")
+    assert n_ops(p, "Window") == 0
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_inter_event_stats_one_key_exchange(spark):
+    """The lag window and the aggregate share the user_id key — one
+    data exchange total, no SinglePartition."""
+    p = plan_text(spark, "ev_inter_event_stats")
+    assert n_ops(p, "Window") == 1
+    assert n_data_shuffles(p) == 1, p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_dup_rate_single_pass(spark):
+    """One aggregate over the corpus scan (the count-distinct expand
+    is the documented cost; KMV is the at-scale swap)."""
+    p = plan_text(spark, "pipe_dup_rate_by_source")
+    assert n_ops(p, "Window") == 0
+    assert "Python" not in p and "Arrow" not in p

@@ -114,6 +114,9 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     # must come in r9 (all already oracle-green in the builder's sweeps)
     "ev_sessionize_batch",
     "ts_resample_interp",
+    "agg_hhi_concentration",
+    "ev_inter_event_stats",
+    "pipe_dup_rate_by_source",
     "text_rake_keyphrases",
     "j_asof_nearest",
     "dedup_minhash_eval",
