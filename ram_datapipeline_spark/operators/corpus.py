@@ -1007,13 +1007,22 @@ def mixture_epochs(
         .withColumn(
             "alloc_tokens", F.expr(f"(CAST({b} AS BIGINT) * w) DIV sum_w")
         )
+        # alloc_tokens = 0 (tiny weight / small budget flooring to zero)
+        # must plan ZERO passes — the unguarded ceiling division gives
+        # epochs = 0 but then last_epoch_tokens = alloc - (0-1)*avail =
+        # avail, a self-contradictory row claiming a full final pass for
+        # a domain allocated nothing.
         .withColumn(
             "epochs",
-            F.expr("(alloc_tokens + avail_tokens - 1) DIV avail_tokens"),
+            F.when(F.col("alloc_tokens") <= 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(alloc_tokens + avail_tokens - 1) DIV avail_tokens")
+            ),
         )
         .withColumn(
             "last_epoch_tokens",
-            (
+            F.when(F.col("alloc_tokens") <= 0, F.lit(0).cast("long"))
+            .otherwise(
                 F.col("alloc_tokens")
                 - (F.col("epochs") - 1) * F.col("avail_tokens")
             ).cast("long"),

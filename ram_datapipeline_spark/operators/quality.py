@@ -670,8 +670,20 @@ def quantile_buckets(
     ``metric_col``: optional column partitioning independent metrics
     (unpivoted long format — one call buckets many metrics at once).
     Input column layout is preserved; ``out_col`` is appended.
+
+    All k-1 cutoffs come from ONE conditional aggregate over one scan
+    of the staged cumulative table (``min(v) FILTER (k*cum >= j*n)``
+    per j) — not k-1 separately filtered aggregations unioned together,
+    which would re-evaluate the counts+window subtree per cutoff.
+    ``k == 1`` degenerates cleanly to every row in bucket 1; ``k < 1``
+    raises.
     """
     from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"quantile_buckets needs k >= 1, got {k}")
+    if k == 1:
+        return df.withColumn(out_col, F.lit(1))
 
     m = (
         F.col(metric_col)
@@ -694,18 +706,24 @@ def quantile_buckets(
         F.sum("_c").over(cum_w).alias("_cum"),
         F.sum("_c").over(tot_w).alias("_n"),
     )
-    cuts = None
-    for j in range(1, k):
-        cj = (
-            staged.where(k * F.col("_cum") >= j * F.col("_n"))
-            .groupBy("_m")
-            .agg(F.min("_v").alias("_t"))
-        )
-        cuts = cj if cuts is None else cuts.unionByName(cj)
-    # The broadcast side is the (k-1) × metrics cutoff table folded to
-    # ONE array row per metric — never a value-grain table.
-    cut_arrays = cuts.groupBy("_m").agg(
-        F.array_sort(F.collect_list("_t")).alias("_ts")
+    # Every cutoff exists (at the final row cum == n, and k*n >= j*n for
+    # all j < k), so no null enters the array. The broadcast side is the
+    # (k-1) × metrics cutoff table folded to ONE array row per metric —
+    # never a value-grain table.
+    cut_arrays = staged.groupBy("_m").agg(
+        F.array_sort(
+            F.array(
+                *[
+                    F.min(
+                        F.when(
+                            k * F.col("_cum") >= j * F.col("_n"),
+                            F.col("_v"),
+                        )
+                    )
+                    for j in range(1, k)
+                ]
+            )
+        ).alias("_ts")
     )
     return (
         base.join(F.broadcast(cut_arrays), "_m")

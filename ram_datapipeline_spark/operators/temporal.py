@@ -14,6 +14,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _dedupe_right_per_ts(
+    right: DataFrame, on: str, ts_col: str, tiebreak_col: str | None
+) -> DataFrame:
+    """Reduce the right side to ONE row per (key, ts), picking the row
+    with the greatest ``tiebreak_col`` — the deterministic intra-ts
+    winner every as-of direction needs when the right side can carry
+    duplicate timestamps (without it, the carry window's tie among
+    equal-ts right rows resolves to whichever sorted last under shuffle
+    order, breaking bit-reproducibility). One extra window pass on the
+    same (key, ts) sort the join itself needs. No-op when
+    ``tiebreak_col`` is None (caller asserts unique (key, ts))."""
+    if tiebreak_col is None:
+        return right
+    w = Window.partitionBy(on, ts_col).orderBy(F.desc(tiebreak_col))
+    return (
+        right.withColumn("_ts_rn", F.row_number().over(w))
+        .filter(F.col("_ts_rn") == 1)
+        .drop("_ts_rn")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -21,6 +42,8 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    tolerance_us: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the newest right row with
     ``right.ts <= left.ts`` and the same ``on`` key (backward as-of join).
@@ -31,7 +54,20 @@ def asof_join(
     matching ``ts <= ts`` inclusive semantics. One shuffle, linear state,
     no per-row range scan — survives arbitrarily large inputs because the
     window never looks back more than the running partition.
+
+    ``tolerance_us``: pandas ``merge_asof(tolerance=)`` semantics — a
+    match further than this many microseconds behind the left row is
+    rejected (the payload comes back null), applied as a pure projection
+    after the carry, so the plan shape is unchanged.
+
+    DETERMINISM PRECONDITION: the right side must have at most one row
+    per (``on``, ``ts_col``) — otherwise which equal-ts payload the carry
+    picks depends on shuffle order. Pass ``tiebreak_col`` to have the
+    operator enforce it (greatest tiebreak wins, one deterministic
+    window pass); leave it None only when the caller guarantees
+    uniqueness.
     """
+    right = _dedupe_right_per_ts(right, on, ts_col, tiebreak_col)
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, ts_col)
     ]
@@ -65,6 +101,13 @@ def asof_join(
         "_match", F.last("_payload", ignorenulls=True).over(w)
     )
     out = carried.filter(F.col("_side") == 1).drop("_payload", "_side")
+    if tolerance_us is not None:
+        gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+            F.col(f"_match.{ts_col}{suffix}")
+        )
+        out = out.withColumn(
+            "_match", F.when(gap <= int(tolerance_us), F.col("_match"))
+        )
     flat = [F.col(c) for c in left.columns] + [
         F.col(f"_match.{f}").alias(f)
         for f in [f"{ts_col}{suffix}", *right_cols]
@@ -269,6 +312,8 @@ def asof_join_forward(
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    tolerance_us: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the EARLIEST right row with
     ``right.ts >= left.ts`` and the same ``on`` key — the forward as-of
@@ -280,7 +325,15 @@ def asof_join_forward(
     ts → inclusive >=), carry the last-seen right payload — which,
     scanning backward in time, is the nearest FUTURE right row. One
     shuffle, linear state, no range explosion.
+
+    ``tolerance_us``: reject matches further than this many microseconds
+    AHEAD of the left row (null payload) — pandas
+    ``merge_asof(tolerance=)``. ``tiebreak_col`` / determinism
+    precondition: same as ``asof_join`` — at most one right row per
+    (``on``, ``ts_col``), enforced (greatest tiebreak wins) when
+    ``tiebreak_col`` is given.
     """
+    right = _dedupe_right_per_ts(right, on, ts_col, tiebreak_col)
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, ts_col)
     ]
@@ -312,6 +365,13 @@ def asof_join_forward(
         "_match", F.last("_payload", ignorenulls=True).over(w)
     )
     out = carried.filter(F.col("_side") == 1).drop("_payload", "_side")
+    if tolerance_us is not None:
+        gap = F.unix_micros(
+            F.col(f"_match.{ts_col}{suffix}")
+        ) - F.unix_micros(F.col(ts_col))
+        out = out.withColumn(
+            "_match", F.when(gap <= int(tolerance_us), F.col("_match"))
+        )
     flat = [F.col(c) for c in left.columns] + [
         F.col(f"_match.{f}").alias(f)
         for f in [f"{ts_col}{suffix}", *right_cols]
@@ -326,6 +386,8 @@ def asof_join_nearest(
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    tolerance_us: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """For every left row, the right row NEAREST in time (either
     direction), same key — pandas ``merge_asof(direction='nearest')``
@@ -337,7 +399,15 @@ def asof_join_nearest(
     both window passes ride one key exchange (the second pass re-sorts,
     partitioning is preserved), then a projection picks the nearer
     match per row. No range join, linear state.
+
+    ``tolerance_us``: each direction's candidate is disqualified when
+    its |gap| exceeds the bound BEFORE the nearer-pick, so a
+    beyond-tolerance backward match cannot shadow an in-tolerance
+    forward one. ``tiebreak_col`` / determinism precondition: same as
+    ``asof_join`` — at most one right row per (``on``, ``ts_col``),
+    enforced (greatest tiebreak wins) when ``tiebreak_col`` is given.
     """
+    right = _dedupe_right_per_ts(right, on, ts_col, tiebreak_col)
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, ts_col)
     ]
@@ -378,6 +448,12 @@ def asof_join_nearest(
     t_us = F.unix_micros(F.col(ts_col))
     back_d = t_us - F.unix_micros(F.col(f"_back.{ts_col}{suffix}"))
     fwd_d = F.unix_micros(F.col(f"_fwd.{ts_col}{suffix}")) - t_us
+    if tolerance_us is not None:
+        carried = carried.withColumn(
+            "_back", F.when(back_d <= int(tolerance_us), F.col("_back"))
+        ).withColumn(
+            "_fwd", F.when(fwd_d <= int(tolerance_us), F.col("_fwd"))
+        )
     nearer = (
         F.when(F.col("_back").isNull(), F.col("_fwd"))
         .when(F.col("_fwd").isNull(), F.col("_back"))

@@ -419,7 +419,12 @@ def resample_interpolate(
         (-F.floor(-F.min("t") / step) * step).cast("long").alias("lo"),
         F.max("t").alias("hi"),
     )
-    grid = bounds.select(
+    # A key whose observed span contains no grid point (single off-grid
+    # event, or a span that sits entirely inside one step interval) has
+    # lo > hi; sequence(lo, hi, step) would throw on such boundaries, so
+    # filter those keys out first — they emit nothing, matching the
+    # no-extrapolation contract, instead of failing the whole query.
+    grid = bounds.where(F.col("lo") <= F.col("hi")).select(
         "k", F.explode(F.expr(f"sequence(lo, hi, {step_us})")).alias("t")
     )
     stacked = dedup.select(

@@ -1678,15 +1678,22 @@ def q_pipe_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       GROUP BY source
     ),
-    tot AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM per)
-    SELECT domain, avail_tokens, w,
-           (2000000 * w) // sum_w AS alloc_tokens,
-           ((2000000 * w) // sum_w + avail_tokens - 1) // avail_tokens
-             AS epochs,
-           (2000000 * w) // sum_w
-             - (((2000000 * w) // sum_w + avail_tokens - 1)
-                // avail_tokens - 1) * avail_tokens AS last_epoch_tokens
-    FROM per, tot
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM per),
+    alloc AS (
+      SELECT domain, avail_tokens, w,
+             (2000000 * w) // sum_w AS alloc_tokens
+      FROM per, tot
+    )
+    SELECT domain, avail_tokens, w, alloc_tokens,
+           CASE WHEN alloc_tokens <= 0 THEN CAST(0 AS BIGINT)
+                ELSE (alloc_tokens + avail_tokens - 1) // avail_tokens
+           END AS epochs,
+           CASE WHEN alloc_tokens <= 0 THEN CAST(0 AS BIGINT)
+                ELSE alloc_tokens
+                     - ((alloc_tokens + avail_tokens - 1)
+                        // avail_tokens - 1) * avail_tokens
+           END AS last_epoch_tokens
+    FROM alloc
     """,
     survey=(
         "training-mixture epoch planner: integer token budget split by "

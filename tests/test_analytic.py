@@ -1213,3 +1213,123 @@ def test_asof_join_nearest_directions_and_tie(spark):
     # 15 is equidistant from 12 and 18 -> tie goes to the EARLIER row
     assert out[3].cents == 500 and out[3].ts_right == _t(12)
     assert out[4].cents is None  # key with no right rows
+
+
+def test_asof_family_tolerance_bounds(spark):
+    import datetime as dt
+
+    from ram_datapipeline_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    def _t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, _t(30), 1)], "user_id long, ts timestamp, view_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(10), 500), (1, _t(33), 600)],
+        "user_id long, ts timestamp, cents long",
+    )
+    five_min = 5 * 60 * 1_000_000
+
+    # backward: match at 00:10 is 20 min behind -> rejected at 5 min
+    b = asof_join(
+        left, right, on="user_id", right_cols=["cents"],
+        tolerance_us=five_min,
+    ).collect()[0]
+    assert b.cents is None and b.ts_right is None
+    # ...but accepted with a wide-enough bound
+    b2 = asof_join(
+        left, right, on="user_id", right_cols=["cents"],
+        tolerance_us=30 * 60 * 1_000_000,
+    ).collect()[0]
+    assert b2.cents == 500
+
+    # forward: 00:33 is 3 min ahead -> inside 5 min
+    f = asof_join_forward(
+        left, right, on="user_id", right_cols=["cents"],
+        tolerance_us=five_min,
+    ).collect()[0]
+    assert f.cents == 600
+    f2 = asof_join_forward(
+        left, right, on="user_id", right_cols=["cents"],
+        tolerance_us=2 * 60 * 1_000_000,
+    ).collect()[0]
+    assert f2.cents is None
+
+    # nearest: the NEARER candidate (backward, 20 min) is out of bounds;
+    # the farther-direction forward match (3 min) must still win — the
+    # bound applies per direction BEFORE the nearer-pick
+    n = asof_join_nearest(
+        left, right, on="user_id", right_cols=["cents"],
+        tolerance_us=five_min,
+    ).collect()[0]
+    assert n.cents == 600
+    n2 = asof_join_nearest(
+        left, right, on="user_id", right_cols=["cents"],
+        tolerance_us=60 * 1_000_000,
+    ).collect()[0]
+    assert n2.cents is None
+
+
+def test_asof_family_intra_ts_tiebreak_deterministic(spark):
+    import datetime as dt
+
+    from ram_datapipeline_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    def _t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, _t(20), 1)], "user_id long, ts timestamp, view_id long"
+    )
+    # three right rows on the SAME (key, ts) — without a tiebreak the
+    # carried payload depends on shuffle order; with tiebreak_col the
+    # greatest order_id must win in every direction, repeatably
+    right = spark.createDataFrame(
+        [(1, _t(20), 100, 7), (1, _t(20), 200, 9), (1, _t(20), 300, 8)],
+        "user_id long, ts timestamp, cents long, order_id long",
+    ).repartition(8)
+    for fn in (asof_join, asof_join_forward, asof_join_nearest):
+        for _ in range(3):
+            r = fn(
+                left, right, on="user_id", right_cols=["cents"],
+                tiebreak_col="order_id",
+            ).collect()[0]
+            assert r.cents == 200, fn.__name__
+
+
+def test_quantile_buckets_k_edge_cases(spark):
+    import pytest
+
+    from ram_datapipeline_spark.operators.quality import quantile_buckets
+
+    df = spark.createDataFrame([(v,) for v in range(1, 11)], "v int")
+    # k=1: every row in bucket 1, layout preserved, no AttributeError
+    out = quantile_buckets(df, F.col("v"), 1).collect()
+    assert len(out) == 10 and all(r.bucket == 1 for r in out)
+    with pytest.raises(ValueError, match="k >= 1"):
+        quantile_buckets(df, F.col("v"), 0)
+
+
+def test_quantile_buckets_single_cutoff_aggregate_plan(spark):
+    """ADVICE r8: cutoffs must come from ONE conditional aggregate over
+    the staged cumulative table, not k-1 unioned re-evaluations of the
+    counts+window subtree. At k=5 the old shape had 4 separate
+    HashAggregate->Window chains; the new plan has no Union at all."""
+    from ram_datapipeline_spark.operators.quality import quantile_buckets
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "v int")
+    plan = (
+        quantile_buckets(df, F.col("v"), 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Union" not in plan, plan

@@ -216,3 +216,34 @@ def test_length_buckets_edges_batches_waste(spark):
     assert (b1b.n_docs, b1b.max_len, b1b.padding_waste) == (1, 16, 0)
     assert out[(4, 0)].max_len == 200   # >= last edge -> overflow bucket
     assert len(out) == 4
+
+
+def test_mixture_epochs_zero_allocation_plans_zero_passes(spark):
+    """ADVICE r8: a domain whose weighted share floors to zero tokens
+    must plan epochs=0 and last_epoch_tokens=0 — not the contradictory
+    (epochs=0, last_epoch_tokens=avail) the raw ceiling-division
+    identities produce."""
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.operators.corpus import mixture_epochs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j", "big"),   # 10 tokens, w=1000
+            (2, "x y z", "tiny"),                 # 3 tokens, w=1
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.domain: r
+        for r in mixture_epochs(
+            docs,
+            weight=F.when(F.col("source") == "big", 1000).otherwise(1),
+            budget_tokens=500,   # tiny: 500*1//1001 = 0
+        ).collect()
+    }
+    t = out["tiny"]
+    assert (t.alloc_tokens, t.epochs, t.last_epoch_tokens) == (0, 0, 0)
+    b = out["big"]
+    assert b.alloc_tokens == 499 and b.epochs == 50
+    assert b.last_epoch_tokens == 499 - 49 * 10

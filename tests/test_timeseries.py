@@ -399,3 +399,32 @@ def test_cusum_drift_matches_sequential_recursion(spark):
     # so the flag clears two low observations later, not instantly
     assert out[3].drift_up and out[5].drift_up and not out[6].drift_up
     assert out[8].drift_down
+
+
+def test_resample_interpolate_narrow_span_keys_emit_nothing(spark):
+    """ADVICE r8: a key whose observed span contains NO grid point
+    (single off-grid event, or both events inside one step interval)
+    must emit zero rows — not throw 'Illegal sequence boundaries' from
+    sequence(lo, hi) with lo > hi and fail the whole query."""
+    from ram_datapipeline_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    events = spark.createDataFrame(
+        [
+            # "solo": one event off the hourly grid -> lo > hi
+            ("solo", dt.datetime(2024, 1, 1, 0, 30), 1.0, 1),
+            # "narrow": two events inside one step interval, no grid pt
+            ("narrow", dt.datetime(2024, 1, 1, 2, 10), 2.0, 2),
+            ("narrow", dt.datetime(2024, 1, 1, 2, 40), 4.0, 3),
+            # "ok": a normal key proving the rest still flows
+            ("ok", dt.datetime(2024, 1, 1, 0, 30), 1.0, 4),
+            ("ok", dt.datetime(2024, 1, 1, 1, 30), 3.0, 5),
+        ],
+        "event_type string, ts timestamp, value double, event_id long",
+    )
+    rows = resample_interpolate(events).collect()
+    keys = {r.event_type for r in rows}
+    assert keys == {"ok"}
+    ok = {r.grid_ts: r.interp_value for r in rows}
+    assert ok == {dt.datetime(2024, 1, 1, 1, 0): 2.0}
