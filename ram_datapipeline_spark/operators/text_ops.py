@@ -70,6 +70,30 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score_scaled(text: Column) -> Column:
+    """Fixed-point BIGINT composite quality score — the integer-exact
+    twin of :func:`quality_features`'s ``quality_score`` double
+    (stopword ratio + in-range-length bonus), scaled ×1000 so it can
+    feed exact order-statistic machinery (``quantile_buckets``) and
+    replay bit-identically in any engine:
+
+        score = (stop_hits * 1000) DIV n_tokens
+                + (500 if 20 <= n_tokens <= 1000 else 0)
+
+    The division is the exact BIGINT quotient (computed as
+    ``(a - a % b) / b`` — the subtraction makes the double division
+    exact), never a floored float.
+    """
+    n_tokens = F.size(F.split(text, " ")).cast("long")
+    stop = stopword_hits(text, LANG_STOPWORDS["en"]).cast("long")
+    a = stop * F.lit(1000).cast("long")
+    exact_div = ((a - a % n_tokens) / n_tokens).cast("long")
+    bonus = F.when(
+        (n_tokens >= 20) & (n_tokens <= 1000), F.lit(500).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return exact_div + bonus
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: stopword_hits(text, sw) for lang, sw in LANG_STOPWORDS.items()}
 

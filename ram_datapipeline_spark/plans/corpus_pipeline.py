@@ -47,14 +47,47 @@ def assemble_corpus(
     val_frac: float = 0.1,
     test_frac: float = 0.1,
     pack_budget: int = 256,
+    normalize_quality: bool = False,
+    quality_k: int = 10,
+    min_quality_bucket: int = 4,
 ) -> DataFrame:
     """Compose the corpus-assembly stages into one DataFrame.
 
     Returns one row per surviving document with its split label, rebuilt
-    (segment-deduped) text, and packing coordinates."""
-    d = documents.filter(
-        (F.col("n_chars") >= min_chars) & F.col("lang").isin(*langs)
-    )
+    (segment-deduped) text, and packing coordinates.
+
+    ``normalize_quality`` (VERDICT r8 #6): when True, the quality gate
+    thresholds the PER-SOURCE quantile of an integer quality score
+    (``quantile_buckets(score, quality_k, metric_col=source)`` — keep
+    bucket ≥ ``min_quality_bucket``) instead of the raw ``n_chars``
+    floor. A raw threshold means different things in different domains
+    (a "short" legal document is a long chat log); the normalized gate
+    drops the same FRACTION of every source, so the surviving RAW-score
+    threshold shifts per source with its own distribution. Cutoffs come
+    from one conditional aggregate and broadcast as a (k-1)-element
+    array per source — the gate adds no corpus-sized exchange.
+    """
+    if normalize_quality:
+        from ram_datapipeline_spark.operators.quality import quantile_buckets
+        from ram_datapipeline_spark.operators.text_ops import (
+            quality_score_scaled,
+        )
+
+        scored = quantile_buckets(
+            documents,
+            quality_score_scaled(F.col("text")),
+            quality_k,
+            metric_col="source",
+            out_col="_q_bucket",
+        )
+        d = scored.filter(
+            (F.col("_q_bucket") >= min_quality_bucket)
+            & F.col("lang").isin(*langs)
+        ).drop("_q_bucket")
+    else:
+        d = documents.filter(
+            (F.col("n_chars") >= min_chars) & F.col("lang").isin(*langs)
+        )
 
     # exact dedup: keep the min doc_id per content hash
     keep = exact_duplicates(d).select(F.col("keep_id").alias("doc_id"))
@@ -113,16 +146,40 @@ def run_corpus_pipeline(
         r["split"]: r["n"]
         for r in corpus.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
-    funnel = C.quality_funnel(
-        docs,
-        [
+    if kwargs.get("normalize_quality"):
+        from ram_datapipeline_spark.operators.quality import quantile_buckets
+        from ram_datapipeline_spark.operators.text_ops import (
+            quality_score_scaled,
+        )
+
+        gated = quantile_buckets(
+            docs,
+            quality_score_scaled(F.col("text")),
+            kwargs.get("quality_k", 10),
+            metric_col="source",
+            out_col="_q_bucket",
+        )
+        funnel_src = gated
+        gates = [
+            (
+                "quality_quantile",
+                F.col("_q_bucket") >= kwargs.get("min_quality_bucket", 4),
+            ),
+            (
+                "lang_allowed",
+                F.col("lang").isin(*kwargs.get("langs", ("en", "de", "fr"))),
+            ),
+        ]
+    else:
+        funnel_src = docs
+        gates = [
             ("min_length", F.col("n_chars") >= kwargs.get("min_chars", 100)),
             (
                 "lang_allowed",
                 F.col("lang").isin(*kwargs.get("langs", ("en", "de", "fr"))),
             ),
-        ],
-    )
+        ]
+    funnel = C.quality_funnel(funnel_src, gates)
     funnel.write.mode("overwrite").parquet(os.path.join(out_dir, "funnel"))
     log.log(op, "write", {"splits": str(counts)})
     log.finish(op)

@@ -1895,3 +1895,91 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@query(
+    "pipe_corpus_quality_gate",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             (CAST(len(list_filter(string_split(text, ' '),
+                                   t -> t IN ('the', 'a', 'of')))
+                   AS BIGINT) * 1000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT)
+             + (CASE WHEN len(string_split(text, ' '))
+                          BETWEEN 20 AND 1000
+                     THEN 500 ELSE 0 END) AS q_score
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, q_score AS v, count(*) AS c
+      FROM scored GROUP BY source, q_score
+    ),
+    staged AS (
+      SELECT source, v,
+             sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM counts
+    ),
+    cuts AS (
+      SELECT source, j, min(v) AS t
+      FROM staged CROSS JOIN (SELECT unnest(range(1, 10)) AS j) js
+      WHERE 10 * cum >= j * n
+      GROUP BY source, j
+    ),
+    bucketed AS (
+      SELECT s.doc_id, s.source, s.q_score,
+             1 + (SELECT count(*) FROM cuts c
+                  WHERE c.source = s.source AND s.q_score > c.t) AS bucket
+      FROM scored s
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN bucket >= 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(min(CASE WHEN bucket >= 4 THEN q_score END)
+                AS BIGINT) AS kept_score_floor
+    FROM bucketed
+    GROUP BY source
+    """,
+    survey=(
+        "per-source quantile-normalized quality gate (the corpus "
+        "pipeline's normalize_quality path): integer quality score -> "
+        "exact per-source decile cutoffs -> keep top deciles; the "
+        "surviving raw-score floor SHIFTS per source — LLM pipeline, "
+        "beyond ref (VERDICT r8 #6)"
+    ),
+    tags=("pipeline", "quality"),
+)
+def q_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalized quality gate assemble_corpus(normalize_quality=
+    True) applies, reported at the source grain: every source keeps the
+    same top-decile FRACTION while its surviving raw-score floor
+    (kept_score_floor) tracks its own score distribution — the
+    cross-domain calibration a raw threshold can't give. Plan: one
+    score projection, quantile_buckets' one conditional-aggregate
+    cutoff pass broadcast back, one final aggregate — no corpus-sized
+    exchange beyond the (source, score)-grain count table
+    (operators/quality.py::quantile_buckets,
+    operators/text_ops.py::quality_score_scaled,
+    plans/corpus_pipeline.py::assemble_corpus)."""
+    from ram_datapipeline_spark.operators.quality import quantile_buckets
+    from ram_datapipeline_spark.operators.text_ops import (
+        quality_score_scaled,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "q_score", quality_score_scaled(F.col("text"))
+    )
+    scored = quantile_buckets(
+        docs, F.col("q_score"), 10, metric_col="source", out_col="q_bucket"
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("q_bucket") >= 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.min(F.when(F.col("q_bucket") >= 4, F.col("q_score")))
+        .alias("kept_score_floor"),
+    )

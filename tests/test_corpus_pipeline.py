@@ -247,3 +247,55 @@ def test_mixture_epochs_zero_allocation_plans_zero_passes(spark):
     b = out["big"]
     assert b.alloc_tokens == 499 and b.epochs == 50
     assert b.last_epoch_tokens == 499 - 49 * 10
+
+
+def test_corpus_pipeline_normalized_quality_shifts_thresholds(spark, tmp_path):
+    """VERDICT r8 #6: run_corpus_pipeline(normalize_quality=True) gates
+    on per-source score QUANTILES, not raw scores — every source keeps
+    (approximately) the same top fraction, so the surviving raw-score
+    floor must differ across sources with different distributions,
+    and the funnel must account for the quantile stage."""
+    from ram_datapipeline_spark.operators.quality import quantile_buckets
+    from ram_datapipeline_spark.operators.text_ops import quality_score_scaled
+
+    out = str(tmp_path / "corpus_norm")
+    counts = run_corpus_pipeline(
+        spark, SF_DIR, out, normalize_quality=True,
+        quality_k=10, min_quality_bucket=4,
+    )
+    assert counts and sum(counts.values()) > 0
+
+    # funnel carries the quantile stage with real drops
+    funnel = {
+        r.stage: r for r in spark.read.parquet(f"{out}/funnel").collect()
+    }
+    assert "quality_quantile" in funnel
+    q = funnel["quality_quantile"]
+    assert q.n_out < q.n_in and q.n_dropped == q.n_in - q.n_out
+
+    # per-source raw floors shift: the minimum SURVIVING raw score is
+    # source-dependent (the whole point of normalization), while the
+    # kept fraction stays within tie-slack of (k - bucket + 1)/k
+    docs = load_tables(spark, SF_DIR)["documents"].withColumn(
+        "q_score", quality_score_scaled(F.col("text"))
+    )
+    scored = quantile_buckets(
+        docs, F.col("q_score"), 10, metric_col="source", out_col="b"
+    )
+    per_src = (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("b") >= 4, 1).otherwise(0)).alias("kept"),
+            F.min(F.when(F.col("b") >= 4, F.col("q_score"))).alias("floor"),
+        )
+        .collect()
+    )
+    floors = {r.floor for r in per_src}
+    assert len(floors) > 1, floors  # thresholds actually shifted
+    for r in per_src:
+        frac = r.kept / r.n
+        # 7 of 10 deciles nominally kept; a value tied WITH a cutoff
+        # takes the lower bucket (cutoffs strictly below count), so
+        # small sources drift a few rows either side of 0.7
+        assert 0.6 <= frac <= 0.8, (r.source, frac)
