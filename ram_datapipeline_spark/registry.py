@@ -63,76 +63,78 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-8 ROTATION (VERDICT r7 next-round #1, spent as published in
-    # round 7's NEXT_ROUND_ROTATION): (a) the 16 r7-born queries with
-    # NO driver proof yet, (b) the two CRP scales whose edge-extraction
-    # code changed late-r7 (oneway handling) plus mm_jpeg_flat_roundtrip
-    # (decode refactored onto the DC-path scaffolding in r7) and
-    # a7_operation_log / eta_routed_osm / s2_origins_scan (r7
-    # code-touch notes in VERDICT's table), (c) the queries BORN or
-    # CHANGED in round 8 (zero-config planet routing, KMV-profile gate,
-    # global prefix sum, n-gram novelty), then (d) as much of the
-    # r4-proven tier as fits, preferring sinks/pipelines/streaming and
-    # anything with operator-level churn over thin suite-only
-    # relational shapes. The ~20 most code-stable r4-tier entries slip
-    # to r9 (published as NEXT_ROUND_ROTATION in
-    # tests/test_registry_gate.py) — flagged in advance, exactly as r7
+    # ROUND-9 ROTATION (VERDICT r8 next-round #2, spent exactly as
+    # published in round 8's NEXT_ROUND_ROTATION): (a) ALL 31 r8-born
+    # queries with no driver proof yet — after this round every
+    # registered query has a driver CORRECTNESS row; (b) the queries
+    # BORN in round 9 (bounded as-of join, the corpus pipeline's
+    # normalized quality gate) plus pipe_profile_table_kmv, whose
+    # certification was re-batched this round (VERDICT r8 #3 — results
+    # bit-identical, re-proven under the new code); (c) 16 of the 20
+    # published code-stable r4-tier re-proofs. The 4 that slip to r10
+    # (w4/w5/w6 window shapes + vec_quantize_int8 — all r4-proven,
+    # untouched since, green in every per-round sweep) are published in
+    # tests/test_registry_gate.py::NEXT_ROUND_ROTATION, exactly as r8
     # flagged this round's queue.
     #
-    # (a) never driver-gated, r7-born — head of the published queue
-    "agg_kmv_merge_rollup",
-    "agg_incremental_maintain",
-    "pipe_zorder_layout",
-    "st_view_click_outer",
-    "agg_kmv_set_algebra",
-    "ts_time_weighted_avg",
-    "pipe_profile_table",        # also r8-touched: exact mode pinned
-    "k_zorder_prune_roundtrip",
-    "pipe_compaction_plan",
-    "pipe_global_index",
-    "dedup_canonical_pick",
-    "k_orc_roundtrip",
-    "vec_random_projection",
-    "eta_accessibility_index",
-    "w7_time_range_frame",
-    "dedup_prefix_filter_pairs",  # also r8-changed: positional filter
-    # (b) code changed late-r7, re-proven under the new code
-    "eta_routed_osm_large",
-    "eta_routed_osm_xlarge",
-    "mm_jpeg_flat_roundtrip",
-    "a7_operation_log",
-    "eta_routed_osm",
-    "s2_origins_scan",
-    # (c) round-8 born
-    "eta_routed_osm_planet_auto",  # zero-config HEM hierarchy (r7 #3)
-    "pipe_profile_table_kmv",      # KMV-profile scale default (r7 #2)
-    "pipe_global_offsets",
-    "text_ngram_novelty",
-    # (d) r4-proven tier, oldest evidence — heavier/churn-adjacent first
-    "ram_full_job",
-    "k1_normalized_roundtrip",
-    "k2_csv_roundtrip",
-    "k3_json_roundtrip",
-    "k4_geojson_roundtrip",
-    "s5_geojson_source",
-    "s8_osm_to_geojson",
-    "st_late_data_drop",
-    "dedup_semantic",
-    "dedup_ngram_containment",
-    "agg_quantile_sketch",
-    "agg_kmv_distinct",
-    "j_bucketed_colocated",
-    "j_salted_skew_join",
-    "j_interval_overlap",
-    "mm_payload_embedding",
-    "mm_png_resize_roundtrip",
-    "mm_wav_downsample",
-    "ts_ohlc_bars",
-    "ts_scd2_intervals",
-    "vec_pq_codes",
-    "sim_recall_at_k",
-    "q1_pricing_summary",
-    "q18_having_join_back",
+    # (a) never driver-gated, r8-born — head of the published queue.
+    # Several double as re-proofs of round-9 code changes:
+    # ts_resample_interp (narrow-span guard), pipe_mixture_epochs
+    # (zero-alloc guard), j_asof_forward / j_asof_nearest (tolerance +
+    # tiebreak params), pipe_quantile_normalize / ev_rfm_scores
+    # (quantile_buckets single-pass cutoffs).
+    "ev_sessionize_batch",
+    "ts_resample_interp",
+    "agg_hhi_concentration",
+    "ev_inter_event_stats",
+    "pipe_dup_rate_by_source",
+    "text_rake_keyphrases",
+    "j_asof_nearest",
+    "dedup_minhash_eval",
+    "ts_cusum_drift",
+    "j_asof_forward",
+    "sim_hard_negatives",
+    "ev_rfm_scores",
+    "agg_mode_exact",
+    "pipe_tokenizer_fertility",
+    "w8_running_distinct",
+    "pipe_length_buckets",
+    "agg_weighted_median",
+    "agg_corr_components",
+    "ev_type_transitions",
+    "pipe_mixture_epochs",
+    "pipe_interleave_sources",
+    "graph_khop_reach",
+    "text_bm25_rank",
+    "text_lexical_diversity",
+    "dedup_sorted_neighborhood",
+    "pipe_systematic_sample",
+    "agg_histogram",
+    "agg_robust_outliers",
+    "ts_anomaly_zscore",
+    "pipe_corpus_shuffle",
+    "pipe_quantile_normalize",
+    # (b) round-9 born / round-9 code-changed
+    "j_asof_tolerance",          # bounded as-of + intra-ts tiebreak (r8 #5)
+    "pipe_corpus_quality_gate",  # normalized corpus quality gate (r8 #6)
+    "pipe_profile_table_kmv",    # certification re-batched (r8 #3)
+    # (c) code-stable r4-proven tier (16 of the 20 published slots)
+    "agg_distinct_count",
+    "agg_rollup_revenue",
+    "f_polygon_shoelace",
+    "j1_inner_equijoin",
+    "j6_positional_explode",
+    "j_full_outer_reconcile",
+    "mm_resize_meta",
+    "p3_negated_predicate",
+    "p7_scalar_subquery",
+    "q13_outer_join_custdist",
+    "q4_exists_correlated",
+    "q6_pushdown_revenue",
+    "s3_settings_json_decode",
+    "semi_anti_join",
+    "set_intersect_except",
+    "vec_normalize",
 )
 
 

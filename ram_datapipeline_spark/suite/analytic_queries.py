@@ -1639,3 +1639,71 @@ def q_ev_inter_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_gap_us"),
         )
     )
+
+
+@query(
+    "j_asof_tolerance",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts,
+             max(event_id) AS view_event_id,
+             arg_max(value, event_id) AS view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT l.event_id, l.user_id, l.ts,
+             r.ts AS m_ts, r.view_event_id AS m_id, r.view_value AS m_val
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click') l
+      ASOF LEFT JOIN v r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(m_ts) <= 3600000000
+                THEN m_ts END AS ts_right,
+           CASE WHEN epoch_us(ts) - epoch_us(m_ts) <= 3600000000
+                THEN m_id END AS view_event_id,
+           CASE WHEN epoch_us(ts) - epoch_us(m_ts) <= 3600000000
+                THEN m_val END AS view_value
+    FROM j
+    """,
+    survey=(
+        "bounded as-of join (merge_asof tolerance semantics): newest "
+        "prior right row REJECTED when further than the max gap, with "
+        "a deterministic intra-timestamp tiebreak on the right side — "
+        "temporal §2.3 family (VERDICT r8 #5)"
+    ),
+    tags=("analytic",),
+)
+def q_j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click's most recent prior view by the same user, but only
+    if it happened within the last hour — stale context is worse than
+    none for attribution. Exercises BOTH round-9 knobs of
+    operators/temporal.py::asof_join: tolerance_us (a pure projection
+    after the carry — plan shape unchanged, one key exchange) and
+    tiebreak_col (greatest view_event_id wins among equal-microsecond
+    views, so the payload is engine-reproducible). The oracle is
+    DuckDB's native ASOF JOIN with the same gap filter."""
+    from ram_datapipeline_spark.operators.temporal import asof_join
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        clicks,
+        views,
+        on="user_id",
+        ts_col="ts",
+        right_cols=["view_event_id", "view_value"],
+        tolerance_us=3_600_000_000,
+        tiebreak_col="view_event_id",
+    )

@@ -100,70 +100,24 @@ def test_gated_queries_all_have_oracles():
 
 
 # Rotation candidates for the NEXT round's window. Every registered query
-# is past-proven or in the current window (nothing invisible). Round 8
-# spent its window on the 16 never-gated r7-born queries, the late-r7
-# code changes (oneway edge extraction, JPEG decode refactor, oplog /
-# osm / origins touches), the 4 r8-born queries, and 24 of the 44
-# remaining r4-tier entries (heavier/churn-adjacent first). These are
-# the 20 r4-proven entries that slipped to r9 — deliberately the most
-# code-stable tier: thin suite-only relational/scalar shapes whose
-# operators have not been touched since r4, each still oracle-green in
-# every per-round full-registry sweep at sf0.01 AND sf0.1.
+# is past-proven or in the current window (nothing invisible). Round 9
+# spent its window on the 31 never-gated r8-born queries, the 3
+# r9-born/r9-changed entries (bounded as-of join, normalized corpus
+# quality gate, re-batched KMV profile certification), and 16 of the 20
+# r4-tier re-proofs round 8 published. These are the 4 r4-proven entries
+# that slipped to r10 — deliberately the most code-stable tier: thin
+# suite-only window/vector shapes untouched since r4, each still
+# oracle-green in every per-round full-registry sweep at sf0.01 AND
+# sf0.1. j_asof_click_view is also listed: its operator (asof_join)
+# grew tolerance_us/tiebreak_col parameters in r9 (defaults preserve
+# behavior bit-for-bit — locally re-verified hash-equal), so a driver
+# re-proof under the new code is queued.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    # born in round 8 AFTER the window was frozen — first driver proof
-    # must come in r9 (all already oracle-green in the builder's sweeps)
-    "ev_sessionize_batch",
-    "ts_resample_interp",
-    "agg_hhi_concentration",
-    "ev_inter_event_stats",
-    "pipe_dup_rate_by_source",
-    "text_rake_keyphrases",
-    "j_asof_nearest",
-    "dedup_minhash_eval",
-    "ts_cusum_drift",
-    "j_asof_forward",
-    "sim_hard_negatives",
-    "ev_rfm_scores",
-    "agg_mode_exact",
-    "pipe_tokenizer_fertility",
-    "w8_running_distinct",
-    "pipe_length_buckets",
-    "agg_weighted_median",
-    "agg_corr_components",
-    "ev_type_transitions",
-    "pipe_mixture_epochs",
-    "pipe_interleave_sources",
-    "graph_khop_reach",
-    "text_bm25_rank",
-    "text_lexical_diversity",
-    "dedup_sorted_neighborhood",
-    "pipe_systematic_sample",
-    "agg_histogram",
-    "agg_robust_outliers",
-    "ts_anomaly_zscore",
-    "pipe_corpus_shuffle",
-    "pipe_quantile_normalize",
-    # the 20 code-stable r4-proven entries that slipped from the r8 window
-    "agg_distinct_count",
-    "agg_rollup_revenue",
-    "f_polygon_shoelace",
-    "j1_inner_equijoin",
-    "j6_positional_explode",
-    "j_full_outer_reconcile",
-    "mm_resize_meta",
-    "p3_negated_predicate",
-    "p7_scalar_subquery",
-    "q13_outer_join_custdist",
-    "q4_exists_correlated",
-    "q6_pushdown_revenue",
-    "s3_settings_json_decode",
-    "semi_anti_join",
-    "set_intersect_except",
-    "vec_normalize",
     "vec_quantize_int8",
     "w4_moving_window_frame",
     "w5_lag_lead_gaps",
     "w6_rank_family",
+    "j_asof_click_view",
 )
 
 
