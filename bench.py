@@ -144,6 +144,9 @@ HEADLINE = [
     "j_asof_forward",          # forward as-of join (time to conversion)
     "dedup_minhash_eval",      # LSH candidate precision/recall audit
     "text_rake_keyphrases",    # RAKE keyphrases, fixed-point scores
+    # round-9 additions
+    "j_asof_tolerance",        # bounded as-of + intra-ts tiebreak
+    "pipe_corpus_quality_gate",  # per-source decile quality gate
 ]
 
 

@@ -147,7 +147,13 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # stats (one key window+agg), dup rate (one agg; KMV is the
           # documented at-scale distinct swap)
           "agg_hhi_concentration", "ev_inter_event_stats",
-          "pipe_dup_rate_by_source"]
+          "pipe_dup_rate_by_source",
+          # round-9 additions: bounded as-of (tolerance is a pure
+          # projection after the same one-exchange carry; the tiebreak
+          # adds one (key, ts)-keyed window on the right side), and the
+          # normalized quality gate (score projection + the
+          # single-conditional-aggregate cutoff pass broadcast back)
+          "j_asof_tolerance", "pipe_corpus_quality_gate"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000
