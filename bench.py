@@ -147,6 +147,8 @@ HEADLINE = [
     # round-9 additions
     "j_asof_tolerance",        # bounded as-of + intra-ts tiebreak
     "pipe_corpus_quality_gate",  # per-source decile quality gate
+    "text_rrf_fusion",         # hybrid-retrieval rank fusion
+    "j_event_state_asof",      # SCD2 state-at-event-time as-of lookup
 ]
 
 

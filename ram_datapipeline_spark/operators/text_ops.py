@@ -675,3 +675,60 @@ def rake_keyphrases(
         .where(F.col("rk") <= top_k)
         .select(id_col, "phrase", "score_scaled", "rk")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    kconst: int = 60,
+    scale: int = 1_000_000_000_000,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several retrieval rankings (Cormack &
+    Clarke's RRF — the standard way to combine BM25 with a second
+    scorer without calibrating their incomparable score scales):
+
+        rrf(d) = Σ_systems  scale DIV (kconst + rank_system(d))
+
+    INTEGER-EXACT: each contribution is one BIGINT division (kconst=60,
+    the published default), so the fused ordering replays bit-for-bit
+    in any engine — no float reciprocal sums. Ranks are assigned within
+    each input by (score DESC, id ASC) — total-ordered, engine-stable.
+
+    Scale contract: each input must already be a BOUNDED top-n (a
+    retrieval cut — the only thing RRF is ever applied to), so the
+    per-input rank window runs over ≤ n rows; the union, aggregate,
+    and final TakeOrdered are all n·systems-sized. This operator is
+    result-fusion, never a corpus-sized plan.
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = []
+    for df in rankings:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(
+            df.select(id_col, score_col)
+            .withColumn("_r", F.row_number().over(w).cast("long"))
+            .select(
+                id_col,
+                F.expr(
+                    f"CAST({int(scale)} AS BIGINT) "
+                    f"DIV (CAST({int(kconst)} AS BIGINT) + _r)"
+                ).alias("_c"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_systems"),
+            F.sum("_c").cast("long").alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1707,3 +1707,86 @@ def q_j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_us=3_600_000_000,
         tiebreak_col="view_event_id",
     )
+
+
+@query(
+    "j_event_state_asof",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts, event_id FROM ch
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    scd AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM runs
+    ),
+    iv AS (
+      SELECT * FROM scd
+      WHERE valid_to IS NULL OR valid_from < valid_to
+    ),
+    p AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.cents,
+           iv.valid_from AS ts_right, iv.state, iv.valid_to
+    FROM p LEFT JOIN iv
+      ON iv.user_id = p.user_id
+     AND iv.valid_from <= p.ts
+     AND (p.ts < iv.valid_to OR iv.valid_to IS NULL)
+    """,
+    survey=(
+        "event-to-dimension-state lookup ('state at event time'): "
+        "purchases joined to the SCD2 interval valid at their "
+        "timestamp — implemented as a backward AS-OF join to interval "
+        "starts (one key exchange) instead of a range join; oracle IS "
+        "the interval range join (beyond-ref temporal §2.3 family)"
+    ),
+    tags=("analytic",),
+)
+def q_j_event_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the user's activity state (the SCD2
+    event-type run derived from their NON-purchase stream) valid at
+    purchase time. Because SCD2 intervals are contiguous per key,
+    'the interval containing t' == 'the latest interval STARTING at or
+    before t' — so the lookup is asof_join on interval starts (union +
+    one running-last key window, operators/temporal.py) rather than a
+    range join, the shape that survives 100 TB. Zero-length runs
+    (two state changes in one microsecond) are dropped first, making
+    (user, valid_from) unique — the as-of determinism precondition —
+    exactly as the oracle's range predicate skips empty intervals."""
+    from ram_datapipeline_spark.operators.temporal import (
+        asof_join,
+        scd2_intervals,
+    )
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    dim = scd2_intervals(e.where(F.col("event_type") != "purchase"))
+    iv = dim.where(
+        F.col("valid_to").isNull() | (F.col("valid_from") < F.col("valid_to"))
+    ).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.col("value").alias("state"),
+        "valid_to",
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    return asof_join(
+        purchases, iv, on="user_id", ts_col="ts",
+        right_cols=["state", "valid_to"],
+    )

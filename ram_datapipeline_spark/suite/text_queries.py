@@ -1855,3 +1855,99 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "phrase", "score_scaled", F.col("rk").cast("long").alias("rk")
     )
+
+
+@query(
+    "text_rrf_fusion",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS dl, text FROM documents
+    ), corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM base
+    ), tf AS (
+      SELECT doc_id, term,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(min(dl) AS BIGINT) AS dl
+      FROM (
+        SELECT doc_id, dl, unnest(string_split(lower(text), ' ')) AS term
+        FROM base
+      ) WHERE term IN ('scan', 'join', 'window', 'stream')
+      GROUP BY doc_id, term
+    ), w AS (
+      SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df_t
+      FROM tf
+    ), bm_scored AS (
+      SELECT doc_id,
+             CAST(sum(CAST(FLOOR(CAST(1000000 AS DOUBLE)
+               * (CAST(2 * n_docs - 2 * df_t + 1 AS DOUBLE)
+                  / CAST(2 * df_t + 1 AS DOUBLE))
+               * (CAST(22 * tf * total_len AS DOUBLE)
+                  / CAST(10 * tf * total_len + 3 * total_len
+                         + 9 * dl * n_docs AS DOUBLE))) AS BIGINT))
+               AS BIGINT) AS score
+      FROM w, corpus GROUP BY doc_id
+    ), bm_top AS (
+      SELECT doc_id, score FROM bm_scored
+      ORDER BY score DESC, doc_id ASC LIMIT 20
+    ), bm_ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS BIGINT) AS r
+      FROM bm_top
+    ), ti_w AS (
+      SELECT term,
+             (1000 * (SELECT CAST(count(*) AS BIGINT) FROM documents))
+               // CAST(count(*) AS BIGINT) AS w
+      FROM tf GROUP BY term
+    ), ti_scored AS (
+      SELECT tf.doc_id, CAST(sum(tf.tf * ti_w.w) AS BIGINT) AS score
+      FROM tf JOIN ti_w USING (term) GROUP BY tf.doc_id
+    ), ti_top AS (
+      SELECT doc_id, score FROM ti_scored
+      ORDER BY score DESC, doc_id ASC LIMIT 20
+    ), ti_ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS BIGINT) AS r
+      FROM ti_top
+    ), u AS (
+      SELECT doc_id, 1000000000000 // (60 + r) AS c FROM bm_ranked
+      UNION ALL
+      SELECT doc_id, 1000000000000 // (60 + r) AS c FROM ti_ranked
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_systems,
+           CAST(sum(c) AS BIGINT) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    survey=(
+        "reciprocal-rank fusion of two retrieval systems (BM25 + "
+        "scaled tf-idf): scale DIV (60 + rank) BIGINT contributions — "
+        "hybrid-retrieval result fusion without score calibration, "
+        "integer-exact (north star — LLM retrieval, beyond ref)"
+    ),
+    tags=("text",),
+)
+def q_text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse the BM25 top-20 and the scaled-tf-idf top-20 for
+    {scan, join, window, stream} by reciprocal-rank fusion
+    (operators/text_ops.py::rrf_fuse): rrf(d) = Σ 1e12 DIV (60 + rank),
+    ranks total-ordered by (score DESC, doc_id). Both inputs are
+    k-bounded retrieval cuts, so the fusion plan is 40-rows-sized —
+    the corpus is only touched by the two (independently oracle-gated)
+    retrieval stages themselves."""
+    from ram_datapipeline_spark.operators.text_ops import (
+        bm25_rank,
+        keyword_search_ranked,
+        rrf_fuse,
+    )
+
+    t = load_tables(spark, sf_dir)
+    terms = ("scan", "join", "window", "stream")
+    bm = bm25_rank(t["documents"], terms, len_col="n_chars", k=20)
+    ti = keyword_search_ranked(t["documents"], terms, mode="any", k=20)
+    return rrf_fuse([bm, ti], id_col="doc_id", score_col="score", k=10)

@@ -153,7 +153,11 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # adds one (key, ts)-keyed window on the right side), and the
           # normalized quality gate (score projection + the
           # single-conditional-aggregate cutoff pass broadcast back)
-          "j_asof_tolerance", "pipe_corpus_quality_gate"]
+          "j_asof_tolerance", "pipe_corpus_quality_gate",
+          # round-9 additions: RRF (fusion plan is top-n-bounded; only
+          # the two retrieval stages touch the corpus), state-at-event
+          # as-of (SCD2 build + one as-of key exchange, no range join)
+          "text_rrf_fusion", "j_event_state_asof"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

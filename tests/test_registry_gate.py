@@ -113,6 +113,11 @@ def test_gated_queries_all_have_oracles():
 # behavior bit-for-bit — locally re-verified hash-equal), so a driver
 # re-proof under the new code is queued.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    # born in round 9 AFTER the window was frozen — first driver proof
+    # must come in r10 (both already oracle-green in local sweeps)
+    "text_rrf_fusion",
+    "j_event_state_asof",
+    # the 4 slipped code-stable r4-proven entries + the re-proof queue
     "vec_quantize_int8",
     "w4_moving_window_frame",
     "w5_lag_lead_gaps",
