@@ -1333,3 +1333,34 @@ def test_quantile_buckets_single_cutoff_aggregate_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Union" not in plan, plan
+
+
+def test_rrf_fuse_hand_case_and_validation(spark):
+    import pytest
+
+    from ram_datapipeline_spark.operators.text_ops import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 100), (2, 90), (3, 80)], "doc_id long, score long"
+    )
+    b = spark.createDataFrame(
+        [(3, 7), (2, 5), (4, 3)], "doc_id long, score long"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=10).collect()}
+    S = 1_000_000_000_000
+    # ranks: a -> 1:1, 2:2, 3:3 ; b -> 3:1, 2:2, 4:3
+    assert out[2].rrf_score == S // 62 + S // 62
+    assert out[3].rrf_score == S // 63 + S // 61
+    assert out[1].rrf_score == S // 61 and out[1].n_systems == 1
+    assert out[4].rrf_score == S // 63 and out[4].n_systems == 1
+    # reciprocal sums are convex: a 1st+3rd (doc 3) edges out a
+    # 2nd+2nd (doc 2); both dominate the single-system docs
+    order = [
+        r.doc_id
+        for r in rrf_fuse([a, b], k=10)
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .collect()
+    ]
+    assert order[:2] == [3, 2] and set(order[2:]) == {1, 4}
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])

@@ -749,3 +749,25 @@ def test_profile_kmv_job_count_constant_in_columns(spark):
         spark.conf.set("spark.sql.adaptive.enabled", old)
     assert j12 == j4, (j4, j12)
     assert j4 <= 4, j4
+
+
+def test_event_state_asof_no_range_join(spark):
+    """State-at-event-time must ride the as-of union+window shape:
+    ZERO join operators of any kind (the dimension attaches via the
+    running-last carry, never an interval range join, which would be
+    a BroadcastNestedLoopJoin here)."""
+    p = plan_text(spark, "j_event_state_asof")
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct",
+               "ShuffledHashJoin"):
+        assert n_ops(p, op) == 0, op
+    assert n_ops(p, "Window") >= 1
+
+
+def test_rrf_fusion_corpus_touched_only_by_retrieval(spark):
+    """The fusion tail is top-n-bounded: exactly the two retrieval
+    subplans read the documents table, and no additional corpus-sized
+    exchange exists after their TakeOrdered cuts."""
+    p = plan_text(spark, "text_rrf_fusion")
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in p
