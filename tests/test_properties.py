@@ -708,3 +708,64 @@ def test_global_row_index_is_the_total_order(spark, rows, nparts):
         for i, (rid, _) in enumerate(sorted(uniq, key=lambda r: (r[1], r[0])))
     }
     assert got == expect
+
+
+@given(
+    left=events_strategy,
+    right=events_strategy,
+    tol_s=st.integers(min_value=0, max_value=2000),
+)
+@SETTINGS
+def test_asof_tolerance_matches_pandas_all_directions(
+    spark, left, right, tol_s
+):
+    """The round-9 tolerance knob ≡ pandas merge_asof(tolerance=) in
+    every direction, for unique (key, ts) rows. For 'nearest' pandas
+    also ties to the earlier row, so the semantics align exactly."""
+    from ram_datapipeline_spark.operators.temporal import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    left = list({(k, t): (k, t, v) for k, t, v in left}.values())
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+
+    ldf = spark.createDataFrame(
+        left, "k long, ts_s long, v double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000)).drop(
+        "ts_s"
+    )
+    rdf = spark.createDataFrame(
+        right, "k long, ts_s long, rv double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_s") * 1_000_000)).drop(
+        "ts_s"
+    )
+    lp = pd.DataFrame(left, columns=["k", "ts", "v"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["k", "ts", "rv"]).sort_values("ts")
+
+    for fn, direction in (
+        (asof_join, "backward"),
+        (asof_join_forward, "forward"),
+        (asof_join_nearest, "nearest"),
+    ):
+        got = fn(
+            ldf, rdf, on="k", ts_col="ts", right_cols=["rv"],
+            tolerance_us=tol_s * 1_000_000,
+        ).toPandas()
+        want = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction,
+            tolerance=tol_s,
+        )
+        g = {
+            (r["k"], r["ts"].timestamp()): (
+                None if pd.isna(r["rv"]) else round(r["rv"], 9)
+            )
+            for _, r in got.iterrows()
+        }
+        w = {
+            (r["k"], float(r["ts"])): (
+                None if pd.isna(r["rv"]) else round(r["rv"], 9)
+            )
+            for _, r in want.iterrows()
+        }
+        assert g == w, direction
