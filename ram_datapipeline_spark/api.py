@@ -51,7 +51,10 @@ from ram_datapipeline_spark.operators.spatial import (  # noqa: F401
 )
 from ram_datapipeline_spark.operators.temporal import (  # noqa: F401
     asof_join,
+    asof_join_forward,
+    asof_join_nearest,
     cdc_apply,
+    scd2_intervals,
 )
 from ram_datapipeline_spark.operators.skew import (  # noqa: F401
     bloom_prefilter_join,
@@ -85,7 +88,10 @@ from ram_datapipeline_spark.operators.quality import (  # noqa: F401
     dq_checks,
     max_bound,
     min_bound,
+    profile_table,
+    quantile_buckets,
     referential,
+    rfm_scores,
     uniqueness,
     winsorize_caps,
 )
@@ -113,13 +119,16 @@ from ram_datapipeline_spark.operators.similarity import (  # noqa: F401
     mmr_rerank,
 )
 from ram_datapipeline_spark.operators.text_ops import (  # noqa: F401
+    bm25_rank,
     fingerprint,
     keyword_search_all,
     keyword_search_ranked,
     lang_id,
     pii_scrub,
     quality_features,
+    quality_score_scaled,
     rolling_hash,
+    rrf_fuse,
     shingles,
 )
 from ram_datapipeline_spark.multimodal.media import (  # noqa: F401
