@@ -149,6 +149,7 @@ HEADLINE = [
     "pipe_corpus_quality_gate",  # per-source decile quality gate
     "text_rrf_fusion",         # hybrid-retrieval rank fusion
     "j_event_state_asof",      # SCD2 state-at-event-time as-of lookup
+    "w9_pareto_front",         # 2-D skyline via prefix-max fold
 ]
 
 

@@ -337,3 +337,87 @@ def systematic_sample(
         .drop("_step")
     )
     return out
+
+
+def global_prefix_max(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_col: str,
+    n_partitions: int,
+    out_col: str = "prefix_max",
+) -> DataFrame:
+    """EXCLUSIVE prefix MAX of ``value_col`` over the global
+    ``order_exprs`` order without a single-partition window — the max
+    sibling of :func:`global_prefix_sum` (same two-pass shape: one
+    range exchange, a one-long-per-partition driver collect of
+    per-partition maxima prefix-combined on the driver, then each
+    partition folds itself from its broadcast base in one Arrow pass).
+    The first row in the global order gets NULL (no predecessor).
+
+    This is the primitive behind the 2-D skyline: ordered by x DESC
+    with ``value_col`` = y, a row's prefix max is the best y among all
+    strictly-better-x rows — ``y > prefix_max`` IS the Pareto test. A
+    bare ``max() OVER (ORDER BY …)`` funnels everything through ONE
+    task; this scales with partitions.
+
+    Exactness contract: integer values (exact longs; NULLs must be
+    filtered by the caller). Caller contract: ``order_exprs`` must
+    totally order rows ACROSS distinct values of the ordering key (ties
+    within one key land in one partition run and see the same prefix,
+    which is what grain-reduced callers want).
+    """
+    import pandas as pd
+
+    part = (
+        df.repartitionByRange(n_partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # Bounded driver collect: one (pid, max) long per partition.
+    maxes = {
+        r["_pid"]: r["m"]
+        for r in part.groupBy("_pid")
+        .agg(F.max(F.col(value_col).cast("long")).alias("m"))
+        .collect()
+    }
+    prefix: dict[int, int | None] = {}
+    running: int | None = None
+    for pid in sorted(maxes):
+        prefix[pid] = running
+        m = maxes[pid]
+        if m is not None:
+            running = m if running is None else max(running, m)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(part.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def _fold(batches):
+        carry: int | None = None
+        first = True
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.copy()
+                pdf[out_col] = pd.array([], dtype="Int64")
+                yield pdf
+                continue
+            if first:
+                carry = prefix.get(int(pdf["_pid"].iloc[0]))
+                first = False
+            vv = pdf[value_col].astype("int64")
+            within = vv.cummax().shift(1)  # NaN on the first row
+            if carry is not None:
+                within = within.where(within >= carry, carry)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(
+                [None if pd.isna(v) else int(v) for v in within],
+                dtype="Int64",
+            )
+            m = int(vv.max())
+            carry = m if carry is None else max(carry, m)
+            yield pdf
+
+    return part.mapInPandas(_fold, schema=out_schema).drop("_pid")

@@ -160,3 +160,53 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_partitions: int = 8,
+) -> DataFrame:
+    """2-D skyline (Pareto front, both criteria maximized): keep every
+    row no other row dominates, where q dominates p iff q.x ≥ p.x and
+    q.y ≥ p.y with at least one strict — the preference-query classic
+    (Börzsönyi et al., ICDE'01) behind multi-criteria data selection
+    (quality × recency document picks, spend × frequency customer
+    tiers).
+
+    Scale shape — NOT the naive O(n²) self-join: reduce to the x grain
+    (one map-side-combined aggregate: gy = max y per distinct x), take
+    the EXCLUSIVE prefix max of gy over x DESC via the range-exchange
+    two-pass fold (``layout.global_prefix_max`` — no single-partition
+    window), and a group survives iff ``gy > prefix_max`` (anything
+    with a strictly-better x already reaches ≥ gy ⟹ dominated; ties
+    at the same x lose to the group max unless they ARE it). Front
+    rows join back on x with ``y == gy``. Total: one agg exchange, one
+    range exchange + Arrow fold on the x-GRAIN table, one equi-join.
+
+    Exactness: x and y must be integer-valued (cast to long); rows
+    with NULL in either are dropped (dominance is undefined on NULL).
+    Equal (x, y) duplicates are all kept — neither strictly dominates
+    the other. The oracle replays the NOT EXISTS definition — an
+    independent algorithm.
+    """
+    from ram_datapipeline_spark.operators.layout import global_prefix_max
+
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    g = base.groupBy(F.col(x_col).cast("long").alias(x_col)).agg(
+        F.max(F.col(y_col).cast("long")).alias("_gy")
+    )
+    pm = global_prefix_max(
+        g, [F.col(x_col).desc()], "_gy", n_partitions, out_col="_pm"
+    )
+    front_x = pm.where(
+        F.col("_pm").isNull() | (F.col("_gy") > F.col("_pm"))
+    ).select(x_col, "_gy")
+    return (
+        base.withColumn(x_col, F.col(x_col).cast("long"))
+        .withColumn(y_col, F.col(y_col).cast("long"))
+        .join(front_x, x_col)
+        .where(F.col(y_col) == F.col("_gy"))
+        .drop("_gy")
+    )

@@ -1790,3 +1790,65 @@ def q_j_event_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, iv, on="user_id", ts_col="ts",
         right_cols=["state", "valid_to"],
     )
+
+
+@query(
+    "w9_pareto_front",
+    oracle="""
+    WITH per AS (
+      SELECT p_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sold,
+             CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+               AS price_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_partkey, p_retailprice
+    )
+    SELECT p.p_partkey, p.qty_sold, p.price_cents
+    FROM per p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM per q
+      WHERE q.qty_sold >= p.qty_sold
+        AND q.price_cents >= p.price_cents
+        AND (q.qty_sold > p.qty_sold OR q.price_cents > p.price_cents)
+    )
+    """,
+    survey=(
+        "2-D skyline / Pareto front (preference query, Börzsönyi "
+        "ICDE'01): non-dominated rows under two maximized criteria — "
+        "x-grain reduce + range-exchange prefix-max fold, NEVER the "
+        "O(n²) dominance self-join; oracle IS the NOT EXISTS "
+        "definition (beyond-ref window/analytic family)"
+    ),
+    tags=("analytic",),
+)
+def q_w9_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the volume × price Pareto front — sells at least as
+    much AND costs at least as much as every rival, one strictly more
+    (popularity and price anti-correlate, so the front is a real
+    frontier, not a single corner point).
+    operators/relational.py::pareto_front_2d — one per-part aggregate,
+    one x-grain prefix-max fold (layout.global_prefix_max: range
+    exchange + Arrow pass, no single-partition window), one join back.
+    The oracle replays the quadratic NOT EXISTS definition — an
+    independent algorithm."""
+    from ram_datapipeline_spark.operators.relational import pareto_front_2d
+
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_retailprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty_sold"),
+        )
+        .select(
+            "p_partkey",
+            "qty_sold",
+            F.floor(F.col("p_retailprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    return pareto_front_2d(per, "qty_sold", "price_cents")

@@ -157,7 +157,11 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # round-9 additions: RRF (fusion plan is top-n-bounded; only
           # the two retrieval stages touch the corpus), state-at-event
           # as-of (SCD2 build + one as-of key exchange, no range join)
-          "text_rrf_fusion", "j_event_state_asof"]
+          "text_rrf_fusion", "j_event_state_asof",
+          # round-9 late addition: skyline (x-grain reduce, prefix-max
+          # fold on the distinct-x table, equi-join back — the x-grain
+          # table is what the exchanges carry, never row pairs)
+          "w9_pareto_front"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

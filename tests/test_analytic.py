@@ -1364,3 +1364,65 @@ def test_rrf_fuse_hand_case_and_validation(spark):
     assert order[:2] == [3, 2] and set(order[2:]) == {1, 4}
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_pareto_front_2d_hand_cases(spark):
+    from ram_datapipeline_spark.operators.relational import pareto_front_2d
+
+    rows = [
+        # (id, x, y)
+        (1, 10, 1),   # front (best x)
+        (2, 8, 5),    # front
+        (3, 8, 3),    # dominated by 2 (same x, lower y)
+        (4, 5, 5),    # dominated by 2 (lower x, same y)
+        (5, 3, 9),    # front
+        (6, 3, 9),    # duplicate pair of 5 -> BOTH kept (no strict)
+        (7, 1, 8),    # dominated by 5/6
+        (8, None, 99),  # null x -> dropped
+        (9, 99, None),  # null y -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r.id for r in pareto_front_2d(df, "x", "y").collect()}
+    assert got == {1, 2, 5, 6}
+
+    # brute-force cross-check on a deterministic blob
+    import itertools
+
+    pts = [(i, (i * 37) % 101, (i * 61) % 97) for i in range(200)]
+    df2 = spark.createDataFrame(pts, "id long, x long, y long")
+    got2 = {r.id for r in pareto_front_2d(df2, "x", "y", n_partitions=5).collect()}
+    want2 = {
+        i for i, x, y in pts
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y)
+            for _, qx, qy in pts
+        )
+    }
+    assert got2 == want2
+
+
+def test_global_prefix_max_matches_window_replay(spark):
+    from pyspark.sql import Window
+
+    from ram_datapipeline_spark.operators.layout import global_prefix_max
+
+    df = spark.createDataFrame(
+        [(i, (i * 53) % 211, (i * 29) % 83) for i in range(500)],
+        "id long, k long, v long",
+    )
+    got = {
+        r.id: r.pm
+        for r in global_prefix_max(
+            df, [F.col("k").desc(), F.col("id").desc()], "v",
+            n_partitions=7, out_col="pm",
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("k").desc(), F.col("id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.id: r.pm
+        for r in df.select("id", F.max("v").over(w).alias("pm")).collect()
+    }
+    assert got == want

@@ -771,3 +771,15 @@ def test_rrf_fusion_corpus_touched_only_by_retrieval(spark):
     p = plan_text(spark, "text_rrf_fusion")
     assert p.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_pareto_front_no_quadratic_join(spark):
+    """The skyline must NEVER be the O(n²) dominance self-join: no
+    nested-loop/cartesian operator; the only join is the equi-join
+    back on x; the prefix fold is the Arrow two-pass (no
+    single-partition window)."""
+    p = plan_text(spark, "w9_pareto_front")
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "Window") == 0
+    assert "rangepartitioning" in p.lower()
