@@ -554,3 +554,61 @@ def cusum_drift(
         (F.col("_pu") - F.col("_mu") > h_cents).alias("drift_up"),
         (F.col("_pd") - F.col("_md") > h_cents).alias("drift_down"),
     )
+
+
+def seasonal_means(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    period_expr: str = "hour",
+) -> DataFrame:
+    """Seasonal-means profile (the means half of classical seasonal
+    decomposition): per (key, period bucket — default hour-of-day), the
+    bucket's observation count and cent sum plus the seasonal INDEX,
+    the bucket mean minus the key's overall mean, emitted as the exact
+    BIGINT rational
+
+        idx_num = sum_p * N  -  S * n_p,      idx_den = n_p * N
+
+    (cents; idx = num/den) — no float accumulates, so any engine
+    replays it bit-for-bit. A positive index marks the key's hot hours;
+    subtracting it deseasonalizes the series (the input to trend/
+    anomaly passes that would otherwise flag every rush hour).
+
+    Scale shape: ONE map-side-combined aggregate to the
+    (key, bucket) grain, one key-grain roll-up of that result (already
+    tiny), broadcast back — the events table is touched once; nothing
+    after the first aggregate exceeds keys × period cardinality.
+    """
+    cents = F.floor(F.col(val_col) * 100.0 + 0.5).cast("long")
+    per = events.groupBy(
+        F.col(key_col),
+        F.expr(f"{period_expr}({ts_col})").cast("long").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(cents).alias("sum_p"),
+    )
+    tot = per.groupBy(key_col).agg(
+        F.sum("n_p").alias("_n"),
+        F.sum("sum_p").alias("_s"),
+    )
+    return (
+        per.join(F.broadcast(tot), key_col)
+        .select(
+            key_col,
+            "bucket",
+            "n_p",
+            "sum_p",
+            (F.col("sum_p") * F.col("_n") - F.col("_s") * F.col("n_p"))
+            .cast("long")
+            .alias("idx_num"),
+            (F.col("n_p") * F.col("_n")).cast("long").alias("idx_den"),
+        )
+        .withColumn(
+            "seasonal_idx",
+            F.col("idx_num").cast("double")
+            / F.col("idx_den").cast("double")
+            / F.lit(100.0),
+        )
+    )

@@ -536,3 +536,48 @@ def q_ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         slack_cents=500,
         h_cents=5000,
     )
+
+
+@query(
+    "ts_seasonal_means",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_p,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_p
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(sum(n_p) AS BIGINT) AS n,
+             CAST(sum(sum_p) AS BIGINT) AS s
+      FROM per GROUP BY event_type
+    )
+    SELECT p.event_type, p.bucket, p.n_p, p.sum_p,
+           CAST(p.sum_p * t.n - t.s * p.n_p AS BIGINT) AS idx_num,
+           CAST(p.n_p * t.n AS BIGINT) AS idx_den,
+           CAST(p.sum_p * t.n - t.s * p.n_p AS DOUBLE)
+             / CAST(p.n_p * t.n AS DOUBLE) / 100.0 AS seasonal_idx
+    FROM per p JOIN tot t USING (event_type)
+    """,
+    survey=(
+        "seasonal-means profile (hour-of-day index, the means half of "
+        "classical seasonal decomposition): exact-rational bucket-mean "
+        "minus overall-mean per key — deseasonalization input for "
+        "trend/anomaly passes (beyond-ref timeseries family)"
+    ),
+    tags=("timeseries",),
+)
+def q_ts_seasonal_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per event type
+    (operators/timeseries.py::seasonal_means): one map-side-combined
+    (key, hour) aggregate, a key-grain roll-up broadcast back, the
+    index as the exact BIGINT pair sum_p·N − S·n_p over n_p·N — both
+    engines replay the same integers; the one double is a single
+    division pair."""
+    from ram_datapipeline_spark.operators.timeseries import seasonal_means
+
+    t = load_tables(spark, sf_dir)
+    return seasonal_means(t["events"])

@@ -161,7 +161,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # round-9 late addition: skyline (x-grain reduce, prefix-max
           # fold on the distinct-x table, equi-join back — the x-grain
           # table is what the exchanges carry, never row pairs)
-          "w9_pareto_front"]
+          "w9_pareto_front",
+          # round-9 late addition: seasonal means (one map-side
+          # (key, hour) aggregate + tiny roll-up broadcast back)
+          "ts_seasonal_means"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -118,6 +118,7 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "text_rrf_fusion",
     "j_event_state_asof",
     "w9_pareto_front",
+    "ts_seasonal_means",
     # the 4 slipped code-stable r4-proven entries + the re-proof queue
     "vec_quantize_int8",
     "w4_moving_window_frame",

@@ -428,3 +428,27 @@ def test_resample_interpolate_narrow_span_keys_emit_nothing(spark):
     assert keys == {"ok"}
     ok = {r.grid_ts: r.interp_value for r in rows}
     assert ok == {dt.datetime(2024, 1, 1, 1, 0): 2.0}
+
+
+def test_seasonal_means_hot_cold_hours(spark):
+    """Known 2-hour pattern: values at hour 0 run 1.00, hour 12 run
+    3.00 -> overall mean 2.00, indexes exactly -1.00 and +1.00; the
+    rational pair carries the exact integers."""
+    from ram_datapipeline_spark.operators.timeseries import seasonal_means
+
+    rows = []
+    for d in range(1, 6):
+        rows.append(("m", dt.datetime(2024, 1, d, 0, 30), 1.0, d * 2))
+        rows.append(("m", dt.datetime(2024, 1, d, 12, 30), 3.0, d * 2 + 1))
+    events = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    out = {r.bucket: r for r in seasonal_means(events).collect()}
+    assert set(out) == {0, 12}
+    h0, h12 = out[0], out[12]
+    assert (h0.n_p, h0.sum_p) == (5, 500)
+    # idx_num = 500*10 - 2000*5 = -5000 ; den = 5*10 = 50 -> -100 cents
+    assert (h0.idx_num, h0.idx_den) == (-5000, 50)
+    assert h0.seasonal_idx == -1.0
+    assert (h12.idx_num, h12.idx_den) == (5000, 50)
+    assert h12.seasonal_idx == 1.0
