@@ -114,7 +114,8 @@ def test_gated_queries_all_have_oracles():
 # re-proof under the new code is queued.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
     # born in round 9 AFTER the window was frozen — first driver proof
-    # must come in r10 (both already oracle-green in local sweeps)
+    # must come in r10 (all four already oracle-green in the frozen
+    # 240/240 sweeps at sf0.01 AND sf0.1)
     "text_rrf_fusion",
     "j_event_state_asof",
     "w9_pareto_front",
