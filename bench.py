@@ -42,7 +42,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # cross-round comparisons have a machine-drift control (VERDICT r5 #4:
 # the recorded r4 number was 16% faster than r4 code achieves on a
 # later day's box). Update this hash each round.
-ANCHOR_COMMIT = "fb5d63c1baa5e499ad2827c75dc3f91e63834ec1"  # round-8 final
+ANCHOR_COMMIT = "0dd81d48fb930be62cbefa3e50bf0a31009db012"  # round-9 final
 
 # One representative per operator family (SURVEY §2 + north-star ops);
 # scale-sensitive choices on purpose: big-table aggs, multi-joins, window,
@@ -150,11 +150,30 @@ HEADLINE = [
     "text_rrf_fusion",         # hybrid-retrieval rank fusion
     "j_event_state_asof",      # SCD2 state-at-event-time as-of lookup
     "w9_pareto_front",         # 2-D skyline via prefix-max fold
+    "ts_seasonal_means",       # hour-of-day seasonal profile (r9-born;
+                               # VERDICT r9 #3 — was the one 90th query
+                               # missing from the headline set)
 ]
 
 
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def silence_bench_logs(spark) -> None:
+    """Drop the bench session's log level to ERROR (VERDICT r9 #1).
+
+    The headline suite's documented bounded global windows (prefix-fold
+    metadata tables, top-n fusion tails) each emit a ``WARN WindowExec:
+    No Partition Defined`` line per execution; at 91 queries x warmup+timed
+    that is hundreds of lines, and the driver's tail capture holds only the
+    LAST 2,000 bytes of output. The r6 and r8 bench records were both lost
+    (``parsed: null``) to tail pollution; r9's tail was >90% WindowExec
+    spam and survived only by print order. ERROR at the root silences every
+    WARN source at once — the bench session has no use for warnings (every
+    flagged window is contract-bounded and documented at its call site).
+    """
+    spark.sparkContext.setLogLevel("ERROR")
 
 
 def main() -> None:
@@ -179,6 +198,7 @@ def main() -> None:
         )
 
     spark = get_spark(app_name="ram-datapipeline-bench")
+    silence_bench_logs(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -211,9 +231,17 @@ def main() -> None:
         "sf": sf,
         "load": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
     }
+    # Stop the JVM BEFORE emitting the contract line: log4j appenders are
+    # asynchronous, and a warning flushed after the metric line would put
+    # it above the driver's 2,000-byte tail window (VERDICT r9 #1 — the
+    # r9 tail was >90% WindowExec warnings and the line survived only
+    # because nothing happened to log after it). With the JVM gone,
+    # nothing CAN print after the line.
     if os.environ.get("SPARK_GRAFT_ANCHOR", "1") != "0":
         spark.stop()  # free the JVM before the anchor's own session
         rec["anchor_prev"] = _anchor_prev()
+    else:
+        spark.stop()
 
     # Full-detail record (anchor per-query timings included) goes to a
     # file; stdout gets one COMPACT final line the driver's tail capture

@@ -71,6 +71,46 @@ def test_compact_line_anchor_error_path():
     assert len(line) <= 0.8 * CAPTURE_CAP_BYTES, len(line)
 
 
+def test_metric_line_survives_warning_spam_in_tail_capture():
+    """VERDICT r9 #2: the r9 tail was >90% ``WARN WindowExec`` spam and
+    the metric line survived only because it printed last. Simulate the
+    driver's capture — 2,000-byte tail of combined output — with 200
+    warning lines emitted BEFORE the metric line (the r9 shape), and
+    assert the line is still recoverable by the driver's parse rule
+    (last line that starts with '{')."""
+    warn = (
+        "26/08/15 18:35:57 WARN WindowExec: No Partition Defined for "
+        "Window operation! Moving all data to a single partition, this "
+        "can cause serious performance degradation.\n"
+    )
+    line = bench.compact_line(_worst_case_rec())
+    combined = warn * 200 + line + "\n"
+    tail = combined[-CAPTURE_CAP_BYTES:]
+    candidates = [ln for ln in tail.strip().splitlines() if ln.startswith("{")]
+    assert candidates, "metric line fell out of the tail capture"
+    parsed = json.loads(candidates[-1])
+    assert parsed["metric"] == "headline_suite_wall_seconds"
+
+
+def test_bench_session_silences_warn_logs():
+    """The structural guard against the spam itself: silence_bench_logs
+    must drop the root log level to ERROR so WindowExec (and every other
+    WARN source) cannot write into the tail at all."""
+    from ram_datapipeline_spark.session import get_spark
+
+    spark = get_spark()
+    bench.silence_bench_logs(spark)
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.logging.log4j.LogManager.getRootLogger()
+    assert str(root.getLevel()) == "ERROR"
+    win = jvm.org.apache.logging.log4j.LogManager.getLogger(
+        "org.apache.spark.sql.execution.window.WindowExec"
+    )
+    assert not win.isWarnEnabled()
+    # restore the package default so later tests see expected verbosity
+    spark.sparkContext.setLogLevel("WARN")
+
+
 def test_headline_names_registered_and_unique():
     from ram_datapipeline_spark import queries as Q
 
