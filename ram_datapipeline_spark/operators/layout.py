@@ -23,6 +23,42 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Physical plan of each two-pass operator's layout stage (range exchange +
+# local sort), recorded at build time. The layout is eagerly
+# local-checkpointed (see _range_layout), so the final query plan shows a
+# `Scan ExistingRDD` where the exchange ran — the plan guards in
+# tests/test_plan_properties.py read the recorded layout plan here to keep
+# asserting the range-partitioned shape.
+LAYOUT_PLANS: dict[str, str] = {}
+
+
+def _range_layout(
+    df: DataFrame, order_exprs: list[Column], n_partitions: int, op: str
+) -> DataFrame:
+    """The shared pass-0 of the two-pass global-order operators: range
+    exchange (sampled split points) + local sort + pinned partition id,
+    materialized with an EAGER ``localCheckpoint``.
+
+    Checkpointing (not ``persist``) is load-bearing twice over (ADVICE
+    r9): (a) lifetime — checkpoint blocks are owned by the RDD and freed
+    by the ContextCleaner when the result plan is garbage-collected, so
+    repeated calls in a long session no longer accumulate cached
+    partitions forever (the old ``persist`` had no unpersist point: the
+    returned frame is lazy and the safe moment is unknowable); (b)
+    correctness — the range sampler reseeds per execution, so a cache
+    eviction between the driver collect (pass 1) and the Arrow fold
+    (pass 2) could silently re-split the data under a stale pid→base
+    map. Checkpoint blocks are immutable: both passes provably see the
+    same layout.
+    """
+    part = (
+        df.repartitionByRange(n_partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    LAYOUT_PLANS[op] = part._jdf.queryExecution().executedPlan().toString()
+    return part.localCheckpoint(eager=True)
+
 
 def morton_key(cols: list[Column], bits: int) -> Column:
     """Interleave the low ``bits`` bits of each (non-negative integer)
@@ -120,9 +156,10 @@ def global_row_index(
     1. ``repartitionByRange`` on the order expressions (sampled split
        points — one range exchange) + ``sortWithinPartitions`` → rows
        are globally ordered ACROSS partitions and locally ordered
-       WITHIN each; the layout is persisted so both passes below see
-       the same partitions (and a recompute is deterministic anyway:
-       parquet order + Spark's fixed-seed range sampler).
+       WITHIN each; the layout is eagerly local-checkpointed
+       (:func:`_range_layout`) so both passes below provably see the
+       same immutable partitions, and the blocks are freed with the
+       result plan instead of outliving it.
     2. Pass 1: per-partition row counts — a map-side count whose result
        is ``n_partitions`` rows, collected and prefix-summed on the
        driver (bounded by construction: one long per partition).
@@ -138,12 +175,7 @@ def global_row_index(
     The oracle replays it as the single global window — same integers,
     opposite physical plan.
     """
-    part = (
-        df.repartitionByRange(n_partitions, *order_exprs)
-        .sortWithinPartitions(*order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    part = _range_layout(df, order_exprs, n_partitions, "global_row_index")
     # Bounded driver collect: exactly one (pid, count) row per partition.
     counts = {
         r["_pid"]: r["cnt"]
@@ -209,12 +241,7 @@ def global_prefix_sum(
     a total order (unique tiebreak), or the split between equal rows
     is partition-dependent.
     """
-    part = (
-        df.repartitionByRange(n_partitions, *order_exprs)
-        .sortWithinPartitions(*order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    part = _range_layout(df, order_exprs, n_partitions, "global_prefix_sum")
     # Bounded driver collect: one (pid, sum) long per partition.
     sums = {
         r["_pid"]: int(r["s"] or 0)
@@ -368,12 +395,7 @@ def global_prefix_max(
     """
     import pandas as pd
 
-    part = (
-        df.repartitionByRange(n_partitions, *order_exprs)
-        .sortWithinPartitions(*order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    part = _range_layout(df, order_exprs, n_partitions, "global_prefix_max")
     # Bounded driver collect: one (pid, max) long per partition.
     maxes = {
         r["_pid"]: r["m"]
@@ -408,14 +430,15 @@ def global_prefix_max(
                 carry = prefix.get(int(pdf["_pid"].iloc[0]))
                 first = False
             vv = pdf[value_col].astype("int64")
-            within = vv.cummax().shift(1)  # NaN on the first row
+            # Nullable Int64 end-to-end (ADVICE r9): a float64 shift
+            # placeholder would round |v| > 2^53 and quietly break the
+            # documented exact-longs contract; <NA> marks the first row.
+            within = vv.cummax().astype("Int64").shift(1)
             if carry is not None:
-                within = within.where(within >= carry, carry)
+                keep = (within >= carry).fillna(False)
+                within = within.where(keep, carry)
             pdf = pdf.copy()
-            pdf[out_col] = pd.array(
-                [None if pd.isna(v) else int(v) for v in within],
-                dtype="Int64",
-            )
+            pdf[out_col] = within.astype("Int64")
             m = int(vv.max())
             carry = m if carry is None else max(carry, m)
             yield pdf

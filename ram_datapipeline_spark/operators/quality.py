@@ -416,21 +416,34 @@ def profile_table(
     # are bit-identical to the unbatched computation's. The collect is
     # bounded by k × n_int_cols rows (k=256 × 200 cols = 51,200 tiny
     # rows), driver-sized by construction.
+    # Balanced-tree union (ADVICE r9): a LINEAR unionByName chain over
+    # very wide tables (the 200-column case this path exists for) makes
+    # Catalyst analyze an O(n)-deep plan; pairing branches halves the
+    # depth per level (O(log n)) while keeping the exact same single
+    # collected job and row set.
+    def _union_tree(frames: list) -> DataFrame:
+        while len(frames) > 1:
+            frames = [
+                frames[i].unionByName(frames[i + 1])
+                if i + 1 < len(frames)
+                else frames[i]
+                for i in range(0, len(frames), 2)
+            ]
+        return frames[0]
+
     certified: dict[str, float] = {}
     fallback_ints = list(int_cols)
     if int_cols and thr < 1.0:
-        branches = None
-        for c in int_cols:
-            b = (
-                df.select(_weyl_u(c).alias("_u"))
-                .where(F.col("_u").isNotNull())
-                .where(F.col("_u") < F.lit(thr))
-                .distinct()
-                .orderBy("_u")
-                .limit(kmv_k)
-                .select(F.lit(c).alias("_c"), "_u")
-            )
-            branches = b if branches is None else branches.unionByName(b)
+        branches = _union_tree([
+            df.select(_weyl_u(c).alias("_u"))
+            .where(F.col("_u").isNotNull())
+            .where(F.col("_u") < F.lit(thr))
+            .distinct()
+            .orderBy("_u")
+            .limit(kmv_k)
+            .select(F.lit(c).alias("_c"), "_u")
+            for c in int_cols
+        ])
         survivors: dict[str, list[float]] = {c: [] for c in int_cols}
         for row in branches.collect():
             survivors[row._c].append(row._u)
@@ -449,14 +462,13 @@ def profile_table(
                 # expensive case never coincide
                 fallback_ints.append(c)
 
-    ests = None
+    est_frames: list[DataFrame] = []
     if certified:
         spark = df.sparkSession
-        pre = spark.createDataFrame(
+        est_frames.append(spark.createDataFrame(
             [(c, certified[c]) for c in df.columns if c in certified],
             "col_name string, _est double",
-        )
-        ests = pre
+        ))
     for c in df.columns:
         if c in certified:
             continue
@@ -477,13 +489,13 @@ def profile_table(
                 .orderBy("_u")
                 .limit(kmv_k)
             )
-        est = mins.agg(
+        est_frames.append(mins.agg(
             F.lit(c).alias("col_name"),
             F.when(
                 F.count(F.lit(1)) < kmv_k, F.count(F.lit(1)).cast("double")
             ).otherwise((kmv_k - 1) / F.max("_u")).alias("_est"),
-        )
-        ests = est if ests is None else ests.unionByName(est)
+        ))
+    ests = _union_tree(est_frames)
     return base.drop("n_distinct").join(ests, "col_name").select(
         "col_name", "n_rows", "n_nulls",
         F.col("_est").alias("n_distinct"), "min_num", "max_num",

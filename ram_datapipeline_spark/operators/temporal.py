@@ -24,10 +24,30 @@ def _dedupe_right_per_ts(
     equal-ts right rows resolves to whichever sorted last under shuffle
     order, breaking bit-reproducibility). One extra window pass on the
     same (key, ts) sort the join itself needs. No-op when
-    ``tiebreak_col`` is None (caller asserts unique (key, ts))."""
+    ``tiebreak_col`` is None (caller asserts unique (key, ts)).
+
+    Determinism (ADVICE r9): if two right rows share (key, ts,
+    tiebreak) but differ in payload, a tiebreak-only sort would quietly
+    reintroduce shuffle-order dependence — so the window's order is
+    extended with every remaining ORDERABLE payload column (descending;
+    maps and other unorderable types are skipped, and if duplicates
+    differ ONLY in an unorderable column the winner is still
+    arbitrary — the one case no sort can fix). ``tiebreak_col`` being
+    unique per (key, ts) — true for ``event_id`` everywhere in the
+    suite — short-circuits all of this at zero cost."""
     if tiebreak_col is None:
         return right
-    w = Window.partitionBy(on, ts_col).orderBy(F.desc(tiebreak_col))
+    from pyspark.sql.types import AtomicType
+
+    secondary = [
+        F.desc(f.name)
+        for f in right.schema.fields
+        if f.name not in (on, ts_col, tiebreak_col)
+        and isinstance(f.dataType, AtomicType)
+    ]
+    w = Window.partitionBy(on, ts_col).orderBy(
+        F.desc(tiebreak_col), *secondary
+    )
     return (
         right.withColumn("_ts_rn", F.row_number().over(w))
         .filter(F.col("_ts_rn") == 1)

@@ -1307,6 +1307,31 @@ def test_asof_family_intra_ts_tiebreak_deterministic(spark):
             assert r.cents == 200, fn.__name__
 
 
+def test_asof_tiebreak_duplicate_tiebreak_values_still_deterministic(spark):
+    """ADVICE r9: rows sharing (key, ts, tiebreak) but differing in
+    payload must resolve deterministically — the dedupe window now
+    extends its sort over the remaining orderable payload columns, so
+    the greatest payload wins repeatably under any shuffle order."""
+    import datetime as dt
+
+    from ram_datapipeline_spark.operators.temporal import asof_join
+
+    t = dt.datetime(2024, 1, 1, 0, 20)
+    left = spark.createDataFrame(
+        [(1, t, 1)], "user_id long, ts timestamp, view_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, t, 100, 9), (1, t, 300, 9), (1, t, 200, 9)],
+        "user_id long, ts timestamp, cents long, order_id long",
+    ).repartition(8)
+    for _ in range(3):
+        r = asof_join(
+            left, right, on="user_id", right_cols=["cents"],
+            tiebreak_col="order_id",
+        ).collect()[0]
+        assert r.cents == 300
+
+
 def test_quantile_buckets_k_edge_cases(spark):
     import pytest
 

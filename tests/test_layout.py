@@ -202,11 +202,15 @@ def test_global_row_index_plan_has_no_global_window(spark):
     all — the whole point is that nothing funnels through one task."""
     from ram_datapipeline_spark.operators.layout import global_row_index
 
+    from ram_datapipeline_spark.operators.layout import LAYOUT_PLANS
+
     df = spark.range(200).withColumn("v", F.col("id") % 9)
     out = global_row_index(df, [F.col("v"), F.col("id")], n_partitions=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    # the layout stage is eagerly local-checkpointed (ADVICE r9 leak +
+    # recompute-consistency fix); its range exchange is recorded
+    assert "rangepartitioning" in LAYOUT_PLANS["global_row_index"].lower()
 
 
 def test_global_row_index_single_partition_and_empty(spark):
@@ -264,11 +268,13 @@ def test_global_prefix_sum_matches_window_form(spark):
 def test_global_prefix_sum_plan_has_no_global_window(spark):
     from ram_datapipeline_spark.operators.layout import global_prefix_sum
 
+    from ram_datapipeline_spark.operators.layout import LAYOUT_PLANS
+
     df = spark.range(100).withColumn("w", F.col("id") % 7)
     out = global_prefix_sum(df, [F.col("id")], "w", n_partitions=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "rangepartitioning" in LAYOUT_PLANS["global_prefix_sum"].lower()
 
 
 def test_systematic_sample_exact_multiplicities(spark):
