@@ -153,6 +153,9 @@ HEADLINE = [
     "ts_seasonal_means",       # hour-of-day seasonal profile (r9-born;
                                # VERDICT r9 #3 — was the one 90th query
                                # missing from the headline set)
+    # round-10 additions
+    "dedup_incremental_batch",  # batch-vs-persisted-index dedup (r9 #7)
+    "dedup_incremental_components",  # cross-snapshot cluster maintenance
 ]
 
 

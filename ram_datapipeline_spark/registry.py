@@ -63,78 +63,78 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-9 ROTATION (VERDICT r8 next-round #2, spent exactly as
-    # published in round 8's NEXT_ROUND_ROTATION): (a) ALL 31 r8-born
-    # queries with no driver proof yet — after this round every
-    # registered query has a driver CORRECTNESS row; (b) the queries
-    # BORN in round 9 (bounded as-of join, the corpus pipeline's
-    # normalized quality gate) plus pipe_profile_table_kmv, whose
-    # certification was re-batched this round (VERDICT r8 #3 — results
-    # bit-identical, re-proven under the new code); (c) 16 of the 20
-    # published code-stable r4-tier re-proofs. The 4 that slip to r10
-    # (w4/w5/w6 window shapes + vec_quantize_int8 — all r4-proven,
-    # untouched since, green in every per-round sweep) are published in
-    # tests/test_registry_gate.py::NEXT_ROUND_ROTATION, exactly as r8
-    # flagged this round's queue.
+    # ROUND-10 ROTATION (VERDICT r9 next-round #1, spent exactly as
+    # published in round 9's NEXT_ROUND_ROTATION, head first): (a) the
+    # six queries with no driver row ever — the four born in r9 after
+    # the window froze plus the two born THIS round (incremental
+    # cross-snapshot dedup, VERDICT r9 #7, and its cluster-maintenance
+    # completion); (b) the five published code-stable re-proof slots;
+    # (c) every query whose OPERATOR code changed this round and
+    # therefore needs a re-proof under the new code: the two-pass
+    # layout operators moved from persist to eager localCheckpoint
+    # (global index / offsets / systematic sample / corpus shuffle /
+    # interleave / SNM), the as-of family's intra-ts dedupe gained the
+    # payload-extended deterministic sort, and the KMV profile's
+    # certification union became a balanced tree; (d) the stalest
+    # driver-proof tier — r5-proven queries untouched since, 29 of the
+    # 42 (the remaining 13 are published in
+    # tests/test_registry_gate.py::NEXT_ROUND_ROTATION for r11).
     #
-    # (a) never driver-gated, r8-born — head of the published queue.
-    # Several double as re-proofs of round-9 code changes:
-    # ts_resample_interp (narrow-span guard), pipe_mixture_epochs
-    # (zero-alloc guard), j_asof_forward / j_asof_nearest (tolerance +
-    # tiebreak params), pipe_quantile_normalize / ev_rfm_scores
-    # (quantile_buckets single-pass cutoffs).
-    "ev_sessionize_batch",
-    "ts_resample_interp",
-    "agg_hhi_concentration",
-    "ev_inter_event_stats",
-    "pipe_dup_rate_by_source",
-    "text_rake_keyphrases",
-    "j_asof_nearest",
-    "dedup_minhash_eval",
-    "ts_cusum_drift",
-    "j_asof_forward",
-    "sim_hard_negatives",
-    "ev_rfm_scores",
-    "agg_mode_exact",
-    "pipe_tokenizer_fertility",
-    "w8_running_distinct",
-    "pipe_length_buckets",
-    "agg_weighted_median",
-    "agg_corr_components",
-    "ev_type_transitions",
-    "pipe_mixture_epochs",
-    "pipe_interleave_sources",
-    "graph_khop_reach",
-    "text_bm25_rank",
-    "text_lexical_diversity",
-    "dedup_sorted_neighborhood",
+    # (a) never driver-gated
+    "text_rrf_fusion",
+    "j_event_state_asof",
+    "w9_pareto_front",
+    "ts_seasonal_means",
+    "dedup_incremental_batch",
+    "dedup_incremental_components",
+    # (b) the five published re-proof slots (r4-tier window/vector
+    # shapes + the as-of gate over the r9-changed operator)
+    "vec_quantize_int8",
+    "w4_moving_window_frame",
+    "w5_lag_lead_gaps",
+    "w6_rank_family",
+    "j_asof_click_view",
+    # (c) round-10 code-changed re-proofs
+    "pipe_global_index",
+    "pipe_global_offsets",
     "pipe_systematic_sample",
-    "agg_histogram",
-    "agg_robust_outliers",
-    "ts_anomaly_zscore",
     "pipe_corpus_shuffle",
-    "pipe_quantile_normalize",
-    # (b) round-9 born / round-9 code-changed
-    "j_asof_tolerance",          # bounded as-of + intra-ts tiebreak (r8 #5)
-    "pipe_corpus_quality_gate",  # normalized corpus quality gate (r8 #6)
-    "pipe_profile_table_kmv",    # certification re-batched (r8 #3)
-    # (c) code-stable r4-proven tier (16 of the 20 published slots)
-    "agg_distinct_count",
-    "agg_rollup_revenue",
-    "f_polygon_shoelace",
-    "j1_inner_equijoin",
-    "j6_positional_explode",
-    "j_full_outer_reconcile",
-    "mm_resize_meta",
-    "p3_negated_predicate",
-    "p7_scalar_subquery",
-    "q13_outer_join_custdist",
-    "q4_exists_correlated",
-    "q6_pushdown_revenue",
-    "s3_settings_json_decode",
-    "semi_anti_join",
-    "set_intersect_except",
-    "vec_normalize",
+    "pipe_interleave_sources",
+    "dedup_sorted_neighborhood",
+    "j_asof_forward",
+    "j_asof_nearest",
+    "j_asof_tolerance",
+    "pipe_profile_table_kmv",
+    # (d) stalest driver-proof tier (last proven r5)
+    "a2_pivot_eav",
+    "a3_unpivot_stack",
+    "a4_group_nested",
+    "a5_union_all",
+    "a6_grouped_count",
+    "agg_cube_orders",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_repeated_spans",
+    "dedup_simhash",
+    "eta_nearest_poi",
+    "eta_routed_kernel_grid",
+    "eta_with_walk_penalty",
+    "ev_user_funnel",
+    "f11_bbox_per_admin",
+    "f16_centroid_per_admin",
+    "f7_date_parts",
+    "f_date_arithmetic",
+    "f_scalar_kit",
+    "f_string_kit",
+    "graph_triangle_count",
+    "hof_array_kit",
+    "j_bloom_prefilter",
 )
 
 

@@ -794,3 +794,31 @@ def test_pareto_front_no_quadratic_join(spark):
     assert n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "Window") == 0
     assert "rangepartitioning" in layout_plan("global_prefix_max").lower()
+
+
+def test_incremental_dedup_gate_probe_never_rehashes_corpus(spark):
+    """dedup_incremental_batch (VERDICT r9 #7): at probe time the
+    documents parquet is scanned exactly once (the batch id list — the
+    corpus TEXT is never re-read), the corpus arrives as a scan of the
+    persisted bucketed index table, and no md5/shingling appears in the
+    probe plan at all (batch hashing ran once into the eager
+    checkpoint). No pairwise operator anywhere."""
+    p = plan_text(spark, "dedup_incremental_batch")
+    assert p.count("documents.parquet") == 1, p.count("documents.parquet")
+    assert "dedup_minhash_corpus_index" in p
+    assert "md5" not in p
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+
+
+def test_incremental_components_gate_patch_is_broadcast(spark):
+    """dedup_incremental_components: the refresh-time plan reads the
+    persisted band index + labels tables, the corpus-side patch and the
+    batch verdict ride broadcast joins (the corpus never shuffles for
+    the patch), and nothing is pairwise."""
+    p = plan_text(spark, "dedup_incremental_components")
+    assert "dedup_inc_cc_band_index" in p
+    assert "dedup_inc_cc_labels" in p
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert n_ops(p, "BroadcastHashJoin") >= 2  # relabel patch + batch verdict

@@ -100,32 +100,29 @@ def test_gated_queries_all_have_oracles():
 
 
 # Rotation candidates for the NEXT round's window. Every registered query
-# is past-proven or in the current window (nothing invisible). Round 9
-# spent its window on the 31 never-gated r8-born queries, the 3
-# r9-born/r9-changed entries (bounded as-of join, normalized corpus
-# quality gate, re-batched KMV profile certification), and 16 of the 20
-# r4-tier re-proofs round 8 published. These are the 4 r4-proven entries
-# that slipped to r10 — deliberately the most code-stable tier: thin
-# suite-only window/vector shapes untouched since r4, each still
-# oracle-green in every per-round full-registry sweep at sf0.01 AND
-# sf0.1. j_asof_click_view is also listed: its operator (asof_join)
-# grew tolerance_us/tiebreak_col parameters in r9 (defaults preserve
-# behavior bit-for-bit — locally re-verified hash-equal), so a driver
-# re-proof under the new code is queued.
+# is past-proven or in the current window (nothing invisible). Round 10
+# spent its window on the 6 never-gated queries (4 r9-born + the 2
+# r10-born incremental-dedup gates), the 5 re-proof slots round 9
+# published, the 10 queries whose operator code changed in r10
+# (checkpointed layout stage, as-of tiebreak extension, KMV balanced
+# union), and 29 of the 42 stalest (r5-proven) entries. These are the
+# remaining 13 r5-proven entries — all code-stable since r5, all green
+# in every per-round full-registry sweep at sf0.01 AND sf0.1 — queued
+# for the r11 window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    # born in round 9 AFTER the window was frozen — first driver proof
-    # must come in r10 (all four already oracle-green in the frozen
-    # 240/240 sweeps at sf0.01 AND sf0.1)
-    "text_rrf_fusion",
-    "j_event_state_asof",
-    "w9_pareto_front",
-    "ts_seasonal_means",
-    # the 4 slipped code-stable r4-proven entries + the re-proof queue
-    "vec_quantize_int8",
-    "w4_moving_window_frame",
-    "w5_lag_lead_gaps",
-    "w6_rank_family",
-    "j_asof_click_view",
+    "k5_metadata_roundtrip",
+    "k_partitioned_prune",
+    "mm_audio_frame_energy",
+    "mm_decode_image_stats",
+    "mm_frame_sample",
+    "mm_media_catalog",
+    "p4_first_row",
+    "pipe_temperature_weights",
+    "s4_admin_scan_inlist",
+    "sim_cosine_topk_ivfpq",
+    "sim_ivfpq_rerank",
+    "w1_latest_per_key",
+    "w2_sort_limit_topk",
 )
 
 
