@@ -405,17 +405,15 @@ def profile_table(
             / F.lit(float(1 << 31))
         )
 
-    int_cols = [c for c in df.columns if dtypes[c] in int_types]
-
     # BATCHED certification (VERDICT r8 #3: the per-column eager
-    # checkpoint+count launched ~2 jobs PER integer column — a
-    # 200-column table meant ~400 jobs). All integer columns' filtered
-    # bottom-k pipelines union into ONE collected job; each branch is
-    # the same ``where(u < thr) → distinct → orderBy → limit k`` as
-    # before, so the surviving draw SETS — and therefore the estimates —
-    # are bit-identical to the unbatched computation's. The collect is
-    # bounded by k × n_int_cols rows (k=256 × 200 cols = 51,200 tiny
-    # rows), driver-sized by construction.
+    # checkpoint+count launched ~2 jobs PER column — a 200-column table
+    # meant ~400 jobs). ALL columns' filtered bottom-k pipelines union
+    # into ONE collected job; each branch is the same ``where(u < thr)
+    # → distinct → orderBy → limit k`` as before, so the surviving draw
+    # SETS — and therefore the estimates — are bit-identical to the
+    # unbatched computation's. The collect is bounded by k × n_cols
+    # rows (k=256 × 200 cols = 51,200 tiny rows), driver-sized by
+    # construction.
     # Balanced-tree union (ADVICE r9): a LINEAR unionByName chain over
     # very wide tables (the 200-column case this path exists for) makes
     # Catalyst analyze an O(n)-deep plan; pairing branches halves the
@@ -431,24 +429,36 @@ def profile_table(
             ]
         return frames[0]
 
+    # Certification draw per column: the exact-BIGINT Weyl draw for
+    # integer columns, the md5 uniform for everything else (VERDICT r9
+    # #5 — string columns used to skip certification entirely and pay a
+    # corpus-sized distinct exchange per column at every scale; the
+    # md5-per-row draw filters to ~64k survivors MAP-SIDE, so the only
+    # exchange is survivor-sized, and the surviving draw set — hence
+    # the estimate — is bit-identical to the distinct-first path's).
+    def _draw(c: str):
+        if dtypes[c] in int_types:
+            return _weyl_u(c)
+        return kmv_uniform(F.col(c))
+
     certified: dict[str, float] = {}
-    fallback_ints = list(int_cols)
-    if int_cols and thr < 1.0:
+    fallback_cols = list(df.columns)
+    if df.columns and thr < 1.0:
         branches = _union_tree([
-            df.select(_weyl_u(c).alias("_u"))
+            df.select(_draw(c).alias("_u"))
             .where(F.col("_u").isNotNull())
             .where(F.col("_u") < F.lit(thr))
             .distinct()
             .orderBy("_u")
             .limit(kmv_k)
             .select(F.lit(c).alias("_c"), "_u")
-            for c in int_cols
+            for c in df.columns
         ])
-        survivors: dict[str, list[float]] = {c: [] for c in int_cols}
+        survivors: dict[str, list[float]] = {c: [] for c in df.columns}
         for row in branches.collect():
             survivors[row._c].append(row._u)
-        fallback_ints = []
-        for c in int_cols:
+        fallback_cols = []
+        for c in df.columns:
             us = survivors[c]
             if len(us) >= kmv_k:
                 # certified: ≥ k distinct draws below thr ⟹ the k
@@ -460,7 +470,7 @@ def profile_table(
                 # ⟹ cardinality < k/thr ≈ n_rows/64): the unfiltered
                 # distinct collapses map-side, so the fallback and the
                 # expensive case never coincide
-                fallback_ints.append(c)
+                fallback_cols.append(c)
 
     est_frames: list[DataFrame] = []
     if certified:
@@ -472,7 +482,7 @@ def profile_table(
     for c in df.columns:
         if c in certified:
             continue
-        if c in set(fallback_ints):
+        if dtypes[c] in int_types:
             mins = (
                 df.select(_weyl_u(c).alias("_u"))
                 .where(F.col("_u").isNotNull())

@@ -23,6 +23,9 @@ from ram_datapipeline_spark.streaming.events import (  # noqa: F401
     write_stream_idempotent,
     write_stream_to_parquet,
 )
+from ram_datapipeline_spark.streaming.dedup_stream import (  # noqa: F401
+    incremental_dedup_stream,
+)
 from ram_datapipeline_spark.streaming.oplog import OperationLog  # noqa: F401
 from ram_datapipeline_spark.streaming.stateful import (  # noqa: F401
     running_user_totals,

@@ -164,7 +164,14 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "w9_pareto_front",
           # round-9 late addition: seasonal means (one map-side
           # (key, hour) aggregate + tiny roll-up broadcast back)
-          "ts_seasonal_means"]
+          "ts_seasonal_means",
+          # round-10 additions: incremental dedup (corpus side scales
+          # but only as a bucketed (id, bkey) scan — batch hashing and
+          # the survivor-sized verdict are the moving parts), and
+          # incremental components (standing labels scale only through
+          # the broadcast-patch join; propagation runs on the
+          # batch-scale mini graph)
+          "dedup_incremental_batch", "dedup_incremental_components"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

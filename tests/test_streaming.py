@@ -582,3 +582,83 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
     assert got == want
     # eviction really withheld the open tail: some sessions not emitted
     assert len(want) < sessionize_batch(ev, gap="30 minutes").count()
+
+
+def test_incremental_dedup_stream_matches_sequential_batches(spark, tmp_path):
+    """Continuous-ingestion dedup (streaming twin of the r10 batch
+    operator): two files arriving as separate micro-batches must produce
+    EXACTLY the verdicts of two sequential batch calls — file-2 docs
+    dedup against corpus ∪ file-1 ∪ earlier file-2 docs, because each
+    micro-batch appends its band rows to the bucketed index before the
+    next one runs. Two availableNow runs over one checkpoint pin the
+    file→micro-batch assignment deterministically."""
+    from ram_datapipeline_spark.operators.dedup import (
+        incremental_lsh_dedup,
+        minhash_band_index,
+        write_minhash_index,
+    )
+    from ram_datapipeline_spark.streaming.dedup_stream import (
+        incremental_dedup_stream,
+    )
+
+    a_txt = "the quick brown fox jumps over the lazy dog again today"
+    b_txt = "pack my box with five dozen liquor jugs right now please"
+    corpus = spark.createDataFrame(
+        [(1, a_txt)], "doc_id long, text string"
+    )
+    file1 = [(11, b_txt), (12, "some totally novel first file text here")]
+    file2 = [(21, a_txt), (22, b_txt), (23, b_txt)]
+    # 21 dups corpus-1, 22 dups file1-11, 23 dups 11 (min partner), all
+    # via index growth — nothing in file2 is intra-batch-only
+
+    write_minhash_index(minhash_band_index(corpus), "st_inc_dedup_idx")
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(file1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(docs_dir / "f1"))
+
+    def _run_stream():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(
+                str(docs_dir / "f1")).schema)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(str(docs_dir) + "/*")
+        )
+        q = incremental_dedup_stream(
+            stream,
+            "st_inc_dedup_idx",
+            str(tmp_path / "verdicts"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    _run_stream()  # micro-batch 1: file1 only
+    spark.createDataFrame(file2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(docs_dir / "f2"))
+    _run_stream()  # micro-batch 2: file2 (checkpoint skips file1)
+
+    got = {
+        r.doc_id: (r.is_dup, r.dup_of)
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+
+    # sequential batch reference over a FRESH index
+    write_minhash_index(minhash_band_index(corpus), "st_inc_dedup_ref")
+    want = {}
+    for batch in (file1, file2):
+        bdf = spark.createDataFrame(batch, schema)
+        for r in incremental_lsh_dedup(
+            bdf, spark.table("st_inc_dedup_ref")
+        ).collect():
+            want[r.doc_id] = (r.is_dup, r.dup_of)
+        minhash_band_index(bdf).write.mode("append").format(
+            "parquet"
+        ).bucketBy(32, "bkey").sortBy("bkey").saveAsTable("st_inc_dedup_ref")
+
+    assert got == want
+    assert got[21] == (True, 1) and got[22] == (True, 11)
+    assert got[23] == (True, 11) and got[12] == (False, None)
