@@ -156,6 +156,7 @@ HEADLINE = [
     # round-10 additions
     "dedup_incremental_batch",  # batch-vs-persisted-index dedup (r9 #7)
     "dedup_incremental_components",  # cross-snapshot cluster maintenance
+    "dedup_bcubed_eval",        # B-cubed clustering quality audit
 ]
 
 

@@ -362,6 +362,12 @@ def profile_table(
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"_nulls_{c}"))
         if exact:
             aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+        else:
+            # plan-routing signal only (never emitted): HLL cardinality
+            # decides per column whether threshold-certification can
+            # succeed — every route produces bit-identical estimates,
+            # so an approximate ROUTER keeps the profile exact
+            aggs.append(F.approx_count_distinct(c).alias(f"_acd_{c}"))
         if c in numeric_as:
             num = numeric_as[c]
         elif dict(df.dtypes)[c] in num_types:
@@ -391,8 +397,31 @@ def profile_table(
 
     int_types = ("int", "bigint", "smallint", "tinyint")
     dtypes = dict(df.dtypes)
-    n_rows = df.count()
+    # ONE collected row serves three roles the old path paid two extra
+    # jobs for: n_rows (was a separate count), the base stats frame
+    # (driver-built below — profile outputs are column-count-sized by
+    # nature), and the per-column HLL router.
+    stats_row = one.first()
+    n_rows = int(stats_row["_n"])
+    acd = {c: int(stats_row[f"_acd_{c}"]) for c in df.columns}
     thr = min(1.0, (64.0 * kmv_k) / max(n_rows, 1))
+    # base rebuilt from the collected row (column-count-sized) so the
+    # final result doesn't re-run the stats aggregate at action time
+    base = df.sparkSession.createDataFrame(
+        [
+            (
+                c,
+                n_rows,
+                int(stats_row[f"_nulls_{c}"]),
+                None,
+                stats_row[f"_min_{c}"],
+                stats_row[f"_max_{c}"],
+            )
+            for c in df.columns
+        ],
+        "col_name string, n_rows bigint, n_nulls bigint, "
+        "n_distinct double, min_num double, max_num double",
+    )
 
     def _weyl_u(c: str):
         # Weyl/LCG arithmetic draw — exact BIGINT ops, no overflow:
@@ -441,9 +470,18 @@ def profile_table(
             return _weyl_u(c)
         return kmv_uniform(F.col(c))
 
+    # Certification is attempted ONLY where the router says it can
+    # succeed (certification needs ≥ k distinct draws below thr, i.e.
+    # n_distinct ≳ n/64; the 2× margin absorbs HLL error). Low-card
+    # columns skip straight to their cheap fallback — for a 3-value
+    # string column the md5-per-row certification draw is pure waste
+    # (the r10 64× probe measured exactly that), while the distinct
+    # fallback collapses map-side.
+    cert_cols = [
+        c for c in df.columns if acd[c] * 32 >= max(n_rows, 1)
+    ]
     certified: dict[str, float] = {}
-    fallback_cols = list(df.columns)
-    if df.columns and thr < 1.0:
+    if cert_cols and thr < 1.0:
         branches = _union_tree([
             df.select(_draw(c).alias("_u"))
             .where(F.col("_u").isNotNull())
@@ -452,25 +490,21 @@ def profile_table(
             .orderBy("_u")
             .limit(kmv_k)
             .select(F.lit(c).alias("_c"), "_u")
-            for c in df.columns
+            for c in cert_cols
         ])
-        survivors: dict[str, list[float]] = {c: [] for c in df.columns}
+        survivors: dict[str, list[float]] = {c: [] for c in cert_cols}
         for row in branches.collect():
             survivors[row._c].append(row._u)
-        fallback_cols = []
-        for c in df.columns:
+        for c in cert_cols:
             us = survivors[c]
             if len(us) >= kmv_k:
                 # certified: ≥ k distinct draws below thr ⟹ the k
                 # smallest distinct draws all sit below the threshold —
                 # identical to the unfiltered computation's bottom-k
                 certified[c] = (kmv_k - 1) / max(us)
-            else:
-                # duplicate-heavy column (< k distinct draws below thr
-                # ⟹ cardinality < k/thr ≈ n_rows/64): the unfiltered
-                # distinct collapses map-side, so the fallback and the
-                # expensive case never coincide
-                fallback_cols.append(c)
+            # else: the router's 2× margin overshot (cardinality sits
+            # between n/64 and n/32) — the column simply takes its
+            # fallback below; estimates are identical either way
 
     est_frames: list[DataFrame] = []
     if certified:

@@ -87,6 +87,7 @@ GATE_ORDER: tuple[str, ...] = (
     "ts_seasonal_means",
     "dedup_incremental_batch",
     "dedup_incremental_components",
+    "dedup_bcubed_eval",
     # (b) the five published re-proof slots (r4-tier window/vector
     # shapes + the as-of gate over the r9-changed operator)
     "vec_quantize_int8",
@@ -134,7 +135,6 @@ GATE_ORDER: tuple[str, ...] = (
     "f_string_kit",
     "graph_triangle_count",
     "hof_array_kit",
-    "j_bloom_prefilter",
 )
 
 

@@ -2100,3 +2100,116 @@ def q_dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFram
     lab = spark.table("dedup_inc_cc_labels")
     edges = D.incremental_lsh_candidates(batch, idx)
     return D.incremental_components(lab, batch.select("doc_id"), edges)
+
+
+@query(
+    "dedup_bcubed_eval",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    hx AS (
+      SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, 10),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) AS h1,
+             list_reduce(list_transform(generate_series(11, 20),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, p, min((h1 + p * h2) % 1099511627776) AS h
+      FROM hx, LATERAL (SELECT unnest(generate_series(0, 15)) AS p) pp
+      GROUP BY doc_id, p
+    ),
+    bands AS (
+      SELECT doc_id, p // 2 AS band,
+             max(CASE WHEN p % 2 = 0 THEN h END) || '-' ||
+             max(CASE WHEN p % 2 = 1 THEN h END) AS sig
+      FROM mh GROUP BY doc_id, p // 2
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, dst AS peer FROM sym
+      UNION
+      SELECT r.node, s.dst FROM reach r JOIN sym s ON r.peer = s.src
+    ),
+    pred AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.peer), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    labeled AS (
+      SELECT p.doc_id, p.component, md5(d.text) AS gold
+      FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    ),
+    cells AS (
+      SELECT component, gold, count(*) AS cell_n
+      FROM labeled GROUP BY component, gold
+    ),
+    comp_sz AS (SELECT component, count(*) AS comp_n FROM labeled GROUP BY component),
+    gold_sz AS (SELECT gold, count(*) AS gold_n FROM labeled GROUP BY gold)
+    SELECT
+      (SELECT count(*) FROM labeled) AS n_docs,
+      CAST(sum((c.cell_n * c.cell_n * 1000000000) // s.comp_n) AS BIGINT)
+        AS p_scaled_sum,
+      CAST(sum((c.cell_n * c.cell_n * 1000000000) // g.gold_n) AS BIGINT)
+        AS r_scaled_sum
+    FROM cells c
+    JOIN comp_sz s ON s.component = c.component
+    JOIN gold_sz g ON g.gold = c.gold
+    """,
+    survey="dedup blocking evaluation 2: B-cubed precision/recall of the "
+           "LSH clustering vs exact-duplicate gold clusters, "
+           "integer-exact (north star)",
+    tags=("dedup",),
+)
+def q_dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit (Bagga & Baldwin B-cubed, the standard
+    extrinsic clustering metric): predicted clusters = connected
+    components of the LSH collision graph; gold clusters = exact-text
+    md5 groups. Per-document precision |C∩G|/|C| and recall |C∩G|/|G|
+    reduce to per-(component, gold) CELL sums — Σ cell_n²/comp_n and
+    Σ cell_n²/gold_n — computed entirely on the cluster GRAIN (cells,
+    not documents, cross the final exchange). Division is truncating
+    integer division at 1e9 scale so the sums stay BIGINT-exact in any
+    engine (per-doc float averaging would be summation-order-dependent);
+    divide p/r_scaled_sum by n_docs·1e9 at read time for the [0,1]
+    metrics. Caller bound: comp_n·cell_n² < 2⁶³/1e9 — duplicate
+    clusters are small by nature."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    pred = D.connected_components(D.minhash_lsh_pairs(d), d)
+    labeled = pred.join(
+        d.select("doc_id", F.md5("text").alias("gold")), "doc_id"
+    )
+    cells = labeled.groupBy("component", "gold").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    )
+    comp_sz = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("comp_n")
+    )
+    gold_sz = labeled.groupBy("gold").agg(F.count(F.lit(1)).alias("gold_n"))
+    n_docs = labeled.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        cells.join(comp_sz, "component")
+        .join(gold_sz, "gold")
+        .agg(
+            F.sum(
+                F.expr("cell_n * cell_n * 1000000000 div comp_n")
+            ).alias("p_scaled_sum"),
+            F.sum(
+                F.expr("cell_n * cell_n * 1000000000 div gold_n")
+            ).alias("r_scaled_sum"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select("n_docs", "p_scaled_sum", "r_scaled_sum")
+    )

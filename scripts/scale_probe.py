@@ -171,7 +171,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # incremental components (standing labels scale only through
           # the broadcast-patch join; propagation runs on the
           # batch-scale mini graph)
-          "dedup_incremental_batch", "dedup_incremental_components"]
+          "dedup_incremental_batch", "dedup_incremental_components",
+          # round-10 addition: B-cubed eval (cluster-grain cells are
+          # what the final exchanges carry; CC is the probed substrate)
+          "dedup_bcubed_eval"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -1451,3 +1451,36 @@ def test_global_prefix_max_matches_window_replay(spark):
         for r in df.select("id", F.max("v").over(w).alias("pm")).collect()
     }
     assert got == want
+
+
+def test_profile_table_kmv_string_routes_match_md5_replay(spark):
+    """r10: string columns go through the HLL router — a near-unique
+    string column takes the threshold-CERTIFIED path (map-side filter,
+    no raw-value exchange), a 3-value string column skips certification
+    entirely (its md5-per-row draw was measured pure waste at the 64x
+    probe) — and BOTH estimates must equal the driver-side md5 bottom-k
+    replay, proving route choice changes nothing."""
+    import hashlib
+
+    from ram_datapipeline_spark.operators.quality import profile_table
+
+    n, k = 4000, 8  # thr = 64*8/4000 = 0.128 < 1
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("hi"),         # near-unique
+        (F.col("id") % 3).cast("string").alias("lo"),   # 3 distincts
+    )
+    out = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_table(df, distinct_mode="kmv", kmv_k=k).collect()
+    }
+
+    def md5_u(v: str) -> float:
+        return int(hashlib.md5(v.encode()).hexdigest()[:13], 16) / 2.0**52
+
+    def replay(values) -> float:
+        us = sorted({md5_u(v) for v in values})
+        return float(len(us)) if len(us) < k else (k - 1) / us[k - 1]
+
+    assert out["hi"] == replay(str(i) for i in range(n))
+    assert out["lo"] == replay(["0", "1", "2"]) == 3.0
+    assert n * 0.5 <= out["hi"] <= n * 2.0, out["hi"]

@@ -110,6 +110,7 @@ def test_gated_queries_all_have_oracles():
 # in every per-round full-registry sweep at sf0.01 AND sf0.1 — queued
 # for the r11 window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    "j_bloom_prefilter",
     "k5_metadata_roundtrip",
     "k_partitioned_prune",
     "mm_audio_frame_energy",
