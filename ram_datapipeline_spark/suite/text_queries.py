@@ -2087,16 +2087,28 @@ def q_dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFram
     docs = t["documents"]
     corpus = docs.where(F.col("doc_id") % 17 != 3)
     batch = docs.where(F.col("doc_id") % 17 == 3)
-    # previous refresh (standing state): band index + labels, persisted
+    # previous refresh (standing state): band index persisted ONCE; the
+    # corpus pair graph for the labels comes from a SELF-JOIN of the
+    # bucketed index (co-located on bkey — no exchange, no second
+    # corpus hashing pass; band:sig collision is exactly the
+    # minhash_lsh_pairs criterion)
     D.write_minhash_index(
         D.minhash_band_index(corpus), "dedup_inc_cc_band_index"
     )
+    idx = spark.table("dedup_inc_cc_band_index")
+    a = idx.select(F.col("doc_id").alias("doc_a"), "bkey")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "bkey")
+    corpus_pairs = (
+        a.join(b, "bkey")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     D.write_labels_table(
-        D.connected_components(D.minhash_lsh_pairs(corpus), corpus),
+        D.connected_components(corpus_pairs, corpus),
         "dedup_inc_cc_labels",
     )
     # refresh time: batch-only hashing against the persisted state
-    idx = spark.table("dedup_inc_cc_band_index")
     lab = spark.table("dedup_inc_cc_labels")
     edges = D.incremental_lsh_candidates(batch, idx)
     return D.incremental_components(lab, batch.select("doc_id"), edges)
