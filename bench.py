@@ -318,10 +318,22 @@ def _anchor_prev() -> dict:
             if ln.startswith("{")
         ][-1]
         prev = json.loads(line)
+        # Since r9 the compact stdout line carries no per-query timings;
+        # the anchor's own detail artifact has them (needed for the
+        # common-set round-over-round comparison).
+        queries = prev.get("queries")
+        if queries is None:
+            try:
+                with open(
+                    os.path.join(wt, "artifacts", "BENCH_local_detail.json")
+                ) as fh:
+                    queries = json.load(fh).get("queries")
+            except (OSError, ValueError):
+                queries = None
         return {
             "commit": ANCHOR_COMMIT[:12],
             "value": prev.get("value"),
-            "queries": prev.get("queries"),
+            "queries": queries,
         }
     except Exception as e:  # noqa: BLE001 — anchor is best-effort
         return {"commit": ANCHOR_COMMIT[:12], "error": str(e)[:300]}

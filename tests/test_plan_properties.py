@@ -817,7 +817,10 @@ def test_incremental_components_gate_patch_is_broadcast(spark):
     batch verdict ride broadcast joins (the corpus never shuffles for
     the patch), and nothing is pairwise."""
     p = plan_text(spark, "dedup_incremental_components")
-    assert "dedup_inc_cc_band_index" in p
+    # The standing labels table is patched lazily in the final plan; the
+    # band index is consumed at BUILD time (the batch-scale mini-CC runs
+    # eagerly into checkpoints — r10's pointer-jumping loop), so it
+    # appears in the probe stage, not here.
     assert "dedup_inc_cc_labels" in p
     assert n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "BroadcastNestedLoopJoin") == 0
