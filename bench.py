@@ -157,6 +157,11 @@ HEADLINE = [
     "dedup_incremental_batch",  # batch-vs-persisted-index dedup (r9 #7)
     "dedup_incremental_components",  # cross-snapshot cluster maintenance
     "dedup_bcubed_eval",        # B-cubed clustering quality audit
+    # round-10 late additions
+    "agg_ks_drift",             # one-vs-rest KS distribution drift
+    "ts_acf_lags",              # lag-1..3 autocorrelation screen
+    "ts_theil_sen",             # robust hourly trend (median of slopes)
+    "pipe_gopher_rules",        # Gopher quality-rule battery
 ]
 
 

@@ -885,3 +885,91 @@ def rfm_scores(
             (F.col("R") * 100 + F.col("F") * 10 + F.col("M")).alias("rfm"),
         )
     )
+
+
+def ks_one_vs_rest(
+    df: DataFrame,
+    group_col: str,
+    cents: Column,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance of every group's
+    value distribution against the REST of the table — the
+    distribution-drift screen a corpus/metrics pipeline runs when one
+    source, shard, or snapshot may have silently changed its value mix
+    (the two-sample KS statistic is the classic nonparametric test;
+    Massey 1951, public-domain statistics).
+
+    D_g = max_x |F_g(x) − F_rest(x)| is computed WITHOUT floats: with
+    group counts c_g(x), global counts c(x), group size n_g and total
+    N, the supremum is the BIGINT maximum of
+
+        |cum_g(x)·(N − n_g) − (cum(x) − cum_g(x))·n_g|
+
+    over the value grid, with denominator n_g·(N − n_g) — one IEEE
+    division at the end. Int64-exact while n_g·N < 2^63 (holds to
+    ~3·10^9 rows); the emitted (ks_num, ks_den) pair stays exact
+    regardless.
+
+    Scale shape: the table is touched ONCE by a map-side-combined
+    (group, value) count; everything downstream — the global value
+    grid, the group×grid densification, the per-group ordered cum
+    window and the max — runs on the quantized groups × distinct-values
+    grain (values are scaled integers, so the grid is
+    quantization-bounded, not row-bounded). The (group, value) counts
+    are eagerly local-checkpointed (same discipline as the layout
+    operators) because FOUR derivations consume them — without the
+    barrier, per-use column pruning plans four separate input scans.
+    Group sizes and the total ride broadcast joins; no global window,
+    no event-sized shuffle after the first aggregate.
+    """
+    pc = df.groupBy(
+        F.col(group_col), cents.cast("long").alias("_v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_cg"))
+    # quantized-grain barrier: one input scan feeds every derivation
+    pc = pc.localCheckpoint(eager=True)
+    gc = pc.groupBy("_v").agg(F.sum("_cg").cast("long").alias("_call"))
+    groups = pc.select(group_col).distinct()
+    sizes = pc.groupBy(group_col).agg(F.sum("_cg").cast("long").alias("n_g"))
+    total = sizes.agg(F.sum("n_g").cast("long").alias("_tot"))
+    # groups is group-cardinality-tiny (broadcast by contract); gc is the
+    # quantized value grid — the densification is grid-sized, never row-sized
+    grid = gc.crossJoin(F.broadcast(groups))
+    dense = (
+        grid.join(pc, [group_col, "_v"], "left")
+        .withColumn("_cg", F.coalesce(F.col("_cg"), F.lit(0).cast("long")))
+        .join(F.broadcast(sizes), group_col)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = dense.select(
+        group_col,
+        "n_g",
+        "_tot",
+        F.abs(
+            F.sum("_cg").over(w) * (F.col("_tot") - F.col("n_g"))
+            - (F.sum("_call").over(w) - F.sum("_cg").over(w)) * F.col("n_g")
+        )
+        .cast("long")
+        .alias("_d"),
+    )
+    return (
+        stepped.groupBy(group_col)
+        .agg(
+            F.max("n_g").cast("long").alias("n_g"),
+            (F.max("_tot") - F.max("n_g")).cast("long").alias("n_rest"),
+            F.max("_d").cast("long").alias("ks_num"),
+            (F.max("n_g") * (F.max("_tot") - F.max("n_g")))
+            .cast("long")
+            .alias("ks_den"),
+        )
+        .withColumn(
+            "ks_d",
+            F.when(F.col("ks_den") == 0, F.lit(None)).otherwise(
+                F.col("ks_num").cast("double") / F.col("ks_den").cast("double")
+            ),
+        )
+    )

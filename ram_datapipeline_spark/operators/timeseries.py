@@ -612,3 +612,184 @@ def seasonal_means(
             / F.lit(100.0),
         )
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    cents: F.Column,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged autocorrelation per key at lags 1..``max_lag`` — the
+    Pearson correlation of the pairs (x_t, x_{t+k}) in deterministic
+    ``(ts, tiebreak)`` order, the standard seasonality/persistence
+    screen that decides a series' resampling step and anomaly window.
+
+    Exactness: all five sufficient statistics (Σx, Σy, Σx², Σy², Σxy)
+    are BIGINT sums over scaled-integer values — no float accumulates,
+    so any shuffle order and any engine reproduce them bit-for-bit.
+    The correlation itself is the pinned-order IEEE expression
+
+        covn / sqrt(vxn · vyn),   covn = n·Σxy − Σx·Σy,
+                                  vxn  = n·Σx² − (Σx)², vyn likewise,
+
+    evaluated on exactly-convertible BIGINTs: int64→double conversion,
+    multiplication, division and sqrt are all correctly rounded, so the
+    double matches across engines. NULL when either variance is zero
+    (constant run). Int64-exact while n·Σx² < 2^63 — cents ≤ 10^4 holds
+    to ~10^10 rows per key; beyond that, cast the stats to
+    decimal(38,0) at the marked line.
+
+    Scale shape: ONE key-partitioned ordered window pass computes every
+    lead in the same sort (one exchange of the events), the lag
+    stacking is a map-side projection, and the aggregate collapses to
+    the (key, lag) grain with map-side combine — nothing after the
+    window exceeds keys × max_lag rows.
+    """
+    if not 1 <= max_lag <= 16:
+        raise ValueError("acf_lags: max_lag must be in 1..16")
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    base = df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        cents.cast("long").alias("_x"),
+    )
+    leads = base.select(
+        *key_cols,
+        F.col("_x"),
+        *[
+            F.lead("_x", k).over(w).alias(f"_y{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_args = ", ".join(f"{k}L, _y{k}" for k in range(1, max_lag + 1))
+    stacked = leads.select(
+        *key_cols,
+        F.col("_x"),
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag_k, _y)"),
+    ).where(F.col("_y").isNotNull())
+    agg = stacked.groupBy(*key_cols, "lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+    )
+    # decimal(38,0) upgrade point for beyond-int64 key sizes
+    covn = (F.col("n_pairs") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("long")
+    vxn = (F.col("n_pairs") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("long")
+    vyn = (F.col("n_pairs") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("long")
+    return agg.select(
+        *key_cols,
+        "lag_k",
+        "n_pairs",
+        covn.alias("covn"),
+        vxn.alias("vxn"),
+        vyn.alias("vyn"),
+    ).withColumn(
+        "acf",
+        F.when(
+            (F.col("vxn") == 0) | (F.col("vyn") == 0), F.lit(None)
+        ).otherwise(
+            F.col("covn").cast("double")
+            / F.sqrt(F.col("vxn").cast("double") * F.col("vyn").cast("double"))
+        ),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    period_expr: str = "hour",
+) -> DataFrame:
+    """Theil–Sen robust trend per key over the period profile (default
+    hour-of-day): the MEDIAN of all pairwise slopes between period
+    bucket means — the estimator that survives 29% outliers where an
+    OLS slope is dragged by one bad bucket (Theil 1950 / Sen 1968,
+    public-domain statistics).
+
+    Exactness: bucket means stay exact rationals (cent sum, count); the
+    pairwise slope between buckets (h1, s1/n1) and (h2, s2/n2) is the
+    exact BIGINT fraction
+
+        num = s2·n1 − s1·n2,    den = n1·n2·(h2 − h1)
+
+    and slopes are ORDERED by their correctly-rounded double quotient
+    with (num, den) as the total-order tie-break, so the median pick is
+    engine- and shuffle-order-independent. The returned slope is the
+    pinned IEEE average of the two middle quotients (equal indices when
+    the pair count is odd).
+
+    Scale shape: events collapse to the (key, bucket) grain in ONE
+    map-side-combined aggregate (the only event-sized pass); the
+    pairwise self-join, ordering window and median pick all run on the
+    quantized keys × period grain (≤ 24 buckets per key for hours —
+    ≤ 276 pairs per key regardless of input size).
+    """
+    cents = F.floor(F.col(val_col) * 100.0 + 0.5).cast("long")
+    per = df.groupBy(
+        *key_cols,
+        F.expr(f"{period_expr}({ts_col})").cast("long").alias("_h"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(cents).cast("long").alias("_s"),
+    )
+    a = per.select(
+        *key_cols,
+        F.col("_h").alias("_h1"),
+        F.col("_n").alias("_n1"),
+        F.col("_s").alias("_s1"),
+    )
+    b = per.select(
+        *key_cols,
+        F.col("_h").alias("_h2"),
+        F.col("_n").alias("_n2"),
+        F.col("_s").alias("_s2"),
+    )
+    pairs = a.join(b, key_cols).where(F.col("_h2") > F.col("_h1"))
+    slopes = pairs.select(
+        *key_cols,
+        (F.col("_s2") * F.col("_n1") - F.col("_s1") * F.col("_n2"))
+        .cast("long")
+        .alias("num"),
+        (F.col("_n1") * F.col("_n2") * (F.col("_h2") - F.col("_h1")))
+        .cast("long")
+        .alias("den"),
+    ).withColumn("q", F.col("num").cast("double") / F.col("den").cast("double"))
+    w_ord = Window.partitionBy(*key_cols).orderBy("q", "num", "den")
+    w_all = Window.partitionBy(*key_cols)
+    ranked = slopes.select(
+        *key_cols,
+        "num",
+        "den",
+        "q",
+        F.row_number().over(w_ord).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_c"),
+    )
+    lo = (F.col("_c") + 1) - ((F.col("_c") + 1) % 2)  # 2*floor((c+1)/2)
+    picked = ranked.where(
+        (F.col("_rn") * 2 == lo) | (F.col("_rn") * 2 == (F.col("_c") + 2) - ((F.col("_c") + 2) % 2))
+    )
+    return (
+        picked.groupBy(*key_cols)
+        .agg(
+            F.max("_c").cast("long").alias("n_pairs"),
+            F.min("q").alias("_qlo"),
+            F.max("q").alias("_qhi"),
+            F.min_by(F.col("num"), F.col("_rn")).alias("num_lo"),
+            F.min_by(F.col("den"), F.col("_rn")).alias("den_lo"),
+            F.max_by(F.col("num"), F.col("_rn")).alias("num_hi"),
+            F.max_by(F.col("den"), F.col("_rn")).alias("den_hi"),
+        )
+        .withColumn(
+            "slope_cents_per_period",
+            (F.col("_qlo") + F.col("_qhi")) / F.lit(2.0),
+        )
+        .drop("_qlo", "_qhi")
+    )

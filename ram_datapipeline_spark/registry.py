@@ -76,8 +76,11 @@ GATE_ORDER: tuple[str, ...] = (
     # interleave / SNM), the as-of family's intra-ts dedupe gained the
     # payload-extended deterministic sort, and the KMV profile's
     # certification union became a balanced tree; (d) the stalest
-    # driver-proof tier — r5-proven queries untouched since, 29 of the
-    # 42 (the remaining 13 are published in
+    # driver-proof tier — r5-proven queries untouched since, 25 of the
+    # 42 (four of the published 29 were displaced late in round 10 by
+    # the four r10-born first-timers below — first-timers outrank
+    # re-proofs of code-stable queries; the displaced four plus the 13
+    # already queued are published in
     # tests/test_registry_gate.py::NEXT_ROUND_ROTATION for r11).
     #
     # (a) never driver-gated
@@ -88,6 +91,10 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_incremental_batch",
     "dedup_incremental_components",
     "dedup_bcubed_eval",
+    "agg_ks_drift",
+    "ts_acf_lags",
+    "ts_theil_sen",
+    "pipe_gopher_rules",
     # (b) the five published re-proof slots (r4-tier window/vector
     # shapes + the as-of gate over the r9-changed operator)
     "vec_quantize_int8",
@@ -131,10 +138,6 @@ GATE_ORDER: tuple[str, ...] = (
     "f16_centroid_per_admin",
     "f7_date_parts",
     "f_date_arithmetic",
-    "f_scalar_kit",
-    "f_string_kit",
-    "graph_triangle_count",
-    "hof_array_kit",
 )
 
 

@@ -1852,3 +1852,64 @@ def q_w9_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pareto_front_2d(per, "qty_sold", "price_cents")
+
+
+@query(
+    "agg_ks_drift",
+    oracle="""
+    WITH pc AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cg
+      FROM events GROUP BY event_type, floor(value * 100.0 + 0.5)
+    ),
+    gc AS (SELECT v, CAST(sum(cg) AS BIGINT) AS call FROM pc GROUP BY v),
+    sizes AS (SELECT event_type, CAST(sum(cg) AS BIGINT) AS n_g
+              FROM pc GROUP BY event_type),
+    total AS (SELECT CAST(sum(n_g) AS BIGINT) AS tot FROM sizes),
+    grid AS (
+      SELECT s.event_type, g.v, g.call, s.n_g, t.tot,
+             COALESCE(p.cg, 0) AS cg
+      FROM sizes s CROSS JOIN gc g CROSS JOIN total t
+      LEFT JOIN pc p ON p.event_type = s.event_type AND p.v = g.v
+    ),
+    stepped AS (
+      SELECT event_type, n_g, tot,
+             CAST(abs(sum(cg) OVER w * (tot - n_g)
+                      - (sum(call) OVER w - sum(cg) OVER w) * n_g)
+                  AS BIGINT) AS d
+      FROM grid
+      WINDOW w AS (PARTITION BY event_type ORDER BY v
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type,
+           CAST(max(n_g) AS BIGINT) AS n_g,
+           CAST(max(tot) - max(n_g) AS BIGINT) AS n_rest,
+           CAST(max(d) AS BIGINT) AS ks_num,
+           CAST(max(n_g) * (max(tot) - max(n_g)) AS BIGINT) AS ks_den,
+           CASE WHEN max(n_g) * (max(tot) - max(n_g)) = 0 THEN NULL
+                ELSE CAST(max(d) AS DOUBLE)
+                     / CAST(max(n_g) * (max(tot) - max(n_g)) AS DOUBLE)
+           END AS ks_d
+    FROM stepped GROUP BY event_type
+    """,
+    survey=(
+        "exact two-sample Kolmogorov-Smirnov drift, one-vs-rest per "
+        "group: integer cross-multiplied ECDF gap maximized over the "
+        "quantized value grid; the table is scanned once, all KS work "
+        "runs on the groups x distinct-values grain (beyond-ref "
+        "distribution-drift screen for corpus/source monitoring)"
+    ),
+    tags=("analytic",),
+)
+def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS distance of each event type's value distribution vs the rest
+    (operators/quality.py::ks_one_vs_rest): one map-side-combined
+    (group, value) count, densified group x value grid, per-group
+    ordered cum window, BIGINT sup-gap + one division."""
+    from ram_datapipeline_spark.operators.quality import ks_one_vs_rest
+
+    t = load_tables(spark, sf_dir)
+    return ks_one_vs_rest(
+        t["events"], "event_type", F.floor(F.col("value") * 100.0 + 0.5)
+    )

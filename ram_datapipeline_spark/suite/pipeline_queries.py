@@ -1983,3 +1983,64 @@ def q_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("q_bucket") >= 4, F.col("q_score")))
         .alias("kept_score_floor"),
     )
+
+
+@query(
+    "pipe_gopher_rules",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> regexp_matches(w, '[a-zA-Z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST((CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(string_split(text, ' '), 'be') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(string_split(text, ' '), 'that') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(string_split(text, ' '), 'a') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_stop_hits,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_symbols
+      FROM documents
+    ),
+    rules AS (
+      SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop_hits,
+             n_symbols,
+             (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+             (n_word_chars >= 3 * n_words
+              AND n_word_chars <= 10 * n_words) AS rule_mean_word_len,
+             (10 * n_alpha_words >= 8 * n_words) AS rule_alpha_ratio,
+             (n_stop_hits >= 2) AS rule_stopwords,
+             (10 * n_symbols <= n_words) AS rule_symbol_ratio
+      FROM base
+    )
+    SELECT *,
+           (rule_word_count AND rule_mean_word_len AND rule_alpha_ratio
+            AND rule_stopwords AND rule_symbol_ratio) AS pass_gopher
+    FROM rules
+    """,
+    survey=(
+        "Gopher quality-rule battery (Rae et al. 2021 A1.1) per "
+        "document: word-count bounds, mean-word-length 3..10, "
+        "symbol-to-word <= 0.1, >= 80% alphabetic words, >= 2 stopword "
+        "anchors — all integer cross-multiplied, emitted with per-rule "
+        "evidence; a pure zero-exchange codegen projection "
+        "(beyond-ref corpus-quality family)"
+    ),
+    tags=("pipeline",),
+)
+def q_pipe_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule breakdown
+    (operators/text_ops.py::gopher_rules): one scan, zero exchanges —
+    every rule an integer comparison fused into a single projection."""
+    from ram_datapipeline_spark.operators.text_ops import gopher_rules
+
+    t = load_tables(spark, sf_dir)
+    return gopher_rules(t["documents"])

@@ -581,3 +581,138 @@ def q_ts_seasonal_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return seasonal_means(t["events"])
+
+
+@query(
+    "ts_acf_lags",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    led AS (
+      SELECT event_type, x,
+             lead(x, 1) OVER w AS y1,
+             lead(x, 2) OVER w AS y2,
+             lead(x, 3) OVER w AS y3
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    st AS (
+      SELECT event_type, CAST(1 AS BIGINT) AS lag_k, x, y1 AS y FROM led
+      UNION ALL
+      SELECT event_type, CAST(2 AS BIGINT), x, y2 FROM led
+      UNION ALL
+      SELECT event_type, CAST(3 AS BIGINT), x, y3 FROM led
+    ),
+    agg AS (
+      SELECT event_type, lag_k,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM st WHERE y IS NOT NULL
+      GROUP BY event_type, lag_k
+    )
+    SELECT event_type, lag_k, n_pairs,
+           CAST(n_pairs * sxy - sx * sy AS BIGINT) AS covn,
+           CAST(n_pairs * sxx - sx * sx AS BIGINT) AS vxn,
+           CAST(n_pairs * syy - sy * sy AS BIGINT) AS vyn,
+           CASE WHEN n_pairs * sxx - sx * sx = 0
+                  OR n_pairs * syy - sy * sy = 0 THEN NULL
+                ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+           END AS acf
+    FROM agg
+    """,
+    survey=(
+        "lagged autocorrelation (lags 1-3) per key: BIGINT sufficient "
+        "statistics in one ordered window pass + map-side-combined "
+        "(key, lag) aggregate; the correlation is a pinned-order IEEE "
+        "expression over exactly-converted int64s (beyond-ref "
+        "timeseries family — the seasonality/persistence screen)"
+    ),
+    tags=("timeseries",),
+)
+def q_ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of event values per event type
+    (operators/timeseries.py::acf_lags): one key-partitioned ordered
+    window computes all three leads in the same sort, lags stack
+    map-side, five BIGINT sums collapse to the (key, lag) grain."""
+    from ram_datapipeline_spark.operators.timeseries import acf_lags
+
+    t = load_tables(spark, sf_dir)
+    return acf_lags(
+        t["events"],
+        ["event_type"],
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5),
+        max_lag=3,
+    )
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.s * a.n - a.s * b.n AS BIGINT) AS num,
+             CAST(a.n * b.n * (b.h - a.h) AS BIGINT) AS den
+      FROM per a JOIN per b
+        ON a.event_type = b.event_type AND b.h > a.h
+    ),
+    q AS (
+      SELECT event_type, num, den,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS q,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                                         num, den) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS c
+      FROM pairs
+    ),
+    picked AS (
+      SELECT * FROM q
+      WHERE rn * 2 = (c + 1) - ((c + 1) % 2)
+         OR rn * 2 = (c + 2) - ((c + 2) % 2)
+    )
+    SELECT event_type,
+           CAST(max(c) AS BIGINT) AS n_pairs,
+           CAST(min_by(num, rn) AS BIGINT) AS num_lo,
+           CAST(min_by(den, rn) AS BIGINT) AS den_lo,
+           CAST(max_by(num, rn) AS BIGINT) AS num_hi,
+           CAST(max_by(den, rn) AS BIGINT) AS den_hi,
+           (min(q) + max(q)) / 2.0 AS slope_cents_per_period
+    FROM picked GROUP BY event_type
+    """,
+    survey=(
+        "Theil-Sen robust trend (median of pairwise slopes) per key "
+        "over the hour-of-day profile: exact BIGINT slope fractions "
+        "ordered by their correctly-rounded quotient with a (num, den) "
+        "tie-break; events touched once, all pair work on the "
+        "quantized keys x 24-bucket grain (beyond-ref timeseries "
+        "family — the outlier-proof trend estimator)"
+    ),
+    tags=("timeseries",),
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen hourly trend slope per event type
+    (operators/timeseries.py::theil_sen_trend): one event-sized
+    aggregate to (key, hour), <=276 pairwise slope fractions per key,
+    engine-stable median pick."""
+    from ram_datapipeline_spark.operators.timeseries import theil_sen_trend
+
+    t = load_tables(spark, sf_dir)
+    return theil_sen_trend(t["events"], ["event_type"], "ts", "value")

@@ -174,7 +174,14 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "dedup_incremental_batch", "dedup_incremental_components",
           # round-10 addition: B-cubed eval (cluster-grain cells are
           # what the final exchanges carry; CC is the probed substrate)
-          "dedup_bcubed_eval"]
+          "dedup_bcubed_eval",
+          # round-10 late additions: KS drift (one event-sized count,
+          # then groups x quantized-values grain), ACF (one ordered
+          # window exchange, (key, lag)-grain agg rides it), Theil-Sen
+          # (one (key, hour) agg; pair work bounded at 276/key), Gopher
+          # rules (zero-exchange codegen projection)
+          "agg_ks_drift", "ts_acf_lags", "ts_theil_sen",
+          "pipe_gopher_rules"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -1484,3 +1484,49 @@ def test_profile_table_kmv_string_routes_match_md5_replay(spark):
     assert out["hi"] == replay(str(i) for i in range(n))
     assert out["lo"] == replay(["0", "1", "2"]) == 3.0
     assert n * 0.5 <= out["hi"] <= n * 2.0, out["hi"]
+
+
+def test_ks_one_vs_rest_identical_and_disjoint(spark):
+    """Two groups with IDENTICAL value multisets are indistinguishable
+    from their rest (ks_num = 0); a group fully shifted off the rest's
+    support attains the supremum D = 1 (ks_num = ks_den)."""
+    from ram_datapipeline_spark.operators.quality import ks_one_vs_rest
+
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append(("a", v, i))
+        rows.append(("b", v, 100 + i))
+    for i, v in enumerate([10.0, 11.0, 12.0, 13.0]):
+        rows.append(("c", v, 200 + i))
+    df = spark.createDataFrame(rows, "g string, value double, i long")
+    out = {
+        r.g: r
+        for r in ks_one_vs_rest(
+            df, "g", F.floor(F.col("value") * 100.0 + 0.5)
+        ).collect()
+    }
+    # c is disjoint from a∪b: D = 1
+    assert out["c"].ks_num == out["c"].ks_den and out["c"].ks_d == 1.0
+    # a's rest is b (identical) + c (shifted above): the ECDF gap below
+    # v=400 is cum_a*(8) - cum_rest*4 = 4*cum_a - ... hand value:
+    # at v=400: cum_a=4, cum_rest=4 -> |4*8 - 4*4| = 16 over den 32
+    assert out["a"].ks_den == 4 * 8
+    assert out["a"].ks_num == 16 and out["a"].ks_d == 0.5
+    assert out["a"].n_g == 4 and out["a"].n_rest == 8
+
+
+def test_ks_one_vs_rest_zero_for_proportional_groups(spark):
+    """A group whose distribution equals the rest's EXACTLY (same
+    values, proportional counts) has D = 0."""
+    from ram_datapipeline_spark.operators.quality import ks_one_vs_rest
+
+    rows = []
+    i = 0
+    for v in [5.0, 7.0]:
+        rows.append(("x", v, i)); i += 1
+        for _ in range(2):  # rest has the same distribution, 2x mass
+            rows.append(("y", v, i)); i += 1
+    df = spark.createDataFrame(rows, "g string, value double, i long")
+    out = {r.g: r for r in ks_one_vs_rest(df, "g", F.floor(F.col("value") * 100.0 + 0.5)).collect()}
+    assert out["x"].ks_num == 0 and out["x"].ks_d == 0.0
+    assert out["y"].ks_num == 0

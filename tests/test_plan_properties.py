@@ -825,3 +825,42 @@ def test_incremental_components_gate_patch_is_broadcast(spark):
     assert n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "BroadcastNestedLoopJoin") == 0
     assert n_ops(p, "BroadcastHashJoin") >= 2  # relabel patch + batch verdict
+
+
+def test_gopher_rules_zero_exchange_projection(spark):
+    """pipe_gopher_rules is a pure codegen projection: zero exchanges,
+    zero windows, no Python evaluation anywhere."""
+    p = plan_text(spark, "pipe_gopher_rules")
+    assert n_data_shuffles(p) == 0
+    assert n_ops(p, "Window") == 0
+    assert "Python" not in p
+
+
+def test_acf_lags_single_exchange(spark):
+    """ts_acf_lags: the window sort is the ONLY data exchange — the
+    (key, lag) aggregate reuses the key partitioning (grouping keys are
+    a superset of the partitioning), so all three leads and the five
+    BIGINT sums ride one shuffle of the events."""
+    p = plan_text(spark, "ts_acf_lags")
+    assert n_data_shuffles(p) == 1
+    assert n_ops(p, "Window") == 1
+
+
+def test_ks_drift_one_input_scan_no_cartesian(spark):
+    """agg_ks_drift: the events table feeds exactly ONE materialized
+    (group, value) count (the checkpoint barrier); the final plan
+    contains no parquet re-scan and no CartesianProduct — the
+    densification cross joins are broadcast by construction."""
+    p = plan_text(spark, "agg_ks_drift")
+    assert n_ops(p, "Scan parquet") == 0  # barrier swallowed the one scan
+    assert "CartesianProduct" not in p
+    assert n_ops(p, "BroadcastNestedLoopJoin") >= 1  # tiny-side cross joins
+
+
+def test_theil_sen_pair_work_post_aggregate(spark):
+    """ts_theil_sen: exactly one event-sized aggregate; the pairwise
+    self-join runs on the quantized (key, hour) grain (both join inputs
+    are aggregates), never on raw events."""
+    p = plan_text(spark, "ts_theil_sen")
+    assert n_ops(p, "Scan parquet") <= 2  # per-side pruned scans of ONE table
+    assert "CartesianProduct" not in p

@@ -126,3 +126,49 @@ def test_rake_keyphrases_hand_example(spark):
     # stopword runs delimit correctly: no phrase contains 'a' or 'the'
     assert all(" a " not in f" {p} " and " the " not in f" {p} "
                for p in got)
+
+
+def test_gopher_rules_edges(spark):
+    """Each rule trips on its published boundary: word-count bounds,
+    mean word length 3..10 (cross-multiplied, no division), >=80%
+    alphabetic words, >=2 stopword anchors, symbol-to-word <= 0.1
+    counting '#' and '...' (ellipsis counted per occurrence)."""
+    from ram_datapipeline_spark.operators.text_ops import gopher_rules
+
+    good = "the quick brown fox jumps with zeal " * 8  # 56 words, stopwords the/with
+    short_words = "a b c d e " * 12  # mean word length 1
+    digits = " ".join(["123"] * 60)  # zero alphabetic words
+    no_stop = " ".join(["zorp"] * 60)  # no stopword anchors
+    symbols = ("the word and more ... # " * 10)  # 2 symbols per 6 words > 0.1
+    df = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, short_words.strip()),
+            (3, digits),
+            (4, no_stop),
+            (5, symbols.strip()),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    g = out[1]
+    assert g.rule_word_count and g.rule_mean_word_len and g.rule_alpha_ratio
+    assert g.rule_stopwords and g.rule_symbol_ratio and g.pass_gopher
+    assert out[2].n_words == 60 and not out[2].rule_mean_word_len
+    assert not out[2].pass_gopher
+    assert out[3].n_alpha_words == 0 and not out[3].rule_alpha_ratio
+    assert out[4].n_stop_hits == 0 and not out[4].rule_stopwords
+    s = out[5]
+    assert s.n_symbols == 20  # 10x '#' + 10x '...'
+    assert not s.rule_symbol_ratio and not s.pass_gopher
+
+
+def test_gopher_rules_word_count_bounds(spark):
+    from ram_datapipeline_spark.operators.text_ops import gopher_rules
+
+    w49 = " ".join(["the and with fox"] * 12) + " run"  # 49 words
+    w50 = " ".join(["the and with fox"] * 12) + " run fox"  # 50 words
+    df = spark.createDataFrame([(1, w49), (2, w50)], "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].n_words == 49 and not out[1].rule_word_count
+    assert out[2].n_words == 50 and out[2].rule_word_count

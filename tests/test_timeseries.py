@@ -452,3 +452,61 @@ def test_seasonal_means_hot_cold_hours(spark):
     assert h0.seasonal_idx == -1.0
     assert (h12.idx_num, h12.idx_den) == (5000, 50)
     assert h12.seasonal_idx == 1.0
+
+
+def test_acf_lags_alternating_and_constant(spark):
+    """Alternating 1.00/3.00 series: lag-1 pairs are perfectly
+    anti-correlated (acf exactly -1.0 with a balanced pair count),
+    lag-2 pairs perfectly correlated (+1.0); a constant series has
+    zero variance -> acf NULL with vxn = 0."""
+    from ram_datapipeline_spark.operators.timeseries import acf_lags
+
+    rows = []
+    for i in range(9):  # length 9 -> 8 balanced lag-1 pairs
+        rows.append(("alt", dt.datetime(2024, 1, 1, 0, i), 1.0 if i % 2 == 0 else 3.0, i))
+    for i in range(6):
+        rows.append(("const", dt.datetime(2024, 1, 1, 0, i), 2.0, 100 + i))
+    events = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    out = {
+        (r.event_type, r.lag_k): r
+        for r in acf_lags(
+            events, ["event_type"], "ts", "event_id",
+            F.floor(F.col("value") * 100.0 + 0.5), max_lag=2,
+        ).collect()
+    }
+    a1 = out[("alt", 1)]
+    assert a1.n_pairs == 8
+    # covn = 8*240000 - 1600*1600 ; vxn = vyn = 8*400000 - 1600^2
+    assert (a1.covn, a1.vxn, a1.vyn) == (-640_000, 640_000, 640_000)
+    assert a1.acf == -1.0
+    a2 = out[("alt", 2)]
+    assert a2.acf == 1.0
+    c1 = out[("const", 1)]
+    assert c1.vxn == 0 and c1.acf is None
+
+
+def test_theil_sen_outlier_resistance(spark):
+    """Linear 10-cents/hour trend across six hourly buckets with one
+    wrecked bucket: 10 of 15 pairwise slopes are exactly 10, so the
+    median ignores the outlier entirely (an OLS slope would not); a
+    single-bucket key emits nothing (no pairs)."""
+    from ram_datapipeline_spark.operators.timeseries import theil_sen_trend
+
+    rows = []
+    for h in range(6):
+        v = 100.0 if h == 3 else (1.00 + 0.10 * h)  # cents: 10000 outlier at h=3
+        rows.append(("t", dt.datetime(2024, 1, 1, h, 30), v, h))
+    rows.append(("solo", dt.datetime(2024, 1, 1, 5, 0), 1.0, 99))
+    events = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, event_id long"
+    )
+    out = {r.event_type: r for r in theil_sen_trend(events, ["event_type"], "ts", "value").collect()}
+    assert set(out) == {"t"}
+    t = out["t"]
+    assert t.n_pairs == 15
+    assert t.slope_cents_per_period == 10.0
+    # the two middle fractions both reduce to 10 cents/hour
+    assert t.num_lo * t.den_hi == t.num_hi * t.den_lo
+    assert t.num_lo == 10 * t.den_lo
