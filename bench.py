@@ -162,6 +162,8 @@ HEADLINE = [
     "ts_acf_lags",              # lag-1..3 autocorrelation screen
     "ts_theil_sen",             # robust hourly trend (median of slopes)
     "pipe_gopher_rules",        # Gopher quality-rule battery
+    "agg_mann_whitney",         # rank-sum/AUC drift (KS companion)
+    "ev_funnel_latency",        # exact conversion-lag rollup
 ]
 
 

@@ -973,3 +973,88 @@ def ks_one_vs_rest(
             ),
         )
     )
+
+
+def mann_whitney_one_vs_rest(
+    df: DataFrame,
+    group_col: str,
+    cents: Column,
+) -> DataFrame:
+    """Exact Mann–Whitney U / rank-sum drift of every group against the
+    rest of the table — the rank-based companion of ``ks_one_vs_rest``
+    (KS is sensitive to the worst single ECDF gap; U measures the whole
+    stochastic ordering, emitted as the AUC effect size
+    P(group value > rest value) + ½·P(tie); Mann & Whitney 1947,
+    public-domain statistics).
+
+    INTEGER-EXACT tie handling: ranks are midranks over the combined
+    sample. A value v occupying ranks (cum_before+1 .. cum_before+c)
+    has midrank cum_before + (c+1)/2, so TWICE the group's rank sum is
+    the BIGINT
+
+        2·R_g = Σ_v c_g(v) · (2·cum_before(v) + c(v) + 1)
+
+    and twice the U statistic is 2U = 2R_g − n_g·(n_g+1), an exact
+    BIGINT in [0, 2·n_g·n_rest]; auc = 2U / (2·n_g·n_rest) is the one
+    IEEE division. No float ranks, no transcendental.
+
+    Scale shape: identical substrate to ``ks_one_vs_rest`` — ONE
+    map-side-combined (group, value) count behind an eager checkpoint
+    barrier, then a groups × quantized-values densified grid whose
+    per-group ordered window supplies the global cumulative counts
+    (no single-partition window anywhere); sizes and the total ride
+    broadcasts.
+    """
+    pc = df.groupBy(
+        F.col(group_col), cents.cast("long").alias("_v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_cg"))
+    pc = pc.localCheckpoint(eager=True)
+    gc = pc.groupBy("_v").agg(F.sum("_cg").cast("long").alias("_call"))
+    groups = pc.select(group_col).distinct()
+    sizes = pc.groupBy(group_col).agg(F.sum("_cg").cast("long").alias("n_g"))
+    total = sizes.agg(F.sum("n_g").cast("long").alias("_tot"))
+    grid = gc.crossJoin(F.broadcast(groups))
+    dense = (
+        grid.join(pc, [group_col, "_v"], "left")
+        .withColumn("_cg", F.coalesce(F.col("_cg"), F.lit(0).cast("long")))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = dense.select(
+        group_col,
+        "_cg",
+        "_call",
+        (F.sum("_call").over(w) - F.col("_call")).alias("_before"),
+    ).select(
+        group_col,
+        (
+            F.col("_cg")
+            * (F.lit(2) * F.col("_before") + F.col("_call") + F.lit(1))
+        ).alias("_r2c"),
+    )
+    return (
+        stepped.groupBy(group_col)
+        .agg(F.sum("_r2c").cast("long").alias("_r2"))
+        .join(F.broadcast(sizes), group_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_g",
+            (F.col("_tot") - F.col("n_g")).cast("long").alias("n_rest"),
+            (F.col("_r2") - F.col("n_g") * (F.col("n_g") + 1))
+            .cast("long")
+            .alias("u2"),
+            (F.lit(2) * F.col("n_g") * (F.col("_tot") - F.col("n_g")))
+            .cast("long")
+            .alias("u2_den"),
+        )
+        .withColumn(
+            "auc",
+            F.when(F.col("u2_den") == 0, F.lit(None)).otherwise(
+                F.col("u2").cast("double") / F.col("u2_den").cast("double")
+            ),
+        )
+    )

@@ -1913,3 +1913,228 @@ def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_one_vs_rest(
         t["events"], "event_type", F.floor(F.col("value") * 100.0 + 0.5)
     )
+
+
+@query(
+    "agg_mann_whitney",
+    oracle="""
+    WITH pc AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cg
+      FROM events GROUP BY event_type, floor(value * 100.0 + 0.5)
+    ),
+    gc AS (SELECT v, CAST(sum(cg) AS BIGINT) AS call FROM pc GROUP BY v),
+    sizes AS (SELECT event_type, CAST(sum(cg) AS BIGINT) AS n_g
+              FROM pc GROUP BY event_type),
+    total AS (SELECT CAST(sum(n_g) AS BIGINT) AS tot FROM sizes),
+    grid AS (
+      SELECT s.event_type, g.v, g.call, COALESCE(p.cg, 0) AS cg
+      FROM sizes s CROSS JOIN gc g
+      LEFT JOIN pc p ON p.event_type = s.event_type AND p.v = g.v
+    ),
+    stepped AS (
+      SELECT event_type,
+             cg * (2 * (sum(call) OVER w - call) + call + 1) AS r2c
+      FROM grid
+      WINDOW w AS (PARTITION BY event_type ORDER BY v
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    r AS (
+      SELECT event_type, CAST(sum(r2c) AS BIGINT) AS r2
+      FROM stepped GROUP BY event_type
+    )
+    SELECT r.event_type, s.n_g,
+           CAST(t.tot - s.n_g AS BIGINT) AS n_rest,
+           CAST(r.r2 - s.n_g * (s.n_g + 1) AS BIGINT) AS u2,
+           CAST(2 * s.n_g * (t.tot - s.n_g) AS BIGINT) AS u2_den,
+           CASE WHEN 2 * s.n_g * (t.tot - s.n_g) = 0 THEN NULL
+                ELSE CAST(r.r2 - s.n_g * (s.n_g + 1) AS DOUBLE)
+                     / CAST(2 * s.n_g * (t.tot - s.n_g) AS DOUBLE)
+           END AS auc
+    FROM r JOIN sizes s USING (event_type) CROSS JOIN total t
+    """,
+    survey=(
+        "exact Mann-Whitney U / rank-sum drift, one-vs-rest per group "
+        "with midrank tie handling as pure BIGINT arithmetic (2R, 2U); "
+        "AUC effect size in one division — the rank-based companion of "
+        "the KS screen, same one-scan + quantized-grid substrate "
+        "(beyond-ref distribution-drift family)"
+    ),
+    tags=("analytic",),
+)
+def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney AUC of each event type's values vs the rest
+    (operators/quality.py::mann_whitney_one_vs_rest): one
+    map-side-combined (group, value) count behind a checkpoint
+    barrier; midrank sums on the groups x quantized-values grid."""
+    from ram_datapipeline_spark.operators.quality import (
+        mann_whitney_one_vs_rest,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return mann_whitney_one_vs_rest(
+        t["events"], "event_type", F.floor(F.col("value") * 100.0 + 0.5)
+    )
+
+
+@query(
+    "ev_funnel_latency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id
+    ),
+    lats AS (
+      SELECT 'signup_to_click' AS stage, s.user_id,
+             CAST(epoch_us(c.click_ts) - epoch_us(s.signup_ts) AS BIGINT) AS lat_us
+      FROM s JOIN c ON s.user_id = c.user_id
+      UNION ALL
+      SELECT 'click_to_purchase', c.user_id,
+             CAST(epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS BIGINT)
+      FROM c JOIN p ON c.user_id = p.user_id
+    ),
+    entered AS (
+      SELECT 'signup_to_click' AS stage, CAST(count(*) AS BIGINT) AS n_entered FROM s
+      UNION ALL
+      SELECT 'click_to_purchase', CAST(count(*) AS BIGINT) FROM c
+    ),
+    ranked AS (
+      SELECT stage, lat_us,
+             row_number() OVER (PARTITION BY stage ORDER BY lat_us, user_id) AS rn,
+             count(*) OVER (PARTITION BY stage) AS cnt
+      FROM lats
+    ),
+    agg AS (
+      SELECT stage,
+             CAST(max(cnt) AS BIGINT) AS n_converted,
+             CAST(min(lat_us) AS BIGINT) AS min_us,
+             CAST(max(lat_us) AS BIGINT) AS max_us,
+             CAST(sum(lat_us) AS BIGINT) AS sum_us,
+             CAST(min_by(lat_us, rn) FILTER (
+               WHERE rn * 2 = (cnt + 1) - ((cnt + 1) % 2)
+                  OR rn * 2 = (cnt + 2) - ((cnt + 2) % 2)) AS BIGINT) AS med_lo,
+             CAST(max_by(lat_us, rn) FILTER (
+               WHERE rn * 2 = (cnt + 1) - ((cnt + 1) % 2)
+                  OR rn * 2 = (cnt + 2) - ((cnt + 2) % 2)) AS BIGINT) AS med_hi
+      FROM ranked GROUP BY stage
+    )
+    SELECT a.stage, e.n_entered, a.n_converted, a.min_us, a.max_us,
+           a.sum_us,
+           CAST(a.med_lo + a.med_hi AS BIGINT) AS med2_us,
+           CAST(a.med_lo + a.med_hi AS DOUBLE) / 2.0 AS median_us,
+           CAST(a.sum_us AS DOUBLE) / CAST(a.n_converted AS DOUBLE) AS mean_us
+    FROM agg a JOIN entered e ON a.stage = e.stage
+    """,
+    survey=(
+        "funnel conversion-latency rollup (signup->click, "
+        "click->purchase): per stage the entered/converted counts and "
+        "EXACT min/max/mean/median of the conversion lag in "
+        "microseconds — the median is SELECTED (two middle values by "
+        "deterministic rank), never float-interpolated; all shuffles "
+        "key on user_id or the 2-row stage grain (event analytics)"
+    ),
+    tags=("events",),
+)
+def q_ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency statistics per funnel stage: three chained
+    min-aggregates (all user_id-keyed, co-partitioning at scale), a
+    2-stage latency union, one stage-partitioned rank window for the
+    exact median pick, one final stage-grain aggregate."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        e.join(s, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("signup_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    lat1 = s.join(c, "user_id").select(
+        F.lit("signup_to_click").alias("stage"),
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("signup_ts"))
+        .cast("long")
+        .alias("lat_us"),
+    )
+    lat2 = c.join(p, "user_id").select(
+        F.lit("click_to_purchase").alias("stage"),
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .cast("long")
+        .alias("lat_us"),
+    )
+    lats = lat1.unionByName(lat2)
+    entered = (
+        s.agg(F.count(F.lit(1)).cast("long").alias("n_entered"))
+        .select(F.lit("signup_to_click").alias("stage"), "n_entered")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_entered")).select(
+                F.lit("click_to_purchase").alias("stage"), "n_entered"
+            )
+        )
+    )
+    wo = Window.partitionBy("stage").orderBy("lat_us", "user_id")
+    wc = Window.partitionBy("stage")
+    ranked = lats.select(
+        "stage",
+        "lat_us",
+        F.row_number().over(wo).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_cnt"),
+    )
+    mid = (F.col("_rn") * 2 == (F.col("_cnt") + 1) - ((F.col("_cnt") + 1) % 2)) | (
+        F.col("_rn") * 2 == (F.col("_cnt") + 2) - ((F.col("_cnt") + 2) % 2)
+    )
+    agg = ranked.groupBy("stage").agg(
+        F.max("_cnt").cast("long").alias("n_converted"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+        F.sum("lat_us").cast("long").alias("sum_us"),
+        F.min_by(F.when(mid, F.col("lat_us")), F.when(mid, F.col("_rn")))
+        .cast("long")
+        .alias("_med_lo"),
+        F.max_by(F.when(mid, F.col("lat_us")), F.when(mid, F.col("_rn")))
+        .cast("long")
+        .alias("_med_hi"),
+    )
+    return agg.join(F.broadcast(entered), "stage").select(
+        "stage",
+        "n_entered",
+        "n_converted",
+        "min_us",
+        "max_us",
+        "sum_us",
+        (F.col("_med_lo") + F.col("_med_hi")).cast("long").alias("med2_us"),
+        ((F.col("_med_lo") + F.col("_med_hi")).cast("double") / F.lit(2.0)).alias(
+            "median_us"
+        ),
+        (F.col("sum_us").cast("double") / F.col("n_converted").cast("double")).alias(
+            "mean_us"
+        ),
+    )

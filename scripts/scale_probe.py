@@ -181,7 +181,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # (one (key, hour) agg; pair work bounded at 276/key), Gopher
           # rules (zero-exchange codegen projection)
           "agg_ks_drift", "ts_acf_lags", "ts_theil_sen",
-          "pipe_gopher_rules"]
+          "pipe_gopher_rules",
+          # round-10 late additions: Mann-Whitney (same substrate as
+          # KS), funnel latency (user-keyed chain + 2-row stage grain)
+          "agg_mann_whitney", "ev_funnel_latency"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -1530,3 +1530,91 @@ def test_ks_one_vs_rest_zero_for_proportional_groups(spark):
     out = {r.g: r for r in ks_one_vs_rest(df, "g", F.floor(F.col("value") * 100.0 + 0.5)).collect()}
     assert out["x"].ks_num == 0 and out["x"].ks_d == 0.0
     assert out["y"].ks_num == 0
+
+
+def test_mann_whitney_orderings_and_ties(spark):
+    """Hand-checkable AUC values: a group entirely below its rest has
+    AUC 0, entirely above has AUC 1, and a group identical to its rest
+    (all values tied) sits at exactly 0.5 via midranks — all reached
+    through pure BIGINT arithmetic (u2 is twice the U statistic)."""
+    from ram_datapipeline_spark.operators.quality import (
+        mann_whitney_one_vs_rest,
+    )
+
+    rows = []
+    for i, v in enumerate([1.0, 2.0]):
+        rows.append(("lo", v, i))
+    for i, v in enumerate([3.0, 4.0]):
+        rows.append(("hi", v, 10 + i))
+    df = spark.createDataFrame(rows, "g string, value double, i long")
+    out = {
+        r.g: r
+        for r in mann_whitney_one_vs_rest(
+            df, "g", F.floor(F.col("value") * 100.0 + 0.5)
+        ).collect()
+    }
+    assert out["lo"].u2 == 0 and out["lo"].auc == 0.0
+    assert out["hi"].u2 == out["hi"].u2_den and out["hi"].auc == 1.0
+
+    tied = spark.createDataFrame(
+        [("a", 5.0, 1), ("a", 5.0, 2), ("b", 5.0, 3), ("b", 5.0, 4)],
+        "g string, value double, i long",
+    )
+    t = {r.g: r for r in mann_whitney_one_vs_rest(tied, "g", F.floor(F.col("value") * 100.0 + 0.5)).collect()}
+    # midranks: every rank is (N+1)/2 = 2.5 -> 2R = 10, 2U = 10-6 = 4, den 8
+    assert t["a"].u2 == 4 and t["a"].u2_den == 8 and t["a"].auc == 0.5
+
+
+def test_funnel_latency_exact_median_and_counts(spark):
+    """Three users complete signup->click with latencies 10s/20s/40s:
+    median is the SELECTED middle (20s), mean the exact rational
+    70/3 s; one of them converts to purchase, and a user who signs up
+    but never clicks counts in n_entered only."""
+    import datetime as dt
+
+    from ram_datapipeline_spark import queries as Q
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: signup, click +10s, purchase +15s
+        (1, at(0), 1, "signup", 1.0, "{}"),
+        (2, at(10), 1, "click", 1.0, "{}"),
+        (3, at(25), 1, "purchase", 1.0, "{}"),
+        # user 2: signup, click +20s
+        (4, at(0), 2, "signup", 1.0, "{}"),
+        (5, at(20), 2, "click", 1.0, "{}"),
+        # user 3: signup, click +40s
+        (6, at(0), 3, "signup", 1.0, "{}"),
+        (7, at(40), 3, "click", 1.0, "{}"),
+        # user 4: signup only
+        (8, at(0), 4, "signup", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # the builder loads from a sf_dir; replay through a temp fixture
+        events.write.parquet(d + "/events.parquet")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"]:
+            spark.range(0).write.parquet(d + f"/{t}.parquet")
+        out = {
+            r.stage: r
+            for r in Q.REGISTRY["ev_funnel_latency"].builder(spark, d).collect()
+        }
+    sc = out["signup_to_click"]
+    assert (sc.n_entered, sc.n_converted) == (4, 3)
+    assert sc.min_us == 10_000_000 and sc.max_us == 40_000_000
+    assert sc.med2_us == 40_000_000 and sc.median_us == 20_000_000.0
+    assert sc.mean_us == 70_000_000.0 / 3.0
+    cp = out["click_to_purchase"]
+    assert (cp.n_entered, cp.n_converted) == (3, 1)
+    assert cp.med2_us == 2 * 15_000_000

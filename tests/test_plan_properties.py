@@ -864,3 +864,21 @@ def test_theil_sen_pair_work_post_aggregate(spark):
     p = plan_text(spark, "ts_theil_sen")
     assert n_ops(p, "Scan parquet") <= 2  # per-side pruned scans of ONE table
     assert "CartesianProduct" not in p
+
+
+def test_mann_whitney_one_input_scan(spark):
+    """agg_mann_whitney shares the KS substrate: one checkpointed
+    (group, value) count, no parquet re-scan, no CartesianProduct,
+    broadcast-only cross joins."""
+    p = plan_text(spark, "agg_mann_whitney")
+    assert n_ops(p, "Scan parquet") == 0
+    assert "CartesianProduct" not in p
+
+
+def test_funnel_latency_user_keyed_shuffles(spark):
+    """ev_funnel_latency: every join/aggregate before the 2-row stage
+    grain keys on user_id; no CartesianProduct, entered counts ride a
+    broadcast."""
+    p = plan_text(spark, "ev_funnel_latency")
+    assert "CartesianProduct" not in p
+    assert n_ops(p, "BroadcastHashJoin") >= 1

@@ -662,3 +662,63 @@ def test_incremental_dedup_stream_matches_sequential_batches(spark, tmp_path):
     assert got == want
     assert got[21] == (True, 1) and got[22] == (True, 11)
     assert got[23] == (True, 11) and got[12] == (False, None)
+
+
+def test_streaming_cusum_matches_batch_operator(spark, tmp_path):
+    """streaming/monitor.py::cusum_alerts_stream: the stateful CUSUM
+    recursion carried across micro-batches is bit-identical to the
+    batch operator's window-unrolled prefix form when events arrive in
+    timestamp order. Two time-split files + maxFilesPerTrigger=1 force
+    the S+/S- state to survive a micro-batch boundary."""
+    from ram_datapipeline_spark.operators.timeseries import cusum_drift
+    from ram_datapipeline_spark.streaming.monitor import cusum_alerts_stream
+
+    batch_events = load_tables(spark, SF_DIR)["events"]
+    cut = batch_events.selectExpr(
+        "percentile_approx(ts, 0.5) AS m"
+    ).collect()[0]["m"]
+    events_dir = tmp_path / "ev_cusum"
+    events_dir.mkdir()
+    batch_events.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(
+        str(events_dir / "b1")
+    )
+    batch_events.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(
+        str(events_dir / "b2")
+    )
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(events_dir) + "/*/")
+    )
+    q = (
+        cusum_alerts_stream(stream, 5000, 500, 5000)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_type, event_id, cents, s_plus, s_minus,"
+        " drift_up, drift_down FROM cusum_stream"
+    )
+    want = cusum_drift(
+        batch_events,
+        ["event_type"],
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5),
+        target_cents=5000,
+        slack_cents=500,
+        h_cents=5000,
+    ).select(
+        "event_type", "event_id", "cents", "s_plus", "s_minus",
+        "drift_up", "drift_down",
+    )
+    key = lambda r: (r.event_type, r.event_id)  # noqa: E731
+    g = sorted(got.collect(), key=key)
+    w = sorted(want.collect(), key=key)
+    assert len(g) == len(w) and len(g) > 0
+    assert g == w
