@@ -164,6 +164,8 @@ HEADLINE = [
     "pipe_gopher_rules",        # Gopher quality-rule battery
     "agg_mann_whitney",         # rank-sum/AUC drift (KS companion)
     "ev_funnel_latency",        # exact conversion-lag rollup
+    "agg_cramers_v",            # chi-square / Cramer's V association
+    "graph_resource_allocation",  # RA link prediction (fixed-point 1/deg)
 ]
 
 

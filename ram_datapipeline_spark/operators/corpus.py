@@ -1135,3 +1135,125 @@ def length_buckets(
             F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
         ).alias("padding_waste"),
     )
+
+
+def _hashed_ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_buckets: int,
+) -> DataFrame:
+    """(id, bucket, cnt): multiset word n-gram counts per document,
+    hashed into ``n_buckets`` feature buckets (md5-derived — the same
+    engine-portable draw as hash_uniform). One explode + one
+    map-side-combined (id, bucket) count."""
+    from ram_datapipeline_spark.session import ensure_parallelism
+
+    arr = f"split({text_col}, ' ')"
+    grams = (
+        f"explode(CASE WHEN size({arr}) >= {n} THEN "
+        f"transform(sequence(1, size({arr}) - {n - 1}), "
+        f"i -> array_join(slice({arr}, i, {n}), ' ')) "
+        f"ELSE array() END)"
+    )
+    exploded = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.expr(grams).alias("_g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+    return exploded.select(F.col(id_col), bucket).groupBy(
+        id_col, "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 4096,
+    k_smooth: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    score every raw document by how much more likely its hashed n-gram
+    bag is under the TARGET distribution than under the RAW one,
+
+        logweight(d) = Σ_f c_f(d) · (ln p̂_target(f) − ln p̂_raw(f)),
+
+    with add-k smoothed bucket LMs over ``n_buckets`` hashed word
+    n-gram features. Selecting the top-weight documents (or Gumbel-
+    resampling on the weights) tilts a generic corpus toward the
+    target domain.
+
+    NOT oracle-gated (registry policy, same as the HLL sketch): the
+    log-ratio needs libm ``ln``, which is not bit-identical across
+    engines. Determinism WITHIN Spark is still total: md5 bucketing,
+    exact BIGINT counts, and each bucket's λ floored ONCE to 1e-9
+    fixed-point (BIGINT) so the per-document sum is integer arithmetic
+    — no order-dependent float accumulation anywhere. The accuracy
+    contract (target-like documents outrank raw-like ones; weights
+    match a NumPy replay to fixed-point granularity) is asserted in
+    tests/test_corpus.py.
+
+    Scale shape: both corpora collapse to (id, bucket) counts in one
+    explode + map-side-combined aggregate each; the feature LMs are
+    ≤ n_buckets rows (a broadcast), so scoring is one broadcast join +
+    one (id)-grain sum over the raw side's posting-sized counts. The
+    target corpus is typically sample-sized; nothing row-scale crosses
+    an exchange twice.
+    """
+    raw_pc = _hashed_ngram_counts(raw, id_col, text_col, n, n_buckets)
+    tgt_pc = _hashed_ngram_counts(target, id_col, text_col, n, n_buckets)
+    raw_f = raw_pc.groupBy("bucket").agg(F.sum("cnt").alias("_rc"))
+    tgt_f = tgt_pc.groupBy("bucket").agg(F.sum("cnt").alias("_tc"))
+    lam = (
+        raw_f.join(tgt_f, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce(F.col("_rc"), F.lit(0)).alias("_rc"),
+            F.coalesce(F.col("_tc"), F.lit(0)).alias("_tc"),
+        )
+        .crossJoin(
+            F.broadcast(
+                raw_f.agg(F.sum("_rc").alias("_rtot")).crossJoin(
+                    tgt_f.agg(F.sum("_tc").alias("_ttot"))
+                )
+            )
+        )
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("_tc") + F.lit(k_smooth))
+                        / (F.col("_ttot") + F.lit(k_smooth * n_buckets))
+                    )
+                    - F.log(
+                        (F.col("_rc") + F.lit(k_smooth))
+                        / (F.col("_rtot") + F.lit(k_smooth * n_buckets))
+                    )
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("lam_fp"),
+        )
+    )
+    return (
+        raw_pc.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("lam_fp")).cast("long").alias(
+                "logweight_fp"
+            ),
+        )
+        .withColumn(
+            "logweight", F.col("logweight_fp").cast("double") / F.lit(1e9)
+        )
+    )

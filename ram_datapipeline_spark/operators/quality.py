@@ -1058,3 +1058,74 @@ def mann_whitney_one_vs_rest(
             ),
         )
     )
+
+
+def cramers_v_assoc(
+    df: DataFrame,
+    row_col: Column,
+    col_col: Column,
+    row_name: str = "r_key",
+    col_name: str = "c_key",
+) -> DataFrame:
+    """Categorical association (chi-square / Cramér's V) between two
+    discrete columns — the contingency screen that decides whether two
+    corpus facets (source × language, event type × hour) are
+    independent or entangled (Cramér 1946, public-domain statistics).
+
+    FIXED-POINT EXACT: the classic per-cell term (O−E)²/E expands to
+    (O·N − r·c)²/(N·r·c); each cell contributes the BIGINT
+
+        q_cell = (O·N − r·c)² DIV (r·c)
+
+    (integer division — identical in any engine), summed exactly over
+    the DENSIFIED grid (empty cells contribute r·c, their exact
+    expectation term), and divided by N once: chi2 = Σq/N. Cramér's V
+    is the pinned IEEE chain sqrt(chi2 / (N·min(R−1, C−1))). The
+    per-cell floor replaces the float-summation nondeterminism the
+    rational sum would otherwise require; int64-exact while
+    (O·N)² < 2^63 — holds to ~3·10⁹ rows.
+
+    Scale shape: ONE map-side-combined (row, col) count behind an eager
+    checkpoint barrier (three derivations consume it); marginals ride
+    broadcasts; the densified grid is levels × levels — quantized,
+    never row-sized. Emits a single row:
+    (n, r_levels, c_levels, chi2_fp, chi2, cramers_v).
+    """
+    pc = df.groupBy(
+        row_col.alias(row_name), col_col.alias(col_name)
+    ).agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    pc = pc.localCheckpoint(eager=True)
+    rt = pc.groupBy(row_name).agg(F.sum("_o").cast("long").alias("_r"))
+    ct = pc.groupBy(col_name).agg(F.sum("_o").cast("long").alias("_c"))
+    grid = rt.crossJoin(F.broadcast(ct))
+    dense = (
+        grid.join(pc, [row_name, col_name], "left")
+        .withColumn("_o", F.coalesce(F.col("_o"), F.lit(0).cast("long")))
+    )
+    tot = pc.agg(F.sum("_o").cast("long").alias("_n")).crossJoin(
+        rt.agg(F.count(F.lit(1)).cast("long").alias("r_levels"))
+    ).crossJoin(ct.agg(F.count(F.lit(1)).cast("long").alias("c_levels")))
+    cells = dense.crossJoin(F.broadcast(tot)).select(
+        "_n",
+        "r_levels",
+        "c_levels",
+        F.expr(
+            "CAST((_o * _n - _r * _c) * (_o * _n - _r * _c) DIV (_r * _c)"
+            " AS BIGINT)"
+        ).alias("_q"),
+    )
+    out = cells.groupBy("_n", "r_levels", "c_levels").agg(
+        F.sum("_q").cast("long").alias("chi2_fp")
+    )
+    k = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    chi2 = F.col("chi2_fp").cast("double") / F.col("_n").cast("double")
+    return out.select(
+        F.col("_n").alias("n"),
+        "r_levels",
+        "c_levels",
+        "chi2_fp",
+        chi2.alias("chi2"),
+        F.when(k <= 0, F.lit(None)).otherwise(
+            F.sqrt(chi2 / (F.col("_n") * k).cast("double"))
+        ).alias("cramers_v"),
+    )

@@ -76,10 +76,10 @@ GATE_ORDER: tuple[str, ...] = (
     # interleave / SNM), the as-of family's intra-ts dedupe gained the
     # payload-extended deterministic sort, and the KMV profile's
     # certification union became a balanced tree; (d) the stalest
-    # driver-proof tier — r5-proven queries untouched since, 23 of the
-    # 42 (six of the published 29 were displaced late in round 10 by
-    # the six r10-born first-timers below — first-timers outrank
-    # re-proofs of code-stable queries; the displaced six plus the 13
+    # driver-proof tier — r5-proven queries untouched since, 21 of the
+    # 42 (eight of the published 29 were displaced late in round 10 by
+    # the eight r10-born first-timers below — first-timers outrank
+    # re-proofs of code-stable queries; the displaced eight plus the 13
     # already queued are published in
     # tests/test_registry_gate.py::NEXT_ROUND_ROTATION for r11).
     #
@@ -97,6 +97,8 @@ GATE_ORDER: tuple[str, ...] = (
     "pipe_gopher_rules",
     "agg_mann_whitney",
     "ev_funnel_latency",
+    "agg_cramers_v",
+    "graph_resource_allocation",
     # (b) the five published re-proof slots (r4-tier window/vector
     # shapes + the as-of gate over the r9-changed operator)
     "vec_quantize_int8",
@@ -136,8 +138,6 @@ GATE_ORDER: tuple[str, ...] = (
     "eta_routed_kernel_grid",
     "eta_with_walk_penalty",
     "ev_user_funnel",
-    "f11_bbox_per_admin",
-    "f16_centroid_per_admin",
 )
 
 

@@ -2138,3 +2138,62 @@ def q_ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_us"
         ),
     )
+
+
+@query(
+    "agg_cramers_v",
+    oracle="""
+    WITH pc AS (
+      SELECT event_type AS r_key,
+             CAST(hour(ts) AS BIGINT) AS c_key,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    rt AS (SELECT r_key, CAST(sum(o) AS BIGINT) AS r FROM pc GROUP BY r_key),
+    ct AS (SELECT c_key, CAST(sum(o) AS BIGINT) AS c FROM pc GROUP BY c_key),
+    tot AS (
+      SELECT (SELECT CAST(sum(o) AS BIGINT) FROM pc) AS n,
+             (SELECT CAST(count(*) AS BIGINT) FROM rt) AS r_levels,
+             (SELECT CAST(count(*) AS BIGINT) FROM ct) AS c_levels
+    ),
+    dense AS (
+      SELECT rt.r_key, ct.c_key, rt.r, ct.c, COALESCE(pc.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN pc ON pc.r_key = rt.r_key AND pc.c_key = ct.c_key
+    ),
+    cells AS (
+      SELECT t.n, t.r_levels, t.c_levels,
+             (o * t.n - r * c) * (o * t.n - r * c) // (r * c) AS q
+      FROM dense CROSS JOIN tot t
+    )
+    SELECT n, r_levels, c_levels,
+           CAST(sum(q) AS BIGINT) AS chi2_fp,
+           CAST(sum(q) AS DOUBLE) / CAST(n AS DOUBLE) AS chi2,
+           CASE WHEN least(r_levels - 1, c_levels - 1) <= 0 THEN NULL
+                ELSE sqrt((CAST(sum(q) AS DOUBLE) / CAST(n AS DOUBLE))
+                          / CAST(n * least(r_levels - 1, c_levels - 1)
+                                 AS DOUBLE))
+           END AS cramers_v
+    FROM cells GROUP BY n, r_levels, c_levels
+    """,
+    survey=(
+        "categorical association (chi-square / Cramer's V) between "
+        "event type and hour-of-day: per-cell (O*N - r*c)^2 DIV (r*c) "
+        "fixed-point contributions over the DENSIFIED levels x levels "
+        "grid, BIGINT-summed, one division + one sqrt — the "
+        "contingency independence screen (beyond-ref drift family)"
+    ),
+    tags=("analytic",),
+)
+def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square / Cramér's V of event_type × hour(ts)
+    (operators/quality.py::cramers_v_assoc): one (row, col) count
+    behind a checkpoint barrier, broadcast marginals, quantized grid."""
+    from ram_datapipeline_spark.operators.quality import cramers_v_assoc
+
+    t = load_tables(spark, sf_dir)
+    return cramers_v_assoc(
+        t["events"],
+        F.col("event_type"),
+        F.expr("hour(ts)").cast("long"),
+    )

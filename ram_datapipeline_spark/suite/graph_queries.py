@@ -450,3 +450,76 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.u", "p.v").distinct()
     return khop_reach(edges, hops=2, u="u", v="v")
+
+
+@query(
+    "graph_resource_allocation",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS cu, b.pk AS cv
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT cu AS node FROM edges UNION ALL SELECT cv AS node FROM edges)
+      GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.cu < e.cv)
+                  THEN e.cu ELSE e.cv END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.cu < e.cv)
+                  THEN e.cv ELSE e.cu END AS dst
+      FROM edges e
+      JOIN deg du ON e.cu = du.node
+      JOIN deg dv ON e.cv = dv.node
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.dst = e2.src
+      JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    contrib AS (
+      SELECT least(a, b) AS x, greatest(a, b) AS y, c AS z FROM tri
+      UNION ALL SELECT least(a, c), greatest(a, c), b FROM tri
+      UNION ALL SELECT least(b, c), greatest(b, c), a FROM tri
+    ),
+    scored AS (
+      SELECT x, y,
+             CAST(count(*) AS BIGINT) AS common_cnt,
+             CAST(sum(1000000000 // d.d) AS BIGINT) AS ra_fp
+      FROM contrib JOIN deg d ON contrib.z = d.node
+      GROUP BY x, y
+    )
+    SELECT e.cu AS part_a, e.cv AS part_b, s.common_cnt, s.ra_fp,
+           CAST(s.ra_fp AS DOUBLE) / 1000000000.0 AS ra
+    FROM edges e JOIN scored s ON e.cu = s.x AND e.cv = s.y
+    """,
+    survey=(
+        "graph analytics: resource-allocation link-prediction index "
+        "per edge (Zhou/Lu/Zhang 2009) — common neighbors weighted by "
+        "fixed-point 1/deg (scale DIV deg, engine-exact integer "
+        "division); same degree-oriented triangle machinery as the "
+        "Jaccard counts, one explode of #triangles rows (beyond ref)"
+    ),
+    tags=("graph",),
+)
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RA index on the co-order part graph
+    (operators/graph.py::resource_allocation_scores): shared neighbors
+    of an edge = third corners of its triangles, each weighted
+    scale DIV deg — never a full-neighborhood array."""
+    from ram_datapipeline_spark.operators.graph import (
+        resource_allocation_scores,
+    )
+
+    return resource_allocation_scores(_co_order_edges(spark, sf_dir)).select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        "common_cnt",
+        "ra_fp",
+        "ra",
+    )

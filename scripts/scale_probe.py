@@ -183,8 +183,11 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "agg_ks_drift", "ts_acf_lags", "ts_theil_sen",
           "pipe_gopher_rules",
           # round-10 late additions: Mann-Whitney (same substrate as
-          # KS), funnel latency (user-keyed chain + 2-row stage grain)
-          "agg_mann_whitney", "ev_funnel_latency"]
+          # KS), funnel latency (user-keyed chain + 2-row stage grain),
+          # Cramer's V (one count + levels-grain grid), RA index
+          # (degree-oriented triangle machinery, explode = #triangles)
+          "agg_mann_whitney", "ev_funnel_latency",
+          "agg_cramers_v", "graph_resource_allocation"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -1618,3 +1618,26 @@ def test_funnel_latency_exact_median_and_counts(spark):
     cp = out["click_to_purchase"]
     assert (cp.n_entered, cp.n_converted) == (3, 1)
     assert cp.med2_us == 2 * 15_000_000
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    """Hand 2x2 cases: a perfectly-associated table reaches V = 1
+    (chi2_fp = 16 at n=4 via the per-cell fixed-point terms including
+    the empty cells' exact expectation contribution); a proportional
+    table is exactly independent (chi2_fp = 0, V = 0)."""
+    from ram_datapipeline_spark.operators.quality import cramers_v_assoc
+
+    perfect = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 2)], "g string, h int"
+    )
+    row = cramers_v_assoc(perfect, F.col("g"), F.col("h").cast("long")).collect()[0]
+    assert (row.n, row.r_levels, row.c_levels) == (4, 2, 2)
+    assert row.chi2_fp == 16 and row.chi2 == 4.0 and row.cramers_v == 1.0
+
+    indep = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2),
+         ("b", 1), ("b", 2), ("a", 1), ("a", 2)],
+        "g string, h int",
+    )
+    row = cramers_v_assoc(indep, F.col("g"), F.col("h").cast("long")).collect()[0]
+    assert row.chi2_fp == 0 and row.cramers_v == 0.0

@@ -705,3 +705,67 @@ def test_bpe_segment_constant_plan_depth(spark):
     assert plan.count("\n") < 60, plan[:2000]
     # and it still executes (Catalyst can optimize + codegen it)
     assert bpe_segment(docs, merges_64).collect()[0]["bpe_tokens"][0] == "a"
+
+
+def test_dsir_importance_ranks_target_like_docs_first(spark):
+    """DSIR accuracy contract: documents drawn from the target
+    vocabulary outscore documents from the background vocabulary, and
+    the logweights match a NumPy replay of the smoothed bucket LMs to
+    fixed-point (1e-9) granularity. Also: determinism across two runs."""
+    import hashlib
+
+    import numpy as np
+
+    from ram_datapipeline_spark.operators.corpus import dsir_importance
+
+    tgt_words = ["spark", "shuffle", "partition", "catalyst"]
+    bg_words = ["cow", "meadow", "barn", "tractor"]
+    mk = lambda ws, k: " ".join(ws[i % len(ws)] for i in range(k))  # noqa: E731
+    raw_rows = [
+        (1, mk(tgt_words, 30)),       # target-like
+        (2, mk(bg_words, 30)),        # background-like
+        (3, mk(tgt_words + bg_words, 30)),  # mixed
+    ]
+    target_rows = [(100 + i, mk(tgt_words, 40)) for i in range(3)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+
+    out = {
+        r.doc_id: r for r in dsir_importance(raw, target, n_buckets=64).collect()
+    }
+    assert out[1].logweight > out[3].logweight > out[2].logweight
+
+    # NumPy replay with the same md5 bucketing
+    B, K = 64, 1.0
+
+    def buckets(text, n=2):
+        toks = text.split(" ")
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B for g in grams
+        ]
+
+    raw_counts = np.zeros(B)
+    tgt_counts = np.zeros(B)
+    per_doc = {}
+    for did, text in raw_rows:
+        bs = buckets(text)
+        per_doc[did] = bs
+        for b in bs:
+            raw_counts[b] += 1
+    for _, text in target_rows:
+        for b in buckets(text):
+            tgt_counts[b] += 1
+    lam = np.log((tgt_counts + K) / (tgt_counts.sum() + K * B)) - np.log(
+        (raw_counts + K) / (raw_counts.sum() + K * B)
+    )
+    lam_fp = np.floor(lam * 1e9)
+    for did, bs in per_doc.items():
+        want = sum(lam_fp[b] for b in bs) / 1e9
+        assert abs(out[did].logweight - want) < 1e-12, did
+
+    again = {
+        r.doc_id: r.logweight_fp
+        for r in dsir_importance(raw, target, n_buckets=64).collect()
+    }
+    assert again == {d: out[d].logweight_fp for d in out}

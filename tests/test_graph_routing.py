@@ -367,3 +367,26 @@ def test_khop_reach_matches_bruteforce_path_graph(spark):
     # hops=1 is just the degree
     one = {r.node: r.reach_1 for r in khop_reach(edges, hops=1).collect()}
     assert one == {1: 1, 2: 2, 3: 2, 4: 2, 5: 1, 10: 2, 11: 2, 12: 2}
+
+
+def test_resource_allocation_hand_graph(spark):
+    """Bowtie-ish graph with triangles 1-2-3 and 2-3-4: edge (2,3)'s
+    shared neighbors are {1, 4} (both degree 2), so ra_fp is exactly
+    2 * (10^9 DIV 2); every other edge shares exactly one degree-3
+    neighbor (10^9 DIV 3, the truncating integer division)."""
+    from ram_datapipeline_spark.operators.graph import (
+        resource_allocation_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4)], "u long, v long"
+    )
+    out = {
+        (r.u, r.v): r for r in resource_allocation_scores(edges).collect()
+    }
+    assert out[(2, 3)].common_cnt == 2
+    assert out[(2, 3)].ra_fp == 2 * (10**9 // 2)
+    assert out[(2, 3)].ra == 1.0
+    third = 10**9 // 3
+    for pair in [(1, 2), (1, 3), (2, 4), (3, 4)]:
+        assert out[pair].common_cnt == 1 and out[pair].ra_fp == third

@@ -882,3 +882,20 @@ def test_funnel_latency_user_keyed_shuffles(spark):
     p = plan_text(spark, "ev_funnel_latency")
     assert "CartesianProduct" not in p
     assert n_ops(p, "BroadcastHashJoin") >= 1
+
+
+def test_resource_allocation_no_cartesian_no_global_sort(spark):
+    """graph_resource_allocation rides the degree-oriented triangle
+    machinery: no CartesianProduct, no Window, no global (empty-key)
+    sort anywhere."""
+    p = plan_text(spark, "graph_resource_allocation")
+    assert "CartesianProduct" not in p
+    assert n_ops(p, "Window") == 0
+
+
+def test_cramers_v_one_input_scan(spark):
+    """agg_cramers_v: one checkpointed (row, col) count; the final plan
+    re-scans no parquet and the levels x levels grid rides broadcasts."""
+    p = plan_text(spark, "agg_cramers_v")
+    assert n_ops(p, "Scan parquet") == 0
+    assert "CartesianProduct" not in p

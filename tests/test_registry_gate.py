@@ -101,21 +101,24 @@ def test_gated_queries_all_have_oracles():
 
 # Rotation candidates for the NEXT round's window. Every registered query
 # is past-proven or in the current window (nothing invisible). Round 10
-# spent its window on the 12 never-gated queries (4 r9-born + the 2
-# r10-born incremental-dedup gates + the 6 late-r10-born
-# KS-drift/ACF/Theil-Sen/Gopher/Mann-Whitney/funnel-latency gates,
-# which displaced six stale-tier re-proof slots), the 5 re-proof slots
-# round 9 published, the 10 queries whose operator code changed in r10
-# (checkpointed layout stage, as-of tiebreak extension, KMV balanced
-# union), and 23 of the 42 stalest (r5-proven) entries. These are the
-# remaining 13 r5-proven entries plus the 6 displaced ones — all
-# code-stable, all green in every per-round full-registry sweep at
+# spent its window on the 14 never-gated queries (4 r9-born + the 2
+# r10-born incremental-dedup gates + the 8 late-r10-born drift/trend/
+# quality/graph gates: KS drift, ACF, Theil-Sen, Gopher rules,
+# Mann-Whitney, funnel latency, Cramer's V, resource allocation —
+# which displaced eight stale-tier re-proof slots), the 5 re-proof
+# slots round 9 published, the 10 queries whose operator code changed
+# in r10 (checkpointed layout stage, as-of tiebreak extension, KMV
+# balanced union), and 21 of the 42 stalest (r5-proven) entries. These
+# are the remaining 13 r5-proven entries plus the 8 displaced ones —
+# all code-stable, all green in every per-round full-registry sweep at
 # sf0.01 AND sf0.1 — queued for the r11 window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "f_scalar_kit",
     "f_string_kit",
     "f7_date_parts",
     "f_date_arithmetic",
+    "f11_bbox_per_admin",
+    "f16_centroid_per_admin",
     "graph_triangle_count",
     "hof_array_kit",
     "j_bloom_prefilter",
