@@ -166,6 +166,8 @@ HEADLINE = [
     "ev_funnel_latency",        # exact conversion-lag rollup
     "agg_cramers_v",            # chi-square / Cramer's V association
     "graph_resource_allocation",  # RA link prediction (fixed-point 1/deg)
+    "agg_spearman_corr",        # exact midrank Spearman per key
+    "mm_scene_cut",             # video shot-boundary detection
 ]
 
 

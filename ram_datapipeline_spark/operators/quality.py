@@ -1129,3 +1129,78 @@ def cramers_v_assoc(
             F.sqrt(chi2 / (F.col("_n") * k).cast("double"))
         ).alias("cramers_v"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    key_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Exact Spearman rank correlation per key — Pearson over midranks,
+    the monotone-association screen that survives any monotone
+    transform and heavy ties (Spearman 1904, public-domain statistics;
+    complements ``corr_components``' Pearson on raw values).
+
+    INTEGER-EXACT midranks: with min-rank r and tie count c for a
+    value, TWICE the midrank is the BIGINT 2r + c − 1, so all five
+    sufficient statistics (Σrx, Σry, Σrx², Σry², Σrx·ry over doubled
+    midranks) are exact integer sums; doubling cancels in the
+    correlation. rho is the pinned IEEE chain covn/sqrt(vxn·vyn) over
+    exactly-converted int64s (same contract as ``acf_lags``).
+    Int64-exact while n³ ≲ 2^61 per key (~10^6 rows/key); the marked
+    cast is the decimal(38,0) upgrade point.
+
+    Scale shape: ONE hash exchange on the key — both rank windows and
+    both tie-count windows reuse the same partitioning (Spark re-sorts
+    within partitions, never re-shuffles), and the final aggregate
+    collapses on the same key map-side. NULL x/y rows are dropped
+    first (rank semantics need totals over ranked rows only).
+    """
+    base = df.select(
+        *key_cols, x.cast("long").alias("_x"), y.cast("long").alias("_y")
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    wx = Window.partitionBy(*key_cols).orderBy("_x")
+    wy = Window.partitionBy(*key_cols).orderBy("_y")
+    cx = Window.partitionBy(*key_cols, "_x")
+    cy = Window.partitionBy(*key_cols, "_y")
+    ranked = base.select(
+        *key_cols,
+        (
+            F.lit(2) * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - F.lit(1)
+        )
+        .cast("long")
+        .alias("_rx"),
+        (
+            F.lit(2) * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - F.lit(1)
+        )
+        .cast("long")
+        .alias("_ry"),
+    )
+    agg = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_rx").cast("long").alias("_sx"),
+        F.sum("_ry").cast("long").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).cast("long").alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).cast("long").alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).cast("long").alias("_sxy"),
+    )
+    # decimal(38,0) upgrade point for beyond-int64 key sizes
+    covn = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("long")
+    vxn = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("long")
+    vyn = (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("long")
+    return agg.select(
+        *key_cols,
+        "n",
+        covn.alias("covn"),
+        vxn.alias("vxn"),
+        vyn.alias("vyn"),
+    ).withColumn(
+        "rho",
+        F.when(
+            (F.col("vxn") == 0) | (F.col("vyn") == 0), F.lit(None)
+        ).otherwise(
+            F.col("covn").cast("double")
+            / F.sqrt(F.col("vxn").cast("double") * F.col("vyn").cast("double"))
+        ),
+    )

@@ -76,10 +76,10 @@ GATE_ORDER: tuple[str, ...] = (
     # interleave / SNM), the as-of family's intra-ts dedupe gained the
     # payload-extended deterministic sort, and the KMV profile's
     # certification union became a balanced tree; (d) the stalest
-    # driver-proof tier — r5-proven queries untouched since, 21 of the
-    # 42 (eight of the published 29 were displaced late in round 10 by
-    # the eight r10-born first-timers below — first-timers outrank
-    # re-proofs of code-stable queries; the displaced eight plus the 13
+    # driver-proof tier — r5-proven queries untouched since, 19 of the
+    # 42 (ten of the published 29 were displaced late in round 10 by
+    # the ten r10-born first-timers below — first-timers outrank
+    # re-proofs of code-stable queries; the displaced ten plus the 13
     # already queued are published in
     # tests/test_registry_gate.py::NEXT_ROUND_ROTATION for r11).
     #
@@ -99,6 +99,8 @@ GATE_ORDER: tuple[str, ...] = (
     "ev_funnel_latency",
     "agg_cramers_v",
     "graph_resource_allocation",
+    "agg_spearman_corr",
+    "mm_scene_cut",
     # (b) the five published re-proof slots (r4-tier window/vector
     # shapes + the as-of gate over the r9-changed operator)
     "vec_quantize_int8",
@@ -120,8 +122,6 @@ GATE_ORDER: tuple[str, ...] = (
     # (d) stalest driver-proof tier (last proven r5)
     "a2_pivot_eav",
     "a3_unpivot_stack",
-    "a4_group_nested",
-    "a5_union_all",
     "a6_grouped_count",
     "agg_cube_orders",
     "agg_grouping_sets",

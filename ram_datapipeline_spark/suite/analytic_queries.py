@@ -2197,3 +2197,68 @@ def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.expr("hour(ts)").cast("long"),
     )
+
+
+@query(
+    "agg_spearman_corr",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+             CAST(hour(ts) AS BIGINT) AS y
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type,
+             CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                  + count(*) OVER (PARTITION BY event_type, x) - 1
+                  AS BIGINT) AS rx,
+             CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                  + count(*) OVER (PARTITION BY event_type, y) - 1
+                  AS BIGINT) AS ry
+      FROM base
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx,
+             CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS covn,
+           CAST(n * sxx - sx * sx AS BIGINT) AS vxn,
+           CAST(n * syy - sy * sy AS BIGINT) AS vyn,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS rho
+    FROM agg
+    """,
+    survey=(
+        "exact Spearman rank correlation per key (value vs hour-of-day "
+        "per event type): midranks as pure BIGINT 2r + c - 1, five "
+        "integer sufficient statistics, rho as the pinned IEEE chain — "
+        "the monotone-association screen; ONE key exchange (all four "
+        "windows and the aggregate share the partitioning) "
+        "(beyond-ref drift/association family)"
+    ),
+    tags=("analytic",),
+)
+def q_agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho of value vs hour(ts) per event type
+    (operators/quality.py::spearman_corr)."""
+    from ram_datapipeline_spark.operators.quality import spearman_corr
+
+    t = load_tables(spark, sf_dir)
+    return spearman_corr(
+        t["events"],
+        ["event_type"],
+        F.floor(F.col("value") * 100.0 + 0.5),
+        F.expr("hour(ts)"),
+    )

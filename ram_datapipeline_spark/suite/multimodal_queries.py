@@ -537,3 +537,50 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ham.where(F.col("hamming") <= 3)
+
+
+@query(
+    "mm_scene_cut",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    v AS (
+      SELECT media_id, text, n_frames,
+             CAST(length(text) // n_frames AS BIGINT) AS fl
+      FROM m WHERE kind = 'video' AND length(text) // n_frames >= 1
+    ),
+    fr AS (
+      SELECT media_id, CAST(u.f AS BIGINT) AS frame_idx,
+             CAST(list_sum(list_transform(
+               generate_series(1, CAST(fl AS INT)),
+               p -> unicode(substring(text, CAST(u.f * fl AS INT) + p, 1))
+             )) AS BIGINT) AS energy
+      FROM v, LATERAL (
+        SELECT unnest(generate_series(0, n_frames - 1)) AS f
+      ) u
+    ),
+    lagd AS (
+      SELECT media_id, frame_idx, energy,
+             CAST(energy - lag(energy) OVER (
+               PARTITION BY media_id ORDER BY frame_idx) AS BIGINT) AS delta
+      FROM fr
+    )
+    SELECT media_id, frame_idx, energy, delta,
+           COALESCE(abs(delta) > 1000, FALSE) AS is_cut
+    FROM lagd
+    """,
+    survey=(
+        "multimodal: video shot-boundary detection — payload framed "
+        "into n_frames byte planes inside one Arrow pass, per-frame "
+        "BIGINT energy, cut where the inter-frame delta exceeds the "
+        "threshold; lag computed inside the kernel so no window "
+        "exchange follows (north star)"
+    ),
+    tags=("multimodal",),
+)
+def q_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intensity-difference scene cuts over the fake-decode video
+    catalog (multimodal/media.py::scene_cut_frames)."""
+    from ram_datapipeline_spark.multimodal.media import scene_cut_frames
+
+    t = load_tables(spark, sf_dir)
+    return scene_cut_frames(synthesize_media(t["documents"]), threshold=1000)

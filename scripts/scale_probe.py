@@ -187,7 +187,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # Cramer's V (one count + levels-grain grid), RA index
           # (degree-oriented triangle machinery, explode = #triangles)
           "agg_mann_whitney", "ev_funnel_latency",
-          "agg_cramers_v", "graph_resource_allocation"]
+          "agg_cramers_v", "graph_resource_allocation",
+          # round-10 late additions: Spearman (one key exchange, four
+          # windows share it), scene cut (one Arrow pass, lag in-kernel)
+          "agg_spearman_corr", "mm_scene_cut"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -1641,3 +1641,24 @@ def test_cramers_v_perfect_and_independent(spark):
     )
     row = cramers_v_assoc(indep, F.col("g"), F.col("h").cast("long")).collect()[0]
     assert row.chi2_fp == 0 and row.cramers_v == 0.0
+
+
+def test_spearman_monotone_reversed_and_ties(spark):
+    """rho = +1 under any monotone map (values 1,2,3 -> 10,100,1000),
+    -1 when reversed, and NULL when one side is constant (zero rank
+    variance); midranks keep ties exact."""
+    from ram_datapipeline_spark.operators.quality import spearman_corr
+
+    rows = [
+        ("up", 1, 10), ("up", 2, 100), ("up", 3, 1000),
+        ("down", 1, 1000), ("down", 2, 100), ("down", 3, 10),
+        ("flat", 1, 7), ("flat", 2, 7), ("flat", 3, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, a long, b long")
+    out = {
+        r.g: r
+        for r in spearman_corr(df, ["g"], F.col("a"), F.col("b")).collect()
+    }
+    assert out["up"].rho == 1.0
+    assert out["down"].rho == -1.0
+    assert out["flat"].vyn == 0 and out["flat"].rho is None

@@ -567,3 +567,32 @@ def test_image_ahash_small_jpeg_falls_back_to_full_decode(spark):
             word |= int(bits[b * 16 + j]) << j
         expected[b] = word
     assert got == expected
+
+
+def test_scene_cut_hand_payload(spark):
+    """Payload built from two constant byte planes: frame 0 all 'a'
+    (97x4 = 388), frame 1 all 'z' (122x4 = 488) -> delta 100; with
+    threshold 50 the second frame is a cut, the first frame's delta is
+    NULL, and a payload shorter than its frame count emits nothing."""
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.multimodal.media import scene_cut_frames
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(b"aaaazzzz"), 2),
+            (2, "video", bytearray(b"ab"), 5),  # frame_len 0 -> dropped
+            (3, "image", bytearray(b"aaaazzzz"), 2),  # not video
+        ],
+        "media_id long, kind string, payload binary, nf int",
+    ).select(
+        "media_id", "kind", "payload",
+        F.struct(F.col("nf").alias("n_frames")).alias("meta"),
+    )
+    rows = scene_cut_frames(media, threshold=50).collect()
+    assert len(rows) == 2
+    by_f = {r.frame_idx: r for r in rows}
+    assert by_f[0].energy == 4 * 97 and by_f[0].delta is None
+    assert not by_f[0].is_cut
+    assert by_f[1].energy == 4 * 122 and by_f[1].delta == 100
+    assert by_f[1].is_cut

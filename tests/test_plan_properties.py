@@ -899,3 +899,19 @@ def test_cramers_v_one_input_scan(spark):
     p = plan_text(spark, "agg_cramers_v")
     assert n_ops(p, "Scan parquet") == 0
     assert "CartesianProduct" not in p
+
+
+def test_spearman_single_key_exchange(spark):
+    """agg_spearman_corr: the four rank/tie windows and the final
+    aggregate all share one hash partitioning on the key — exactly one
+    data exchange in the whole plan."""
+    p = plan_text(spark, "agg_spearman_corr")
+    assert n_data_shuffles(p) == 1
+
+
+def test_scene_cut_no_post_kernel_window(spark):
+    """mm_scene_cut computes the lag INSIDE the Arrow kernel: no Window
+    operator and no data exchange after the payload scan."""
+    p = plan_text(spark, "mm_scene_cut")
+    assert n_ops(p, "Window") == 0
+    assert n_data_shuffles(p) == 0
