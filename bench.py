@@ -168,6 +168,9 @@ HEADLINE = [
     "graph_resource_allocation",  # RA link prediction (fixed-point 1/deg)
     "agg_spearman_corr",        # exact midrank Spearman per key
     "mm_scene_cut",             # video shot-boundary detection
+    "agg_gini_value",           # exact Gini value-inequality per key
+    "ev_power_users_pareto",    # top-k% user value shares (range-exchange)
+    "ts_interval_merge",        # gaps-and-islands interval union
 ]
 
 

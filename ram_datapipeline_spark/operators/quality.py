@@ -1204,3 +1204,56 @@ def spearman_corr(
             / F.sqrt(F.col("vxn").cast("double") * F.col("vyn").cast("double"))
         ),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_cols: list[str],
+    cents: Column,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact Gini inequality coefficient per key over non-negative
+    scaled-integer values (the classic Lorenz-area statistic):
+
+        G = Σ_i (2i − n − 1)·x_(i) / (n·Σx),  x sorted ascending.
+
+    INTEGER-EXACT: the numerator and denominator are BIGINT
+    (ties are order-invariant — within a tied block x is constant, so
+    the coefficient sum over the block is fixed regardless of
+    permutation; the (value, tiebreak) ordering just pins the rank
+    function). One IEEE division at the end; NULL when Σx = 0.
+
+    Scale shape: ONE hash exchange on the key — the rank window and
+    the final aggregate share the partitioning. Complements the HHI
+    count-concentration screen with value inequality.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("_v", tiebreak_col)
+    wc = Window.partitionBy(*key_cols)
+    base = df.select(
+        *key_cols, cents.cast("long").alias("_v"), F.col(tiebreak_col)
+    )
+    ranked = base.select(
+        *key_cols,
+        "_v",
+        F.row_number().over(w).cast("long").alias("_i"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("_n"),
+    )
+    agg = ranked.groupBy(*key_cols).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum("_v").cast("long").alias("sum_cents"),
+        F.sum((F.lit(2) * F.col("_i") - F.col("_n") - F.lit(1)) * F.col("_v"))
+        .cast("long")
+        .alias("gini_num"),
+    )
+    return agg.select(
+        *key_cols,
+        "n",
+        "sum_cents",
+        "gini_num",
+        (F.col("n") * F.col("sum_cents")).cast("long").alias("gini_den"),
+    ).withColumn(
+        "gini",
+        F.when(F.col("gini_den") == 0, F.lit(None)).otherwise(
+            F.col("gini_num").cast("double") / F.col("gini_den").cast("double")
+        ),
+    )

@@ -76,11 +76,11 @@ GATE_ORDER: tuple[str, ...] = (
     # interleave / SNM), the as-of family's intra-ts dedupe gained the
     # payload-extended deterministic sort, and the KMV profile's
     # certification union became a balanced tree; (d) the stalest
-    # driver-proof tier — r5-proven queries untouched since, 19 of the
-    # 42 (ten of the published 29 were displaced late in round 10 by
-    # the ten r10-born first-timers below — first-timers outrank
-    # re-proofs of code-stable queries; the displaced ten plus the 13
-    # already queued are published in
+    # driver-proof tier — r5-proven queries untouched since, 16 of the
+    # 42 (thirteen of the published 29 were displaced late in round 10
+    # by the thirteen r10-born first-timers below — first-timers
+    # outrank re-proofs of code-stable queries; the displaced thirteen
+    # plus the 13 already queued are published in
     # tests/test_registry_gate.py::NEXT_ROUND_ROTATION for r11).
     #
     # (a) never driver-gated
@@ -101,6 +101,9 @@ GATE_ORDER: tuple[str, ...] = (
     "graph_resource_allocation",
     "agg_spearman_corr",
     "mm_scene_cut",
+    "agg_gini_value",
+    "ev_power_users_pareto",
+    "ts_interval_merge",
     # (b) the five published re-proof slots (r4-tier window/vector
     # shapes + the as-of gate over the r9-changed operator)
     "vec_quantize_int8",
@@ -120,9 +123,6 @@ GATE_ORDER: tuple[str, ...] = (
     "j_asof_tolerance",
     "pipe_profile_table_kmv",
     # (d) stalest driver-proof tier (last proven r5)
-    "a2_pivot_eav",
-    "a3_unpivot_stack",
-    "a6_grouped_count",
     "agg_cube_orders",
     "agg_grouping_sets",
     "agg_percentiles",

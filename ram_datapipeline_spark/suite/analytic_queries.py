@@ -2262,3 +2262,233 @@ def q_agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100.0 + 0.5),
         F.expr("hour(ts)"),
     )
+
+
+@query(
+    "agg_gini_value",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY v, event_id) AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM base
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sum_cents,
+             CAST(sum((2 * i - n - 1) * v) AS BIGINT) AS gini_num
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n, sum_cents, gini_num,
+           CAST(n * sum_cents AS BIGINT) AS gini_den,
+           CASE WHEN n * sum_cents = 0 THEN NULL
+                ELSE CAST(gini_num AS DOUBLE)
+                     / CAST(n * sum_cents AS DOUBLE) END AS gini
+    FROM agg
+    """,
+    survey=(
+        "exact Gini inequality coefficient per key (Lorenz-area "
+        "statistic over cent values): BIGINT numerator "
+        "sum((2i - n - 1) * x) over the (value, id) rank order, one "
+        "division — value-inequality companion to the HHI "
+        "count-concentration screen; ONE key exchange (beyond-ref)"
+    ),
+    tags=("analytic",),
+)
+def q_agg_gini_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini of event values per event type
+    (operators/quality.py::gini_coefficient)."""
+    from ram_datapipeline_spark.operators.quality import gini_coefficient
+
+    t = load_tables(spark, sf_dir)
+    return gini_coefficient(
+        t["events"],
+        ["event_type"],
+        F.floor(F.col("value") * 100.0 + 0.5),
+        "event_id",
+    )
+
+
+@query(
+    "ev_power_users_pareto",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS ucents
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, ucents,
+             CAST(row_number() OVER (ORDER BY ucents DESC, user_id)
+                  AS BIGINT) AS rk,
+             CAST(sum(ucents) OVER (ORDER BY ucents DESC, user_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM per_user
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ucents) AS BIGINT) AS total
+      FROM per_user
+    ),
+    pcts AS (SELECT unnest([1, 10, 50]) AS pct)
+    SELECT p.pct,
+           CAST(greatest(1, n * p.pct // 100) AS BIGINT) AS k_users,
+           r.cum AS top_cents,
+           t.total AS total_cents,
+           CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM pcts p CROSS JOIN tot t
+    JOIN ranked r ON r.rk = greatest(1, t.n * p.pct // 100)
+    """,
+    survey=(
+        "power-user concentration curve: exact value share of the top "
+        "1/10/50% users — user-grain roll-up, then GLOBAL rank and "
+        "cumulative cents via the range-exchange prefix-sum primitive "
+        "(layout.global_prefix_sum twice: weight=1 for rank, "
+        "weight=cents for the Lorenz cum) — never a single-partition "
+        "window over the user grain (event analytics, beyond-ref)"
+    ),
+    tags=("events",),
+)
+def q_ev_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k% user value shares
+    (layout.global_prefix_sum over the user grain): two range
+    exchanges (rank + cum), broadcast totals, 3-row output."""
+    from ram_datapipeline_spark.operators.layout import global_prefix_sum
+
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5))
+            .cast("long")
+            .alias("ucents")
+        )
+    )
+    order = [F.col("ucents").desc(), F.col("user_id")]
+    cum = global_prefix_sum(per_user, order, "ucents", 8, out_col="_cum0")
+    ones = cum.withColumn("_one", F.lit(1).cast("long"))
+    ranked = global_prefix_sum(
+        ones, [F.col("ucents").desc(), F.col("user_id")], "_one",
+        8, out_col="_rk0",
+    ).select(
+        "user_id",
+        "ucents",
+        (F.col("_cum0") + F.col("ucents")).cast("long").alias("_cum"),
+        (F.col("_rk0") + F.lit(1)).cast("long").alias("_rk"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("ucents").cast("long").alias("_total"),
+    )
+    pcts = ranked.sparkSession.createDataFrame([(1,), (10,), (50,)], "pct int")
+    dims = F.broadcast(pcts.crossJoin(tot)).withColumn(
+        "k_users",
+        F.greatest(F.lit(1).cast("long"), F.expr("_n * pct DIV 100")).cast(
+            "long"
+        ),
+    )
+    return (
+        ranked.join(dims, ranked["_rk"] == dims["k_users"])
+        .select(
+            "pct",
+            "k_users",
+            F.col("_cum").alias("top_cents"),
+            F.col("_total").alias("total_cents"),
+            (F.col("_cum").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+@query(
+    "ts_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 60000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM flagged
+    )
+    SELECT user_id, island,
+           CAST(min(s) AS BIGINT) AS start_us,
+           CAST(max(e) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM isl GROUP BY user_id, island
+    """,
+    survey=(
+        "interval union / merge per key (gaps-and-islands flatten): "
+        "overlapping [ts, ts+60s) event windows coalesced via the "
+        "exclusive running-max-of-end flag + running island counter — "
+        "two ordered window passes and the aggregate on ONE key "
+        "exchange, all integer microseconds (beyond-ref temporal)"
+    ),
+    tags=("timeseries",),
+)
+def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce each user's overlapping 60-second event windows into
+    maximal islands — one user_id exchange; the first-row NULL running
+    max starts a new island by definition."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    iv = t["events"].select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(60_000_000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("_new").over(w_run).cast("long").alias("island"),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.min("s").cast("long").alias("start_us"),
+        F.max("e").cast("long").alias("end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )

@@ -190,7 +190,12 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "agg_cramers_v", "graph_resource_allocation",
           # round-10 late additions: Spearman (one key exchange, four
           # windows share it), scene cut (one Arrow pass, lag in-kernel)
-          "agg_spearman_corr", "mm_scene_cut"]
+          "agg_spearman_corr", "mm_scene_cut",
+          # round-10 late additions: Gini (one key exchange), Pareto
+          # shares (two range exchanges on the user grain), interval
+          # merge (two windows + agg on one key exchange)
+          "agg_gini_value", "ev_power_users_pareto",
+          "ts_interval_merge"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -1662,3 +1662,61 @@ def test_spearman_monotone_reversed_and_ties(spark):
     assert out["up"].rho == 1.0
     assert out["down"].rho == -1.0
     assert out["flat"].vyn == 0 and out["flat"].rho is None
+
+
+def test_gini_equal_and_concentrated(spark):
+    """All-equal values give G = 0 exactly; one holder owning
+    everything gives G = (n-1)/n (0.75 at n=4) — the textbook
+    extremes, reached via the exact integer numerator."""
+    from ram_datapipeline_spark.operators.quality import gini_coefficient
+
+    rows = [("eq", 5.0, i) for i in range(4)] + [
+        ("conc", 0.0, 10), ("conc", 0.0, 11), ("conc", 0.0, 12),
+        ("conc", 1.0, 13),
+    ]
+    df = spark.createDataFrame(rows, "g string, value double, i long")
+    out = {
+        r.g: r
+        for r in gini_coefficient(
+            df, ["g"], F.floor(F.col("value") * 100.0 + 0.5), "i"
+        ).collect()
+    }
+    assert out["eq"].gini_num == 0 and out["eq"].gini == 0.0
+    assert out["conc"].gini_num == 300 and out["conc"].gini_den == 400
+    assert out["conc"].gini == 0.75
+
+
+def test_power_users_pareto_hand_case(spark):
+    """Four users with cent totals 7000/2000/900/100: top-1% clamps to
+    the single biggest user (share 0.7), top-50% takes two users
+    (share 0.9), top-10% also clamps to one."""
+    import datetime as dt
+    import tempfile
+
+    from ram_datapipeline_spark import queries as Q
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, total in [(1, 70.0), (2, 20.0), (3, 9.0), (4, 1.0)]:
+        rows.append((eid, base, uid, "click", total, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        events.write.parquet(d + "/events.parquet")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"]:
+            spark.range(0).write.parquet(d + f"/{t}.parquet")
+        out = {
+            r.pct: r
+            for r in Q.REGISTRY["ev_power_users_pareto"].builder(spark, d).collect()
+        }
+    assert out[1].k_users == 1 and out[1].top_cents == 7000
+    assert out[1].share == 0.7
+    assert out[10].k_users == 1 and out[10].share == 0.7
+    assert out[50].k_users == 2 and out[50].top_cents == 9000
+    assert out[50].share == 0.9

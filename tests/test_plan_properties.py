@@ -915,3 +915,28 @@ def test_scene_cut_no_post_kernel_window(spark):
     p = plan_text(spark, "mm_scene_cut")
     assert n_ops(p, "Window") == 0
     assert n_data_shuffles(p) == 0
+
+
+def test_gini_single_key_exchange(spark):
+    """agg_gini_value: rank window + aggregate share one key hash
+    partitioning — exactly one data exchange."""
+    p = plan_text(spark, "agg_gini_value")
+    assert n_data_shuffles(p) == 1
+    # two Window nodes (ordered rank + whole-partition count), same exchange
+    assert n_ops(p, "Window") == 2
+
+
+def test_interval_merge_single_key_exchange(spark):
+    """ts_interval_merge: both ordered windows and the island aggregate
+    ride one user_id exchange."""
+    p = plan_text(spark, "ts_interval_merge")
+    assert n_data_shuffles(p) == 1
+
+
+def test_power_users_pareto_no_single_partition_window(spark):
+    """ev_power_users_pareto gets its global rank/cum from the
+    range-exchange prefix-sum primitive: no Window operator (and hence
+    no empty-partition-spec global window) anywhere in the final plan."""
+    p = plan_text(spark, "ev_power_users_pareto")
+    assert n_ops(p, "Window") == 0
+    assert "CartesianProduct" not in p

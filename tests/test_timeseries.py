@@ -510,3 +510,38 @@ def test_theil_sen_outlier_resistance(spark):
     # the two middle fractions both reduce to 10 cents/hour
     assert t.num_lo * t.den_hi == t.num_hi * t.den_lo
     assert t.num_lo == 10 * t.den_lo
+
+
+def test_interval_merge_islands(spark):
+    """Three events 30s apart chain into one island (60s windows
+    overlap end-to-end); a fourth event 2 minutes later starts its
+    own; a second user's single event is its own island."""
+    from ram_datapipeline_spark import queries as Q
+
+    import tempfile
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=30), 1, "a", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=60), 1, "a", 1.0, "{}"),
+        (4, base + dt.timedelta(seconds=300), 1, "a", 1.0, "{}"),
+        (5, base, 2, "a", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        events.write.parquet(d + "/events.parquet")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"]:
+            spark.range(0).write.parquet(d + f"/{t}.parquet")
+        got = sorted(
+            Q.REGISTRY["ts_interval_merge"].builder(spark, d).collect(),
+            key=lambda r: (r.user_id, r.island),
+        )
+    assert [(r.user_id, r.n_intervals) for r in got] == [(1, 3), (1, 1), (2, 1)]
+    first = got[0]
+    assert first.end_us - first.start_us == 120_000_000  # 0s..60s+60s
