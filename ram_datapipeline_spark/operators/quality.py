@@ -1072,18 +1072,21 @@ def cramers_v_assoc(
     corpus facets (source × language, event type × hour) are
     independent or entangled (Cramér 1946, public-domain statistics).
 
-    FIXED-POINT EXACT: the classic per-cell term (O−E)²/E expands to
-    (O·N − r·c)²/(N·r·c); each cell contributes the BIGINT
+    DETERMINISTIC FIXED-POINT: the classic per-cell term (O−E)²/E
+    expands to (O·N − r·c)²/(N·r·c); each cell contributes the BIGINT
 
-        q_cell = (O·N − r·c)² DIV (r·c)
+        q_cell = FLOOR((O·N − r·c)² / (r·c))
 
-    (integer division — identical in any engine), summed exactly over
-    the DENSIFIED grid (empty cells contribute r·c, their exact
-    expectation term), and divided by N once: chi2 = Σq/N. Cramér's V
-    is the pinned IEEE chain sqrt(chi2 / (N·min(R−1, C−1))). The
-    per-cell floor replaces the float-summation nondeterminism the
-    rational sum would otherwise require; int64-exact while
-    (O·N)² < 2^63 — holds to ~3·10⁹ rows.
+    where the difference, square and division run through a pinned
+    correctly-rounded double chain (every factor an exact int64, so
+    the chain is engine-identical at any scale and never overflows —
+    the BIGINT product form threw ARITHMETIC_OVERFLOW at the 64×
+    probe); q_cell < 2^53 always (it is bounded by N times the cell's
+    chi² share), so the floored BIGINT is exact. Cells are summed
+    exactly over the DENSIFIED grid (empty cells contribute their
+    exact expectation term) and divided by N once: chi2 = Σq/N.
+    Cramér's V is the pinned IEEE chain sqrt(chi2/(N·min(R−1, C−1)));
+    below 2^53 the chain coincides with exact integer division.
 
     Scale shape: ONE map-side-combined (row, col) count behind an eager
     checkpoint barrier (three derivations consume it); marginals ride
@@ -1109,9 +1112,19 @@ def cramers_v_assoc(
         "_n",
         "r_levels",
         "c_levels",
+        # a = O·N − r·c and its square leave integer space through a
+        # pinned correctly-rounded double chain (the BIGINT product
+        # overflows around N ~ 10^6 with concentrated cells — the 64x
+        # probe regime); q itself stays < 2^53 (q <= N·chi2-share), so
+        # the floored BIGINT is exact and engine-identical
         F.expr(
-            "CAST((_o * _n - _r * _c) * (_o * _n - _r * _c) DIV (_r * _c)"
-            " AS BIGINT)"
+            "CAST(FLOOR("
+            "  (CAST(_o AS DOUBLE) * CAST(_n AS DOUBLE)"
+            "   - CAST(_r AS DOUBLE) * CAST(_c AS DOUBLE))"
+            "  * (CAST(_o AS DOUBLE) * CAST(_n AS DOUBLE)"
+            "     - CAST(_r AS DOUBLE) * CAST(_c AS DOUBLE))"
+            "  / (CAST(_r AS DOUBLE) * CAST(_c AS DOUBLE))"
+            ") AS BIGINT)"
         ).alias("_q"),
     )
     out = cells.groupBy("_n", "r_levels", "c_levels").agg(
@@ -1145,11 +1158,11 @@ def spearman_corr(
     INTEGER-EXACT midranks: with min-rank r and tie count c for a
     value, TWICE the midrank is the BIGINT 2r + c − 1, so all five
     sufficient statistics (Σrx, Σry, Σrx², Σry², Σrx·ry over doubled
-    midranks) are exact integer sums; doubling cancels in the
-    correlation. rho is the pinned IEEE chain covn/sqrt(vxn·vyn) over
-    exactly-converted int64s (same contract as ``acf_lags``).
-    Int64-exact while n³ ≲ 2^61 per key (~10^6 rows/key); the marked
-    cast is the decimal(38,0) upgrade point.
+    midranks) are exact integer sums (int64-safe to ~10^6 rows/key —
+    Σr² grows as 4n³/3); doubling cancels in the correlation. The
+    derived moments covn/vxn/vyn leave integer space through the same
+    pinned correctly-rounded double chain as ``acf_lags`` — emitted as
+    engine-identical doubles at any scale, never an int64 overflow.
 
     Scale shape: ONE hash exchange on the key — both rank windows and
     both tie-count windows reuse the same partitioning (Spark re-sorts
@@ -1185,10 +1198,17 @@ def spearman_corr(
         F.sum(F.col("_ry") * F.col("_ry")).cast("long").alias("_syy"),
         F.sum(F.col("_rx") * F.col("_ry")).cast("long").alias("_sxy"),
     )
-    # decimal(38,0) upgrade point for beyond-int64 key sizes
-    covn = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("long")
-    vxn = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("long")
-    vyn = (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("long")
+    # the n·Σ products leave integer space through the same pinned
+    # correctly-rounded double chain as acf_lags — overflow-proof at
+    # any key size, engine-identical (each factor is an exact int64)
+    def _nd(a: str, b: str, c: str, d: str) -> Column:
+        return F.col(a).cast("double") * F.col(b).cast("double") - F.col(
+            c
+        ).cast("double") * F.col(d).cast("double")
+
+    covn = _nd("n", "_sxy", "_sx", "_sy")
+    vxn = _nd("n", "_sxx", "_sx", "_sx")
+    vyn = _nd("n", "_syy", "_sy", "_sy")
     return agg.select(
         *key_cols,
         "n",
@@ -1199,10 +1219,7 @@ def spearman_corr(
         "rho",
         F.when(
             (F.col("vxn") == 0) | (F.col("vyn") == 0), F.lit(None)
-        ).otherwise(
-            F.col("covn").cast("double")
-            / F.sqrt(F.col("vxn").cast("double") * F.col("vyn").cast("double"))
-        ),
+        ).otherwise(F.col("covn") / F.sqrt(F.col("vxn") * F.col("vyn"))),
     )
 
 

@@ -629,18 +629,15 @@ def acf_lags(
 
     Exactness: all five sufficient statistics (Σx, Σy, Σx², Σy², Σxy)
     are BIGINT sums over scaled-integer values — no float accumulates,
-    so any shuffle order and any engine reproduce them bit-for-bit.
-    The correlation itself is the pinned-order IEEE expression
-
-        covn / sqrt(vxn · vyn),   covn = n·Σxy − Σx·Σy,
-                                  vxn  = n·Σx² − (Σx)², vyn likewise,
-
-    evaluated on exactly-convertible BIGINTs: int64→double conversion,
-    multiplication, division and sqrt are all correctly rounded, so the
-    double matches across engines. NULL when either variance is zero
-    (constant run). Int64-exact while n·Σx² < 2^63 — cents ≤ 10^4 holds
-    to ~10^10 rows per key; beyond that, cast the stats to
-    decimal(38,0) at the marked line.
+    so any shuffle order and any engine reproduce them bit-for-bit
+    (int64-safe while Σx² < 2^63, i.e. ~10^8 rows/key at cents ~ 10^5).
+    The derived moments leave integer space through a PINNED double
+    chain — covn = n·Σxy − Σx·Σy etc. with every factor an exact int64
+    and every conversion/multiply/subtract correctly rounded — so the
+    emitted doubles (covn, vxn, vyn, acf) are engine-identical at ANY
+    scale and never overflow (the 64× probe threw ARITHMETIC_OVERFLOW
+    under ANSI mode when these were BIGINT products). NULL acf when
+    either variance is zero (constant run).
 
     Scale shape: ONE key-partitioned ordered window pass computes every
     lead in the same sort (one exchange of the events), the lag
@@ -679,10 +676,20 @@ def acf_lags(
         F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
         F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
     )
-    # decimal(38,0) upgrade point for beyond-int64 key sizes
-    covn = (F.col("n_pairs") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("long")
-    vxn = (F.col("n_pairs") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("long")
-    vyn = (F.col("n_pairs") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("long")
+    # the n·Σ products leave integer space HERE (they overflow int64
+    # around 10^6 rows/key with cents ~ 10^5 — the 64x probe proved it
+    # under ANSI mode): each factor is an EXACT int64, and int64→double
+    # conversion, multiplication and subtraction are all correctly
+    # rounded, so the pinned double chain is engine-identical at any
+    # scale while never throwing
+    def _nd(a: str, b: str, c: str, d: str) -> F.Column:
+        return F.col(a).cast("double") * F.col(b).cast("double") - F.col(
+            c
+        ).cast("double") * F.col(d).cast("double")
+
+    covn = _nd("n_pairs", "_sxy", "_sx", "_sy")
+    vxn = _nd("n_pairs", "_sxx", "_sx", "_sx")
+    vyn = _nd("n_pairs", "_syy", "_sy", "_sy")
     return agg.select(
         *key_cols,
         "lag_k",
@@ -694,10 +701,7 @@ def acf_lags(
         "acf",
         F.when(
             (F.col("vxn") == 0) | (F.col("vyn") == 0), F.lit(None)
-        ).otherwise(
-            F.col("covn").cast("double")
-            / F.sqrt(F.col("vxn").cast("double") * F.col("vyn").cast("double"))
-        ),
+        ).otherwise(F.col("covn") / F.sqrt(F.col("vxn") * F.col("vyn"))),
     )
 
 

@@ -2163,7 +2163,13 @@ def q_ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (
       SELECT t.n, t.r_levels, t.c_levels,
-             (o * t.n - r * c) * (o * t.n - r * c) // (r * c) AS q
+             CAST(floor(
+               (CAST(o AS DOUBLE) * CAST(t.n AS DOUBLE)
+                - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+               * (CAST(o AS DOUBLE) * CAST(t.n AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+             ) AS BIGINT) AS q
       FROM dense CROSS JOIN tot t
     )
     SELECT n, r_levels, c_levels,
@@ -2229,14 +2235,23 @@ def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked GROUP BY event_type
     )
     SELECT event_type, n,
-           CAST(n * sxy - sx * sy AS BIGINT) AS covn,
-           CAST(n * sxx - sx * sx AS BIGINT) AS vxn,
-           CAST(n * syy - sy * sy AS BIGINT) AS vyn,
-           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+           CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+           CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxn,
+           CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyn,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                  OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
                 THEN NULL
-                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
-                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                            * CAST(n * syy - sy * sy AS DOUBLE))
+                ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
            END AS rho
     FROM agg
     """,

@@ -618,14 +618,23 @@ def q_ts_seasonal_means(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY event_type, lag_k
     )
     SELECT event_type, lag_k, n_pairs,
-           CAST(n_pairs * sxy - sx * sy AS BIGINT) AS covn,
-           CAST(n_pairs * sxx - sx * sx AS BIGINT) AS vxn,
-           CAST(n_pairs * syy - sy * sy AS BIGINT) AS vyn,
-           CASE WHEN n_pairs * sxx - sx * sx = 0
-                  OR n_pairs * syy - sy * sy = 0 THEN NULL
-                ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-                     / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
-                            * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+           CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+           CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxn,
+           CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyn,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                  OR CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+                THEN NULL
+                ELSE (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
            END AS acf
     FROM agg
     """,
