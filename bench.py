@@ -171,6 +171,7 @@ HEADLINE = [
     "agg_gini_value",           # exact Gini value-inequality per key
     "ev_power_users_pareto",    # top-k% user value shares (range-exchange)
     "ts_interval_merge",        # gaps-and-islands interval union
+    "mm_audio_vad",             # voice-activity segments (energy islands)
 ]
 
 

@@ -584,3 +584,76 @@ def q_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return scene_cut_frames(synthesize_media(t["documents"]), threshold=1000)
+
+
+@query(
+    "mm_audio_vad",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    a AS (
+      SELECT media_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM m WHERE kind = 'audio'
+    ),
+    fr AS (
+      SELECT media_id, CAST(u.f AS BIGINT) AS frame_idx,
+             CAST(list_sum(list_transform(
+               generate_series(CAST(u.f * 64 + 1 AS INT),
+                               CAST(least((u.f + 1) * 64, n) AS INT)),
+               p -> unicode(substring(text, p, 1))
+                    * unicode(substring(text, p, 1))
+             )) AS BIGINT) AS energy
+      FROM a, LATERAL (
+        SELECT unnest(generate_series(0, (n + 63) // 64 - 1)) AS f
+      ) u
+    ),
+    act AS (
+      SELECT media_id, frame_idx, energy,
+             frame_idx - row_number() OVER (
+               PARTITION BY media_id ORDER BY frame_idx) AS grp
+      FROM fr WHERE energy > 623000
+    )
+    SELECT media_id,
+           CAST(min(frame_idx) AS BIGINT) AS start_frame,
+           CAST(max(frame_idx) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS sum_energy
+    FROM act GROUP BY media_id, grp
+    """,
+    survey=(
+        "multimodal: voice-activity segments — per-frame BIGINT energy "
+        "from the Arrow audio kernel, frames above the threshold "
+        "coalesced into maximal consecutive runs via the classic "
+        "frame_idx - row_number island key; one media-keyed exchange "
+        "after the zero-shuffle kernel (north star)"
+    ),
+    tags=("multimodal",),
+)
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold VAD over the fake-decode audio catalog:
+    multimodal/media.py::audio_frame_energy (one Arrow pass, zero
+    exchanges) -> active frames -> consecutive-run islands (one
+    media_id exchange shared by the window and the segment
+    aggregate)."""
+    from pyspark.sql import Window
+
+    from ram_datapipeline_spark.multimodal.media import (
+        audio_frame_energy,
+        synthesize_media,
+    )
+
+    t = load_tables(spark, sf_dir)
+    frames = audio_frame_energy(synthesize_media(t["documents"]), frame_len=64)
+    active = frames.where(F.col("energy") > 623000)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    grp = active.select(
+        "media_id",
+        "frame_idx",
+        "energy",
+        (F.col("frame_idx") - F.row_number().over(w)).alias("_grp"),
+    )
+    return grp.groupBy("media_id", "_grp").agg(
+        F.min("frame_idx").cast("long").alias("start_frame"),
+        F.max("frame_idx").cast("long").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("sum_energy"),
+    ).drop("_grp")

@@ -195,7 +195,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # shares (two range exchanges on the user grain), interval
           # merge (two windows + agg on one key exchange)
           "agg_gini_value", "ev_power_users_pareto",
-          "ts_interval_merge"]
+          "ts_interval_merge",
+          # round-10 late addition: VAD (zero-shuffle kernel + one
+          # media-keyed island exchange)
+          "mm_audio_vad"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -596,3 +596,43 @@ def test_scene_cut_hand_payload(spark):
     assert not by_f[0].is_cut
     assert by_f[1].energy == 4 * 122 and by_f[1].delta == 100
     assert by_f[1].is_cut
+
+
+def test_audio_vad_islands(spark):
+    """VAD segmentation on a hand payload: loud (all 'z') / quiet
+    (spaces) / loud frames produce exactly two single-frame segments
+    with exact energies; consecutive loud frames merge into one run."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark.multimodal.media import audio_frame_energy
+
+    loud = b"z" * 64          # 64 * 122^2 = 952576
+    quiet = b" " * 64         # 64 * 32^2  = 65536
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(loud + quiet + loud)),
+            (2, "audio", bytearray(loud + loud)),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    frames = audio_frame_energy(media, frame_len=64)
+    active = frames.where(F.col("energy") > 600000)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    segs = (
+        active.select(
+            "media_id", "frame_idx", "energy",
+            (F.col("frame_idx") - F.row_number().over(w)).alias("_g"),
+        )
+        .groupBy("media_id", "_g")
+        .agg(
+            F.min("frame_idx").alias("s"),
+            F.max("frame_idx").alias("e"),
+            F.sum("energy").alias("sum_e"),
+        )
+        .collect()
+    )
+    one = sorted([(r.s, r.e, r.sum_e) for r in segs if r.media_id == 1])
+    assert one == [(0, 0, 64 * 122 * 122), (2, 2, 64 * 122 * 122)]
+    two = [(r.s, r.e, r.sum_e) for r in segs if r.media_id == 2]
+    assert two == [(0, 1, 2 * 64 * 122 * 122)]

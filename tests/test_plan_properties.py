@@ -940,3 +940,11 @@ def test_power_users_pareto_no_single_partition_window(spark):
     p = plan_text(spark, "ev_power_users_pareto")
     assert n_ops(p, "Window") == 0
     assert "CartesianProduct" not in p
+
+
+def test_audio_vad_single_exchange_after_kernel(spark):
+    """mm_audio_vad: the Arrow energy kernel is shuffle-free; the island
+    window and the segment aggregate share ONE media_id exchange."""
+    p = plan_text(spark, "mm_audio_vad")
+    assert n_data_shuffles(p) == 1
+    assert "CartesianProduct" not in p
