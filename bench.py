@@ -172,6 +172,8 @@ HEADLINE = [
     "ev_power_users_pareto",    # top-k% user value shares (range-exchange)
     "ts_interval_merge",        # gaps-and-islands interval union
     "mm_audio_vad",             # voice-activity segments (energy islands)
+    "agg_benford_digits",       # Benford first-digit conformity screen
+    "agg_anova_f",              # one-way ANOVA F mean-shift screen
 ]
 
 

@@ -65,6 +65,15 @@ def load_tables(
     key = (id(spark), sf_dir, register)
     cached = _CACHE.get(key)
     if cached is not None:
+        if register:
+            # Re-register on EVERY hit: a builder pointed at another
+            # sf_dir (tests replay fixtures through temp dirs) replaces
+            # the session's temp views, and a cache hit that skipped
+            # re-registration would leave spark.sql() builders reading
+            # the foreign tables (caught by the full-suite run in r10 —
+            # 17 SQL-surface queries failed after a temp-fixture test).
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
         return dict(cached)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamps in the fixtures are naive instants; all date formatting /

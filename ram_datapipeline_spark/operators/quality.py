@@ -1274,3 +1274,146 @@ def gini_coefficient(
             F.col("gini_num").cast("double") / F.col("gini_den").cast("double")
         ),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9, in 1e-9
+# fixed point — the SAME integer literals are embedded in the SQL oracle,
+# so no engine evaluates a logarithm anywhere.
+BENFORD_FP: tuple[int, ...] = (
+    301029996, 176091259, 124938737, 96910013, 79181246,
+    66946790, 57991947, 51152522, 45757491,
+)
+
+
+def benford_deviation(
+    df: DataFrame,
+    group_col: str,
+    cents: Column,
+) -> DataFrame:
+    """Benford first-digit conformity screen per group (Newcomb 1881 /
+    Benford 1938, public-domain statistics) — the classic
+    fabricated-or-synthetic-data detector a data-quality gate runs on
+    financial-style value columns.
+
+    INTEGER-EXACT: first digits come from the decimal string of the
+    positive scaled value; expected probabilities are 1e-9 FIXED-POINT
+    CONSTANTS (no engine evaluates log10 — the literals above appear
+    verbatim in both plans). The deviation is the BIGINT maximum of
+    |obs_d·10⁹ − n·exp_fp_d| over the nine digits — the sup-norm
+    distance between observed and Benford distributions in n·10⁻⁹
+    grains — with one IEEE division for the reported ``mad``.
+
+    Scale shape: ONE map-side-combined (group, digit) count, eagerly
+    local-checkpointed (two derivations consume it — the KS-substrate
+    discipline); the deviation fold runs on the groups × 9 grain
+    joined to a 9-row broadcast constant table. Zero-valued rows are
+    excluded (no first digit), matching Benford's domain.
+    """
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(d + 1, fp) for d, fp in enumerate(BENFORD_FP)],
+        "digit long, exp_fp long",
+    )
+    v = cents.cast("long")
+    digits = df.select(
+        F.col(group_col),
+        F.substring(v.cast("string"), 1, 1).cast("long").alias("digit"),
+    ).where(v > 0)
+    pc = digits.groupBy(group_col, "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    # groups x 9 grain barrier: one input scan feeds both derivations
+    pc = pc.localCheckpoint(eager=True)
+    sizes = pc.groupBy(group_col).agg(F.sum("obs").cast("long").alias("n"))
+    dense = (
+        sizes.crossJoin(F.broadcast(exp))
+        .join(pc, [group_col, "digit"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0).cast("long")))
+    )
+    dev = dense.select(
+        group_col,
+        "n",
+        F.abs(
+            F.col("obs") * F.lit(1_000_000_000).cast("long")
+            - F.col("n") * F.col("exp_fp")
+        )
+        .cast("long")
+        .alias("_d"),
+    )
+    return (
+        dev.groupBy(group_col)
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("_d").cast("long").alias("mad_num"),
+        )
+        .withColumn(
+            "mad",
+            F.col("mad_num").cast("double")
+            / (F.col("n").cast("double") * F.lit(1e9)),
+        )
+    )
+
+
+def anova_f_oneway(
+    df: DataFrame,
+    group_col: str,
+    cents: Column,
+) -> DataFrame:
+    """One-way ANOVA F statistic across ALL groups (Fisher, public-
+    domain statistics) — the parametric mean-shift screen completing
+    the drift family (KS: worst ECDF gap; Mann–Whitney: stochastic
+    ordering; F: between-group vs within-group variance). Emits ONE
+    row: (k, n, ssb, ssw, f_stat).
+
+    DETERMINISTIC: per-group sufficient statistics (n_g, S_g, Sxx_g)
+    are exact BIGINTs; the between/within sums of squares leave
+    integer space per group through the pinned correctly-rounded
+    chain S_g²/n_g FLOORED to BIGINT (deterministic in any engine;
+    < 2^63 since S_g²/n_g ≤ n_g·max²), then BIGINT-summed across
+    groups — no order-dependent float accumulation. F is the final
+    pinned double ratio; NULL when k < 2 or n ≤ k or SSW = 0.
+
+    Scale shape: one map-side-combined group aggregate (the only
+    row-scale pass), then a k-row fold.
+    """
+    v = cents.cast("long")
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(v).cast("long").alias("_s"),
+        F.sum(v * v).cast("long").alias("_sxx"),
+    )
+    term = F.floor(
+        F.col("_s").cast("double")
+        * F.col("_s").cast("double")
+        / F.col("_n").cast("double")
+    ).cast("long")
+    folded = per.select(
+        F.col("_n"), F.col("_s"), F.col("_sxx"), term.alias("_t")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_s").cast("long").alias("_stot"),
+        F.sum("_sxx").cast("long").alias("_sxxtot"),
+        F.sum("_t").cast("long").alias("_ssb_raw"),
+    )
+    grand = F.floor(
+        F.col("_stot").cast("double")
+        * F.col("_stot").cast("double")
+        / F.col("n").cast("double")
+    ).cast("long")
+    out = folded.select(
+        "k",
+        "n",
+        (F.col("_ssb_raw") - grand).cast("long").alias("ssb"),
+        (F.col("_sxxtot") - F.col("_ssb_raw")).cast("long").alias("ssw"),
+    )
+    return out.withColumn(
+        "f_stat",
+        F.when(
+            (F.col("k") < 2) | (F.col("n") <= F.col("k")) | (F.col("ssw") <= 0),
+            F.lit(None),
+        ).otherwise(
+            (F.col("ssb").cast("double") / (F.col("k") - 1).cast("double"))
+            / (F.col("ssw").cast("double") / (F.col("n") - F.col("k")).cast("double"))
+        ),
+    )

@@ -76,10 +76,10 @@ GATE_ORDER: tuple[str, ...] = (
     # interleave / SNM), the as-of family's intra-ts dedupe gained the
     # payload-extended deterministic sort, and the KMV profile's
     # certification union became a balanced tree; (d) the stalest
-    # driver-proof tier — r5-proven queries untouched since, 15 of the
-    # 42 (fourteen of the published 29 were displaced late in round 10
-    # by the fourteen r10-born first-timers below — first-timers
-    # outrank re-proofs of code-stable queries; the displaced fourteen
+    # driver-proof tier — r5-proven queries untouched since, 13 of the
+    # 42 (sixteen of the published 29 were displaced late in round 10
+    # by the sixteen r10-born first-timers below — first-timers
+    # outrank re-proofs of code-stable queries; the displaced sixteen
     # plus the 13 already queued are published in
     # tests/test_registry_gate.py::NEXT_ROUND_ROTATION for r11).
     #
@@ -105,6 +105,8 @@ GATE_ORDER: tuple[str, ...] = (
     "ev_power_users_pareto",
     "ts_interval_merge",
     "mm_audio_vad",
+    "agg_benford_digits",
+    "agg_anova_f",
     # (b) the five published re-proof slots (r4-tier window/vector
     # shapes + the as-of gate over the r9-changed operator)
     "vec_quantize_int8",
@@ -124,8 +126,6 @@ GATE_ORDER: tuple[str, ...] = (
     "j_asof_tolerance",
     "pipe_profile_table_kmv",
     # (d) stalest driver-proof tier (last proven r5)
-    "agg_grouping_sets",
-    "agg_percentiles",
     "dedup_connected_components",
     "dedup_embedding_cosine",
     "dedup_exact",

@@ -2507,3 +2507,122 @@ def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").cast("long").alias("end_us"),
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
     )
+
+
+@query(
+    "agg_benford_digits",
+    oracle="""
+    WITH exp_fp AS (
+      SELECT * FROM (VALUES
+        (1, 301029996), (2, 176091259), (3, 124938737),
+        (4, 96910013), (5, 79181246), (6, 66946790),
+        (7, 57991947), (8, 51152522), (9, 45757491)
+      ) AS t(digit, exp_fp)
+    ),
+    digits AS (
+      SELECT event_type,
+             CAST(substring(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM events
+      WHERE CAST(floor(value * 100.0 + 0.5) AS BIGINT) > 0
+    ),
+    pc AS (
+      SELECT event_type, digit, CAST(count(*) AS BIGINT) AS obs
+      FROM digits GROUP BY event_type, digit
+    ),
+    sizes AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS n
+              FROM pc GROUP BY event_type),
+    dense AS (
+      SELECT s.event_type, s.n, e.exp_fp, COALESCE(p.obs, 0) AS obs
+      FROM sizes s CROSS JOIN exp_fp e
+      LEFT JOIN pc p ON p.event_type = s.event_type AND p.digit = e.digit
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(abs(obs * 1000000000 - n * exp_fp)) AS BIGINT)
+             AS mad_num,
+           CAST(max(abs(obs * 1000000000 - n * exp_fp)) AS DOUBLE)
+             / (CAST(max(n) AS DOUBLE) * 1e9) AS mad
+    FROM dense GROUP BY event_type
+    """,
+    survey=(
+        "Benford first-digit conformity screen per group: observed "
+        "digit counts vs 1e-9 FIXED-POINT Benford constants (identical "
+        "integer literals in both engines — no log10 anywhere), "
+        "sup-norm deviation as a BIGINT max; the fabricated-data "
+        "detector of the data-quality gate (beyond-ref drift family)"
+    ),
+    tags=("analytic",),
+)
+def q_agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford deviation of event values per event type
+    (operators/quality.py::benford_deviation)."""
+    from ram_datapipeline_spark.operators.quality import benford_deviation
+
+    t = load_tables(spark, sf_dir)
+    return benford_deviation(
+        t["events"], "event_type", F.floor(F.col("value") * 100.0 + 0.5)
+    )
+
+
+@query(
+    "agg_anova_f",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s_g,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sxx_g,
+             CAST(floor(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                             AS DOUBLE)
+                        * CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                               AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS t_g
+      FROM events GROUP BY event_type
+    ),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS stot,
+             CAST(sum(sxx_g) AS BIGINT) AS sxxtot,
+             CAST(sum(t_g) AS BIGINT) AS ssb_raw
+      FROM per
+    ),
+    o AS (
+      SELECT k, n,
+             CAST(ssb_raw - CAST(floor(CAST(stot AS DOUBLE)
+                                       * CAST(stot AS DOUBLE)
+                                       / CAST(n AS DOUBLE)) AS BIGINT)
+                  AS BIGINT) AS ssb,
+             CAST(sxxtot - ssb_raw AS BIGINT) AS ssw
+      FROM folded
+    )
+    SELECT k, n, ssb, ssw,
+           CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN NULL
+                ELSE (CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                     / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE))
+           END AS f_stat
+    FROM o
+    """,
+    survey=(
+        "one-way ANOVA F across all groups: BIGINT per-group "
+        "sufficient statistics, S^2/n floored through the pinned "
+        "double chain then BIGINT-summed (no float accumulation "
+        "order), one final ratio — the parametric mean-shift screen "
+        "completing KS / Mann-Whitney (beyond-ref drift family)"
+    ),
+    tags=("analytic",),
+)
+def q_agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of event values across event types
+    (operators/quality.py::anova_f_oneway): one map-side-combined
+    group aggregate, then a k-row fold."""
+    from ram_datapipeline_spark.operators.quality import anova_f_oneway
+
+    t = load_tables(spark, sf_dir)
+    return anova_f_oneway(
+        t["events"], "event_type", F.floor(F.col("value") * 100.0 + 0.5)
+    )

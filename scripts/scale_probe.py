@@ -198,7 +198,10 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "ts_interval_merge",
           # round-10 late addition: VAD (zero-shuffle kernel + one
           # media-keyed island exchange)
-          "mm_audio_vad"]
+          "mm_audio_vad",
+          # round-10 late additions: Benford (one (group, digit) count
+          # + 9-row broadcast), ANOVA F (one group agg + k-row fold)
+          "agg_benford_digits", "agg_anova_f"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

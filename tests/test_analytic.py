@@ -1720,3 +1720,53 @@ def test_power_users_pareto_hand_case(spark):
     assert out[10].k_users == 1 and out[10].share == 0.7
     assert out[50].k_users == 2 and out[50].top_cents == 9000
     assert out[50].share == 0.9
+
+
+def test_benford_perfect_and_uniform(spark):
+    """A multiset exactly matching the 1e-9 fixed-point Benford weights
+    is impossible at small n, but a single-digit degenerate group is a
+    clean extreme: all values starting with 9 give mad_num =
+    n*(1e9 - exp_fp_9)... checked directly; and the digit extraction
+    skips zero values."""
+    from ram_datapipeline_spark.operators.quality import (
+        BENFORD_FP,
+        benford_deviation,
+    )
+
+    rows = [("nines", 9.0, 1), ("nines", 95.0, 2), ("nines", 0.0, 3)]
+    df = spark.createDataFrame(rows, "g string, value double, i long")
+    out = benford_deviation(
+        df, "g", F.floor(F.col("value") * 100.0 + 0.5)
+    ).collect()[0]
+    assert out.n == 2  # the zero row is excluded
+    # digit 9 observed twice: |2e9 - 2*exp_9| vs worst over other digits
+    # |0 - 2*exp_1| = 2*301029996 < |2e9 - 2*45757491| = 1908485018
+    assert out.mad_num == 2 * (10**9 - BENFORD_FP[8])
+    assert abs(out.mad - out.mad_num / 2e9) < 1e-15
+
+
+def test_anova_f_identical_vs_shifted(spark):
+    """Identical group means give SSB = 0 (F = 0); a clean shift with
+    zero within-variance gives SSW = 0 (F NULL by the guard); the
+    hand case with within-variance matches the textbook value."""
+    from ram_datapipeline_spark.operators.quality import anova_f_oneway
+
+    same = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 3.0, 2), ("b", 1.0, 3), ("b", 3.0, 4)],
+        "g string, value double, i long",
+    )
+    r = anova_f_oneway(same, "g", F.floor(F.col("value") * 100.0 + 0.5)).collect()[0]
+    assert r.ssb == 0 and r.f_stat == 0.0
+
+    # groups (100,300) and (300,500): SSB = 4*100^2 = 40000 cents^2?
+    shifted = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 3.0, 2), ("b", 3.0, 3), ("b", 5.0, 4)],
+        "g string, value double, i long",
+    )
+    r = anova_f_oneway(shifted, "g", F.floor(F.col("value") * 100.0 + 0.5)).collect()[0]
+    # means 200 vs 400, grand 300: ssb = 2*(100^2)*2 = 40000
+    assert r.ssb == 40000
+    # ssw = per group sum (x-mean)^2 = 2*10000 + 2*10000 = 40000
+    assert r.ssw == 40000
+    # F = (40000/1) / (40000/2) = 2.0
+    assert r.f_stat == 2.0

@@ -948,3 +948,20 @@ def test_audio_vad_single_exchange_after_kernel(spark):
     p = plan_text(spark, "mm_audio_vad")
     assert n_data_shuffles(p) == 1
     assert "CartesianProduct" not in p
+
+
+def test_benford_single_corpus_pass(spark):
+    """agg_benford_digits: one map-side (group, digit) count; the
+    digit grid rides a broadcast — no second corpus exchange, no
+    cartesian."""
+    p = plan_text(spark, "agg_benford_digits")
+    assert "CartesianProduct" not in p
+    assert n_ops(p, "Scan parquet") == 0  # checkpoint barrier took the scan
+
+
+def test_anova_single_group_aggregate(spark):
+    """agg_anova_f: exactly one corpus exchange (the group aggregate);
+    the fold above it is k-row."""
+    p = plan_text(spark, "agg_anova_f")
+    assert n_ops(p, "Scan parquet") == 1
+    assert n_data_shuffles(p) <= 2  # group agg + 1-row final fold

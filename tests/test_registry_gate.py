@@ -101,19 +101,19 @@ def test_gated_queries_all_have_oracles():
 
 # Rotation candidates for the NEXT round's window. Every registered query
 # is past-proven or in the current window (nothing invisible). Round 10
-# spent its window on the 20 never-gated queries (4 r9-born + the 2
-# r10-born incremental-dedup gates + the 14 late-r10-born drift/trend/
+# spent its window on the 22 never-gated queries (4 r9-born + the 2
+# r10-born incremental-dedup gates + the 16 late-r10-born drift/trend/
 # quality/graph/multimodal/event gates: KS drift, ACF, Theil-Sen,
 # Gopher rules, Mann-Whitney, funnel latency, Cramer's V, resource
 # allocation, Spearman, scene cut, Gini, power-user Pareto, interval
-# merge, audio VAD — which displaced fourteen stale-tier re-proof
-# slots), the 5 re-proof slots round 9 published, the 10 queries whose
-# operator code changed in r10 (checkpointed layout stage, as-of
-# tiebreak extension, KMV balanced union), and 15 of the 42 stalest
-# (r5-proven) entries. These are the remaining 13 r5-proven entries
-# plus the 14 displaced ones — all code-stable, all green in every
-# per-round full-registry sweep at sf0.01 AND sf0.1 — queued for the
-# r11 window.
+# merge, audio VAD, Benford, ANOVA F — which displaced sixteen
+# stale-tier re-proof slots), the 5 re-proof slots round 9 published,
+# the 10 queries whose operator code changed in r10 (checkpointed
+# layout stage, as-of tiebreak extension, KMV balanced union), and 13
+# of the 42 stalest (r5-proven) entries. These are the remaining 13
+# r5-proven entries plus the 16 displaced ones — all code-stable, all
+# green in every per-round full-registry sweep at sf0.01 AND sf0.1 —
+# queued for the r11 window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "a2_pivot_eav",
     "a3_unpivot_stack",
@@ -121,6 +121,8 @@ NEXT_ROUND_ROTATION: tuple[str, ...] = (
     "a5_union_all",
     "a6_grouped_count",
     "agg_cube_orders",
+    "agg_grouping_sets",
+    "agg_percentiles",
     "f_scalar_kit",
     "f_string_kit",
     "f7_date_parts",

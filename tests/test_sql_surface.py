@@ -50,3 +50,26 @@ def test_sql_equals_dataframe_api(spark, duck):
     via_duck = duck.execute(sql).df()
     assert_frames_match(via_sql, via_df, name="sql_vs_df")
     assert_frames_match(via_sql, via_duck, name="sql_vs_duck")
+
+
+def test_views_recover_after_foreign_sf_dir(spark, tmp_path):
+    """Regression (r10 full-suite failure): a builder pointed at a
+    foreign sf_dir replaces the session temp views; a subsequent
+    load_tables(SF_DIR) cache hit must RE-REGISTER the canonical views
+    or every spark.sql() builder afterwards reads the foreign tables."""
+    from pyspark.sql import functions as F
+
+    from ram_datapipeline_spark import queries as Q
+    from ram_datapipeline_spark.catalog import TABLE_NAMES, load_tables
+    from tests.conftest import SF_DIR
+
+    d = tmp_path / "foreign"
+    d.mkdir()
+    for t in TABLE_NAMES:
+        spark.range(0).write.parquet(str(d / f"{t}.parquet"))
+    load_tables(spark, str(d))  # poisons the views
+    # canonical reload must restore them (cache hit path)
+    load_tables(spark, SF_DIR)
+    out = Q.REGISTRY["q7_nation_volume"].builder(spark, SF_DIR)
+    assert "supp_nation" in out.columns
+    assert out.count() >= 0  # executes against the real lineitem schema
