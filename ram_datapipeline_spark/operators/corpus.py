@@ -1244,12 +1244,26 @@ def dsir_importance(
             .alias("lam_fp"),
         )
     )
-    return (
+    scored = (
         raw_pc.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("cnt").cast("long").alias("n_feats"),
             F.sum(F.col("cnt") * F.col("lam_fp")).cast("long").alias(
+                "logweight_fp"
+            ),
+        )
+    )
+    # documents too short to produce an n-gram must still be SCORED
+    # (zero features, zero weight) — dropping them silently loses them
+    # from a top-K selection joined on weights (review find)
+    all_ids = raw.select(id_col).distinct()
+    return (
+        all_ids.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+            F.coalesce("logweight_fp", F.lit(0).cast("long")).alias(
                 "logweight_fp"
             ),
         )

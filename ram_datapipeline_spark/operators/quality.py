@@ -887,6 +887,43 @@ def rfm_scores(
     )
 
 
+def _one_vs_rest_grid(
+    df: DataFrame, group_col: str, cents: Column
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared substrate of the one-vs-rest drift screens (KS sup-gap,
+    Mann-Whitney rank sum): NULL-valued rows dropped (they carry no
+    value and a non-null-safe grid join would silently lose their mass
+    from the cumulative sums while the sizes still counted them —
+    review find), ONE map-side-combined (group, value) count behind an
+    eager checkpoint barrier (per-use column pruning would otherwise
+    plan one input scan per derivation), group sizes/total as broadcast
+    dims, and the groups × quantized-values densified grid with
+    zero-filled group counts. Returns (dense, gc, sizes, total); dense
+    carries (group, _v, _call, _cg)."""
+    vv = cents.cast("long")
+    pc = (
+        df.where(vv.isNotNull())
+        .groupBy(F.col(group_col), vv.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_cg"))
+    )
+    # quantized-grain barrier: one input scan feeds every derivation
+    pc = pc.localCheckpoint(eager=True)
+    gc = pc.groupBy("_v").agg(F.sum("_cg").cast("long").alias("_call"))
+    sizes = pc.groupBy(group_col).agg(
+        F.sum("_cg").cast("long").alias("n_g")
+    )
+    total = sizes.agg(F.sum("n_g").cast("long").alias("_tot"))
+    # sizes IS the group dim (one row per group) — broadcast it into the
+    # densification instead of a separate distinct (review find); gc is
+    # the quantized value grid, so the product is grid-sized
+    dense = (
+        gc.crossJoin(F.broadcast(sizes))
+        .join(pc, [group_col, "_v"], "left")
+        .withColumn("_cg", F.coalesce(F.col("_cg"), F.lit(0).cast("long")))
+    )
+    return dense, gc, sizes, total
+
+
 def ks_one_vs_rest(
     df: DataFrame,
     group_col: str,
@@ -922,24 +959,8 @@ def ks_one_vs_rest(
     Group sizes and the total ride broadcast joins; no global window,
     no event-sized shuffle after the first aggregate.
     """
-    pc = df.groupBy(
-        F.col(group_col), cents.cast("long").alias("_v")
-    ).agg(F.count(F.lit(1)).cast("long").alias("_cg"))
-    # quantized-grain barrier: one input scan feeds every derivation
-    pc = pc.localCheckpoint(eager=True)
-    gc = pc.groupBy("_v").agg(F.sum("_cg").cast("long").alias("_call"))
-    groups = pc.select(group_col).distinct()
-    sizes = pc.groupBy(group_col).agg(F.sum("_cg").cast("long").alias("n_g"))
-    total = sizes.agg(F.sum("n_g").cast("long").alias("_tot"))
-    # groups is group-cardinality-tiny (broadcast by contract); gc is the
-    # quantized value grid — the densification is grid-sized, never row-sized
-    grid = gc.crossJoin(F.broadcast(groups))
-    dense = (
-        grid.join(pc, [group_col, "_v"], "left")
-        .withColumn("_cg", F.coalesce(F.col("_cg"), F.lit(0).cast("long")))
-        .join(F.broadcast(sizes), group_col)
-        .crossJoin(F.broadcast(total))
-    )
+    dense, _, _, total = _one_vs_rest_grid(df, group_col, cents)
+    dense = dense.crossJoin(F.broadcast(total))
     w = (
         Window.partitionBy(group_col)
         .orderBy("_v")
@@ -1005,19 +1026,8 @@ def mann_whitney_one_vs_rest(
     (no single-partition window anywhere); sizes and the total ride
     broadcasts.
     """
-    pc = df.groupBy(
-        F.col(group_col), cents.cast("long").alias("_v")
-    ).agg(F.count(F.lit(1)).cast("long").alias("_cg"))
-    pc = pc.localCheckpoint(eager=True)
-    gc = pc.groupBy("_v").agg(F.sum("_cg").cast("long").alias("_call"))
-    groups = pc.select(group_col).distinct()
-    sizes = pc.groupBy(group_col).agg(F.sum("_cg").cast("long").alias("n_g"))
-    total = sizes.agg(F.sum("n_g").cast("long").alias("_tot"))
-    grid = gc.crossJoin(F.broadcast(groups))
-    dense = (
-        grid.join(pc, [group_col, "_v"], "left")
-        .withColumn("_cg", F.coalesce(F.col("_cg"), F.lit(0).cast("long")))
-    )
+    dense, _, sizes, total = _one_vs_rest_grid(df, group_col, cents)
+    dense = dense.drop("n_g")
     w = (
         Window.partitionBy(group_col)
         .orderBy("_v")
@@ -1094,9 +1104,11 @@ def cramers_v_assoc(
     never row-sized. Emits a single row:
     (n, r_levels, c_levels, chi2_fp, chi2, cramers_v).
     """
-    pc = df.groupBy(
-        row_col.alias(row_name), col_col.alias(col_name)
-    ).agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    pc = (
+        df.where(row_col.isNotNull() & col_col.isNotNull())
+        .groupBy(row_col.alias(row_name), col_col.alias(col_name))
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    )
     pc = pc.localCheckpoint(eager=True)
     rt = pc.groupBy(row_name).agg(F.sum("_o").cast("long").alias("_r"))
     ct = pc.groupBy(col_name).agg(F.sum("_o").cast("long").alias("_c"))
@@ -1248,7 +1260,7 @@ def gini_coefficient(
     wc = Window.partitionBy(*key_cols)
     base = df.select(
         *key_cols, cents.cast("long").alias("_v"), F.col(tiebreak_col)
-    )
+    ).where(F.col("_v").isNotNull())
     ranked = base.select(
         *key_cols,
         "_v",
@@ -1377,10 +1389,14 @@ def anova_f_oneway(
     row-scale pass), then a k-row fold.
     """
     v = cents.cast("long")
-    per = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(v).cast("long").alias("_s"),
-        F.sum(v * v).cast("long").alias("_sxx"),
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(v).cast("long").alias("_s"),
+            F.sum(v * v).cast("long").alias("_sxx"),
+        )
     )
     term = F.floor(
         F.col("_s").cast("double")
@@ -1401,10 +1417,14 @@ def anova_f_oneway(
         * F.col("_stot").cast("double")
         / F.col("n").cast("double")
     ).cast("long")
+    # clamp: the per-group floors can undershoot the floored grand term
+    # by up to k grains, which would emit an out-of-domain negative F
     out = folded.select(
         "k",
         "n",
-        (F.col("_ssb_raw") - grand).cast("long").alias("ssb"),
+        F.greatest(
+            F.lit(0).cast("long"), (F.col("_ssb_raw") - grand).cast("long")
+        ).alias("ssb"),
         (F.col("_sxxtot") - F.col("_ssb_raw")).cast("long").alias("ssw"),
     )
     return out.withColumn(

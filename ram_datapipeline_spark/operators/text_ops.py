@@ -770,7 +770,9 @@ def gopher_rules(
     Python. Cost is one scan at any corpus size.
     """
     t = F.col(text_col)
-    toks = F.split(t, " ")
+    # empty tokens from doubled/leading/trailing whitespace are NOT
+    # words — counting them inflated every ratio rule (review find)
+    toks = F.filter(F.split(t, " "), lambda w: w != F.lit(""))
     n_words = F.size(toks).cast("long")
     n_word_chars = F.length(F.regexp_replace(t, " ", "")).cast("long")
     n_alpha = F.size(

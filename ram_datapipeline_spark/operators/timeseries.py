@@ -648,12 +648,15 @@ def acf_lags(
     if not 1 <= max_lag <= 16:
         raise ValueError("acf_lags: max_lag must be in 1..16")
     w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    # NULL values are removed from the series BEFORE lagging (a NULL x
+    # would be counted in n_pairs but skipped by the sums — review find;
+    # the lag adjacency is therefore over the non-null subsequence)
     base = df.select(
         *key_cols,
         F.col(ts_col),
         F.col(tiebreak_col),
         cents.cast("long").alias("_x"),
-    )
+    ).where(F.col("_x").isNotNull())
     leads = base.select(
         *key_cols,
         F.col("_x"),

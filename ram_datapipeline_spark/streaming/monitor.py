@@ -63,8 +63,15 @@ def _make_update(target_cents: int, slack_cents: int, h_cents: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         sp, sm = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # a group's micro-batch arrives as SEVERAL Arrow chunks whose
+        # relative order is shuffle-dependent — concatenate and sort the
+        # WHOLE micro-batch before folding, or the recursion runs chunks
+        # out of event-time order above maxRecordsPerBatch (review find)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
             cents = pdf["cents"].to_numpy()
             n = len(cents)
             sps = [0] * n

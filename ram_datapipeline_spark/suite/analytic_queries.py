@@ -1861,7 +1861,8 @@ def q_w9_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
              CAST(count(*) AS BIGINT) AS cg
-      FROM events GROUP BY event_type, floor(value * 100.0 + 0.5)
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, floor(value * 100.0 + 0.5)
     ),
     gc AS (SELECT v, CAST(sum(cg) AS BIGINT) AS call FROM pc GROUP BY v),
     sizes AS (SELECT event_type, CAST(sum(cg) AS BIGINT) AS n_g
@@ -1922,7 +1923,8 @@ def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
              CAST(count(*) AS BIGINT) AS cg
-      FROM events GROUP BY event_type, floor(value * 100.0 + 0.5)
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, floor(value * 100.0 + 0.5)
     ),
     gc AS (SELECT v, CAST(sum(cg) AS BIGINT) AS call FROM pc GROUP BY v),
     sizes AS (SELECT event_type, CAST(sum(cg) AS BIGINT) AS n_g
@@ -2031,12 +2033,13 @@ def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR rn * 2 = (cnt + 2) - ((cnt + 2) % 2)) AS BIGINT) AS med_hi
       FROM ranked GROUP BY stage
     )
-    SELECT a.stage, e.n_entered, a.n_converted, a.min_us, a.max_us,
-           a.sum_us,
+    SELECT e.stage, e.n_entered,
+           COALESCE(a.n_converted, 0) AS n_converted,
+           a.min_us, a.max_us, a.sum_us,
            CAST(a.med_lo + a.med_hi AS BIGINT) AS med2_us,
            CAST(a.med_lo + a.med_hi AS DOUBLE) / 2.0 AS median_us,
            CAST(a.sum_us AS DOUBLE) / CAST(a.n_converted AS DOUBLE) AS mean_us
-    FROM agg a JOIN entered e ON a.stage = e.stage
+    FROM entered e LEFT JOIN agg a ON a.stage = e.stage
     """,
     survey=(
         "funnel conversion-latency rollup (signup->click, "
@@ -2123,10 +2126,13 @@ def q_ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("_med_hi"),
     )
-    return agg.join(F.broadcast(entered), "stage").select(
+    # a stage with ZERO conversions must still appear in the report
+    # (n_converted = 0, NULL latency stats) — an inner join silently
+    # dropped it (review find); entered is the 2-row spine
+    return entered.join(agg, "stage", "left").select(
         "stage",
         "n_entered",
-        "n_converted",
+        F.coalesce("n_converted", F.lit(0).cast("long")).alias("n_converted"),
         "min_us",
         "max_us",
         "sum_us",
@@ -2147,7 +2153,9 @@ def q_ev_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS r_key,
              CAST(hour(ts) AS BIGINT) AS c_key,
              CAST(count(*) AS BIGINT) AS o
-      FROM events GROUP BY event_type, hour(ts)
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type, hour(ts)
     ),
     rt AS (SELECT r_key, CAST(sum(o) AS BIGINT) AS r FROM pc GROUP BY r_key),
     ct AS (SELECT c_key, CAST(sum(o) AS BIGINT) AS c FROM pc GROUP BY c_key),
@@ -2213,6 +2221,7 @@ def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
              CAST(hour(ts) AS BIGINT) AS y
       FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     ranked AS (
       SELECT event_type,
@@ -2285,7 +2294,7 @@ def q_agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT event_type, event_id,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     ranked AS (
       SELECT event_type, v,
@@ -2436,7 +2445,7 @@ def q_ev_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN s > max(e) OVER (
                PARTITION BY user_id ORDER BY s, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -2446,7 +2455,7 @@ def q_ev_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     isl AS (
       SELECT user_id, s, e,
              CAST(sum(new_island) OVER (
-               PARTITION BY user_id ORDER BY s, e
+               PARTITION BY user_id ORDER BY s, event_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
       FROM flagged
     )
@@ -2485,15 +2494,19 @@ def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(F.col("s") > F.max("e").over(w_prev), 1)
         .otherwise(0)
         .alias("_new"),
     )
+    # island counter MUST use the same (s, event_id) total order as the
+    # flag window — ordering by (s, e) left equal-timestamp rows in a
+    # shuffle-dependent order relative to their own flag (review find)
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     isl = flagged.select(
@@ -2581,7 +2594,7 @@ def q_agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
                                AS DOUBLE)
                         / CAST(count(*) AS DOUBLE)) AS BIGINT) AS t_g
-      FROM events GROUP BY event_type
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
     ),
     folded AS (
       SELECT CAST(count(*) AS BIGINT) AS k,
@@ -2593,9 +2606,10 @@ def q_agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     o AS (
       SELECT k, n,
-             CAST(ssb_raw - CAST(floor(CAST(stot AS DOUBLE)
-                                       * CAST(stot AS DOUBLE)
-                                       / CAST(n AS DOUBLE)) AS BIGINT)
+             CAST(greatest(0, ssb_raw
+                              - CAST(floor(CAST(stot AS DOUBLE)
+                                           * CAST(stot AS DOUBLE)
+                                           / CAST(n AS DOUBLE)) AS BIGINT))
                   AS BIGINT) AS ssb,
              CAST(sxxtot - ssb_raw AS BIGINT) AS ssw
       FROM folded

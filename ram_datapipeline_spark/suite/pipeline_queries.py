@@ -1990,7 +1990,8 @@ def q_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w <> '')) AS BIGINT) AS n_words,
              CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
              CAST(len(list_filter(string_split(text, ' '),
                                   w -> regexp_matches(w, '[a-zA-Z]')))

@@ -589,7 +589,7 @@ def q_ts_seasonal_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT event_type, ts, event_id,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     led AS (
       SELECT event_type, x,

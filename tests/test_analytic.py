@@ -1770,3 +1770,114 @@ def test_anova_f_identical_vs_shifted(spark):
     assert r.ssw == 40000
     # F = (40000/1) / (40000/2) = 2.0
     assert r.f_stat == 2.0
+
+
+def test_drift_screens_null_value_discipline(spark):
+    """Review-find regressions: NULL values must be excluded CONSISTENTLY
+    (counts, sums, and grid mass). A NULL-valued row changes nothing in
+    KS, Mann-Whitney, Gini, or ANOVA."""
+    from ram_datapipeline_spark.operators.quality import (
+        anova_f_oneway,
+        gini_coefficient,
+        ks_one_vs_rest,
+        mann_whitney_one_vs_rest,
+    )
+
+    clean = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 2), ("b", 3.0, 3), ("b", 4.0, 4)],
+        "g string, value double, i long",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [("a", None, 9), ("b", None, 10)], "g string, value double, i long"
+        )
+    )
+    cents = F.floor(F.col("value") * 100.0 + 0.5)
+    for op in (ks_one_vs_rest, mann_whitney_one_vs_rest):
+        want = sorted(map(tuple, op(clean, "g", cents).collect()))
+        got = sorted(map(tuple, op(dirty, "g", cents).collect()))
+        assert got == want, op.__name__
+    want = sorted(map(tuple, gini_coefficient(clean, ["g"], cents, "i").collect()))
+    got = sorted(map(tuple, gini_coefficient(dirty, ["g"], cents, "i").collect()))
+    assert got == want
+    assert (
+        anova_f_oneway(dirty, "g", cents).collect()
+        == anova_f_oneway(clean, "g", cents).collect()
+    )
+
+
+def test_anova_ssb_clamped_nonnegative(spark):
+    """Review find: identical group means with odd S^2/n remainders used
+    to emit ssb = -1 (F = -1.0, out of domain). Clamped to 0 now."""
+    from ram_datapipeline_spark.operators.quality import anova_f_oneway
+
+    df = spark.createDataFrame(
+        [("a", 0.01, 1), ("a", 0.02, 2), ("b", 0.01, 3), ("b", 0.02, 4)],
+        "g string, value double, i long",
+    )
+    r = anova_f_oneway(df, "g", F.floor(F.col("value") * 100.0 + 0.5)).collect()[0]
+    assert r.ssb == 0 and r.f_stat == 0.0
+
+
+def test_funnel_latency_zero_conversion_stage_present(spark):
+    """Review find: a stage with zero conversions must still appear with
+    n_converted = 0 and NULL latency stats."""
+    import datetime as dt
+    import tempfile
+
+    from ram_datapipeline_spark import queries as Q
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "signup", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=5), 1, "click", 1.0, "{}"),
+        # nobody purchases
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        events.write.parquet(d + "/events.parquet")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"]:
+            spark.range(0).write.parquet(d + f"/{t}.parquet")
+        out = {
+            r.stage: r
+            for r in Q.REGISTRY["ev_funnel_latency"].builder(spark, d).collect()
+        }
+    cp = out["click_to_purchase"]
+    assert (cp.n_entered, cp.n_converted) == (1, 0)
+    assert cp.med2_us is None and cp.mean_us is None
+
+
+def test_interval_merge_equal_timestamp_determinism(spark):
+    """Review find: two events at the SAME timestamp after a gap must
+    both land in the same new island regardless of shuffle order."""
+    import datetime as dt
+    import tempfile
+
+    from ram_datapipeline_spark import queries as Q
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "a", 1.0, "{}"),
+        (5, base + dt.timedelta(seconds=300), 1, "a", 1.0, "{}"),
+        (6, base + dt.timedelta(seconds=300), 1, "a", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        events.write.parquet(d + "/events.parquet")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"]:
+            spark.range(0).write.parquet(d + f"/{t}.parquet")
+        got = sorted(
+            (r.island, r.n_intervals)
+            for r in Q.REGISTRY["ts_interval_merge"].builder(spark, d).collect()
+        )
+    assert got == [(0, 1), (1, 2)]

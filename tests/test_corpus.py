@@ -769,3 +769,20 @@ def test_dsir_importance_ranks_target_like_docs_first(spark):
         for r in dsir_importance(raw, target, n_buckets=64).collect()
     }
     assert again == {d: out[d].logweight_fp for d in out}
+
+
+def test_dsir_importance_scores_short_documents(spark):
+    """Review find: documents with fewer than n tokens must still be
+    scored (zero features, zero weight), not silently dropped."""
+    from ram_datapipeline_spark.operators.corpus import dsir_importance
+
+    raw = spark.createDataFrame(
+        [(1, "spark shuffle partition"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "spark shuffle spark shuffle")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dsir_importance(raw, target, n_buckets=16).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_feats == 0 and out[2].logweight == 0.0

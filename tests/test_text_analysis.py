@@ -172,3 +172,18 @@ def test_gopher_rules_word_count_bounds(spark):
     out = {r.doc_id: r for r in gopher_rules(df).collect()}
     assert out[1].n_words == 49 and not out[1].rule_word_count
     assert out[2].n_words == 50 and out[2].rule_word_count
+
+
+def test_gopher_rules_whitespace_not_words(spark):
+    """Review find: doubled/leading/trailing spaces produced empty
+    tokens that inflated n_words and corrupted the alpha ratio."""
+    from ram_datapipeline_spark.operators.text_ops import gopher_rules
+
+    clean = "the quick brown fox jumps with zeal " * 8
+    messy = "  " + clean.replace("quick brown", "quick  brown") + "  "
+    df = spark.createDataFrame(
+        [(1, clean.strip()), (2, messy)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].n_words == out[2].n_words == 56
+    assert out[2].n_alpha_words == 56 and out[2].rule_alpha_ratio
