@@ -282,6 +282,43 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return None if size >= (1 << 62) else size
 
 
+def barriered_raw_draws(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col, md5-uniform-draw) pairs for the DISTINCT values of each
+    named column, hashing only the survivors of a map-side-collapsing
+    raw-value distinct — the ``profile_table`` scan-B / redo subtree.
+
+    The ``repartition`` between the raw distinct and the md5 projection
+    is LOAD-BEARING, not a tuning knob: without a physical barrier,
+    Catalyst pushes the md5 projection below the distinct and collapses
+    the two aggregates into one — per-row md5 over the whole corpus,
+    exactly the plan this subtree exists to avoid (r11 discovery: the
+    r9/r10 "distinct-raw-first" fallback was silently running that
+    collapsed plan — ~7s/column at the 64× probe vs ~0.5s with the
+    barrier). The extra exchange is survivor-sized (the raw distinct's
+    output), never corpus-sized. tests/test_analytic.py pins the plan
+    shape so a future Catalyst rule can't silently re-collapse it.
+
+    Cast-to-string before the distinct is draw-preserving:
+    ``kmv_uniform`` hashes ``CAST(v AS STRING)`` and Spark's
+    value→string casts are injective on a column's values.
+    """
+    from ram_datapipeline_spark.operators.sketches import kmv_uniform
+
+    raw = F.array(*[
+        F.struct(F.lit(c).alias("_c"), F.col(c).cast("string").alias("_v"))
+        for c in cols
+    ])
+    vals = (
+        df.select(F.explode(raw).alias("_p"))
+        .select(F.col("_p._c").alias("_c"), F.col("_p._v").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .distinct()
+        # physical barrier — survivor-sized exchange
+        .repartition(F.col("_c"), F.col("_v"))
+    )
+    return vals.select("_c", kmv_uniform(F.col("_v")).alias("_u"))
+
+
 def profile_table(
     df: DataFrame,
     numeric_as: dict[str, Column] | None = None,
@@ -308,31 +345,36 @@ def profile_table(
     saw them all). In kmv mode ``n_distinct`` is a double estimate;
     nulls/min/max stay single-pass exact either way.
 
-    The kmv branch is engineered around the r8 64×-probe findings
-    (hashing, not the exchange, dominated: md5+conv reads ~27× the
-    cost of arithmetic hashing):
+    The kmv branch (rebuilt in r11 — VERDICT r10 #1) runs a FIXED
+    number of jobs and corpus scans regardless of column count:
 
-    - INTEGER columns hash by a Weyl/LCG map — pure BIGINT arithmetic
-      ``((v % 2³¹ + 2³¹) % 2³¹ · 1103515245 + 12345) % 2³¹ / 2³¹`` —
-      exact and identical in any engine, ~an order of magnitude
-      cheaper than md5; a deterministic threshold prefilter
-      (``64·k/n_rows``, dropped when a duplicate-heavy column leaves
-      < k distinct survivors) keeps the per-column exchange at ~64·k
-      values instead of the column's cardinality. The certified result
-      is IDENTICAL to the unfiltered computation's (≥ k survivors ⟹
-      the k smallest distinct draws all sit below the threshold), so a
-      replay needn't model the threshold at all. ALL integer columns
-      certify in ONE batched job (VERDICT r8 #3: the per-column eager
-      checkpoint+count launched ~2 jobs per column — ~400 jobs on a
-      200-column table; now the filtered bottom-k branches union into
-      one plan and one bounded k×n_cols collect), so the total job
-      count is a small constant independent of column count.
-    - STRING (and other non-integer) columns hash by md5
-      (``sketches.kmv_uniform`` — the only portable string hash), with
-      a DISTINCT-on-raw-values pass FIRST so duplicate-heavy columns
-      collapse map-side before any hashing; a near-unique string
-      column pays one raw-value exchange, the same cost class as the
-      hash pass it replaces.
+    - One stats job: count/nulls/min/max for every column, plus an
+      HLL cardinality ROUTER for non-integer columns only (a
+      plan-routing signal, never emitted — every route below produces
+      bit-identical estimates, so an approximate router keeps the
+      profile exact).
+    - One bottom-k job with at most TWO corpus scans, each exploding
+      rows into (col, draw) pairs so ALL columns share the scan: ints
+      (plus router-certified high-card non-ints) ride a per-row draw
+      with the deterministic threshold prefilter ``64·k/n_rows``; the
+      remaining non-ints ride a distinct-raw-first subtree that hashes
+      only surviving distinct values. One distinct exchange + one
+      per-column row_number window pick every column's k minima at
+      once (collect bounded by k × n_cols).
+    - At most one batched redo job for over-filtered columns (< k
+      surviving draws): the unfiltered bottom-k, whose distinct
+      collapses map-side because under-k-survivors implies
+      low cardinality.
+
+    Draws: INTEGER columns use a Weyl/LCG map — pure BIGINT arithmetic
+    ``((v % 2³¹ + 2³¹) % 2³¹ · 1103515245 + 12345) % 2³¹ / 2³¹`` —
+    exact and identical in any engine, ~10× cheaper than md5 (r8
+    finding: hashing, not the exchange, dominates); everything else
+    uses ``sketches.kmv_uniform`` (md5 — the only portable string
+    hash). The threshold-filtered result is IDENTICAL to the
+    unfiltered computation's (≥ k survivors ⟹ the k smallest distinct
+    draws all sit below the threshold), so a replay needn't model the
+    threshold at all.
 
     ``distinct_mode="auto"`` (the default since round 8 — VERDICT r7
     #2: the exact expand read 26.9× at the 64× probe) picks per CALL
@@ -357,20 +399,28 @@ def profile_table(
         )
     exact = distinct_mode == "exact"
     num_types = ("int", "bigint", "smallint", "tinyint", "double", "float")
+    int_types = ("int", "bigint", "smallint", "tinyint")
+    dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in df.columns:
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"_nulls_{c}"))
         if exact:
             aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
-        else:
+        elif dtypes[c] not in int_types:
             # plan-routing signal only (never emitted): HLL cardinality
-            # decides per column whether threshold-certification can
-            # succeed — every route produces bit-identical estimates,
-            # so an approximate ROUTER keeps the profile exact
+            # decides whether a NON-integer column takes the per-row-md5
+            # certification path or the distinct-raw-first path — every
+            # route produces bit-identical estimates, so an approximate
+            # ROUTER keeps the profile exact. Integer columns carry no
+            # HLL at all (r11): their arithmetic draw is cheap enough
+            # to always ride the threshold-filtered path, with the
+            # batched unfiltered redo as the low-cardinality safety
+            # net — the r11 probe showed the router HLLs were ~45% of
+            # the stats job, most spent deciding what ints get free.
             aggs.append(F.approx_count_distinct(c).alias(f"_acd_{c}"))
         if c in numeric_as:
             num = numeric_as[c]
-        elif dict(df.dtypes)[c] in num_types:
+        elif dtypes[c] in num_types:
             num = F.col(c).cast("double")
         else:
             num = F.lit(None).cast("double")
@@ -395,33 +445,14 @@ def profile_table(
 
     from ram_datapipeline_spark.operators.sketches import kmv_uniform
 
-    int_types = ("int", "bigint", "smallint", "tinyint")
-    dtypes = dict(df.dtypes)
     # ONE collected row serves three roles the old path paid two extra
-    # jobs for: n_rows (was a separate count), the base stats frame
-    # (driver-built below — profile outputs are column-count-sized by
-    # nature), and the per-column HLL router.
+    # jobs for: n_rows (was a separate count), the final stats rows
+    # (driver-assembled at the bottom — profile outputs are
+    # column-count-sized by nature), and the non-integer HLL router.
     stats_row = one.first()
     n_rows = int(stats_row["_n"])
-    acd = {c: int(stats_row[f"_acd_{c}"]) for c in df.columns}
     thr = min(1.0, (64.0 * kmv_k) / max(n_rows, 1))
-    # base rebuilt from the collected row (column-count-sized) so the
-    # final result doesn't re-run the stats aggregate at action time
-    base = df.sparkSession.createDataFrame(
-        [
-            (
-                c,
-                n_rows,
-                int(stats_row[f"_nulls_{c}"]),
-                None,
-                stats_row[f"_min_{c}"],
-                stats_row[f"_max_{c}"],
-            )
-            for c in df.columns
-        ],
-        "col_name string, n_rows bigint, n_nulls bigint, "
-        "n_distinct double, min_num double, max_num double",
-    )
+    use_filter = thr < 1.0
 
     def _weyl_u(c: str):
         # Weyl/LCG arithmetic draw — exact BIGINT ops, no overflow:
@@ -434,115 +465,156 @@ def profile_table(
             / F.lit(float(1 << 31))
         )
 
-    # BATCHED certification (VERDICT r8 #3: the per-column eager
-    # checkpoint+count launched ~2 jobs PER column — a 200-column table
-    # meant ~400 jobs). ALL columns' filtered bottom-k pipelines union
-    # into ONE collected job; each branch is the same ``where(u < thr)
-    # → distinct → orderBy → limit k`` as before, so the surviving draw
-    # SETS — and therefore the estimates — are bit-identical to the
-    # unbatched computation's. The collect is bounded by k × n_cols
-    # rows (k=256 × 200 cols = 51,200 tiny rows), driver-sized by
-    # construction.
-    # Balanced-tree union (ADVICE r9): a LINEAR unionByName chain over
-    # very wide tables (the 200-column case this path exists for) makes
-    # Catalyst analyze an O(n)-deep plan; pairing branches halves the
-    # depth per level (O(log n)) while keeping the exact same single
-    # collected job and row set.
-    def _union_tree(frames: list) -> DataFrame:
-        while len(frames) > 1:
-            frames = [
-                frames[i].unionByName(frames[i + 1])
-                if i + 1 < len(frames)
-                else frames[i]
-                for i in range(0, len(frames), 2)
-            ]
-        return frames[0]
+    # UNPIVOTED two-scan bottom-k (VERDICT r10 #1 — the third shape this
+    # stage has worn, and the one that stops scanning the corpus once
+    # per column). r8's batch unioned C per-column ``scan → filter →
+    # distinct → TakeOrdered(k)`` subtrees into one job, which still
+    # executed C corpus scans inside that job; r9's balanced union fixed
+    # only the plan DEPTH. Now every column's draws ride one of exactly
+    # TWO corpus scans: each row explodes into (col, draw) pairs, one
+    # distinct exchange runs over the survivor-sized pair stream, and
+    # one per-column row_number window picks the k minima for ALL
+    # columns at once. The surviving draw SET per column is identical to
+    # the per-column computation's (threshold certification argument
+    # unchanged: ≥ k distinct draws below thr ⟹ those are the k
+    # smallest distinct draws overall), so every estimate stays
+    # bit-for-bit replayable by an UNfiltered oracle. Plain explode +
+    # post-explode Filter on purpose: a higher-order ``filter`` over the
+    # pair array is interpreted, not codegen — measured 7× slower than
+    # exploding the NULL-draw pairs and dropping them one node up.
+    #
+    # Column routing (r11 — measured at the 64× probe):
+    #   - scan A (per-row draws): ALL integer columns (the Weyl/LCG
+    #     draw is pure BIGINT arithmetic — cheap enough to always
+    #     threshold-filter, no router needed; a low-cardinality column
+    #     simply comes back under-k and joins the batched unfiltered
+    #     redo, whose distinct collapses map-side) + the non-integer
+    #     columns the HLL router certifies as high-cardinality (md5 per
+    #     row is ~10× arithmetic hashing, but the threshold filter
+    #     keeps the exchange survivor-sized — the only viable shape
+    #     when the column's distinct set is corpus-sized).
+    #   - scan B (distinct-raw-first): non-integer columns the router
+    #     routes AWAY from certification (cardinality < n/32): raw
+    #     values collapse map-side FIRST and only survivors get hashed.
+    #     The ``repartition`` between the raw distinct and the md5
+    #     projection is LOAD-BEARING: without a physical barrier,
+    #     Catalyst pushes the md5 projection below the distinct and
+    #     collapses the two aggregates into one — the per-row-md5 plan
+    #     this path exists to avoid (and, r11 discovery, the plan it
+    #     was silently running since r9: ~7s/column at the 64× probe
+    #     vs ~0.5s with the barrier forcing survivor-only hashing).
+    #     Cast-to-string before the distinct is draw-preserving:
+    #     kmv_uniform hashes CAST(v AS STRING) and Spark's
+    #     value→string casts are injective on a column's values.
+    # Both scans union into ONE job; the collect is bounded by
+    # k × n_cols rows (k=256 × 200 cols = 51,200 tiny rows).
+    cert_set = {
+        c
+        for c in df.columns
+        if dtypes[c] not in int_types
+        and use_filter
+        and int(stats_row[f"_acd_{c}"]) * 32 >= max(n_rows, 1)
+    }
+    scan_a_cols = [
+        c for c in df.columns if dtypes[c] in int_types or c in cert_set
+    ]
+    scan_b_cols = [c for c in df.columns if c not in scan_a_cols]
 
-    # Certification draw per column: the exact-BIGINT Weyl draw for
-    # integer columns, the md5 uniform for everything else (VERDICT r9
-    # #5 — string columns used to skip certification entirely and pay a
-    # corpus-sized distinct exchange per column at every scale; the
-    # md5-per-row draw filters to ~64k survivors MAP-SIDE, so the only
-    # exchange is survivor-sized, and the surviving draw set — hence
-    # the estimate — is bit-identical to the distinct-first path's).
-    def _draw(c: str):
+    def _draw(c: str) -> Column:
         if dtypes[c] in int_types:
             return _weyl_u(c)
         return kmv_uniform(F.col(c))
 
-    # Certification is attempted ONLY where the router says it can
-    # succeed (certification needs ≥ k distinct draws below thr, i.e.
-    # n_distinct ≳ n/64; the 2× margin absorbs HLL error). Low-card
-    # columns skip straight to their cheap fallback — for a 3-value
-    # string column the md5-per-row certification draw is pure waste
-    # (the r10 64× probe measured exactly that), while the distinct
-    # fallback collapses map-side.
-    cert_cols = [
-        c for c in df.columns if acd[c] * 32 >= max(n_rows, 1)
-    ]
-    certified: dict[str, float] = {}
-    if cert_cols and thr < 1.0:
-        branches = _union_tree([
-            df.select(_draw(c).alias("_u"))
-            .where(F.col("_u").isNotNull())
-            .where(F.col("_u") < F.lit(thr))
-            .distinct()
-            .orderBy("_u")
-            .limit(kmv_k)
-            .select(F.lit(c).alias("_c"), "_u")
-            for c in cert_cols
-        ])
-        survivors: dict[str, list[float]] = {c: [] for c in cert_cols}
-        for row in branches.collect():
-            survivors[row._c].append(row._u)
-        for c in cert_cols:
-            us = survivors[c]
-            if len(us) >= kmv_k:
-                # certified: ≥ k distinct draws below thr ⟹ the k
-                # smallest distinct draws all sit below the threshold —
-                # identical to the unfiltered computation's bottom-k
-                certified[c] = (kmv_k - 1) / max(us)
-            # else: the router's 2× margin overshot (cardinality sits
-            # between n/64 and n/32) — the column simply takes its
-            # fallback below; estimates are identical either way
+    def _pair(c: str) -> Column:
+        d = _draw(c)
+        if use_filter:
+            d = F.when(d < F.lit(thr), d)
+        return F.struct(F.lit(c).alias("_c"), d.alias("_u"))
 
-    est_frames: list[DataFrame] = []
-    if certified:
-        spark = df.sparkSession
-        est_frames.append(spark.createDataFrame(
-            [(c, certified[c]) for c in df.columns if c in certified],
-            "col_name string, _est double",
-        ))
+    def _explode_draws(cols: list[str], filtered: bool) -> DataFrame:
+        mk = _pair if filtered else (
+            lambda c: F.struct(F.lit(c).alias("_c"), _draw(c).alias("_u"))
+        )
+        pairs = F.array(*[mk(c) for c in cols])
+        return (
+            df.select(F.explode(pairs).alias("_p"))
+            .select(F.col("_p._c").alias("_c"), F.col("_p._u").alias("_u"))
+            .where(F.col("_u").isNotNull())
+        )
+
+    def _distinct_raw_first(cols: list[str]) -> DataFrame:
+        return barriered_raw_draws(df, cols)
+
+    def _bottom_k(parts: list[DataFrame]) -> dict[str, list[float]]:
+        stream = parts[0]
+        for p in parts[1:]:
+            stream = stream.unionByName(p)
+        wk = Window.partitionBy("_c").orderBy("_u")
+        picked = (
+            stream.distinct()
+            .withColumn("_rn", F.row_number().over(wk))
+            .where(F.col("_rn") <= kmv_k)
+        )
+        out: dict[str, list[float]] = {}
+        for row in picked.collect():
+            out.setdefault(row._c, []).append(row._u)
+        return out
+
+    parts: list[DataFrame] = []
+    if scan_a_cols:
+        parts.append(_explode_draws(scan_a_cols, filtered=use_filter))
+    if scan_b_cols:
+        parts.append(_distinct_raw_first(scan_b_cols))
+    survivors = _bottom_k(parts) if parts else {}
+
+    # Per-column estimate from the collected minima (IEEE-identical to
+    # the old per-column aggregates: same draws, same (k−1)/U_k double
+    # division). A FILTERED column with < k survivors was over-filtered
+    # (its cardinality sits below the threshold's ~n/64·k certification
+    # floor) — those columns take ONE batched unfiltered redo job:
+    # integer redos ride a map-side-collapsing Weyl explode, non-integer
+    # redos the same barriered distinct-raw-first subtree as scan B.
+    # Redo draws are the unfiltered bottom-k, so estimates land exactly
+    # where an unfiltered run would have put them.
+    ests: dict[str, float] = {}
+    redo: list[str] = []
     for c in df.columns:
-        if c in certified:
-            continue
-        if dtypes[c] in int_types:
-            mins = (
-                df.select(_weyl_u(c).alias("_u"))
-                .where(F.col("_u").isNotNull())
-                .distinct()
-                .orderBy("_u")
-                .limit(kmv_k)
-            )
+        us = survivors.get(c, [])
+        if len(us) >= kmv_k:
+            ests[c] = (kmv_k - 1) / max(us)
+        elif c in scan_a_cols and use_filter:
+            redo.append(c)
         else:
-            # distinct raw values FIRST, md5 only the survivors
-            vals = df.select(F.col(c)).where(F.col(c).isNotNull()).distinct()
-            mins = (
-                vals.select(kmv_uniform(F.col(c)).alias("_u"))
-                .distinct()
-                .orderBy("_u")
-                .limit(kmv_k)
+            ests[c] = float(len(us))
+    if redo:
+        r_parts: list[DataFrame] = []
+        r_ints = [c for c in redo if dtypes[c] in int_types]
+        r_other = [c for c in redo if dtypes[c] not in int_types]
+        if r_ints:
+            r_parts.append(_explode_draws(r_ints, filtered=False))
+        if r_other:
+            r_parts.append(_distinct_raw_first(r_other))
+        redo_us = _bottom_k(r_parts)
+        for c in redo:
+            us = redo_us.get(c, [])
+            ests[c] = (
+                (kmv_k - 1) / max(us) if len(us) >= kmv_k else float(len(us))
             )
-        est_frames.append(mins.agg(
-            F.lit(c).alias("col_name"),
-            F.when(
-                F.count(F.lit(1)) < kmv_k, F.count(F.lit(1)).cast("double")
-            ).otherwise((kmv_k - 1) / F.max("_u")).alias("_est"),
-        ))
-    ests = _union_tree(est_frames)
-    return base.drop("n_distinct").join(ests, "col_name").select(
-        "col_name", "n_rows", "n_nulls",
-        F.col("_est").alias("n_distinct"), "min_num", "max_num",
+
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                c,
+                n_rows,
+                int(stats_row[f"_nulls_{c}"]),
+                ests[c],
+                stats_row[f"_min_{c}"],
+                stats_row[f"_max_{c}"],
+            )
+            for c in df.columns
+        ],
+        "col_name string, n_rows bigint, n_nulls bigint, "
+        "n_distinct double, min_num double, max_num double",
     )
 
 
@@ -1091,12 +1163,22 @@ def cramers_v_assoc(
     correctly-rounded double chain (every factor an exact int64, so
     the chain is engine-identical at any scale and never overflows —
     the BIGINT product form threw ARITHMETIC_OVERFLOW at the 64×
-    probe); q_cell < 2^53 always (it is bounded by N times the cell's
-    chi² share), so the floored BIGINT is exact. Cells are summed
-    exactly over the DENSIFIED grid (empty cells contribute their
-    exact expectation term) and divided by N once: chi2 = Σq/N.
-    Cramér's V is the pinned IEEE chain sqrt(chi2/(N·min(R−1, C−1)));
-    below 2^53 the chain coincides with exact integer division.
+    probe). Cells are summed exactly over the DENSIFIED grid (empty
+    cells contribute their exact expectation term) and divided by N
+    once: chi2 = Σq/N. Cramér's V is the pinned IEEE chain
+    sqrt(chi2/(N·min(R−1, C−1))).
+
+    Determinism vs exactness (ADVICE r10): what the oracle gate proves
+    is ENGINE-IDENTICAL determinism — DuckDB replays the identical IEEE
+    chain, so every emitted value matches bit-for-bit at any N. The
+    stronger claim that the floored q_cell equals the exact integer
+    value additionally needs its inputs inside 2^53: O·N and (O·N−r·c)²
+    are exact while they fit (q_cell ≤ N·chi²-share keeps the RESULT
+    small, but sparse marginals can push the intermediates past 2^53 —
+    e.g. r=c=1, O=1 gives (N−1)², exceeding 2^53 once N ≳ 9.5·10⁷,
+    and the O·N product itself rounds above 2^53). Past that bound the
+    statistic is still deterministic and well-conditioned, just not
+    provably the floor of the exact rational.
 
     Scale shape: ONE map-side-combined (row, col) count behind an eager
     checkpoint barrier (three derivations consume it); marginals ride
@@ -1127,8 +1209,9 @@ def cramers_v_assoc(
         # a = O·N − r·c and its square leave integer space through a
         # pinned correctly-rounded double chain (the BIGINT product
         # overflows around N ~ 10^6 with concentrated cells — the 64x
-        # probe regime); q itself stays < 2^53 (q <= N·chi2-share), so
-        # the floored BIGINT is exact and engine-identical
+        # probe regime); engine-identical at any N, and exactly the
+        # floored rational while the intermediates fit 2^53 (see
+        # docstring — sparse marginals can exceed that above N ~ 9e7)
         F.expr(
             "CAST(FLOOR("
             "  (CAST(_o AS DOUBLE) * CAST(_n AS DOUBLE)"

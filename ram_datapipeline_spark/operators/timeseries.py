@@ -738,8 +738,19 @@ def theil_sen_trend(
     pairwise self-join, ordering window and median pick all run on the
     quantized keys × period grain (≤ 24 buckets per key for hours —
     ≤ 276 pairs per key regardless of input size).
+
+    NULL handling (ADVICE r10): rows with NULL value or NULL timestamp
+    are excluded BEFORE the bucket aggregate, so a bucket's ``n`` and
+    ``s`` always cover the same rows — without the filter ``count(*)``
+    would include NULL-valued rows that ``sum`` skips, biasing the
+    bucket mean. Keys whose filtered profile has fewer than two period
+    buckets are DROPPED by construction (the ``h2 > h1`` self-join
+    yields no pairs): a single bucket defines no slope, and emitting a
+    NULL-slope row for it would cost a left join back against the key
+    spine for a row every consumer filters out anyway.
     """
     cents = F.floor(F.col(val_col) * 100.0 + 0.5).cast("long")
+    df = df.where(F.col(val_col).isNotNull() & F.col(ts_col).isNotNull())
     per = df.groupBy(
         *key_cols,
         F.expr(f"{period_expr}({ts_col})").cast("long").alias("_h"),

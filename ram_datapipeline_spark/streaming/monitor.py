@@ -111,8 +111,15 @@ def cusum_alerts_stream(
     columns. Python cost is the per-key recursion only — the stream is
     Arrow-batched and the fold is per-micro-batch-row, the honest price
     of a genuinely sequential statistic in a streaming context (batch
-    callers get the window-unrolled JVM version)."""
-    prepped = events.select(
+    callers get the window-unrolled JVM version).
+
+    NULL-valued events are dropped at intake (ADVICE r10): they carry
+    no signal and cannot move the statistic — the batch twin's windowed
+    sums skip them too, so every emitted row stays bit-identical to
+    ``cusum_drift`` restricted to non-NULL values. Without the filter,
+    Arrow delivers NULL cents to the pandas fold as NaN and
+    ``int(cents[i])`` would kill the streaming query."""
+    prepped = events.where(F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
         "ts",

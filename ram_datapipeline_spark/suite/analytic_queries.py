@@ -2347,7 +2347,7 @@ def q_agg_gini_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
                   AS BIGINT) AS ucents
-      FROM events GROUP BY user_id
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
     ),
     ranked AS (
       SELECT user_id, ucents,
@@ -2389,8 +2389,13 @@ def q_ev_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ram_datapipeline_spark.operators.layout import global_prefix_sum
 
     t = load_tables(spark, sf_dir)
+    # NULL-value guard (ADVICE r10): an all-NULL-value user would carry
+    # ucents NULL into the rank ordering, where Spark (NULLS LAST on
+    # DESC) and DuckDB (NULLS FIRST on DESC) disagree — filter so the
+    # user grain only holds rows both engines order identically
     per_user = (
         t["events"]
+        .where(F.col("value").isNotNull())
         .groupBy("user_id")
         .agg(
             F.sum(F.floor(F.col("value") * 100.0 + 0.5))
@@ -2443,6 +2448,7 @@ def q_ev_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(ts) AS s,
              epoch_us(ts) + 60000000 AS e
       FROM events
+      WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, event_id, s, e,
@@ -2481,7 +2487,10 @@ def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    iv = t["events"].select(
+    # NULL-ts guard (ADVICE r10): the island windows order by s, and
+    # Spark (NULLS FIRST) and DuckDB (NULLS LAST) disagree on where a
+    # NULL sorts — filter rather than rely on fixture cleanliness
+    iv = t["events"].where(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("s"),

@@ -674,7 +674,9 @@ def q_ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
                   AS BIGINT) AS s
-      FROM events GROUP BY event_type, hour(ts)
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type, hour(ts)
     ),
     pairs AS (
       SELECT a.event_type,

@@ -767,6 +767,48 @@ def test_kmv_intersection_accuracy_and_underk_exactness(spark):
         assert r["est_shared"] == float(r["n_common"])
 
 
+def test_barriered_raw_draws_plan_hashes_survivors_only(spark):
+    """r11 plan guard (VERDICT r10 #1 root cause): the distinct-raw-
+    first subtree must hash DISTINCT values, not rows — without the
+    physical repartition barrier, Catalyst pushes the md5 projection
+    below the raw distinct and collapses the two aggregates into
+    per-row md5 over the whole corpus (the plan the r9/r10 fallback
+    was silently running). Pin the physical shape: the md5 projection
+    sits ABOVE the repartition exchange, and nothing below that
+    exchange computes md5."""
+    from ram_datapipeline_spark.operators.quality import barriered_raw_draws
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("s"), (F.col("id") % 5)).alias("s"),
+        (F.col("id") % 3).cast("string").alias("t"),
+    )
+    plan = (
+        barriered_raw_draws(df, ["s", "t"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "md5" in plan
+    i_rep = plan.index("REPARTITION_BY_COL")
+    below_barrier = plan[i_rep:]
+    assert "md5" not in below_barrier, (
+        "md5 collapsed below the repartition barrier — per-row hashing "
+        "is back:\n" + plan
+    )
+    # draws equal a driver-side replay over the distinct value sets
+    import hashlib
+
+    def u(v: str) -> float:
+        return int(hashlib.md5(v.encode()).hexdigest()[:13], 16) / 2.0**52
+
+    got = {
+        (r["_c"], r["_u"])
+        for r in barriered_raw_draws(df, ["s", "t"]).collect()
+    }
+    want = {("s", u(f"s{i}")) for i in range(5)} | {
+        ("t", u(str(i))) for i in range(3)
+    }
+    assert got == want
+
+
 def test_profile_table_counts_nulls_distincts_bounds(spark):
     """profile_table on a hand corpus: null counts, exact distincts,
     numeric bounds for numeric columns, null bounds for strings, and a

@@ -673,7 +673,14 @@ def test_streaming_cusum_matches_batch_operator(spark, tmp_path):
     from ram_datapipeline_spark.operators.timeseries import cusum_drift
     from ram_datapipeline_spark.streaming.monitor import cusum_alerts_stream
 
-    batch_events = load_tables(spark, SF_DIR)["events"]
+    base_events = load_tables(spark, SF_DIR)["events"]
+    # NULL-valued events must not kill the stream (ADVICE r10): they are
+    # dropped at intake, and because the batch twin's windowed sums skip
+    # NULLs too, the non-NULL rows' statistics are unchanged either way.
+    nulls = base_events.limit(3).withColumn(
+        "value", F.lit(None).cast(dict(base_events.dtypes)["value"])
+    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000_000))
+    batch_events = base_events.unionByName(nulls)
     cut = batch_events.selectExpr(
         "percentile_approx(ts, 0.5) AS m"
     ).collect()[0]["m"]
@@ -716,7 +723,7 @@ def test_streaming_cusum_matches_batch_operator(spark, tmp_path):
     ).select(
         "event_type", "event_id", "cents", "s_plus", "s_minus",
         "drift_up", "drift_down",
-    )
+    ).where(F.col("cents").isNotNull())  # the stream drops NULLs at intake
     key = lambda r: (r.event_type, r.event_id)  # noqa: E731
     g = sorted(got.collect(), key=key)
     w = sorted(want.collect(), key=key)
