@@ -174,6 +174,9 @@ HEADLINE = [
     "mm_audio_vad",             # voice-activity segments (energy islands)
     "agg_benford_digits",       # Benford first-digit conformity screen
     "agg_anova_f",              # one-way ANOVA F mean-shift screen
+    # round-11 additions
+    "sim_incremental_ivf",      # batch-vs-standing-seeds ANN maintenance
+    "sim_ivf_drift",            # per-cell occupancy drift + retrain trigger
 ]
 
 

@@ -63,82 +63,80 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-10 ROTATION (VERDICT r9 next-round #1, spent exactly as
-    # published in round 9's NEXT_ROUND_ROTATION, head first): (a) the
-    # six queries with no driver row ever — the four born in r9 after
-    # the window froze plus the two born THIS round (incremental
-    # cross-snapshot dedup, VERDICT r9 #7, and its cluster-maintenance
-    # completion); (b) the five published code-stable re-proof slots;
-    # (c) every query whose OPERATOR code changed this round and
-    # therefore needs a re-proof under the new code: the two-pass
-    # layout operators moved from persist to eager localCheckpoint
-    # (global index / offsets / systematic sample / corpus shuffle /
-    # interleave / SNM), the as-of family's intra-ts dedupe gained the
-    # payload-extended deterministic sort, and the KMV profile's
-    # certification union became a balanced tree; (d) the stalest
-    # driver-proof tier — r5-proven queries untouched since, 13 of the
-    # 42 (sixteen of the published 29 were displaced late in round 10
-    # by the sixteen r10-born first-timers below — first-timers
-    # outrank re-proofs of code-stable queries; the displaced sixteen
-    # plus the 13 already queued are published in
-    # tests/test_registry_gate.py::NEXT_ROUND_ROTATION for r11).
+    # ROUND-11 WINDOW (VERDICT r10 next-round #3, rotation published in
+    # round 10's NEXT_ROUND_ROTATION, spent in full): (a) the queries
+    # born THIS round with no driver row ever (incremental ANN index
+    # maintenance + drift monitor — VERDICT r10 #4 — plus the late-r11
+    # births appended as they land); (b) re-proofs for every query
+    # whose operator code changed in r11: the KMV profile's bottom-k
+    # was rebuilt as two shared corpus scans with the aggregate-
+    # collapse barrier (profile_table's kmv AND auto modes route
+    # through it), and ts_interval_merge / ev_power_users_pareto /
+    # ts_theil_sen gained NULL-ordering guards on both engine and
+    # oracle sides (ADVICE r10); (c) the 30-slot rotation exactly as
+    # published (13 r5-stale + 16 displaced re-proofs +
+    # graph_triangle_count); (d) the stalest remaining tier (r6-proven,
+    # untouched since) filling the window to 50 — displaced one-for-one
+    # by late-r11 births, which outrank re-proofs of code-stable
+    # queries.
     #
-    # (a) never driver-gated
-    "text_rrf_fusion",
-    "j_event_state_asof",
-    "w9_pareto_front",
-    "ts_seasonal_means",
-    "dedup_incremental_batch",
-    "dedup_incremental_components",
-    "dedup_bcubed_eval",
-    "agg_ks_drift",
-    "ts_acf_lags",
-    "ts_theil_sen",
-    "pipe_gopher_rules",
-    "agg_mann_whitney",
-    "ev_funnel_latency",
-    "agg_cramers_v",
-    "graph_resource_allocation",
-    "agg_spearman_corr",
-    "mm_scene_cut",
-    "agg_gini_value",
-    "ev_power_users_pareto",
-    "ts_interval_merge",
-    "mm_audio_vad",
-    "agg_benford_digits",
-    "agg_anova_f",
-    # (b) the five published re-proof slots (r4-tier window/vector
-    # shapes + the as-of gate over the r9-changed operator)
-    "vec_quantize_int8",
-    "w4_moving_window_frame",
-    "w5_lag_lead_gaps",
-    "w6_rank_family",
-    "j_asof_click_view",
-    # (c) round-10 code-changed re-proofs
-    "pipe_global_index",
-    "pipe_global_offsets",
-    "pipe_systematic_sample",
-    "pipe_corpus_shuffle",
-    "pipe_interleave_sources",
-    "dedup_sorted_neighborhood",
-    "j_asof_forward",
-    "j_asof_nearest",
-    "j_asof_tolerance",
+    # (a) never driver-gated (r11-born)
+    "sim_incremental_ivf",
+    "sim_ivf_drift",
+    # (b) r11 code-changed re-proofs
     "pipe_profile_table_kmv",
-    # (d) stalest driver-proof tier (last proven r5)
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_near_survivors",
-    "dedup_ngram_jaccard",
-    "dedup_repeated_spans",
-    "dedup_simhash",
-    "eta_nearest_poi",
-    "eta_routed_kernel_grid",
-    "eta_with_walk_penalty",
-    "ev_user_funnel",
+    "pipe_profile_table",
+    "ts_interval_merge",
+    "ev_power_users_pareto",
+    "ts_theil_sen",
+    # (c) the published 30-slot rotation
+    "a2_pivot_eav",
+    "a3_unpivot_stack",
+    "a4_group_nested",
+    "a5_union_all",
+    "a6_grouped_count",
+    "agg_cube_orders",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "f_scalar_kit",
+    "f_string_kit",
+    "f7_date_parts",
+    "f_date_arithmetic",
+    "f11_bbox_per_admin",
+    "f16_centroid_per_admin",
+    "graph_triangle_count",
+    "hof_array_kit",
+    "j_bloom_prefilter",
+    "k5_metadata_roundtrip",
+    "k_partitioned_prune",
+    "mm_audio_frame_energy",
+    "mm_decode_image_stats",
+    "mm_frame_sample",
+    "mm_media_catalog",
+    "p4_first_row",
+    "pipe_temperature_weights",
+    "s4_admin_scan_inlist",
+    "sim_cosine_topk_ivfpq",
+    "sim_ivfpq_rerank",
+    "w1_latest_per_key",
+    "w2_sort_limit_topk",
+    # (d) stalest remaining tier (r6-proven) — swap-out pool for
+    # late-r11 births
+    "agg_heavy_hitters",
+    "dedup_simhash_pairs",
+    "eta_routed_graph",
+    "f17_geometry_type_inference",
+    "graph_kcore",
+    "graph_pagerank",
+    "j2_point_in_admin",
+    "j3_adaptive_buffer",
+    "j3_buffer_semi_join",
+    "j3_knn_candidates",
+    "j7_square_grid_clip",
+    "p6_nullsafe_round",
+    "pipe_decontaminate",
 )
+
 
 
 def _ordered_names() -> list[str]:

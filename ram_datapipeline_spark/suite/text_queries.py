@@ -572,6 +572,161 @@ def q_cos_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_ivf(e.filter(F.col("vec_id") < 20), e, k=5)
 
 
+_INCR_IVF_SEEDS_CTE = """
+corp AS (SELECT * FROM n WHERE vec_id % 13 <> 5),
+params AS (
+  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc FROM corp
+),
+seed_rk AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS srk
+  FROM corp
+),
+seeds AS (
+  SELECT corp.vec_id AS cell, corp.e AS es, corp.nrm AS ns
+  FROM corp JOIN seed_rk USING (vec_id) CROSS JOIN params
+  WHERE srk <= nc
+)
+"""
+
+
+@query(
+    "sim_incremental_ivf",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    {_INCR_IVF_SEEDS_CTE}
+    SELECT vec_id, cell, cos FROM (
+      SELECT b.vec_id, s.cell,
+             list_reduce(list_transform(list_zip(b.e, s.es), x -> x[1] * x[2]),
+                         (p, q) -> p + q) / (b.nrm * s.ns) AS cos,
+             row_number() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY list_reduce(list_transform(list_zip(b.e, s.es), x -> x[1] * x[2]),
+                                    (p, q) -> p + q) / (b.nrm * s.ns) DESC,
+                        s.cell) AS rk
+      FROM n b, seeds s WHERE b.vec_id % 13 = 5
+    ) WHERE rk = 1
+    """,
+    survey=(
+        "incremental ANN index maintenance: assign a NEW vector batch "
+        "to the EXISTING persisted IVF seed set — one broadcast of the "
+        "metadata-sized seeds, zero archive re-scan, zero re-cluster; "
+        "the assignment rule is identical to the full build's, so the "
+        "patched index equals a from-scratch rebuild bit-for-bit "
+        "(north star — the similarity sibling of incremental dedup; "
+        "VERDICT r10 #4)"
+    ),
+    tags=("similarity",),
+)
+def q_sim_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign the NEW embedding batch (vec_id % 13 = 5) to the standing
+    IVF index built over the rest
+    (operators/similarity.py::write_ivf_index /
+    incremental_ivf_assign): the index persists as a metadata-sized
+    seeds table + cell-bucketed assignments + per-cell stats; the
+    refresh plan touches ONLY the batch and the broadcast seeds
+    (plan-pinned in tests/test_similarity_ops.py). The oracle replays
+    the full deterministic assignment from scratch, so a green row
+    proves incremental == rebuild."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    corpus = e.where(F.col("vec_id") % 13 != 5)
+    batch = e.where(F.col("vec_id") % 13 == 5)
+    SIM.write_ivf_index(corpus, "sim_ivf_standing_index")
+    seeds = spark.table("sim_ivf_standing_index_seeds")
+    return SIM.incremental_ivf_assign(batch, seeds)
+
+
+@query(
+    "sim_ivf_drift",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    {_INCR_IVF_SEEDS_CTE},
+    c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_reduce(list_transform(list_zip(c.e, s.es), x -> x[1] * x[2]),
+                                      (p, q) -> p + q) / (c.nrm * s.ns) DESC,
+                          s.cell) AS rk
+        FROM corp c, seeds s
+      ) WHERE rk = 1
+    ),
+    b_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT b.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_reduce(list_transform(list_zip(b.e, s.es), x -> x[1] * x[2]),
+                                      (p, q) -> p + q) / (b.nrm * s.ns) DESC,
+                          s.cell) AS rk
+        FROM n b, seeds s WHERE b.vec_id % 13 = 5
+      ) WHERE rk = 1
+    ),
+    stats AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_standing
+      FROM c_assign GROUP BY cell
+    ),
+    bstats AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_batch
+      FROM b_assign GROUP BY cell
+    ),
+    per AS (
+      SELECT s.cell, s.n_standing,
+             CAST(coalesce(b.n_batch, 0) AS BIGINT) AS n_batch
+      FROM stats s LEFT JOIN bstats b USING (cell)
+    ),
+    tot AS (
+      SELECT CAST(sum(n_standing) AS BIGINT) AS ns,
+             CAST(sum(n_batch) AS BIGINT) AS nb
+      FROM per
+    ),
+    shared AS (
+      SELECT cell, n_standing, n_batch,
+             CAST(n_standing * 1000000 // ns AS BIGINT) AS ppm_standing,
+             CAST(CASE WHEN nb = 0 THEN 0
+                       ELSE n_batch * 1000000 // nb END AS BIGINT)
+               AS ppm_batch
+      FROM per, tot
+    ),
+    tv AS (
+      SELECT CAST(sum(abs(ppm_standing - ppm_batch)) AS BIGINT) AS tv_ppm2
+      FROM shared
+    )
+    SELECT cell, n_standing, n_batch, ppm_standing, ppm_batch,
+           tv.tv_ppm2, tv.tv_ppm2 > 400000 AS retrain
+    FROM shared, tv
+    """,
+    survey=(
+        "ANN index drift monitor: per-cell occupancy of the new batch "
+        "vs the standing index in exact integer ppm shares, plus the "
+        "total-variation trigger that schedules a seed re-train — no "
+        "float summation, deterministic at any scale (north star; "
+        "VERDICT r10 #4)"
+    ),
+    tags=("similarity",),
+)
+def q_sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy drift of the new batch (vec_id % 13 = 5) against the
+    standing IVF index (operators/similarity.py::ivf_drift_report):
+    batch collapses to its cell grain in one map-side aggregate, the
+    standing side reads the persisted cell-count-sized stats table —
+    the archive vectors and the assignment table are never scanned.
+    tv_ppm2 = sum of per-cell ppm-share deviations (2x total variation
+    in ppm); retrain fires above 20% TV."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    corpus = e.where(F.col("vec_id") % 13 != 5)
+    batch = e.where(F.col("vec_id") % 13 == 5)
+    SIM.write_ivf_index(corpus, "sim_ivf_drift_index")
+    seeds = spark.table("sim_ivf_drift_index_seeds")
+    assigned = SIM.incremental_ivf_assign(batch, seeds)
+    return SIM.ivf_drift_report(
+        assigned, spark.table("sim_ivf_drift_index_stats")
+    )
+
+
 def _lsh_oracle(max_planes: int = 24, dim: int = 64) -> str:
     """DuckDB replay of the deterministic LSH index: the same md5-derived
     ±1 plane weights (inlined as literals from ``lsh_plane_weights`` — one

@@ -201,7 +201,12 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "mm_audio_vad",
           # round-10 late additions: Benford (one (group, digit) count
           # + 9-row broadcast), ANOVA F (one group agg + k-row fold)
-          "agg_benford_digits", "agg_anova_f"]
+          "agg_benford_digits", "agg_anova_f",
+          # round-11 additions: incremental IVF maintenance (index build
+          # scales with the corpus; the batch probe is one broadcast
+          # pass over the batch side only) and its drift monitor (cell
+          # grain after one map-side batch aggregate)
+          "sim_incremental_ivf", "sim_ivf_drift"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000
@@ -209,6 +214,14 @@ U_SPAN, E_SPAN = 100_000, 1_000_000_000
 
 
 def build_scaled(spark, k: int, out_dir: str) -> None:
+    # SPARK_GRAFT_PROBE_REUSE=1 skips the rebuild when a complete scaled
+    # copy already exists (the generator is deterministic, so same-K
+    # output is identical run to run) — the 256x build costs more than
+    # the probes themselves.
+    if os.environ.get("SPARK_GRAFT_PROBE_REUSE") == "1" and all(
+        os.path.exists(f"{out_dir}/{n}.parquet") for n in TABLE_NAMES
+    ):
+        return
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)

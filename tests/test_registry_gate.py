@@ -100,51 +100,43 @@ def test_gated_queries_all_have_oracles():
 
 
 # Rotation candidates for the NEXT round's window. Every registered query
-# is past-proven or in the current window (nothing invisible). Round 10
-# spent its window on the 22 never-gated queries (4 r9-born + the 2
-# r10-born incremental-dedup gates + the 16 late-r10-born drift/trend/
-# quality/graph/multimodal/event gates: KS drift, ACF, Theil-Sen,
-# Gopher rules, Mann-Whitney, funnel latency, Cramer's V, resource
-# allocation, Spearman, scene cut, Gini, power-user Pareto, interval
-# merge, audio VAD, Benford, ANOVA F — which displaced sixteen
-# stale-tier re-proof slots), the 5 re-proof slots round 9 published,
-# the 10 queries whose operator code changed in r10 (checkpointed
-# layout stage, as-of tiebreak extension, KMV balanced union), and 13
-# of the 42 stalest (r5-proven) entries. These are the remaining 13
-# r5-proven entries plus the 16 displaced ones — all code-stable, all
+# is past-proven or in the current window (nothing invisible). Round 11
+# spent its window on the full 30-slot rotation round 10 published, the
+# two r11-born incremental-ANN gates (plus late-r11 births swapped into
+# the stale-fill tier as they landed), five r11 code-changed re-proofs
+# (the rebuilt KMV profile bottom-k via both its modes, and the three
+# ADVICE-r10 NULL-guard queries), and 13 of the r6-proven stale tier.
+# These are the REMAINING r6-proven entries — all code-stable, all
 # green in every per-round full-registry sweep at sf0.01 AND sf0.1 —
-# queued for the r11 window.
+# queued for the r12 window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    "a2_pivot_eav",
-    "a3_unpivot_stack",
-    "a4_group_nested",
-    "a5_union_all",
-    "a6_grouped_count",
-    "agg_cube_orders",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "f_scalar_kit",
-    "f_string_kit",
-    "f7_date_parts",
-    "f_date_arithmetic",
-    "f11_bbox_per_admin",
-    "f16_centroid_per_admin",
-    "graph_triangle_count",
-    "hof_array_kit",
-    "j_bloom_prefilter",
-    "k5_metadata_roundtrip",
-    "k_partitioned_prune",
-    "mm_audio_frame_energy",
-    "mm_decode_image_stats",
-    "mm_frame_sample",
-    "mm_media_catalog",
-    "p4_first_row",
-    "pipe_temperature_weights",
-    "s4_admin_scan_inlist",
-    "sim_cosine_topk_ivfpq",
-    "sim_ivfpq_rerank",
-    "w1_latest_per_key",
-    "w2_sort_limit_topk",
+    "pipe_dq_checks",
+    "pipe_sequence_packing",
+    "pipe_stratified_sample",
+    "pipe_tfidf_topk",
+    "q3_revenue_topk",
+    "q5_region_revenue",
+    "s1_config_scan_filter",
+    "sim_cosine_pairs",
+    "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_lsh",
+    "sim_mmr_rerank",
+    "st_click_attribution",
+    "st_dedup_replay",
+    "st_event_props_decode",
+    "st_sessionize",
+    "st_window_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_rolling_hash",
+    "text_token_counts",
+    "ts_ewma_smooth",
+    "ts_gapfill_locf",
+    "vec_kmeans_q8",
+    "w3_topk_per_group",
 )
 
 

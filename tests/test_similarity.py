@@ -302,3 +302,101 @@ def test_hard_negatives_label_exclusion_and_rank(spark):
     # every emitted pair crosses labels
     full = hard_negatives(df, k=2).collect()
     assert all(r.label != r.neg_label for r in full)
+
+
+def test_incremental_ivf_assign_plan_never_touches_archive(spark):
+    """r11 plan guard (VERDICT r10 #4): the incremental batch
+    assignment must be O(batch) — its plan may scan the batch and the
+    metadata-sized seeds table, but NEVER the standing assignment
+    table, the stats table, or any k-means-style re-fit of the seed
+    set. Also: union(standing, incremental) == from-scratch rebuild,
+    bit-for-bit — the defining identity of incremental maintenance."""
+    import random
+
+    from ram_datapipeline_spark.operators.similarity import (
+        assign_ivf_cells,
+        incremental_ivf_assign,
+        stratified_seed_ids,
+        with_norm,
+        write_ivf_index,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(1, 241)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = df.where(F.col("vec_id") % 5 != 0)
+    batch = df.where(F.col("vec_id") % 5 == 0)
+    n_cells = write_ivf_index(corpus, "t_ivf_idx")
+    assert n_cells == spark.table("t_ivf_idx_seeds").count()
+    seeds = spark.table("t_ivf_idx_seeds")
+    inc = incremental_ivf_assign(batch, seeds)
+
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    # the seeds table is the ONLY standing artifact in the plan
+    assert "t_ivf_idx_seeds" in plan
+    for forbidden in ("t_ivf_idx_stats", "t_ivf_idx]", "t_ivf_idx["):
+        assert forbidden not in plan, plan
+    # saveAsTable locations render as .../t_ivf_idx — match the bare
+    # directory name with no suffix
+    import re
+
+    archive_scans = [
+        m for m in re.findall(r"t_ivf_idx\w*", plan)
+        if m == "t_ivf_idx" or m == "t_ivf_idx_stats"
+    ]
+    assert not archive_scans, plan
+
+    # identity: standing ∪ incremental == full rebuild over corpus ∪ batch
+    standing = {
+        (r.vec_id, r.cell) for r in spark.table("t_ivf_idx").collect()
+    }
+    patched = standing | {(r.vec_id, r.cell) for r in inc.collect()}
+    all_n = with_norm(df)
+    seeds_full = all_n.join(
+        F.broadcast(stratified_seed_ids(corpus, n_cells)), "vec_id"
+    )
+    rebuilt = {
+        (r.vec_id, r.cell)
+        for r in assign_ivf_cells(all_n, seeds_full, 1).select(
+            "vec_id", "cell"
+        ).collect()
+    }
+    assert patched == rebuilt
+
+
+def test_ivf_drift_report_exact_ppm_and_trigger(spark):
+    """ivf_drift_report on a hand case: ppm shares are exact BIGINT
+    DIV results, batch-absent cells carry n_batch=0, tv_ppm2 is the
+    exact sum of deviations, and the retrain trigger fires exactly
+    above 2x the ppm threshold."""
+    from ram_datapipeline_spark.operators.similarity import ivf_drift_report
+
+    stats = spark.createDataFrame(
+        [(1, 60), (2, 30), (3, 10)], "cell long, n_standing long"
+    )
+    # batch: all mass in cell 3 (drifted hard)
+    assign = spark.createDataFrame(
+        [(100 + i, 3, 0.9) for i in range(10)],
+        "vec_id long, cell long, cos double",
+    )
+    rows = {r.cell: r for r in ivf_drift_report(assign, stats).collect()}
+    assert rows[1].n_batch == 0 and rows[2].n_batch == 0
+    assert rows[3].n_batch == 10
+    assert rows[1].ppm_standing == 600000 and rows[1].ppm_batch == 0
+    assert rows[3].ppm_standing == 100000 and rows[3].ppm_batch == 1000000
+    # tv = |600000-0| + |300000-0| + |100000-1000000| = 1800000
+    assert all(r.tv_ppm2 == 1800000 for r in rows.values())
+    assert all(r.retrain for r in rows.values())
+    # a batch matching the standing distribution does not trigger
+    calm = spark.createDataFrame(
+        [(200 + i, 1, 0.9) for i in range(6)]
+        + [(300 + i, 2, 0.9) for i in range(3)]
+        + [(400, 3, 0.9)],
+        "vec_id long, cell long, cos double",
+    )
+    calm_rows = ivf_drift_report(calm, stats).collect()
+    assert all(r.tv_ppm2 == 0 for r in calm_rows)
+    assert not any(r.retrain for r in calm_rows)
