@@ -1253,11 +1253,17 @@ def spearman_corr(
     INTEGER-EXACT midranks: with min-rank r and tie count c for a
     value, TWICE the midrank is the BIGINT 2r + c − 1, so all five
     sufficient statistics (Σrx, Σry, Σrx², Σry², Σrx·ry over doubled
-    midranks) are exact integer sums (int64-safe to ~10^6 rows/key —
-    Σr² grows as 4n³/3); doubling cancels in the correlation. The
-    derived moments covn/vxn/vyn leave integer space through the same
-    pinned correctly-rounded double chain as ``acf_lags`` — emitted as
-    engine-identical doubles at any scale, never an int64 overflow.
+    midranks) are exact integer sums; doubling cancels in the
+    correlation. The five sums accumulate in DECIMAL(38,0) (r11 — the
+    256× probe caught the int64 version overflowing: Σr² grows as
+    4n³/3, past 2^63 above ~1.3M rows/key; decimal is exact to 10^38,
+    i.e. ~3·10^12 rows/key, and the SQL oracle's HUGEINT accumulators
+    are the same exact integer). Per-element products r² ≤ 4n² stay
+    int64-exact below ~1.5·10^9 rows/key — the one remaining documented
+    bound. The derived moments covn/vxn/vyn leave integer space through
+    the same pinned correctly-rounded double chain as ``acf_lags`` —
+    both engines round the identical exact integer to the identical
+    double, at any scale.
 
     Scale shape: ONE hash exchange on the key — both rank windows and
     both tie-count windows reuse the same partitioning (Spark re-sorts
@@ -1285,13 +1291,14 @@ def spearman_corr(
         .cast("long")
         .alias("_ry"),
     )
+    dec = "decimal(38,0)"
     agg = ranked.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("_rx").cast("long").alias("_sx"),
-        F.sum("_ry").cast("long").alias("_sy"),
-        F.sum(F.col("_rx") * F.col("_rx")).cast("long").alias("_sxx"),
-        F.sum(F.col("_ry") * F.col("_ry")).cast("long").alias("_syy"),
-        F.sum(F.col("_rx") * F.col("_ry")).cast("long").alias("_sxy"),
+        F.sum(F.col("_rx").cast(dec)).alias("_sx"),
+        F.sum(F.col("_ry").cast(dec)).alias("_sy"),
+        F.sum((F.col("_rx") * F.col("_rx")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_ry") * F.col("_ry")).cast(dec)).alias("_syy"),
+        F.sum((F.col("_rx") * F.col("_ry")).cast(dec)).alias("_sxy"),
     )
     # the n·Σ products leave integer space through the same pinned
     # correctly-rounded double chain as acf_lags — overflow-proof at

@@ -2236,11 +2236,11 @@ def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(rx) AS BIGINT) AS sx,
-             CAST(sum(ry) AS BIGINT) AS sy,
-             CAST(sum(rx * rx) AS BIGINT) AS sxx,
-             CAST(sum(ry * ry) AS BIGINT) AS syy,
-             CAST(sum(rx * ry) AS BIGINT) AS sxy
+             sum(rx) AS sx,
+             sum(ry) AS sy,
+             sum(rx * rx) AS sxx,
+             sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
       FROM ranked GROUP BY event_type
     )
     SELECT event_type, n,

@@ -1685,6 +1685,33 @@ def test_cramers_v_perfect_and_independent(spark):
     assert row.chi2_fp == 0 and row.cramers_v == 0.0
 
 
+def test_spearman_survives_int64_overflow_scale(spark):
+    """r11 regression (256x probe finding): one key with 1.4M ranked
+    rows pushes the doubled-midrank sum-of-squares past 2^63
+    (4n^3/3 at n=1.4e6 is ~3.7e18... with the doubled ranks' factor it
+    crosses; the int64 accumulators threw ARITHMETIC_OVERFLOW at the
+    256x probe). The DECIMAL(38,0) accumulators must deliver the exact
+    rho = 1.0 for a strictly monotone series instead of throwing."""
+    from ram_datapipeline_spark.operators.quality import spearman_corr
+
+    n = 1_400_000
+    df = spark.range(1, n + 1).select(
+        F.lit("k").alias("g"),
+        F.col("id").alias("a"),
+        (F.col("id") * 2).alias("b"),
+    )
+    out = spearman_corr(df, ["g"], F.col("a"), F.col("b")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == n
+    # strictly increasing both sides: rho exactly 1.0
+    assert r["rho"] == 1.0
+    # the sufficient statistics exceeded int64: vxn = n*Sxx - Sx^2 with
+    # Sxx ~ 4n^3/3 > 2^63 — reaching here without ARITHMETIC_OVERFLOW
+    # is the regression assertion; sanity-check the moment is real
+    assert r["vxn"] > float(2**63)
+
+
 def test_spearman_monotone_reversed_and_ties(spark):
     """rho = +1 under any monotone map (values 1,2,3 -> 10,100,1000),
     -1 when reversed, and NULL when one side is constant (zero rank
