@@ -848,37 +848,57 @@ def scene_cut_frames(
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-video work is pure numpy (reshape + row sums + diff); the
+        # Python loop runs once per VIDEO, never per frame. The r10
+        # version appended per-frame into Python lists — ~10² Python
+        # ops per output row — and the 256× probe caught it turning
+        # superlinear (5.9× wall for the 4× step past 64×: batch-sized
+        # Python lists × 32 workers = allocator/GC churn, the measured
+        # GCLocker retry storm). Arrays concatenate once per batch.
+        empty = np.empty(0, dtype=np.int64)
         for pdf in batches:
-            ids, frames, energies, deltas, cuts = [], [], [], [], []
+            ids, frames, energies, deltas, firsts = [], [], [], [], []
             for mid, payload, nf in zip(
                 pdf["media_id"], pdf["payload"], pdf["n_frames"]
             ):
                 nf = int(nf)
-                data = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 if nf <= 0:
                     continue
+                data = np.frombuffer(payload, dtype=np.uint8)
                 frame_len = len(data) // nf
                 if frame_len <= 0:
                     continue
-                prev = None
-                for f in range(nf):
-                    w = data[f * frame_len : (f + 1) * frame_len]
-                    e = int(w.sum())
-                    d = None if prev is None else e - prev
-                    ids.append(mid)
-                    frames.append(f)
-                    energies.append(e)
-                    deltas.append(d)
-                    cuts.append(
-                        False if d is None else abs(d) > threshold
-                    )
-                    prev = e
+                e = (
+                    data[: nf * frame_len]
+                    .reshape(nf, frame_len)
+                    .sum(axis=1, dtype=np.int64)
+                )
+                d = np.zeros(nf, dtype=np.int64)
+                d[1:] = e[1:] - e[:-1]
+                first = np.zeros(nf, dtype=bool)
+                first[0] = True
+                ids.append(np.full(nf, int(mid), dtype=np.int64))
+                frames.append(np.arange(nf, dtype=np.int64))
+                energies.append(e)
+                deltas.append(d)
+                firsts.append(first)
+            cat = lambda xs, dt=np.int64: (  # noqa: E731
+                np.concatenate(xs) if xs else empty.astype(dt)
+            )
+            delta_vals = cat(deltas)
+            first_mask = cat(firsts, bool).astype(bool)
+            cuts = np.abs(delta_vals) > threshold
+            cuts[first_mask] = False
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(frames, dtype="int64"),
-                    "energy": pd.Series(energies, dtype="int64"),
-                    "delta": pd.Series(deltas, dtype="Int64"),
+                    "media_id": pd.Series(cat(ids), dtype="int64"),
+                    "frame_idx": pd.Series(cat(frames), dtype="int64"),
+                    "energy": pd.Series(cat(energies), dtype="int64"),
+                    # first frame of each video: delta is NULL
+                    "delta": pd.Series(
+                        pd.arrays.IntegerArray(delta_vals, first_mask),
+                        dtype="Int64",
+                    ),
                     "is_cut": pd.Series(cuts, dtype="bool"),
                 }
             )

@@ -1527,3 +1527,102 @@ def anova_f_oneway(
             / (F.col("ssw").cast("double") / (F.col("n") - F.col("k")).cast("double"))
         ),
     )
+
+
+def kendall_tau_buckets(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    period_expr: str = "hour",
+) -> DataFrame:
+    """Kendall rank correlation (tau-b) per key between the period
+    bucket and the bucket's exact mean value — the concordance screen
+    completing the monotone-association family (Spearman = rank
+    Pearson; Kendall = pairwise concordance; Kendall 1938,
+    public-domain statistics). Like ``theil_sen_trend``, the events
+    collapse to the (key, bucket) grain first, so ALL pair work is
+    bounded by buckets² per key (≤ 276 pairs for hours) at any input
+    size.
+
+    INTEGER-EXACT concordance: bucket means stay exact rationals
+    (cent sum s, count n); the (h1 < h2) pair is concordant iff
+    s2·n1 > s1·n2 (BIGINT cross-multiply — exact while |s|·n < 2^63,
+    the same documented bound as theil_sen's slope fractions),
+    discordant iff <, a y-tie iff equal; the period is never tied
+    (h2 > h1 by construction). tau_b = (C − D)/√(n0·(n0 − T)) with
+    n0 the pair count and T the y-ties — one pinned IEEE chain, NULL
+    when every pair ties.
+
+    NULL value/ts rows are excluded BEFORE the bucket aggregate
+    (n and s must cover the same rows — the theil_sen ADVICE fix,
+    applied here from birth). Keys with < 2 buckets drop (no pairs).
+
+    Output: (key_cols…, n_buckets, n_pairs, concordant, discordant,
+    ties_y, tau_b).
+    """
+    cents = F.floor(F.col(val_col) * 100.0 + 0.5).cast("long")
+    per = (
+        df.where(F.col(val_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            *key_cols,
+            F.expr(f"{period_expr}({ts_col})").cast("long").alias("_h"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(cents).cast("long").alias("_s"),
+        )
+    )
+    a = per.select(
+        *key_cols,
+        F.col("_h").alias("_h1"),
+        F.col("_n").alias("_n1"),
+        F.col("_s").alias("_s1"),
+    )
+    b = per.select(
+        *key_cols,
+        F.col("_h").alias("_h2"),
+        F.col("_n").alias("_n2"),
+        F.col("_s").alias("_s2"),
+    )
+    lhs = F.col("_s2") * F.col("_n1")
+    rhs = F.col("_s1") * F.col("_n2")
+    pairs = (
+        a.join(b, key_cols)
+        .where(F.col("_h2") > F.col("_h1"))
+        .select(
+            *key_cols,
+            F.when(lhs > rhs, 1).otherwise(0).cast("long").alias("_c"),
+            F.when(lhs < rhs, 1).otherwise(0).cast("long").alias("_d"),
+            F.when(lhs == rhs, 1).otherwise(0).cast("long").alias("_t"),
+        )
+    )
+    nb = per.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+    agg = pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_c").cast("long").alias("concordant"),
+        F.sum("_d").cast("long").alias("discordant"),
+        F.sum("_t").cast("long").alias("ties_y"),
+    )
+    return (
+        agg.join(nb, key_cols)
+        .select(
+            *key_cols,
+            "n_buckets",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "ties_y",
+            F.when(F.col("n_pairs") == F.col("ties_y"), F.lit(None))
+            .otherwise(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.sqrt(
+                    F.col("n_pairs").cast("double")
+                    * (F.col("n_pairs") - F.col("ties_y")).cast("double")
+                )
+            )
+            .alias("tau_b"),
+        )
+    )

@@ -822,3 +822,71 @@ def gopher_rules(
         & F.col("rule_stopwords")
         & F.col("rule_symbol_ratio"),
     )
+
+
+def chi2_term_selection(
+    docs: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+    k: int = 20,
+) -> DataFrame:
+    """Per-term chi-square feature selection against a boolean label —
+    the classic supervised vocabulary cut (Yang & Pedersen, ICML'97)
+    a corpus pipeline runs to find the tokens most associated with a
+    slice (language, source, quality tier) before building classifier
+    features or contamination probes.
+
+    For each term t with document frequency ≥ ``min_df``, the 2×2
+    presence/label contingency (a, b, c, d) is exact BIGINT counts and
+
+        chi2 = N·(a·d − b·c)² / ((a+b)(c+d)(a+c)(b+d))
+
+    runs through the pinned correctly-rounded double chain (every
+    factor an exact int64 — the same overflow-proof shape as
+    ``cramers_v_assoc``; the BIGINT product form overflows once
+    (ad−bc)² crosses 2^63). Emits the top ``k`` terms by
+    (chi2 DESC, term) — engine-deterministic because both engines
+    round the same exact integers to the same doubles.
+
+    Output: (term, df, a_pos, chi2), where a_pos = positive-label docs
+    containing the term.
+
+    Scale shape: ONE distinct on the (doc, term) grain (the only
+    corpus-sized exchange — presence semantics collapse repeated
+    tokens map-side), one term-grain conditional aggregate riding it,
+    a broadcast 1-row total, and a TakeOrdered(k). The label side
+    never joins row-wise: it rides the (doc, term) grain as a flag.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_doc"),
+        label.cast("boolean").alias("_pos"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    dt = base.select("_doc", "_pos", "term").distinct()
+    per_term = dt.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_pos"),
+    ).where(F.col("df") >= min_df)
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(label.cast("boolean").cast("int")).cast("long").alias("_e"),
+    )
+    g = per_term.crossJoin(F.broadcast(tot))
+    a = F.col("a_pos").cast("double")
+    b = (F.col("df") - F.col("a_pos")).cast("double")
+    c = (F.col("_e") - F.col("a_pos")).cast("double")
+    d = (F.col("_n") - F.col("_e") - (F.col("df") - F.col("a_pos"))).cast(
+        "double"
+    )
+    n = F.col("_n").cast("double")
+    det = a * d - b * c
+    chi2 = (n * det * det) / ((a + b) * (c + d) * (a + c) * (b + d))
+    return (
+        g.select("term", "df", "a_pos", chi2.alias("chi2"))
+        .orderBy(F.desc("chi2"), F.asc("term"))
+        .limit(k)
+    )

@@ -811,3 +811,74 @@ def theil_sen_trend(
         )
         .drop("_qlo", "_qhi")
     )
+
+
+def rolling_slope(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    cents: "F.Column",
+    window_rows: int = 16,
+) -> DataFrame:
+    """Rolling OLS trend slope over the trailing ``window_rows`` points
+    per key — the local-trend feature a monitoring pipeline attaches to
+    every event (vs ``theil_sen_trend``'s one global robust slope).
+
+    INTEGER-EXACT via translation invariance: an OLS slope is invariant
+    to shifting x, so the regressor is the key's global row index i
+    (row_number over the (ts, tiebreak) total order) instead of a
+    window-relative position — which windowed sums cannot see. All four
+    sufficient sums (Σi, Σy, Σi², Σiy) are BIGINT window aggregates
+    over the trailing frame, and
+
+        num = n·Σiy − Σi·Σy,    den = n·Σi² − (Σi)²
+
+    are exact BIGINTs (den > 0 whenever n ≥ 2 since the i are
+    distinct); the emitted slope is one IEEE division. int64 bound:
+    n·Σi² ≈ k²·i² keeps every intermediate under 2^63 for per-key
+    series up to ~6·10⁸ rows at k = 16 — the documented limit (a
+    longer series wants the same DECIMAL(38,0) swap spearman_corr
+    made). Rows with fewer than two points in frame (the first row)
+    emit NULL slope.
+
+    Scale shape: ONE hash exchange on the key; the row_number window
+    and the four framed sums share its sort. NULL value/ts rows are
+    excluded before ranking so i is dense over ranked rows.
+    """
+    base = df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        cents.cast("long").alias("_y"),
+    ).where(F.col("_y").isNotNull() & F.col(ts_col).isNotNull())
+    w_ord = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    ranked = base.withColumn("_i", F.row_number().over(w_ord).cast("long"))
+    w_frame = w_ord.rowsBetween(-(window_rows - 1), Window.currentRow)
+    staged = ranked.select(
+        *key_cols,
+        F.col(tiebreak_col),
+        "_i",
+        "_y",
+        F.count(F.lit(1)).over(w_frame).cast("long").alias("n_win"),
+        F.sum("_i").over(w_frame).cast("long").alias("_si"),
+        F.sum("_y").over(w_frame).cast("long").alias("_sy"),
+        F.sum(F.col("_i") * F.col("_i")).over(w_frame).cast("long").alias("_sii"),
+        F.sum(F.col("_i") * F.col("_y")).over(w_frame).cast("long").alias("_siy"),
+    )
+    num = (F.col("n_win") * F.col("_siy") - F.col("_si") * F.col("_sy")).cast(
+        "long"
+    )
+    den = (F.col("n_win") * F.col("_sii") - F.col("_si") * F.col("_si")).cast(
+        "long"
+    )
+    return staged.select(
+        *key_cols,
+        F.col(tiebreak_col),
+        F.col("n_win"),
+        num.alias("num"),
+        den.alias("den"),
+        F.when(F.col("n_win") < 2, F.lit(None))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope"),
+    )

@@ -450,3 +450,143 @@ def random_projection(
             ),
         )
     return out
+
+
+def binary_sign_pack(
+    vec: Column, dim: int = 64, word_bits: int = 32
+) -> list[Column]:
+    """Pack a vector's sign bits (component ≥ 0 → 1) into
+    ``dim / word_bits`` BIGINT words via a base-2 LEFT FOLD
+    (``acc·2 + bit`` — exact integer arithmetic, identical in any
+    engine; 32-bit words so no fold ever touches the int64 sign bit).
+    The 1-bit quantization behind binary embedding search (Charikar's
+    sign-random-projection simplified to coordinate signs — at 64 dims
+    the coordinates ARE the projections)."""
+    if dim % word_bits:
+        raise ValueError("binary_sign_pack: dim must be a multiple of word_bits")
+    words = []
+    for w in range(dim // word_bits):
+        lo = w * word_bits + 1
+        bit = lambda i: F.when(  # noqa: E731
+            F.element_at(vec, i).cast("double") >= 0.0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        acc = bit(lo)
+        for i in range(lo + 1, lo + word_bits):
+            acc = acc * F.lit(2).cast("long") + bit(i)
+        words.append(acc)
+    return words
+
+
+def binary_hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k nearest neighbors under 1-BIT quantization: vectors
+    compress 64× to two BIGINT sign words, distance is the exact
+    integer Hamming distance ``bit_count(xor(lo)) + bit_count(xor(hi))``
+    (a correctly-rounded proxy for angular distance — the memory-
+    bandwidth-bound shortlist stage binary embedding stores run before
+    an exact rerank; see ``cosine_topk_ivfpq`` for the rerank shape).
+
+    Output: (query_id, neighbor_id, hamming, rk), rk by
+    (hamming ASC, neighbor_id) — ties are common in 64-bit space, the
+    id tie-break keeps the cut deterministic.
+
+    Scale shape: packing is a zero-shuffle codegen map on both sides;
+    queries broadcast (small by contract); per-corpus-row work is two
+    XOR+popcount words — no floats, no array traffic across the
+    exchange. 100 TB shape: pack ONCE at ingest and persist the two
+    words (16 bytes/vector); the scan then never touches the float
+    arrays at all.
+    """
+    q_words = binary_sign_pack(F.col(vec_col), dim)
+    c_words = binary_sign_pack(F.col(vec_col), dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        q_words[0].alias("_qlo"),
+        q_words[1].alias("_qhi"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        c_words[0].alias("_clo"),
+        c_words[1].alias("_chi"),
+    )
+    ham = (
+        F.bit_count(F.expr("_qlo").bitwiseXOR(F.col("_clo")))
+        + F.bit_count(F.expr("_qhi").bitwiseXOR(F.col("_chi")))
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hamming", ham)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rk")
+    )
+
+
+def matryoshka_energy_profile(
+    df: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-prefix energy retention of an embedding column — the
+    evaluation behind Matryoshka-style dimension truncation (Kusupati
+    et al., NeurIPS'22: MRL embeddings front-load information so a
+    d-dim prefix serves cheap retrieval): for each candidate prefix
+    length d, how much of each vector's squared L2 mass the first d
+    components hold.
+
+    INTEGER-EXACT aggregation: the per-vector ratio is the pinned IEEE
+    chain ``floor(1e6 · Σ_{i≤d} e_i² / Σ e_i²)`` (strict left folds,
+    one division, one floor — engine-identical), and the cross-row
+    mean is BIGINT ``sum DIV n`` on those ppm integers — no float
+    accumulation order anywhere. Zero-norm vectors are excluded (they
+    have no energy to apportion); n_vecs counts the included rows.
+
+    Output: one row per d — (dim, n_vecs, sum_energy_ppm,
+    avg_energy_ppm).
+
+    Scale shape: one zero-shuffle codegen map emits the |dims| ppm
+    columns per row; one map-side-combined global aggregate collapses
+    them; the dims-sized unpivot runs on the 1-row result.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    full = F.aggregate(
+        F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cols = []
+    for d in dims:
+        pre = F.aggregate(
+            F.transform(F.slice(e, 1, d), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cols.append(
+            F.floor(F.lit(1_000_000.0) * pre / full)
+            .cast("long")
+            .alias(f"_ppm_{d}")
+        )
+    base = df.select(*cols, full.alias("_full")).where(F.col("_full") > 0.0)
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[F.sum(f"_ppm_{d}").cast("long").alias(f"_s_{d}") for d in dims],
+    )
+    stack = ", ".join(f"{d}, _s_{d}" for d in dims)
+    return agg.select(
+        F.expr(
+            f"stack({len(dims)}, {stack}) AS (dim, sum_energy_ppm)"
+        ),
+        F.col("_n").alias("n_vecs"),
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_vecs",
+        "sum_energy_ppm",
+        F.expr("sum_energy_ppm DIV n_vecs").alias("avg_energy_ppm"),
+    )

@@ -2649,3 +2649,194 @@ def q_agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anova_f_oneway(
         t["events"], "event_type", F.floor(F.col("value") * 100.0 + 0.5)
     )
+
+
+@query(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(ts) // 604800000000 AS w
+      FROM events WHERE ts IS NOT NULL
+    ),
+    first AS (
+      SELECT user_id, min(w) AS cohort_week FROM ev GROUP BY user_id
+    ),
+    cells AS (
+      SELECT DISTINCT f.cohort_week, e.w - f.cohort_week AS offset_weeks,
+             e.user_id
+      FROM ev e JOIN first f USING (user_id)
+    )
+    SELECT cohort_week, offset_weeks,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM cells GROUP BY cohort_week, offset_weeks
+    """,
+    survey=(
+        "cohort retention matrix: users bucketed by first-active epoch "
+        "week, distinct returners counted per later week — epoch-"
+        "anchored integer 7-day buckets, no calendar functions (event "
+        "analytics, beyond ref)"
+    ),
+    tags=("events",),
+)
+def q_ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (operators/events.py::retention_cohorts):
+    one user-grain min aggregate, one co-located user join back, one
+    distinct on the (cohort, offset, user) grain, one count."""
+    from ram_datapipeline_spark.operators.events import retention_cohorts
+
+    t = load_tables(spark, sf_dir)
+    return retention_cohorts(t["events"])
+
+
+@query(
+    "ev_stickiness_ratio",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS d
+      FROM events WHERE ts IS NOT NULL
+    ),
+    udw AS (SELECT user_id, d, d // 7 AS week FROM ud),
+    dau AS (
+      SELECT week, CAST(count(*) AS BIGINT) AS sum_dau
+      FROM udw GROUP BY week
+    ),
+    wau AS (
+      SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM udw GROUP BY week
+    )
+    SELECT d.week, w.wau, d.sum_dau,
+           CAST(d.sum_dau * 1000000 // (7 * w.wau) AS BIGINT)
+             AS stickiness_ppm
+    FROM dau d JOIN wau w USING (week)
+    """,
+    survey=(
+        "DAU/WAU stickiness per week in exact integer ppm (the "
+        "engagement-intensity product metric) — distinct (user, day) "
+        "grain, integer epoch buckets (event analytics, beyond ref)"
+    ),
+    tags=("events",),
+)
+def q_ev_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly DAU/WAU stickiness (operators/events.py::stickiness_ratio):
+    events collapse to the distinct (user, day) grain once; day and
+    week roll-ups ride that grain."""
+    from ram_datapipeline_spark.operators.events import stickiness_ratio
+
+    t = load_tables(spark, sf_dir)
+    return stickiness_ratio(t["events"])
+
+
+@query(
+    "ev_attribution_touch",
+    oracle="""
+    WITH staged AS (
+      SELECT event_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS ft,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt
+      FROM events WHERE ts IS NOT NULL
+    ),
+    conv AS (
+      SELECT coalesce(ft, '(none)') AS ftc, coalesce(lt, '(none)') AS ltc
+      FROM staged WHERE event_type = 'purchase'
+    ),
+    ft AS (
+      SELECT ftc AS channel, CAST(count(*) AS BIGINT) AS first_touch
+      FROM conv GROUP BY ftc
+    ),
+    lt AS (
+      SELECT ltc AS channel, CAST(count(*) AS BIGINT) AS last_touch
+      FROM conv GROUP BY ltc
+    )
+    SELECT coalesce(ft.channel, lt.channel) AS channel,
+           CAST(coalesce(first_touch, 0) AS BIGINT) AS first_touch,
+           CAST(coalesce(last_touch, 0) AS BIGINT) AS last_touch
+    FROM ft FULL JOIN lt ON ft.channel = lt.channel
+    """,
+    survey=(
+        "first-touch / last-touch conversion attribution per channel: "
+        "one user-keyed ordered window computes both IGNORE NULLS "
+        "carries over the strict-past frame, then channel-grain counts "
+        "(event analytics, beyond ref)"
+    ),
+    tags=("events",),
+)
+def q_ev_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute purchase conversions to the user's first and last
+    prior non-purchase event type
+    (operators/events.py::touch_attribution): one user exchange, two
+    window carries on the same sort, channel-grain counts."""
+    from ram_datapipeline_spark.operators.events import touch_attribution
+
+    t = load_tables(spark, sf_dir)
+    return touch_attribution(t["events"], "purchase")
+
+
+@query(
+    "agg_kendall_tau",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type, hour(ts)
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END AS c,
+             CASE WHEN b.s * a.n < a.s * b.n THEN 1 ELSE 0 END AS d,
+             CASE WHEN b.s * a.n = a.s * b.n THEN 1 ELSE 0 END AS t
+      FROM per a JOIN per b
+        ON a.event_type = b.event_type AND b.h > a.h
+    ),
+    nb AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets
+      FROM per GROUP BY event_type
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(c) AS BIGINT) AS concordant,
+             CAST(sum(d) AS BIGINT) AS discordant,
+             CAST(sum(t) AS BIGINT) AS ties_y
+      FROM pairs GROUP BY event_type
+    )
+    SELECT agg.event_type, nb.n_buckets, agg.n_pairs,
+           agg.concordant, agg.discordant, agg.ties_y,
+           CASE WHEN agg.n_pairs = agg.ties_y THEN NULL
+                ELSE CAST(agg.concordant - agg.discordant AS DOUBLE)
+                     / sqrt(CAST(agg.n_pairs AS DOUBLE)
+                            * CAST(agg.n_pairs - agg.ties_y AS DOUBLE))
+           END AS tau_b
+    FROM agg JOIN nb USING (event_type)
+    """,
+    survey=(
+        "Kendall tau-b concordance per key between hour-of-day and the "
+        "bucket's exact mean (BIGINT cross-multiplied rational "
+        "comparison, no division until the final pinned IEEE chain) — "
+        "completes the monotone-association family; all pair work on "
+        "the quantized bucket grain (beyond-ref drift family)"
+    ),
+    tags=("analytic",),
+)
+def q_agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b of hourly mean value per event type
+    (operators/quality.py::kendall_tau_buckets): one event-sized
+    bucket aggregate, <=276 concordance pairs per key."""
+    from ram_datapipeline_spark.operators.quality import kendall_tau_buckets
+
+    t = load_tables(spark, sf_dir)
+    return kendall_tau_buckets(t["events"], ["event_type"], "ts", "value")

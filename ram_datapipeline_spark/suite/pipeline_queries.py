@@ -2045,3 +2045,129 @@ def q_pipe_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return gopher_rules(t["documents"])
+
+
+_VEC_E_CTE = """
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings)
+"""
+
+
+def _sign_word_sql(lo: int, hi: int) -> str:
+    """Base-2 left fold of sign bits e[lo..hi] — the same
+    ``acc·2 + bit`` chain binary_sign_pack builds in Spark."""
+    return (
+        f"list_reduce(list_transform(generate_series({lo}, {hi}), "
+        "i -> CASE WHEN e[i] >= 0 THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END), (a, b) -> a * 2 + b)"
+    )
+
+
+@query(
+    "vec_binary_hamming_topk",
+    oracle=f"""
+    WITH {_VEC_E_CTE},
+    packed AS (
+      SELECT vec_id,
+             {_sign_word_sql(1, 32)} AS lo,
+             {_sign_word_sql(33, 64)} AS hi
+      FROM v
+    )
+    SELECT query_id, neighbor_id, hamming, rk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.lo, c.lo))
+                  + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY bit_count(xor(q.lo, c.lo))
+                        + bit_count(xor(q.hi, c.hi)), c.vec_id)
+               AS BIGINT) AS rk
+      FROM packed q JOIN packed c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ) WHERE rk <= 5
+    """,
+    survey=(
+        "1-bit binary embedding search: sign bits packed 64x into two "
+        "BIGINT words (base-2 integer fold), exact XOR+popcount "
+        "Hamming shortlist — the memory-bandwidth-bound first stage of "
+        "binary ANN serving (north star — LLM retrieval, beyond ref)"
+    ),
+    tags=("similarity", "vectors"),
+)
+def q_vec_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-5 under sign-bit quantization
+    (operators/vectors.py::binary_hamming_topk): packing is a
+    zero-shuffle codegen map, queries broadcast, per-row distance is
+    two XOR+popcount words — at 100 TB the packed words persist at
+    ingest (16 bytes/vector) and the scan never touches the floats."""
+    from ram_datapipeline_spark.operators.vectors import binary_hamming_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return binary_hamming_topk(e.where(F.col("vec_id") < 20), e, k=5)
+
+
+@query(
+    "vec_matryoshka_energy",
+    oracle=f"""
+    WITH {_VEC_E_CTE},
+    fullnrm AS (
+      SELECT vec_id, e,
+             list_reduce(list_transform(e, x -> x * x),
+                         (a, b) -> a + b) AS fe
+      FROM v
+    ),
+    ppm AS (
+      SELECT vec_id, fe,
+             CAST(floor(1000000.0 * list_reduce(
+               list_transform(e[1:8], x -> x * x), (a, b) -> a + b) / fe)
+               AS BIGINT) AS p8,
+             CAST(floor(1000000.0 * list_reduce(
+               list_transform(e[1:16], x -> x * x), (a, b) -> a + b) / fe)
+               AS BIGINT) AS p16,
+             CAST(floor(1000000.0 * list_reduce(
+               list_transform(e[1:32], x -> x * x), (a, b) -> a + b) / fe)
+               AS BIGINT) AS p32,
+             CAST(floor(1000000.0 * list_reduce(
+               list_transform(e[1:64], x -> x * x), (a, b) -> a + b) / fe)
+               AS BIGINT) AS p64
+      FROM fullnrm WHERE fe > 0.0
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p8) AS BIGINT) AS s8,
+             CAST(sum(p16) AS BIGINT) AS s16,
+             CAST(sum(p32) AS BIGINT) AS s32,
+             CAST(sum(p64) AS BIGINT) AS s64
+      FROM ppm
+    ),
+    long AS (
+      SELECT CAST(8 AS BIGINT) AS dim, n AS n_vecs, s8 AS sum_energy_ppm
+        FROM agg
+      UNION ALL SELECT 16, n, s16 FROM agg
+      UNION ALL SELECT 32, n, s32 FROM agg
+      UNION ALL SELECT 64, n, s64 FROM agg
+    )
+    SELECT dim, n_vecs, sum_energy_ppm,
+           CAST(sum_energy_ppm // n_vecs AS BIGINT) AS avg_energy_ppm
+    FROM long
+    """,
+    survey=(
+        "Matryoshka prefix-energy profile: per candidate truncation "
+        "dim, the exact-ppm share of squared L2 mass the prefix holds "
+        "(per-row pinned IEEE ratio, BIGINT cross-row mean — no float "
+        "accumulation) — the dimension-truncation eval for MRL-style "
+        "embedding serving (north star — LLM retrieval, beyond ref)"
+    ),
+    tags=("vectors",),
+)
+def q_vec_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy retention at prefix dims 8/16/32/64 over the embeddings
+    table (operators/vectors.py::matryoshka_energy_profile): one
+    zero-shuffle map + one map-side-combined global aggregate."""
+    from ram_datapipeline_spark.operators.vectors import (
+        matryoshka_energy_profile,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return matryoshka_energy_profile(t["embeddings"])

@@ -2380,3 +2380,65 @@ def q_dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .select("n_docs", "p_scaled_sum", "r_scaled_sum")
     )
+
+
+@query(
+    "text_chi2_terms",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, lang = 'en' AS pos, term
+      FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ),
+    per_term AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a_pos
+      FROM dt GROUP BY term HAVING count(*) >= 10
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS e
+      FROM documents
+    )
+    SELECT term, df, a_pos, chi2 FROM (
+      SELECT term, df, a_pos,
+             (CAST(n AS DOUBLE)
+              * (CAST(a_pos AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - CAST(e AS DOUBLE)
+                      - (CAST(df AS DOUBLE) - CAST(a_pos AS DOUBLE)))
+                 - (CAST(df AS DOUBLE) - CAST(a_pos AS DOUBLE))
+                   * (CAST(e AS DOUBLE) - CAST(a_pos AS DOUBLE)))
+              * (CAST(a_pos AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - CAST(e AS DOUBLE)
+                      - (CAST(df AS DOUBLE) - CAST(a_pos AS DOUBLE)))
+                 - (CAST(df AS DOUBLE) - CAST(a_pos AS DOUBLE))
+                   * (CAST(e AS DOUBLE) - CAST(a_pos AS DOUBLE))))
+             / (CAST(df AS DOUBLE)
+                * (CAST(n AS DOUBLE) - CAST(df AS DOUBLE))
+                * CAST(e AS DOUBLE)
+                * (CAST(n AS DOUBLE) - CAST(e AS DOUBLE))) AS chi2
+      FROM per_term, tot
+    )
+    ORDER BY chi2 DESC, term ASC
+    LIMIT 20
+    """,
+    survey=(
+        "supervised chi-square term selection (Yang & Pedersen "
+        "ICML'97): top terms associated with a document label via "
+        "exact BIGINT 2x2 contingencies through the pinned double "
+        "chain — the slice-diagnostic vocabulary cut (north star — "
+        "LLM corpus curation, beyond ref)"
+    ),
+    tags=("text",),
+)
+def q_text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens most associated with lang='en'
+    (operators/text_ops.py::chi2_term_selection): one distinct on the
+    (doc, term) grain, term-grain conditional aggregate, broadcast
+    totals, TakeOrdered(20)."""
+    t = load_tables(spark, sf_dir)
+    return T.chi2_term_selection(t["documents"], F.col("lang") == "en")

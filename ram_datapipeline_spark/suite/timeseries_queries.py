@@ -727,3 +727,59 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return theil_sen_trend(t["events"], ["event_type"], "ts", "value")
+
+
+@query(
+    "ts_rolling_slope",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, event_id, y,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS BIGINT) AS i
+      FROM base
+    ),
+    framed AS (
+      SELECT event_type, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_win,
+             CAST(sum(i) OVER w AS BIGINT) AS si,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(i * i) OVER w AS BIGINT) AS sii,
+             CAST(sum(i * y) OVER w AS BIGINT) AS siy
+      FROM ranked
+      WINDOW w AS (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, n_win,
+           CAST(n_win * siy - si * sy AS BIGINT) AS num,
+           CAST(n_win * sii - si * si AS BIGINT) AS den,
+           CASE WHEN n_win < 2 THEN NULL
+                ELSE CAST(n_win * siy - si * sy AS DOUBLE)
+                     / CAST(n_win * sii - si * si AS DOUBLE)
+           END AS slope
+    FROM framed
+    """,
+    survey=(
+        "rolling OLS trend slope over the trailing 16 points per key: "
+        "BIGINT windowed sufficient sums on the global row index "
+        "(slope is translation-invariant, so windowed sums CAN see the "
+        "regressor), exact integer num/den, one IEEE division — the "
+        "per-event local-trend feature (beyond-ref timeseries)"
+    ),
+    tags=("timeseries",),
+)
+def q_ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-16-row OLS slope of event cents per event type
+    (operators/timeseries.py::rolling_slope): one key exchange, the
+    rank window and all four framed sums share its sort."""
+    from ram_datapipeline_spark.operators.timeseries import rolling_slope
+
+    t = load_tables(spark, sf_dir)
+    return rolling_slope(
+        t["events"], ["event_type"], "ts", "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5),
+    )
