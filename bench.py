@@ -177,6 +177,14 @@ HEADLINE = [
     # round-11 additions
     "sim_incremental_ivf",      # batch-vs-standing-seeds ANN maintenance
     "sim_ivf_drift",            # per-cell occupancy drift + retrain trigger
+    "ev_retention_cohorts",     # first-active-week cohort matrix
+    "ev_stickiness_ratio",      # weekly DAU/WAU in exact ppm
+    "ev_attribution_touch",     # first/last-touch conversion attribution
+    "ts_rolling_slope",         # trailing-16-row OLS slope per event
+    "agg_kendall_tau",          # concordance on the bucket grain
+    "text_chi2_terms",          # supervised chi-square term selection
+    "vec_binary_hamming_topk",  # 1-bit sign-pack XOR+popcount shortlist
+    "vec_matryoshka_energy",    # prefix-energy truncation profile
 ]
 
 

@@ -884,7 +884,13 @@ def chi2_term_selection(
     )
     n = F.col("_n").cast("double")
     det = a * d - b * c
-    chi2 = (n * det * det) / ((a + b) * (c + d) * (a + c) * (b + d))
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    # degenerate margins (a term in EVERY doc, or a one-sided label)
+    # zero the denominator: such a term carries no discriminative
+    # signal, so its association is 0 by definition — a 0.0 literal on
+    # both engines, never a NULL whose DESC placement engines could
+    # disagree on
+    chi2 = F.when(den == 0.0, F.lit(0.0)).otherwise(n * det * det / den)
     return (
         g.select("term", "df", "a_pos", chi2.alias("chi2"))
         .orderBy(F.desc("chi2"), F.asc("term"))

@@ -120,21 +120,23 @@ GATE_ORDER: tuple[str, ...] = (
     "sim_ivfpq_rerank",
     "w1_latest_per_key",
     "w2_sort_limit_topk",
+    # (a2) late-r11 births (displaced eight stale-fill slots — births
+    # outrank re-proofs of code-stable queries)
+    "ev_retention_cohorts",
+    "ev_stickiness_ratio",
+    "ev_attribution_touch",
+    "ts_rolling_slope",
+    "agg_kendall_tau",
+    "text_chi2_terms",
+    "vec_binary_hamming_topk",
+    "vec_matryoshka_energy",
     # (d) stalest remaining tier (r6-proven) — swap-out pool for
-    # late-r11 births
+    # further late-r11 births
     "agg_heavy_hitters",
     "dedup_simhash_pairs",
     "eta_routed_graph",
     "f17_geometry_type_inference",
     "graph_kcore",
-    "graph_pagerank",
-    "j2_point_in_admin",
-    "j3_adaptive_buffer",
-    "j3_buffer_semi_join",
-    "j3_knn_candidates",
-    "j7_square_grid_clip",
-    "p6_nullsafe_round",
-    "pipe_decontaminate",
 )
 
 

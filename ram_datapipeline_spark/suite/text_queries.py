@@ -2406,6 +2406,11 @@ def q_dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT term, df, a_pos, chi2 FROM (
       SELECT term, df, a_pos,
+             CASE WHEN CAST(df AS DOUBLE)
+                       * (CAST(n AS DOUBLE) - CAST(df AS DOUBLE))
+                       * CAST(e AS DOUBLE)
+                       * (CAST(n AS DOUBLE) - CAST(e AS DOUBLE)) = 0
+                  THEN 0.0 ELSE
              (CAST(n AS DOUBLE)
               * (CAST(a_pos AS DOUBLE)
                    * (CAST(n AS DOUBLE) - CAST(e AS DOUBLE)
@@ -2420,7 +2425,7 @@ def q_dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (CAST(df AS DOUBLE)
                 * (CAST(n AS DOUBLE) - CAST(df AS DOUBLE))
                 * CAST(e AS DOUBLE)
-                * (CAST(n AS DOUBLE) - CAST(e AS DOUBLE))) AS chi2
+                * (CAST(n AS DOUBLE) - CAST(e AS DOUBLE))) END AS chi2
       FROM per_term, tot
     )
     ORDER BY chi2 DESC, term ASC

@@ -206,7 +206,16 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # scales with the corpus; the batch probe is one broadcast
           # pass over the batch side only) and its drift monitor (cell
           # grain after one map-side batch aggregate)
-          "sim_incremental_ivf", "sim_ivf_drift"]
+          "sim_incremental_ivf", "sim_ivf_drift",
+          # round-11 late additions: event analytics (user/bucket-grain
+          # aggregates after one corpus pass), rolling slope + Kendall
+          # (one key exchange / bucket-grain pairs), chi2 terms (one
+          # (doc, term)-grain distinct), binary Hamming (zero-shuffle
+          # pack + broadcast probe), matryoshka (map + one global agg)
+          "ev_retention_cohorts", "ev_stickiness_ratio",
+          "ev_attribution_touch", "ts_rolling_slope", "agg_kendall_tau",
+          "text_chi2_terms", "vec_binary_hamming_topk",
+          "vec_matryoshka_energy"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

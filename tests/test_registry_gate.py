@@ -110,6 +110,14 @@ def test_gated_queries_all_have_oracles():
 # green in every per-round full-registry sweep at sf0.01 AND sf0.1 —
 # queued for the r12 window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    "graph_pagerank",
+    "j2_point_in_admin",
+    "j3_adaptive_buffer",
+    "j3_buffer_semi_join",
+    "j3_knn_candidates",
+    "j7_square_grid_clip",
+    "p6_nullsafe_round",
+    "pipe_decontaminate",
     "pipe_dq_checks",
     "pipe_sequence_packing",
     "pipe_stratified_sample",
