@@ -42,7 +42,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # cross-round comparisons have a machine-drift control (VERDICT r5 #4:
 # the recorded r4 number was 16% faster than r4 code achieves on a
 # later day's box). Update this hash each round.
-ANCHOR_COMMIT = "0dd81d48fb930be62cbefa3e50bf0a31009db012"  # round-9 final
+ANCHOR_COMMIT = "becae8d1669aeceb6ad32a0c6335c6a677c9c51d"  # round-10 final
 
 # One representative per operator family (SURVEY §2 + north-star ops);
 # scale-sensitive choices on purpose: big-table aggs, multi-joins, window,
