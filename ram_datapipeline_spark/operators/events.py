@@ -43,8 +43,13 @@ def retention_cohorts(
     thing any exchange carries. NULL timestamps are excluded (they
     place a user in no week).
     """
+    # NULL timestamps place a user in no week; NULL users would fall
+    # out of the inner join back anyway — filter both explicitly so the
+    # drop is a contract, not a join artifact (r11 self-review).
     ev = (
-        events.where(F.col(ts_col).isNotNull())
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        )
         .select(
             F.col(user_col).alias("_u"),
             (F.unix_micros(F.col(ts_col)) / F.lit(US_PER_WEEK))
@@ -83,8 +88,15 @@ def stickiness_ratio(
     (user, week) grain feeds WAU. Two modest exchanges, both on
     user-bucket grains, never the raw stream.
     """
+    # NULL users are excluded EXPLICITLY (r11 self-review): a NULL user
+    # would count in the row-count sum_dau but fall out of the
+    # count-DISTINCT wau in both engines — an inconsistent ratio, and
+    # the kind of engine-default divergence the NULL-guard ADVICE
+    # family exists to prevent.
     ud = (
-        events.where(F.col(ts_col).isNotNull())
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        )
         .select(
             F.col(user_col).alias("_u"),
             (F.unix_micros(F.col(ts_col)) / F.lit(US_PER_DAY))

@@ -467,8 +467,12 @@ def binary_sign_pack(
     words = []
     for w in range(dim // word_bits):
         lo = w * word_bits + 1
+        # F.get (0-indexed, null-safe) not element_at: under ANSI mode
+        # element_at THROWS past the array end, where DuckDB's e[i]
+        # yields NULL — a short/NULL vector must hash as 0-bits in both
+        # engines, not kill the job (r11 self-review)
         bit = lambda i: F.when(  # noqa: E731
-            F.element_at(vec, i).cast("double") >= 0.0,
+            F.get(vec, i - 1).cast("double") >= 0.0,
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         acc = bit(lo)

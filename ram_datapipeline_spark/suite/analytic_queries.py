@@ -2657,7 +2657,7 @@ def q_agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
       SELECT user_id,
              epoch_us(ts) // 604800000000 AS w
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ),
     first AS (
       SELECT user_id, min(w) AS cohort_week FROM ev GROUP BY user_id
@@ -2695,7 +2695,7 @@ def q_ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ud AS (
       SELECT DISTINCT user_id,
              epoch_us(ts) // 86400000000 AS d
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ),
     udw AS (SELECT user_id, d, d // 7 AS week FROM ud),
     dau AS (

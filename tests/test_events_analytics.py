@@ -185,3 +185,44 @@ def test_chi2_terms_separating_token_wins(spark):
     assert {r.term for r in out} == {"alpha", "beta", "noise"}
     noise = [r for r in out if r.term == "noise"][0]
     assert noise.chi2 == 0.0 or abs(noise.chi2) < 1e-12
+
+
+def test_stickiness_and_cohorts_exclude_null_users(spark):
+    """r11 self-review: a NULL user must not inflate sum_dau while
+    falling out of the count-DISTINCT wau (engines agree NULL is no
+    user), and cohorts drop NULL users by contract, not join accident."""
+    from ram_datapipeline_spark.operators.events import (
+        retention_cohorts,
+        stickiness_ratio,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base), (None, base), (None, base + dt.timedelta(days=1))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    st = stickiness_ratio(ev).collect()
+    assert sum(r.sum_dau for r in st) == 1
+    assert all(r.wau == 1 for r in st)
+    rc = retention_cohorts(ev).collect()
+    assert len(rc) == 1 and rc[0].n_users == 1
+
+
+def test_binary_sign_pack_short_and_null_vectors(spark):
+    """r11 self-review: vectors shorter than the packed dim (or NULL
+    components) hash as 0-bits — ANSI element_at would throw where
+    DuckDB yields NULL."""
+    from ram_datapipeline_spark.operators.vectors import binary_hamming_topk
+
+    full = [1.0] * 64
+    short = [1.0] * 8          # 56 missing components -> 0 bits
+    df = spark.createDataFrame(
+        [(1, full), (2, short), (3, full)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.neighbor_id: r
+        for r in binary_hamming_topk(
+            df.where(F.col("vec_id") == 1), df, k=2
+        ).collect()
+    }
+    assert out[3].hamming == 0
+    assert out[2].hamming == 56  # only the 8 present bits match
