@@ -106,26 +106,17 @@ def stickiness_ratio(
         .distinct()
     )
     ud = ud.withColumn("week", (F.col("_d") / F.lit(7)).cast("long"))
-    dau_sum = (
-        ud.groupBy("week")
-        .agg(F.count(F.lit(1)).cast("long").alias("sum_dau"))
-    )
-    wau = (
-        ud.select("week", "_u")
-        .distinct()
-        .groupBy("week")
-        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
-    )
-    return (
-        dau_sum.join(wau, "week")
-        .select(
-            "week",
-            "wau",
-            "sum_dau",
-            F.expr("sum_dau * 1000000 DIV (7 * wau)").alias(
-                "stickiness_ppm"
-            ),
-        )
+    # one aggregate carries both counts (count + count-distinct expand
+    # share the single pass over the (user, day) grain — two separate
+    # groupBys re-derived that grain per metric, r11 plan audit)
+    return ud.groupBy("week").agg(
+        F.countDistinct("_u").cast("long").alias("wau"),
+        F.count(F.lit(1)).cast("long").alias("sum_dau"),
+    ).select(
+        "week",
+        "wau",
+        "sum_dau",
+        F.expr("sum_dau * 1000000 DIV (7 * wau)").alias("stickiness_ppm"),
     )
 
 
@@ -174,21 +165,24 @@ def touch_attribution(
         F.coalesce(F.col("_ft"), F.lit("(none)")).alias("_ftc"),
         F.coalesce(F.col("_lt"), F.lit("(none)")).alias("_ltc"),
     )
-    ft = conv.groupBy(F.col("_ftc").alias("channel")).agg(
-        F.count(F.lit(1)).cast("long").alias("first_touch")
-    )
-    lt = conv.groupBy(F.col("_ltc").alias("channel")).agg(
-        F.count(F.lit(1)).cast("long").alias("last_touch")
-    )
-    return (
-        ft.join(lt, "channel", "full")
-        .select(
-            "channel",
-            F.coalesce("first_touch", F.lit(0).cast("long")).alias(
-                "first_touch"
-            ),
-            F.coalesce("last_touch", F.lit(0).cast("long")).alias(
-                "last_touch"
-            ),
-        )
+    # unpivot the two models into one (model, channel) stream so BOTH
+    # counts ride a single pass over the window output — two separate
+    # groupBys re-executed the user-keyed window per model (r11 plan
+    # audit); now there is exactly one window pass and one channel
+    # exchange, full-join-free.
+    long = conv.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("f").alias("_m"), F.col("_ftc").alias("ch")),
+                F.struct(F.lit("l").alias("_m"), F.col("_ltc").alias("ch")),
+            )
+        ).alias("_p")
+    ).select(F.col("_p._m").alias("_m"), F.col("_p.ch").alias("channel"))
+    return long.groupBy("channel").agg(
+        F.sum(F.when(F.col("_m") == "f", 1).otherwise(0))
+        .cast("long")
+        .alias("first_touch"),
+        F.sum(F.when(F.col("_m") == "l", 1).otherwise(0))
+        .cast("long")
+        .alias("last_touch"),
     )

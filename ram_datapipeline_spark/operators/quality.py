@@ -1573,6 +1573,11 @@ def kendall_tau_buckets(
             F.sum(cents).cast("long").alias("_s"),
         )
     )
+    # eager checkpoint barrier: THREE consumers derive from the bucket
+    # grain (both self-join sides + the bucket count) and without it
+    # Catalyst re-runs the event-sized aggregate under each (r11 plan
+    # audit). `per` is keys × ≤24 rows — a metadata-sized job.
+    per = per.localCheckpoint(eager=True)
     a = per.select(
         *key_cols,
         F.col("_h").alias("_h1"),

@@ -846,6 +846,13 @@ def ivf_drift_report(
             "n_batch", F.coalesce(F.col("n_batch"), F.lit(0).cast("long"))
         )
     )
+    # eager checkpoint barrier (the cramers_v_assoc pattern): three
+    # consumers derive from `per` (the per-cell rows, the totals, the
+    # TV sum) and without a barrier Catalyst re-executes the whole
+    # batch-assignment subtree under each — the r11 plan audit showed
+    # the assignment running 3x. `per` is cell-count-sized (≤ ⌈√n⌉
+    # rows), so the checkpoint is a metadata-sized job.
+    per = per.localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("n_standing").cast("long").alias("_ns_tot"),
         F.sum("n_batch").cast("long").alias("_nb_tot"),
