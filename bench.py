@@ -272,6 +272,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_ANCHOR", "1") != "0":
         spark.stop()  # free the JVM before the anchor's own session
         rec["anchor_prev"] = _anchor_prev()
+        rec["anchor_degraded"] = anchor_degraded(
+            rec["load"], rec["anchor_prev"].get("load")
+        )
     else:
         spark.stop()
 
@@ -299,6 +302,21 @@ def main() -> None:
     print(compact_line(rec))
 
 
+def anchor_degraded(cand_load: dict | None, anchor_load: dict | None) -> bool:
+    """True when the anchor phase ran on a measurably busier box than the
+    candidate phase (VERDICT r11 #7): the anchor's worst 1-min loadavg
+    exceeds TWICE the candidate's (floored at 1.0 so idle-vs-idle noise
+    never flags). A degraded anchor inflates the anchor total and
+    flatters the candidate ratio — r11's rep 3 (453s anchor) had to be
+    discarded by prose; this makes the discard machine-readable."""
+    try:
+        a = max(float(anchor_load["start"]), float(anchor_load["end"]))
+        c = max(float(cand_load["start"]), float(cand_load["end"]))
+    except (TypeError, KeyError, ValueError):
+        return False
+    return a > 2.0 * max(c, 1.0)
+
+
 def compact_line(rec: dict) -> str:
     """The one stdout line. VERDICT r8 #1: the driver's tail capture
     demonstrably holds only 2,000 bytes (the r8 line at 2,422 bytes lost
@@ -324,6 +342,8 @@ def compact_line(rec: dict) -> str:
         compact["anchor_prev"] = {
             k: anchor[k] for k in ("commit", "value", "error") if k in anchor
         }
+    if "anchor_degraded" in rec:
+        compact["anchor_degraded"] = rec["anchor_degraded"]
     return json.dumps(compact, separators=(",", ":"))
 
 
@@ -369,13 +389,21 @@ def _anchor_prev() -> dict:
                 try:
                     with open(os.path.join(wt, "artifacts", detail)) as fh:
                         queries = json.load(fh).get("queries")
-                    break
                 except (OSError, ValueError):
                     queries = None
+                if queries is not None:
+                    # only a file that actually HAS timings ends the
+                    # search (ADVICE r11: breaking on the first file
+                    # that merely parses skipped the next fallback)
+                    break
         return {
             "commit": ANCHOR_COMMIT[:12],
             "value": prev.get("value"),
             "queries": queries,
+            # the anchor phase's own box load (VERDICT r11 #7): rep 3's
+            # 453s anchor ran on a degraded box and had to be
+            # prose-adjudicated; recording load here lets main() flag it
+            "load": prev.get("load"),
         }
     except Exception as e:  # noqa: BLE001 — anchor is best-effort
         return {"commit": ANCHOR_COMMIT[:12], "error": str(e)[:300]}

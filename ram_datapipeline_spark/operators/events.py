@@ -129,21 +129,24 @@ def touch_attribution(
     channel_col: str = "event_type",
 ) -> DataFrame:
     """First-touch / last-touch conversion attribution: every
-    ``conversion_type`` event credits (a) the user's FIRST non-conversion
-    event's channel and (b) the LAST non-conversion channel strictly
-    before the conversion. Output per channel:
-    (channel, first_touch, last_touch) conversion counts.
+    ``conversion_type`` event credits (a) the channel of the user's
+    FIRST non-conversion event STRICTLY BEFORE the conversion and
+    (b) the LAST non-conversion channel strictly before it. Output per
+    channel: (channel, first_touch, last_touch) conversion counts.
 
-    Conversions with no prior non-conversion event attribute to the
-    channel ``'(none)'`` under both models — emitted, not dropped, so
-    the two columns both sum to the total conversion count.
+    Conversions with no prior non-conversion event (including a user
+    whose first touch comes only AFTER the conversion) attribute to
+    the channel ``'(none)'`` under both models — emitted, not dropped,
+    so the two columns both sum to the total conversion count.
 
     Scale shape: ONE user-keyed ordered window pass computes both
-    carries (``last(channel) IGNORE NULLS`` over the strict-past frame
-    for last-touch; ``first(channel) IGNORE NULLS`` over the full-past
-    frame for first-touch — the same exchange, same sort), then one
-    count on the channel grain. The (ts, tiebreak) total order makes
-    both carries deterministic under shuffle.
+    carries — ``first(channel) IGNORE NULLS`` and ``last(channel)
+    IGNORE NULLS`` over the SAME strict-past frame (one exchange, one
+    sort; the strict frame is equivalent to a full-past frame here
+    because the current row's channel expression is NULL on conversion
+    rows anyway), then one count on the channel grain. The
+    (ts, tiebreak) total order makes both carries deterministic under
+    shuffle.
     """
     w_past = (
         Window.partitionBy(user_col)

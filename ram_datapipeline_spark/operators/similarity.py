@@ -790,7 +790,7 @@ def incremental_ivf_assign(
     of the metadata-sized seeds table, one codegen pass over the batch —
     (id, cell, cell_cos). The standing archive is NEVER in this plan
     (no assignment-table scan, no corpus-vector scan, no k-means
-    re-fit; tests/test_similarity_ops.py pins the plan) — the refresh
+    re-fit; tests/test_similarity.py pins the plan) — the refresh
     cost is O(batch), not O(archive), the defining property of
     incremental index maintenance.
 
@@ -826,11 +826,16 @@ def ivf_drift_report(
     variation — the point where enough mass sits in the wrong cells
     that probe recall degrades and a new ⌈√n⌉ seed draw is due).
 
-    Output: one row per standing cell
+    Output: one row per cell seen on EITHER side
     (cell, n_standing, n_batch, ppm_standing, ppm_batch, tv_ppm2,
-    retrain) — batch-absent cells carry n_batch = 0, and the global
-    pair rides every row via a broadcast single-row aggregate, so the
-    report is self-contained for per-cell AND whole-index consumers.
+    retrain) — batch-absent cells carry n_batch = 0 and standing-empty
+    cells carry n_standing = 0 (a FULL outer join: batch mass landing
+    in a cell the standing index never populated is precisely the
+    drift this report exists to catch — ADVICE r11 flagged the old
+    left join silently dropping it from both the rows and _nb_tot) —
+    and the global pair rides every row via a broadcast single-row
+    aggregate, so the report is self-contained for per-cell AND
+    whole-index consumers.
 
     Scale shape: the batch collapses to its cell grain in one map-side
     aggregate; everything after runs on the cell grain (≤ ⌈√n⌉ rows).
@@ -841,7 +846,11 @@ def ivf_drift_report(
         F.count(F.lit(1)).cast("long").alias("n_batch")
     )
     per = (
-        stats.join(b, "cell", "left")
+        stats.join(b, "cell", "full_outer")
+        .withColumn(
+            "n_standing",
+            F.coalesce(F.col("n_standing"), F.lit(0).cast("long")),
+        )
         .withColumn(
             "n_batch", F.coalesce(F.col("n_batch"), F.lit(0).cast("long"))
         )
@@ -861,7 +870,10 @@ def ivf_drift_report(
         "cell",
         "n_standing",
         "n_batch",
-        F.expr("n_standing * 1000000 DIV _ns_tot").alias("ppm_standing"),
+        F.expr(
+            "CASE WHEN _ns_tot = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE n_standing * 1000000 DIV _ns_tot END"
+        ).alias("ppm_standing"),
         F.expr(
             "CASE WHEN _nb_tot = 0 THEN CAST(0 AS BIGINT) "
             "ELSE n_batch * 1000000 DIV _nb_tot END"

@@ -508,21 +508,22 @@ def binary_hamming_topk(
     words (16 bytes/vector); the scan then never touches the float
     arrays at all.
     """
-    q_words = binary_sign_pack(F.col(vec_col), dim)
-    c_words = binary_sign_pack(F.col(vec_col), dim)
+    # one packed word column per 32 dims on EACH side — dim is a real
+    # parameter, not a 64-only special case (ADVICE r11: the old code
+    # indexed words [0]/[1], so dim=32 raised and dim=128 silently
+    # dropped the top half of every vector from the distance)
+    words = binary_sign_pack(F.col(vec_col), dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        q_words[0].alias("_qlo"),
-        q_words[1].alias("_qhi"),
+        *(w.alias(f"_q{i}") for i, w in enumerate(words)),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        c_words[0].alias("_clo"),
-        c_words[1].alias("_chi"),
+        *(w.alias(f"_c{i}") for i, w in enumerate(words)),
     )
-    ham = (
-        F.bit_count(F.expr("_qlo").bitwiseXOR(F.col("_clo")))
-        + F.bit_count(F.expr("_qhi").bitwiseXOR(F.col("_chi")))
+    ham = sum(
+        F.bit_count(F.col(f"_q{i}").bitwiseXOR(F.col(f"_c{i}")))
+        for i in range(len(words))
     ).cast("long")
     w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
     return (

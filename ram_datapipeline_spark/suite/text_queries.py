@@ -625,7 +625,7 @@ def q_sim_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_ivf_assign): the index persists as a metadata-sized
     seeds table + cell-bucketed assignments + per-cell stats; the
     refresh plan touches ONLY the batch and the broadcast seeds
-    (plan-pinned in tests/test_similarity_ops.py). The oracle replays
+    (plan-pinned in tests/test_similarity.py). The oracle replays
     the full deterministic assignment from scratch, so a green row
     proves incremental == rebuild."""
     t = load_tables(spark, sf_dir)
@@ -673,9 +673,10 @@ def q_sim_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b_assign GROUP BY cell
     ),
     per AS (
-      SELECT s.cell, s.n_standing,
+      SELECT cell,
+             CAST(coalesce(s.n_standing, 0) AS BIGINT) AS n_standing,
              CAST(coalesce(b.n_batch, 0) AS BIGINT) AS n_batch
-      FROM stats s LEFT JOIN bstats b USING (cell)
+      FROM stats s FULL OUTER JOIN bstats b USING (cell)
     ),
     tot AS (
       SELECT CAST(sum(n_standing) AS BIGINT) AS ns,
@@ -684,7 +685,9 @@ def q_sim_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     shared AS (
       SELECT cell, n_standing, n_batch,
-             CAST(n_standing * 1000000 // ns AS BIGINT) AS ppm_standing,
+             CAST(CASE WHEN ns = 0 THEN 0
+                       ELSE n_standing * 1000000 // ns END AS BIGINT)
+               AS ppm_standing,
              CAST(CASE WHEN nb = 0 THEN 0
                        ELSE n_batch * 1000000 // nb END AS BIGINT)
                AS ppm_batch

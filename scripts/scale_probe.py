@@ -226,9 +226,13 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     # SPARK_GRAFT_PROBE_REUSE=1 skips the rebuild when a complete scaled
     # copy already exists (the generator is deterministic, so same-K
     # output is identical run to run) — the 256x build costs more than
-    # the probes themselves.
-    if os.environ.get("SPARK_GRAFT_PROBE_REUSE") == "1" and all(
-        os.path.exists(f"{out_dir}/{n}.parquet") for n in TABLE_NAMES
+    # the probes themselves. Completeness is keyed on a _SUCCESS
+    # sentinel written AFTER the full build (ADVICE r11: per-table path
+    # existence treated an interrupted build — all directories present,
+    # some partial — as complete and probed truncated data).
+    sentinel = f"{out_dir}/_SUCCESS_K{k}"
+    if os.environ.get("SPARK_GRAFT_PROBE_REUSE") == "1" and os.path.exists(
+        sentinel
     ):
         return
     if os.path.isdir(out_dir):
@@ -257,6 +261,8 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
             # unscaled dimensions: copy through (small)
             src = f"{BASE}/{name}.parquet"
             shutil.copy(src, dst)
+    with open(sentinel, "w") as fh:
+        fh.write(str(k))
 
 
 def run(spark, name: str, sf_dir: str) -> float:

@@ -117,3 +117,35 @@ def test_headline_names_registered_and_unique():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
     missing = [n for n in bench.HEADLINE if n not in Q.REGISTRY]
     assert not missing, missing
+
+
+def test_anchor_degraded_flag():
+    """VERDICT r11 #7: a degraded-box anchor phase must be machine-flagged,
+    not prose-adjudicated. The flag fires when the anchor's worst loadavg
+    exceeds 2x the candidate's (floored at 1.0), never on idle noise or
+    missing data."""
+    # r11 rep-3 shape: candidate idle, anchor on a loaded box -> flagged
+    assert bench.anchor_degraded(
+        {"start": 1.2, "end": 2.0}, {"start": 30.1, "end": 12.4}
+    )
+    # matched idle reps -> not flagged (0.3 vs 0.6 is noise, floor=1.0)
+    assert not bench.anchor_degraded(
+        {"start": 0.3, "end": 0.2}, {"start": 0.6, "end": 0.5}
+    )
+    # both genuinely loaded, same magnitude -> not flagged
+    assert not bench.anchor_degraded(
+        {"start": 10.0, "end": 9.0}, {"start": 12.0, "end": 11.0}
+    )
+    # anchor failed / no load recorded (pre-r12 anchor commit) -> False
+    assert not bench.anchor_degraded({"start": 1.0, "end": 1.0}, None)
+    assert not bench.anchor_degraded(None, {"start": 9.9, "end": 9.9})
+    # flag rides the compact stdout line when present
+    rec = {
+        "metric": "headline_suite_wall_seconds", "value": 1.0, "unit": "sec",
+        "sf": 0.1, "queries": {"q": 1.0}, "load": {"start": 0.1, "end": 0.1},
+        "anchor_prev": {"commit": "abc", "value": 2.0,
+                        "load": {"start": 9.0, "end": 9.0}},
+        "anchor_degraded": True,
+    }
+    line = json.loads(bench.compact_line(rec))
+    assert line["anchor_degraded"] is True
