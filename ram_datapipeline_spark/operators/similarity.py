@@ -113,6 +113,15 @@ def scaled_cell_count(n: int) -> int:
     return max(1, math.ceil(math.sqrt(n)))
 
 
+def scaled_super_count(n_cells: int) -> int:
+    """Supercell count for the two-level coarse quantizer: ⌈√n_cells⌉
+    (= n^¼ of the corpus), the balance point where rep-scoring work and
+    within-supercell work match (~n^¼ each per vector)."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n_cells)))
+
+
 def scaled_plane_count(n: int, target_bucket: int = 64) -> int:
     """LSH plane count targeting ~``target_bucket`` vectors per bucket:
     ⌈log2(n / target_bucket)⌉, floored at 4. Buckets stay thin as the
@@ -718,6 +727,123 @@ def hard_negatives(
 # ---------------------------------------------------------------------------
 
 
+def _fold_argmax(e: Column, nrm: Column, arr: Column) -> Column:
+    """Deterministic argmax-cosine over an array column of
+    (id, vector, norm) structs, as ONE codegen expression: a strict
+    left fold keeping the best (cos, id) pair. The array is sorted asc
+    by id (struct ordering, id first), so strict ``>`` improvement ==
+    window ``ORDER BY cos DESC, id ASC`` — the tie-break every other
+    deterministic argmax in this module uses. Returns the
+    (c=cos, s=id) struct. The array rides in as a COLUMN from a 1-row
+    (or per-key) broadcast join, never as a literal — a literal array
+    of vectors blows the expression past whole-stage codegen's method
+    limit and drops the fold to interpreted eval (measured 1.7× WORSE
+    than the flat window at 64× before this shape)."""
+
+    def step(acc: Column, it: Column) -> Column:
+        cos = _dot(e, it["v"]) / (nrm * it["nm"])
+        return F.when(
+            cos > acc["c"], F.struct(cos.alias("c"), it["r"].alias("s"))
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(float("-inf")).alias("c"),
+        F.element_at(arr, 1)["r"].alias("s"),
+    )
+    return F.aggregate(arr, init, step)
+
+
+def two_level_assign_cells(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    keep_cos: bool = False,
+    n_super: int | None = None,
+) -> DataFrame:
+    """Two-level coarse quantization (VERDICT r11 #2 — the ANN sibling
+    of CRP routing; FAISS's IMI / two-level coarse quantizer shape):
+    route each vector to its nearest REP (⌈√n_cells⌉ = n^¼ seeds with
+    smallest md5(cell), scored in one fold over the broadcast rep
+    array), then take the max-cos SEED within that rep's supercell
+    (broadcast join on the supercell key brings in that supercell's
+    seed array; a second fold picks the cell). Per-vector work drops
+    from n_cells ≈ √n comparisons to ~2·n^¼ — and the whole assignment
+    is a ZERO-EXCHANGE map over the vector scan: two broadcast joins
+    (a 1-row rep array, an n_super-row cell-array table), two folds,
+    no window, no groupBy, no n×n_cells sort (the flat rule shuffled
+    and sorted n·√n rows through a window).
+
+    The two-level route IS the index's assignment rule — applied
+    identically by the full build, the incremental batch path, and the
+    SQL oracles, so incremental == rebuild stays bit-for-bit. It is
+    NOT a shortcut for the flat nearest-seed rule: an exact
+    triangle-inequality prune was measured on this corpus first
+    (isotropic embeddings, within-label mean cos ≈ 0.005) and pruned
+    nothing — every supercell's radius ≈ the space's diameter, work
+    ratio 1.04× of flat. Hierarchical-as-the-rule is the standard
+    resolution (it is what IMI indexes do), and every consumer replays
+    the same deterministic rule.
+
+    ``vectors`` must be norm-annotated (``with_norm``); ``seeds`` is
+    (cell, _e, _nrm). Ties break asc on cell/rep id everywhere.
+    """
+    if n_super is None:
+        n_super = scaled_super_count(seeds.count())
+    # the rep array: ONE row holding ⌈√n_cells⌉ (id, vector, norm)
+    # structs, sorted asc by rep id — metadata-sized (n^¼ of the
+    # corpus), broadcast to every task
+    reps_arr = (
+        seeds.orderBy(F.md5(F.col("cell").cast("string")))
+        .limit(n_super)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("cell").alias("r"),
+                        F.col("_e").alias("v"),
+                        F.col("_nrm").alias("nm"),
+                    )
+                )
+            ).alias("_reps")
+        )
+    )
+    # every seed routes through the same rule; group each supercell's
+    # seeds into one sorted array row (n_super rows total)
+    cells_by_super = (
+        seeds.crossJoin(F.broadcast(reps_arr))
+        .withColumn(
+            "_super",
+            _fold_argmax(F.col("_e"), F.col("_nrm"), F.col("_reps"))["s"],
+        )
+        .groupBy("_super")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("cell").alias("r"),
+                        F.col("_e").alias("v"),
+                        F.col("_nrm").alias("nm"),
+                    )
+                )
+            ).alias("_cells")
+        )
+    )
+    v2 = (
+        vectors.crossJoin(F.broadcast(reps_arr))
+        .withColumn(
+            "_super",
+            _fold_argmax(F.col("_e"), F.col("_nrm"), F.col("_reps"))["s"],
+        )
+        .drop("_reps")
+        .join(F.broadcast(cells_by_super), "_super")
+    )
+    best = _fold_argmax(F.col("_e"), F.col("_nrm"), F.col("_cells"))
+    out = [F.col(id_col), best["s"].alias("cell")]
+    if keep_cos:
+        out.append(best["c"].alias("cell_cos"))
+    return v2.select(*out)
+
+
 def write_ivf_index(
     corpus: DataFrame,
     table: str,
@@ -743,9 +869,19 @@ def write_ivf_index(
     downstream of this write treats the ARCHIVE vectors as immutable —
     exactly the property :func:`incremental_ivf_assign` exploits.
 
+    The assignment rule is the TWO-LEVEL route of
+    :func:`two_level_assign_cells` (r12 — VERDICT r11 #2): the flat
+    nearest-seed scan scored every vector against all ⌈√n⌉ seeds
+    (O(n·√n), measured as the ~8×-wall-per-4×-data step in both r11
+    probe curves); the hierarchical route costs ~2·n^¼ comparisons per
+    vector and is replayed identically by the incremental path and the
+    SQL oracles. The persisted FORMAT is unchanged (seeds /
+    cell-bucketed assignments / stats).
+
     Citation: IVF after Sivic & Zisserman's inverted-file retrieval
-    (ICCV 2003) / FAISS's IVF family — re-expressed with deterministic
-    md5-stratified seeds so the whole index is ANSI-SQL-replayable.
+    (ICCV 2003) / FAISS's IVF + IMI family — re-expressed with
+    deterministic md5-stratified seeds and reps so the whole index is
+    ANSI-SQL-replayable.
     """
     from ram_datapipeline_spark.operators.dedup import _drop_stale_table
 
@@ -753,16 +889,19 @@ def write_ivf_index(
     if n_cells is None:
         n_cells = scaled_cell_count(corpus.count())
     c = with_norm(ensure_parallelism(corpus), vec_col)
-    seeds = c.join(
+    seeds_src = c.join(
         F.broadcast(stratified_seed_ids(corpus, n_cells, id_col)), id_col
     )
     _drop_stale_table(spark, f"{table}_seeds")
     (
-        seeds.select(F.col(id_col).alias("cell"), F.col(vec_col))
+        seeds_src.select(F.col(id_col).alias("cell"), F.col(vec_col))
         .write.mode("overwrite").format("parquet")
         .saveAsTable(f"{table}_seeds")
     )
-    assigned = assign_ivf_cells(c, seeds, 1, id_col).select(id_col, "cell")
+    # assignment reads the PERSISTED seeds back (metadata-sized scan)
+    # instead of re-deriving the corpus-join subtree a second time
+    seeds = with_norm(spark.table(f"{table}_seeds"), vec_col)
+    assigned = two_level_assign_cells(c, seeds, id_col).select(id_col, "cell")
     _drop_stale_table(spark, table)
     (
         assigned.write.mode("overwrite").format("parquet")
@@ -788,26 +927,24 @@ def incremental_ivf_assign(
 ) -> DataFrame:
     """Assign a NEW vector batch to the EXISTING seed set: one broadcast
     of the metadata-sized seeds table, one codegen pass over the batch —
-    (id, cell, cell_cos). The standing archive is NEVER in this plan
+    (id, cell, cos). The standing archive is NEVER in this plan
     (no assignment-table scan, no corpus-vector scan, no k-means
     re-fit; tests/test_similarity.py pins the plan) — the refresh
     cost is O(batch), not O(archive), the defining property of
     incremental index maintenance.
 
     The assignment rule is IDENTICAL to the full build's
-    (:func:`assign_ivf_cells`, n_probe=1, ties on seed id), so
-    unioning these rows into the standing table yields bit-for-bit the
-    table a from-scratch rebuild over corpus ∪ batch would produce —
-    as long as the seed set is unchanged, which is exactly what the
-    drift report monitors.
+    (:func:`two_level_assign_cells` — the rep set and n_super are
+    re-derived deterministically from the seeds table alone, no extra
+    persisted artifact), so unioning these rows into the standing
+    table yields bit-for-bit the table a from-scratch rebuild over
+    corpus ∪ batch would produce — as long as the seed set is
+    unchanged, which is exactly what the drift report monitors.
     """
     b = with_norm(ensure_parallelism(batch), vec_col)
-    s = with_norm(
-        seeds.select(F.col("cell").alias(id_col), F.col(vec_col)), vec_col
-    )
-    return (
-        assign_ivf_cells(b, s, 1, id_col, keep_cos=True)
-        .select(id_col, "cell", F.col("cell_cos").alias("cos"))
+    s = with_norm(seeds, vec_col)
+    return two_level_assign_cells(b, s, id_col, keep_cos=True).select(
+        id_col, "cell", F.col("cell_cos").alias("cos")
     )
 
 

@@ -2171,3 +2171,50 @@ def q_vec_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return matryoshka_energy_profile(t["embeddings"])
+
+
+@query(
+    "pipe_k_anonymity",
+    oracle="""
+    WITH per AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_diversity
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    flg AS (SELECT *, class_size < 5 AS at_risk FROM per),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(coalesce(sum(CASE WHEN at_risk THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_classes_at_risk,
+             CAST(coalesce(sum(CASE WHEN at_risk THEN class_size ELSE 0 END),
+                           0) AS BIGINT) AS rows_at_risk
+      FROM flg
+    )
+    SELECT c_nationkey, c_mktsegment, class_size, l_diversity, at_risk,
+           n_classes, n_classes_at_risk, rows_at_risk
+    FROM flg, tot
+    """,
+    survey=(
+        "k-anonymity / quasi-identifier re-identification audit with "
+        "per-class l-diversity — the privacy release gate next to "
+        "text_pii_scrub; one corpus aggregate on the QI grain, all "
+        "exact integers (north star; VERDICT r11 #5)"
+    ),
+    tags=("pipeline",),
+)
+def q_pipe_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate privacy audit over customer with quasi-identifiers
+    (c_nationkey, c_mktsegment) and sensitive attribute c_acctbal
+    (operators/quality.py::k_anonymity_audit): every QI equivalence
+    class with its size, l-diversity, and below-k flag, plus the global
+    class/row risk totals riding every row."""
+    from ram_datapipeline_spark.operators.quality import k_anonymity_audit
+
+    t = load_tables(spark, sf_dir)
+    return k_anonymity_audit(
+        t["customer"],
+        ["c_nationkey", "c_mktsegment"],
+        k=5,
+        sensitive_col="c_acctbal",
+    )

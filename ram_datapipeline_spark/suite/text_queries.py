@@ -572,7 +572,21 @@ def q_cos_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_ivf(e.filter(F.col("vec_id") < 20), e, k=5)
 
 
-_INCR_IVF_SEEDS_CTE = """
+def _ddot(a: str, b: str) -> str:
+    """DuckDB strict-left-fold dot product — the bit-exact replay of the
+    engine's ``_dot`` (operators/similarity.py)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]),"
+        " (p, q) -> p + q)"
+    )
+
+
+# Two-level IVF rule replay (r12 — VERDICT r11 #2): seeds = ⌈√n⌉
+# smallest-md5 corpus ids; reps = ⌈√n_cells⌉ smallest-md5 seeds; every
+# seed AND every routed vector goes to its max-cos rep (tie asc rep),
+# then the vector takes the max-cos seed within that supercell (tie asc
+# cell) — identical to the engine's two_level_assign_cells.
+_INCR_IVF_SEEDS_CTE = f"""
 corp AS (SELECT * FROM n WHERE vec_id % 13 <> 5),
 params AS (
   SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc FROM corp
@@ -586,7 +600,57 @@ seeds AS (
   SELECT corp.vec_id AS cell, corp.e AS es, corp.nrm AS ns
   FROM corp JOIN seed_rk USING (vec_id) CROSS JOIN params
   WHERE srk <= nc
+),
+sparams AS (
+  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nsup FROM seeds
+),
+rep_rk AS (
+  SELECT cell,
+         row_number() OVER (ORDER BY md5(CAST(cell AS VARCHAR))) AS rrk
+  FROM seeds
+),
+reps AS (
+  SELECT s.cell AS rep, s.es AS er, s.ns AS nr
+  FROM seeds s JOIN rep_rk USING (cell) CROSS JOIN sparams
+  WHERE rrk <= nsup
+),
+seed_super AS (
+  SELECT cell, rep AS super FROM (
+    SELECT s.cell, r.rep,
+           row_number() OVER (
+             PARTITION BY s.cell
+             ORDER BY {_ddot("s.es", "r.er")} / (s.ns * r.nr) DESC,
+                      r.rep) AS rk
+    FROM seeds s CROSS JOIN reps r
+  ) WHERE rk = 1
 )
+"""
+
+
+def _two_level_assign_sql(vec_rel: str) -> str:
+    """SELECT (vec_id, cell, cos) of the two-level assignment for every
+    row of ``vec_rel`` (a relation exposing vec_id, e, nrm)."""
+    return f"""
+  SELECT vec_id, cell, cos FROM (
+    SELECT vs.vec_id, s.cell,
+           {_ddot("vs.e", "s.es")} / (vs.nrm * s.ns) AS cos,
+           row_number() OVER (
+             PARTITION BY vs.vec_id
+             ORDER BY {_ddot("vs.e", "s.es")} / (vs.nrm * s.ns) DESC,
+                      s.cell) AS rk
+    FROM (
+      SELECT vec_id, e, nrm, rep AS super FROM (
+        SELECT v.vec_id, v.e, v.nrm, r.rep,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_ddot("v.e", "r.er")} / (v.nrm * r.nr) DESC,
+                          r.rep) AS rk0
+        FROM {vec_rel} v CROSS JOIN reps r
+      ) WHERE rk0 = 1
+    ) vs
+    JOIN seed_super ss ON ss.super = vs.super
+    JOIN seeds s ON s.cell = ss.cell
+  ) WHERE rk = 1
 """
 
 
@@ -594,18 +658,9 @@ seeds AS (
     "sim_incremental_ivf",
     oracle=f"""
     WITH {_COSINE_CTE},
-    {_INCR_IVF_SEEDS_CTE}
-    SELECT vec_id, cell, cos FROM (
-      SELECT b.vec_id, s.cell,
-             list_reduce(list_transform(list_zip(b.e, s.es), x -> x[1] * x[2]),
-                         (p, q) -> p + q) / (b.nrm * s.ns) AS cos,
-             row_number() OVER (
-               PARTITION BY b.vec_id
-               ORDER BY list_reduce(list_transform(list_zip(b.e, s.es), x -> x[1] * x[2]),
-                                    (p, q) -> p + q) / (b.nrm * s.ns) DESC,
-                        s.cell) AS rk
-      FROM n b, seeds s WHERE b.vec_id % 13 = 5
-    ) WHERE rk = 1
+    {_INCR_IVF_SEEDS_CTE},
+    batch AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 13 = 5)
+    {_two_level_assign_sql("batch")}
     """,
     survey=(
         "incremental ANN index maintenance: assign a NEW vector batch "
@@ -642,28 +697,9 @@ def q_sim_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_COSINE_CTE},
     {_INCR_IVF_SEEDS_CTE},
-    c_assign AS (
-      SELECT vec_id, cell FROM (
-        SELECT c.vec_id, s.cell,
-               row_number() OVER (
-                 PARTITION BY c.vec_id
-                 ORDER BY list_reduce(list_transform(list_zip(c.e, s.es), x -> x[1] * x[2]),
-                                      (p, q) -> p + q) / (c.nrm * s.ns) DESC,
-                          s.cell) AS rk
-        FROM corp c, seeds s
-      ) WHERE rk = 1
-    ),
-    b_assign AS (
-      SELECT vec_id, cell FROM (
-        SELECT b.vec_id, s.cell,
-               row_number() OVER (
-                 PARTITION BY b.vec_id
-                 ORDER BY list_reduce(list_transform(list_zip(b.e, s.es), x -> x[1] * x[2]),
-                                      (p, q) -> p + q) / (b.nrm * s.ns) DESC,
-                          s.cell) AS rk
-        FROM n b, seeds s WHERE b.vec_id % 13 = 5
-      ) WHERE rk = 1
-    ),
+    batch AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 13 = 5),
+    c_assign AS ({_two_level_assign_sql("corp")}),
+    b_assign AS ({_two_level_assign_sql("batch")}),
     stats AS (
       SELECT cell, CAST(count(*) AS BIGINT) AS n_standing
       FROM c_assign GROUP BY cell

@@ -299,3 +299,40 @@ def test_corpus_pipeline_normalized_quality_shifts_thresholds(spark, tmp_path):
         # takes the lower bucket (cutoffs strictly below count), so
         # small sources drift a few rows either side of 0.7
         assert 0.6 <= frac <= 0.8, (r.source, frac)
+
+
+def test_k_anonymity_audit_hand_case(spark):
+    """Hand-checkable k-anonymity/l-diversity: class sizes, the below-k
+    flag, NULL-as-a-QI-value, l-diversity ignoring NULL sensitive
+    values, and the global risk totals riding every row."""
+    from ram_datapipeline_spark.operators.quality import k_anonymity_audit
+
+    rows = [
+        # (zip, age_band, diagnosis)
+        ("02139", "20-29", "flu"),
+        ("02139", "20-29", "flu"),
+        ("02139", "20-29", "cold"),      # class of 3 -> at risk (k=5)
+        ("94110", "30-39", "flu"),
+        ("94110", "30-39", "cold"),
+        ("94110", "30-39", "asthma"),
+        ("94110", "30-39", "flu"),
+        ("94110", "30-39", "cold"),      # class of 5 -> safe, l=3
+        (None,    "30-39", None),
+        (None,    "30-39", "flu"),       # NULL zip is its own class of 2
+    ]
+    df = spark.createDataFrame(rows, "zip string, age string, dx string")
+    out = k_anonymity_audit(df, ["zip", "age"], k=5, sensitive_col="dx")
+    got = {(r.zip, r.age): r for r in out.collect()}
+    assert len(got) == 3
+    a = got[("02139", "20-29")]
+    assert (a.class_size, a.l_diversity, a.at_risk) == (3, 2, True)
+    b = got[("94110", "30-39")]
+    assert (b.class_size, b.l_diversity, b.at_risk) == (5, 3, False)
+    c = got[(None, "30-39")]
+    assert (c.class_size, c.l_diversity, c.at_risk) == (2, 1, True)
+    for r in got.values():
+        assert (r.n_classes, r.n_classes_at_risk, r.rows_at_risk) == (3, 2, 5)
+    # without a sensitive column the report drops l_diversity only
+    slim = k_anonymity_audit(df, ["zip", "age"], k=2)
+    assert "l_diversity" not in slim.columns
+    assert {r.at_risk for r in slim.collect()} == {False}

@@ -314,9 +314,8 @@ def test_incremental_ivf_assign_plan_never_touches_archive(spark):
     import random
 
     from ram_datapipeline_spark.operators.similarity import (
-        assign_ivf_cells,
         incremental_ivf_assign,
-        stratified_seed_ids,
+        two_level_assign_cells,
         with_norm,
         write_ivf_index,
     )
@@ -350,19 +349,16 @@ def test_incremental_ivf_assign_plan_never_touches_archive(spark):
     assert not archive_scans, plan
 
     # identity: standing ∪ incremental == full rebuild over corpus ∪ batch
+    # (the rebuild replays the SAME two-level rule the build used —
+    # since r12 the hierarchical route IS the index's assignment rule)
     standing = {
         (r.vec_id, r.cell) for r in spark.table("t_ivf_idx").collect()
     }
     patched = standing | {(r.vec_id, r.cell) for r in inc.collect()}
-    all_n = with_norm(df)
-    seeds_full = all_n.join(
-        F.broadcast(stratified_seed_ids(corpus, n_cells)), "vec_id"
-    )
+    seeds_n = with_norm(spark.table("t_ivf_idx_seeds"))
     rebuilt = {
         (r.vec_id, r.cell)
-        for r in assign_ivf_cells(all_n, seeds_full, 1).select(
-            "vec_id", "cell"
-        ).collect()
+        for r in two_level_assign_cells(with_norm(df), seeds_n).collect()
     }
     assert patched == rebuilt
 
