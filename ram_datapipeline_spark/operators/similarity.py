@@ -753,12 +753,53 @@ def _fold_argmax(e: Column, nrm: Column, arr: Column) -> Column:
     return F.aggregate(arr, init, step)
 
 
+def _rep_set(seeds: DataFrame, n_super: int) -> DataFrame:
+    """The ``n_super`` seeds with smallest md5(cell) — the supercell
+    representatives, re-derived deterministically from the seeds table
+    alone (no extra persisted artifact). (cell, _e, _nrm)."""
+    return (
+        seeds.orderBy(F.md5(F.col("cell").cast("string")))
+        .limit(n_super)
+        .select("cell", "_e", "_nrm")
+    )
+
+
+def _rep_array(seeds: DataFrame, n_super: int) -> DataFrame:
+    """The rep set as ONE row holding sorted (id, vector, norm) structs
+    — metadata-sized (n^¼ of the corpus), broadcast to every task."""
+    return _rep_set(seeds, n_super).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("cell").alias("r"),
+                    F.col("_e").alias("v"),
+                    F.col("_nrm").alias("nm"),
+                )
+            )
+        ).alias("_reps")
+    )
+
+
+def seeds_with_super(seeds: DataFrame, n_super: int) -> DataFrame:
+    """Every seed routed to its supercell by the fold rule:
+    (cell, _e, _nrm, _super). Metadata-sized."""
+    return (
+        seeds.crossJoin(F.broadcast(_rep_array(seeds, n_super)))
+        .withColumn(
+            "_super",
+            _fold_argmax(F.col("_e"), F.col("_nrm"), F.col("_reps"))["s"],
+        )
+        .drop("_reps")
+    )
+
+
 def two_level_assign_cells(
     vectors: DataFrame,
     seeds: DataFrame,
     id_col: str = "vec_id",
     keep_cos: bool = False,
     n_super: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Two-level coarse quantization (VERDICT r11 #2 — the ANN sibling
     of CRP routing; FAISS's IMI / two-level coarse quantizer shape):
@@ -789,32 +830,11 @@ def two_level_assign_cells(
     """
     if n_super is None:
         n_super = scaled_super_count(seeds.count())
-    # the rep array: ONE row holding ⌈√n_cells⌉ (id, vector, norm)
-    # structs, sorted asc by rep id — metadata-sized (n^¼ of the
-    # corpus), broadcast to every task
-    reps_arr = (
-        seeds.orderBy(F.md5(F.col("cell").cast("string")))
-        .limit(n_super)
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("cell").alias("r"),
-                        F.col("_e").alias("v"),
-                        F.col("_nrm").alias("nm"),
-                    )
-                )
-            ).alias("_reps")
-        )
-    )
+    reps_arr = _rep_array(seeds, n_super)
     # every seed routes through the same rule; group each supercell's
     # seeds into one sorted array row (n_super rows total)
     cells_by_super = (
-        seeds.crossJoin(F.broadcast(reps_arr))
-        .withColumn(
-            "_super",
-            _fold_argmax(F.col("_e"), F.col("_nrm"), F.col("_reps"))["s"],
-        )
+        seeds_with_super(seeds, n_super)
         .groupBy("_super")
         .agg(
             F.sort_array(
@@ -841,6 +861,7 @@ def two_level_assign_cells(
     out = [F.col(id_col), best["s"].alias("cell")]
     if keep_cos:
         out.append(best["c"].alias("cell_cos"))
+    out.extend(F.col(c) for c in extra_cols)
     return v2.select(*out)
 
 
@@ -1029,4 +1050,163 @@ def ivf_drift_report(
         "ppm_batch",
         "tv_ppm2",
         (F.col("tv_ppm2") > F.lit(2 * retrain_tv_ppm)).alias("retrain"),
+    )
+
+
+def maxsim_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    s_probe: int | None = None,
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval — ColBERT-style maxsim
+    (Khattab & Zaharia, SIGIR 2020; VERDICT r11 #4): documents carry
+    SETS of vectors in long format (doc, vec_id, embedding), and
+    score(q, d) = Σ over q's vectors of max over d's vectors of
+    similarity. The retrieval shape modern curation/training pipelines
+    use when one pooled vector per document loses too much.
+
+    Built on the proven substrate, never all-pairs:
+
+    - **IVF-cell prefilter**: corpus vectors take their two-level cell
+      (:func:`two_level_assign_cells` — zero-exchange map); each QUERY
+      vector probes ALL cells of its ``s_probe`` nearest SUPERCELLS
+      (the query side is bounded by contract and broadcast
+      everywhere). Probing must follow the same hierarchy the corpus
+      was routed by: flat-ranked probe cells measured recall 0.47 on
+      the clustered fixture because the flat ranking and the two-level
+      placement disagree near supercell boundaries; hierarchical
+      probing holds ≥0.73 there. Candidate (query-vector, doc-vector)
+      pairs come only from matching cells.
+    - **Integer scoring**: the shortlist is scored by exact BIGINT dot
+      products over corpus-global int8 codes
+      (``vectors.quantize_global_q8`` — one global scale, so code dots
+      are comparable across rows), folded JVM-side; a query-vector ×
+      doc pair with no candidate in any probed cell contributes 0,
+      the standard approximate-maxsim semantics.
+    - **maxsim reduction**: max per (query doc, query vector, doc),
+      then sum per (query doc, doc) — two map-side-combined aggregates
+      on shrinking grains; top-``k`` docs per query doc by
+      (score DESC, doc ASC).
+
+    Queries must be drawn from the corpus (their codes come from the
+    corpus-scale quantization) — unknown ids fail loudly, exactly like
+    ``cosine_topk_ivfpq``.
+
+    Output: (q_doc, d_doc, maxsim, rk), rk ≤ k. Self-doc pairs are
+    excluded. All ranking arithmetic is integer — bit-exact in any
+    engine; the float routing is the same deterministic rule the IVF
+    oracles replay.
+
+    Scale shape: no corpus-wide shuffle before the candidate join (the
+    cell assignment is a map; the query side rides broadcasts); the
+    candidate set — |query vecs| × probed-cell occupancy — is the only
+    relation that shuffles (once, onto the corpus code table's id key),
+    and every aggregate after runs on candidate or doc grain.
+    """
+    import math
+
+    from ram_datapipeline_spark.operators.vectors import quantize_global_q8
+
+    n = corpus.count()
+    if n_cells is None:
+        n_cells = scaled_cell_count(n)
+    n_super = scaled_super_count(n_cells)
+    if s_probe is None:
+        s_probe = math.ceil(math.sqrt(n_super))
+    c = with_norm(ensure_parallelism(corpus), vec_col)
+    q = with_norm(queries, vec_col)
+    seeds = c.join(
+        F.broadcast(stratified_seed_ids(corpus, n_cells, id_col)), id_col
+    ).select(F.col(id_col).alias("cell"), "_e", "_nrm")
+    c_cells = two_level_assign_cells(
+        c, seeds, id_col, n_super=n_super, extra_cols=(doc_col,)
+    ).select(
+        F.col(id_col).alias("_dv"), F.col(doc_col).alias("d_doc"), "cell"
+    )
+    # hierarchical query probing: top s_probe supercells per query
+    # vector (window over the bounded query × n^¼ reps relation), then
+    # EVERY cell of those supercells via the metadata-sized seed map
+    reps = _rep_set(seeds, n_super).select(
+        F.col("cell").alias("_rep"),
+        F.col("_e").alias("_er"),
+        F.col("_nrm").alias("_nr"),
+    )
+    rcos = _dot(F.col("_e"), F.col("_er")) / (F.col("_nrm") * F.col("_nr"))
+    wq = Window.partitionBy(id_col).orderBy(F.desc("_rcos"), F.asc("_rep"))
+    q_super = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn("_rcos", rcos)
+        .withColumn("_srk", F.row_number().over(wq))
+        .filter(F.col("_srk") <= s_probe)
+        .select(
+            F.col(id_col).alias("_qv"),
+            F.col(doc_col).alias("q_doc"),
+            F.col("_rep").alias("_super"),
+        )
+    )
+    q_cells = q_super.join(
+        F.broadcast(
+            seeds_with_super(seeds, n_super).select("cell", "_super")
+        ),
+        "_super",
+    ).select("_qv", "q_doc", "cell")
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("d_doc") != F.col("q_doc"))
+        # a doc vector reachable via several probed cells of one query
+        # vector must score once
+        .select("q_doc", "_qv", "d_doc", "_dv")
+        .distinct()
+    )
+
+    c8 = quantize_global_q8(corpus, vec_col=vec_col).select(
+        id_col, "codes"
+    ).localCheckpoint()
+    n_unknown = queries.select(id_col).join(
+        c8.select(id_col), id_col, "left_anti"
+    ).count()
+    if n_unknown:
+        raise ValueError(
+            f"maxsim_topk: {n_unknown} query ids absent from the corpus — "
+            "out-of-corpus queries need corpus-scale quantization first "
+            "(quantize_global_q8 bounds)"
+        )
+    qa = c8.join(
+        queries.select(id_col), id_col, "left_semi"
+    ).select(F.col(id_col).alias("_qv"), F.col("codes").alias("_qc"))
+    ca = c8.select(F.col(id_col).alias("_dv"), F.col("codes").alias("_dc"))
+    # CENTERED integer dot: (q-128)·(d-128), the signed-int8 symmetric
+    # form — the raw [0,255] codes are min-shifted all-positive, and
+    # their dot is dominated by the shift bias (measured: cluster
+    # structure lost on the seeded fixture); centering removes the bias
+    # while every step stays exact BIGINT
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("_qc"),
+            F.col("_dc"),
+            lambda x, y: (x - F.lit(128)) * (y - F.lit(128)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(qa), "_qv")
+        .join(ca, "_dv")
+        .withColumn("_dot", idot)
+        .groupBy("q_doc", "_qv", "d_doc")
+        .agg(F.max("_dot").alias("_best"))
+    )
+    agg = scored.groupBy("q_doc", "d_doc").agg(
+        F.sum("_best").cast("long").alias("maxsim")
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.desc("maxsim"), F.asc("d_doc"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_doc", "d_doc", "maxsim", "rk")
     )

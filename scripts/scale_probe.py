@@ -215,7 +215,12 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           "ev_retention_cohorts", "ev_stickiness_ratio",
           "ev_attribution_touch", "ts_rolling_slope", "agg_kendall_tau",
           "text_chi2_terms", "vec_binary_hamming_topk",
-          "vec_matryoshka_energy"]
+          "vec_matryoshka_energy",
+          # round-12 additions: late-interaction maxsim (corpus routed
+          # by the zero-exchange two-level rule, bounded query side,
+          # candidate-grain aggregates) and the k-anonymity audit (one
+          # QI-grain aggregate + class-grain totals)
+          "sim_maxsim_topk", "pipe_k_anonymity"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

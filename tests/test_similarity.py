@@ -396,3 +396,96 @@ def test_ivf_drift_report_exact_ppm_and_trigger(spark):
     calm_rows = ivf_drift_report(calm, stats).collect()
     assert all(r.tv_ppm2 == 0 for r in calm_rows)
     assert not any(r.retrain for r in calm_rows)
+
+
+def _brute_maxsim(rows, q_docs, k=5):
+    """Exact maxsim ground truth on the SAME int8 codes: all-pairs,
+    no prefilter. rows: [(doc, vec_id, [float,...])]."""
+    lo = min(x for _, _, v in rows for x in v)
+    hi = max(x for _, _, v in rows for x in v)
+
+    def q8(v):
+        if hi <= lo:
+            return [0] * len(v)
+        import math
+
+        return [
+            min(math.floor((x - lo) * 255.0 / (hi - lo)), 255) for x in v
+        ]
+
+    codes = {vid: q8(v) for _, vid, v in rows}
+    docs = {}
+    for d, vid, _ in rows:
+        docs.setdefault(d, []).append(vid)
+    out = {}
+    for qd in q_docs:
+        scores = []
+        for dd, dvs in docs.items():
+            if dd == qd:
+                continue
+            s = sum(
+                max(
+                    sum((a - 128) * (b - 128) for a, b in zip(codes[qv], codes[dv]))
+                    for dv in dvs
+                )
+                for qv in docs[qd]
+            )
+            scores.append((-s, dd))
+        scores.sort()
+        out[qd] = [dd for _, dd in scores[:k]]
+    return out
+
+
+def test_maxsim_topk_recall_floor_and_plan(spark):
+    """maxsim_topk on a seeded CLUSTERED fixture: (a) recall@5 vs the
+    exact all-pairs maxsim on the same int8 codes stays above the
+    floor the IVF prefilter is expected to hold on clusterable data;
+    (b) the plan never goes all-pairs — no CartesianProduct anywhere
+    (the only nested-loop joins are the broadcast 1-row rep-array and
+    bounded query-side attaches)."""
+    import random
+
+    from ram_datapipeline_spark.operators.similarity import maxsim_topk
+
+    rng = random.Random(7)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(16)] for _ in range(8)
+    ]
+    rows = []
+    vid = 0
+    for d in range(40):
+        c = centers[d % 8]
+        for _ in range(6):
+            rows.append(
+                (
+                    d,
+                    vid,
+                    [x + rng.gauss(0.0, 0.12) for x in c],
+                )
+            )
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "doc long, vec_id long, embedding array<double>"
+    )
+    q_docs = [0, 1, 2]
+    got = maxsim_topk(
+        df.where(F.col("doc") < 3), df, k=5, doc_col="doc"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    mine = {}
+    for r in got.collect():
+        mine.setdefault(r.q_doc, []).append((r.rk, r.d_doc))
+    truth = _brute_maxsim(rows, q_docs, k=5)
+    hits = total = 0
+    for qd in q_docs:
+        pred = [d for _, d in sorted(mine.get(qd, []))]
+        hits += len(set(pred) & set(truth[qd]))
+        total += len(truth[qd])
+    recall = hits / total
+    assert recall >= 0.6, f"maxsim recall@5 {recall:.2f} below floor"
+    # same-cluster docs should dominate: the top-1 doc of each query
+    # doc shares the query's cluster on this fixture
+    for qd in q_docs:
+        top1 = [d for rk, d in mine[qd] if rk == 1][0]
+        assert top1 % 8 == qd % 8
