@@ -63,80 +63,74 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-11 WINDOW (VERDICT r10 next-round #3, rotation published in
-    # round 10's NEXT_ROUND_ROTATION, spent in full): (a) the queries
-    # born THIS round with no driver row ever (incremental ANN index
-    # maintenance + drift monitor — VERDICT r10 #4 — plus the late-r11
-    # births appended as they land); (b) re-proofs for every query
-    # whose operator code changed in r11: the KMV profile's bottom-k
-    # was rebuilt as two shared corpus scans with the aggregate-
-    # collapse barrier (profile_table's kmv AND auto modes route
-    # through it), and ts_interval_merge / ev_power_users_pareto /
-    # ts_theil_sen gained NULL-ordering guards on both engine and
-    # oracle sides (ADVICE r10); (c) the 30-slot rotation exactly as
-    # published (13 r5-stale + 16 displaced re-proofs +
-    # graph_triangle_count); (d) the stalest remaining tier (r6-proven,
-    # untouched since) filling the window to 50 — displaced one-for-one
-    # by late-r11 births, which outrank re-proofs of code-stable
-    # queries.
+    # ROUND-12 WINDOW (VERDICT r11 next-round #1, rotation published in
+    # round 11's NEXT_ROUND_ROTATION, spent in full): (a) the queries
+    # born THIS round with no driver row ever (late-interaction maxsim
+    # retrieval — VERDICT r11 #4 — and the k-anonymity release audit —
+    # VERDICT r11 #5); (b) re-proofs for every query whose operator
+    # code changed in r12: the IVF index build + incremental assignment
+    # moved to the two-level coarse-quantizer rule and the drift report
+    # gained the full-outer join (ADVICE r11), and binary Hamming
+    # top-k's packing was generalized over dim (ADVICE r11); (c) the
+    # 35-slot r6-proven rotation exactly as published — with it drained,
+    # no registry entry's newest driver row is older than r7; (d) ten
+    # entries of the next-stalest tier (r7-proven, code-stable, green in
+    # every per-round full-registry sweep since).
     #
-    # (a) never driver-gated (r11-born)
+    # (a) r12-born
+    "sim_maxsim_topk",
+    "pipe_k_anonymity",
+    # (b) r12 code-changed re-proofs
     "sim_incremental_ivf",
     "sim_ivf_drift",
-    # (b) r11 code-changed re-proofs
-    "pipe_profile_table_kmv",
-    "pipe_profile_table",
-    "ts_interval_merge",
-    "ev_power_users_pareto",
-    "ts_theil_sen",
-    # (c) the published 30-slot rotation
-    "a2_pivot_eav",
-    "a3_unpivot_stack",
-    "a4_group_nested",
-    "a5_union_all",
-    "a6_grouped_count",
-    "agg_cube_orders",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "f_scalar_kit",
-    "f_string_kit",
-    "f7_date_parts",
-    "f_date_arithmetic",
-    "f11_bbox_per_admin",
-    "f16_centroid_per_admin",
-    "graph_triangle_count",
-    "hof_array_kit",
-    "j_bloom_prefilter",
-    "k5_metadata_roundtrip",
-    "k_partitioned_prune",
-    "mm_audio_frame_energy",
-    "mm_decode_image_stats",
-    "mm_frame_sample",
-    "mm_media_catalog",
-    "p4_first_row",
-    "pipe_temperature_weights",
-    "s4_admin_scan_inlist",
-    "sim_cosine_topk_ivfpq",
-    "sim_ivfpq_rerank",
-    "w1_latest_per_key",
-    "w2_sort_limit_topk",
-    # (a2) late-r11 births (displaced eight stale-fill slots — births
-    # outrank re-proofs of code-stable queries)
-    "ev_retention_cohorts",
-    "ev_stickiness_ratio",
-    "ev_attribution_touch",
-    "ts_rolling_slope",
-    "agg_kendall_tau",
-    "text_chi2_terms",
     "vec_binary_hamming_topk",
-    "vec_matryoshka_energy",
-    # (d) stalest remaining tier (r6-proven) — swap-out pool for
-    # further late-r11 births
-    "agg_heavy_hitters",
-    "dedup_simhash_pairs",
-    "eta_routed_graph",
-    "f17_geometry_type_inference",
-    "graph_kcore",
+    # (c) the published 35-slot rotation
+    "graph_pagerank",
+    "j2_point_in_admin",
+    "j3_adaptive_buffer",
+    "j3_buffer_semi_join",
+    "j3_knn_candidates",
+    "j7_square_grid_clip",
+    "p6_nullsafe_round",
+    "pipe_decontaminate",
+    "pipe_dq_checks",
+    "pipe_sequence_packing",
+    "pipe_stratified_sample",
+    "pipe_tfidf_topk",
+    "q3_revenue_topk",
+    "q5_region_revenue",
+    "s1_config_scan_filter",
+    "sim_cosine_pairs",
+    "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_lsh",
+    "sim_mmr_rerank",
+    "st_click_attribution",
+    "st_dedup_replay",
+    "st_event_props_decode",
+    "st_sessionize",
+    "st_window_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_rolling_hash",
+    "text_token_counts",
+    "ts_ewma_smooth",
+    "ts_gapfill_locf",
+    "vec_kmeans_q8",
+    "w3_topk_per_group",
+    # (d) stale-fill from the r7-proven tier (family-diverse draw)
+    "agg_count_min_sketch",
+    "dedup_fuzzy_name",
+    "ev_cohort_retention",
+    "graph_label_propagation",
+    "j2_point_in_geojson",
+    "mm_image_ahash_dedup",
+    "pipe_bpe_merges",
+    "q2_correlated_min",
+    "text_keyword_search",
+    "ts_cdc_apply",
 )
 
 

@@ -48,6 +48,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--times-out",
+        default="",
+        help="write per-query wall times (spark-only and total incl. "
+        "oracle+hash) as JSON — the full-sweep bench trend record "
+        "(VERDICT r11 #3)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -74,16 +81,19 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     only = {s for s in args.only.split(",") if s}
     failures = []
+    times: dict[str, dict[str, float]] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         t0 = time.time()
         spark_pdf = fn(spark, args.sf_dir).toPandas()
+        t_spark = round(time.time() - t0, 3)
         # iterative operators (graph, kcore, CC) persist intermediates for
         # the duration of the session by contract — drop them between
         # queries so the 134-query sweep doesn't accumulate cache
         spark.catalog.clearCache()
         if name not in oracles:
+            times[name] = {"spark_s": t_spark, "total_s": t_spark}
             print(f"[rows-only] {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
             continue
         duck_pdf = con.execute(oracles[name]).df()
@@ -94,12 +104,22 @@ def main() -> int:
             and sh == dh
         )
         status = "OK " if ok else "FAIL"
+        times[name] = {
+            "spark_s": t_spark, "total_s": round(time.time() - t0, 3)
+        }
         print(
             f"[{status}] {name}: rows {len(spark_pdf)}/{len(duck_pdf)} "
             f"hash {'=' if sh == dh else f'{sh[:12]}!={dh[:12]}'} ({time.time()-t0:.1f}s)"
         )
         if not ok:
             failures.append(name)
+    if args.times_out:
+        import json
+
+        with open(args.times_out, "w") as fh:
+            json.dump(
+                {"sf_dir": args.sf_dir, "times": times}, fh, indent=1
+            )
     if failures:
         print(f"FAILURES: {failures}")
         return 1

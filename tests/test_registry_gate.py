@@ -100,51 +100,57 @@ def test_gated_queries_all_have_oracles():
 
 
 # Rotation candidates for the NEXT round's window. Every registered query
-# is past-proven or in the current window (nothing invisible). Round 11
-# spent its window on the full 30-slot rotation round 10 published, the
-# two r11-born incremental-ANN gates (plus late-r11 births swapped into
-# the stale-fill tier as they landed), five r11 code-changed re-proofs
-# (the rebuilt KMV profile bottom-k via both its modes, and the three
-# ADVICE-r10 NULL-guard queries), and 13 of the r6-proven stale tier.
-# These are the REMAINING r6-proven entries — all code-stable, all
-# green in every per-round full-registry sweep at sf0.01 AND sf0.1 —
-# queued for the r12 window.
+# is past-proven or in the current window (nothing invisible). Round 12
+# spent its window on the full 35-slot rotation round 11 published (the
+# r6-proven tier is now DRAINED - nothing older than r7), the two
+# r12-born gates (maxsim late-interaction retrieval, k-anonymity audit),
+# three r12 code-changed re-proofs (two-level IVF rule on the index
+# build + incremental assign + drift full-outer join; dim-generalized
+# binary Hamming), and a 10-name draw from the r7-proven tier. These are
+# the REMAINING r7-proven entries - all code-stable, all green in every
+# per-round full-registry sweep at sf0.01 AND sf0.1 - queued for the
+# r13 window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    "graph_pagerank",
-    "j2_point_in_admin",
-    "j3_adaptive_buffer",
-    "j3_buffer_semi_join",
-    "j3_knn_candidates",
-    "j7_square_grid_clip",
-    "p6_nullsafe_round",
-    "pipe_decontaminate",
-    "pipe_dq_checks",
-    "pipe_sequence_packing",
-    "pipe_stratified_sample",
-    "pipe_tfidf_topk",
-    "q3_revenue_topk",
-    "q5_region_revenue",
-    "s1_config_scan_filter",
-    "sim_cosine_pairs",
-    "sim_cosine_topk",
-    "sim_cosine_topk_ivf",
-    "sim_cosine_topk_lsh",
-    "sim_mmr_rerank",
-    "st_click_attribution",
-    "st_dedup_replay",
-    "st_event_props_decode",
-    "st_sessionize",
-    "st_window_counts",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_rolling_hash",
-    "text_token_counts",
-    "ts_ewma_smooth",
-    "ts_gapfill_locf",
-    "vec_kmeans_q8",
-    "w3_topk_per_group",
+    "eta_routed_osm_planet",
+    "ev_cumulative_users",
+    "ev_rolling_active",
+    "graph_clustering_coeff",
+    "graph_common_neighbors",
+    "j_band_price",
+    "mm_wav_roundtrip",
+    "pipe_bpe_merges_batched",
+    "pipe_bpe_segment_tokens",
+    "pipe_chunk_overlap",
+    "pipe_domain_quota",
+    "pipe_incremental_dedup",
+    "pipe_quality_funnel",
+    "pipe_reservoir_topk",
+    "pipe_segment_dedup",
+    "pipe_snapshot_diff",
+    "pipe_split_assign",
+    "pipe_token_budget_select",
+    "pipe_winsorize_caps",
+    "q10_returned_items",
+    "q11_important_value",
+    "q12_priority_split",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q19_or_of_ands",
+    "q20_bulk_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "sim_sparse_tfidf_pairs",
+    "st_enrich_static",
+    "text_bigram_familiarity",
+    "text_keyword_rank_any",
+    "text_repetition",
+    "ts_moving_avg",
+    "vec_label_centroids",
 )
 
 
