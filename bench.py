@@ -42,7 +42,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # cross-round comparisons have a machine-drift control (VERDICT r5 #4:
 # the recorded r4 number was 16% faster than r4 code achieves on a
 # later day's box). Update this hash each round.
-ANCHOR_COMMIT = "becae8d1669aeceb6ad32a0c6335c6a677c9c51d"  # round-10 final
+ANCHOR_COMMIT = "d0dfe92d875e95830e04ab6b4c2bad65adfc5a4a"  # round-11 final
 
 # One representative per operator family (SURVEY §2 + north-star ops);
 # scale-sensitive choices on purpose: big-table aggs, multi-joins, window,
@@ -185,6 +185,10 @@ HEADLINE = [
     "text_chi2_terms",          # supervised chi-square term selection
     "vec_binary_hamming_topk",  # 1-bit sign-pack XOR+popcount shortlist
     "vec_matryoshka_energy",    # prefix-energy truncation profile
+    # round-12 additions
+    "sim_maxsim_topk",          # multi-vector late-interaction retrieval
+    "pipe_k_anonymity",         # QI equivalence-class privacy audit
+    "pipe_dp_randomized_response",  # LDP randomized-response estimates
 ]
 
 

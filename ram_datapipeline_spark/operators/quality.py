@@ -1698,3 +1698,73 @@ def k_anonymity_audit(
         .alias("rows_at_risk"),
     )
     return per.crossJoin(F.broadcast(tot))
+
+
+def randomized_response_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    sensitive: Column,
+    id_col: str,
+    keep_num: int = 3,
+    keep_den: int = 4,
+) -> DataFrame:
+    """Local differential privacy for per-group boolean rates — Warner's
+    randomized response (JASA 1965), the mechanism LDP telemetry
+    pipelines (RAPPOR-family) build on: each row reports its sensitive
+    bit TRUTHFULLY with probability p = keep_num/keep_den and FLIPPED
+    otherwise (ε = ln(p/(1−p)); the default 3/4 gives ε = ln 3), so no
+    individual row's report reveals its true bit beyond ε.
+
+    The "coin" is the deterministic md5-uniform draw on ``id_col``
+    (``corpus.hash_uniform`` — the repo's reproducible-sampling
+    primitive): truthful iff u32 mod keep_den < keep_num. Deterministic
+    ≠ private in production — a release would draw real randomness per
+    report; the md5 coin stands in so the WHOLE mechanism, debiasing
+    included, is bit-replayable in ANSI SQL and driver-gated. The
+    estimator is the exact integer debias of the observed count:
+
+        t̂ · (2·num − den) = n_reported_true·den − (den−num)·n
+        → emitted as one exact BIGINT named est_true_x{2·num−den}
+        (for p=3/4: 4·n_reported_true − n, which is 2·t̂)
+
+    so no float division ever happens; consumers divide by the scale
+    the column name pins. Output per group: (*group_cols, n,
+    n_reported_true, est_true_x2_scaled, true_count) — true_count rides
+    along for calibration tests (a real release would drop it).
+
+    Scale shape: the report bit is a zero-shuffle codegen map on the
+    scan; ONE group aggregate (map-side combined) produces every
+    column; nothing touches row grain afterwards.
+    """
+    from ram_datapipeline_spark.operators.corpus import hash_uniform
+
+    u = hash_uniform(F.col(id_col))
+    truthful = (u % F.lit(keep_den)) < F.lit(keep_num)
+    s = sensitive.cast("boolean")
+    reported = F.when(truthful, s).otherwise(~s)
+    scale = 2 * keep_num - keep_den
+    est_col = f"est_true_x{scale}"
+    return (
+        df.select(
+            *[F.col(c) for c in group_cols],
+            s.alias("_s"),
+            reported.alias("_r"),
+        )
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("_r"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_reported_true"),
+            F.sum(F.when(F.col("_s"), 1).otherwise(0))
+            .cast("long")
+            .alias("true_count"),
+        )
+        .withColumn(
+            est_col,
+            (
+                F.col("n_reported_true") * F.lit(keep_den)
+                - F.col("n") * F.lit(keep_den - keep_num)
+            ).cast("long"),
+        )
+    )

@@ -77,9 +77,11 @@ GATE_ORDER: tuple[str, ...] = (
     # entries of the next-stalest tier (r7-proven, code-stable, green in
     # every per-round full-registry sweep since).
     #
-    # (a) r12-born
+    # (a) r12-born (late births displace stale-fill slots one-for-one —
+    # births outrank re-proofs of code-stable queries)
     "sim_maxsim_topk",
     "pipe_k_anonymity",
+    "pipe_dp_randomized_response",
     # (b) r12 code-changed re-proofs
     "sim_incremental_ivf",
     "sim_ivf_drift",
@@ -130,7 +132,6 @@ GATE_ORDER: tuple[str, ...] = (
     "pipe_bpe_merges",
     "q2_correlated_min",
     "text_keyword_search",
-    "ts_cdc_apply",
 )
 
 

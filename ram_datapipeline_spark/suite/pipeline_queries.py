@@ -2218,3 +2218,60 @@ def q_pipe_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         sensitive_col="c_acctbal",
     )
+
+
+_EV_U32_SQL = (
+    "list_reduce(list_transform(generate_series(1, 8), "
+    "i -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(event_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+@query(
+    "pipe_dp_randomized_response",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             value > 50.0 AS s,
+             CASE WHEN {_EV_U32_SQL} % 4 < 3
+                  THEN value > 50.0 ELSE NOT (value > 50.0) END AS r
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reported_true,
+           CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS true_count,
+           CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) * 4
+                - count(*) AS BIGINT) AS est_true_x2
+    FROM base GROUP BY event_type
+    """,
+    survey=(
+        "local differential privacy: Warner randomized response per "
+        "event row (ε = ln 3 via the md5 coin), exact integer debiased "
+        "group estimates — the LDP telemetry mechanism next to the "
+        "k-anonymity release audit; zero-shuffle report map + ONE "
+        "group aggregate (north star)"
+    ),
+    tags=("pipeline",),
+)
+def q_pipe_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε = ln 3 randomized response over events (sensitive bit:
+    value > 50), grouped by event_type
+    (operators/quality.py::randomized_response_counts): each row
+    reports truthfully iff md5-u32(event_id) mod 4 < 3; the group
+    estimate 4·n_reported_true − n = 2·t̂ debiases exactly in BIGINT.
+    true_count rides along so tests can check estimator calibration —
+    a real release would drop it."""
+    from ram_datapipeline_spark.operators.quality import (
+        randomized_response_counts,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return randomized_response_counts(
+        t["events"],
+        ["event_type"],
+        F.col("value") > F.lit(50.0),
+        "event_id",
+    )

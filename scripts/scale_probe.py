@@ -220,7 +220,8 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # by the zero-exchange two-level rule, bounded query side,
           # candidate-grain aggregates) and the k-anonymity audit (one
           # QI-grain aggregate + class-grain totals)
-          "sim_maxsim_topk", "pipe_k_anonymity"]
+          "sim_maxsim_topk", "pipe_k_anonymity",
+          "pipe_dp_randomized_response"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

@@ -336,3 +336,43 @@ def test_k_anonymity_audit_hand_case(spark):
     slim = k_anonymity_audit(df, ["zip", "age"], k=2)
     assert "l_diversity" not in slim.columns
     assert {r.at_risk for r in slim.collect()} == {False}
+
+
+def test_randomized_response_exact_mechanism_and_calibration(spark):
+    """The md5 coin, the flip rule, and the integer debias replayed by
+    hand; then calibration on the real events fixture (est/2 within
+    sampling noise of the true count)."""
+    import hashlib
+
+    from ram_datapipeline_spark.operators.quality import (
+        randomized_response_counts,
+    )
+
+    rows = [(i, "g", i % 2 == 0) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "id long, grp string, s boolean")
+    out = randomized_response_counts(
+        df, ["grp"], F.col("s"), "id"
+    ).collect()[0]
+
+    def u32(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    exp_rep = sum(
+        1
+        for i, _, s in rows
+        if (s if u32(i) % 4 < 3 else not s)
+    )
+    exp_true = sum(1 for *_, s in rows if s)
+    assert out.n == 40
+    assert out.n_reported_true == exp_rep
+    assert out.true_count == exp_true
+    assert out.est_true_x2 == 4 * exp_rep - 40
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    rep = randomized_response_counts(
+        ev, ["event_type"], F.col("value") > F.lit(50.0), "event_id"
+    ).collect()
+    for r in rep:
+        est = r.est_true_x2 / 2.0
+        # ~2000 rows/group: sd(t_hat) = 2*sqrt(n*p*(1-p)) ~ 39; 5 sd
+        assert abs(est - r.true_count) < 200, (r.event_type, est, r.true_count)
