@@ -1120,9 +1120,21 @@ def maxsim_topk(
         s_probe = math.ceil(math.sqrt(n_super))
     c = with_norm(ensure_parallelism(corpus), vec_col)
     q = with_norm(queries, vec_col)
-    seeds = c.join(
-        F.broadcast(stratified_seed_ids(corpus, n_cells, id_col)), id_col
-    ).select(F.col(id_col).alias("cell"), "_e", "_nrm")
+    # eager checkpoint on the metadata-sized seed set: six consumers
+    # derive from it (rep array, seed-super map, both routing passes,
+    # the query-probe reps and cell map) and each would otherwise
+    # re-execute the corpus scan + seed join underneath — measured 15
+    # corpus scans in the executed plan without the barrier, 3 with
+    # (write_ivf_index gets the same effect from its persisted seeds
+    # table; this is the inline-build equivalent)
+    seeds = (
+        c.join(
+            F.broadcast(stratified_seed_ids(corpus, n_cells, id_col)),
+            id_col,
+        )
+        .select(F.col(id_col).alias("cell"), "_e", "_nrm")
+        .localCheckpoint(eager=True)
+    )
     c_cells = two_level_assign_cells(
         c, seeds, id_col, n_super=n_super, extra_cols=(doc_col,)
     ).select(
