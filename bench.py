@@ -189,6 +189,7 @@ HEADLINE = [
     "sim_maxsim_topk",          # multi-vector late-interaction retrieval
     "pipe_k_anonymity",         # QI equivalence-class privacy audit
     "pipe_dp_randomized_response",  # LDP randomized-response estimates
+    "ts_holt_linear",           # drift-aware double exponential smoothing
 ]
 
 

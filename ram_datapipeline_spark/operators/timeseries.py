@@ -882,3 +882,86 @@ def rolling_slope(
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("slope"),
     )
+
+
+def holt_linear_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    val_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 2,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key (Holt
+    1957) — the forecasting step up from :func:`ewma_smooth` when the
+    series has drift an EWMA lags behind:
+
+        s₁ = x₁, b₁ = 0
+        sₜ = α·xₜ + (1−α)(sₜ₋₁ + bₜ₋₁)
+        bₜ = β(sₜ − sₜ₋₁) + (1−β)bₜ₋₁
+
+    α and β restricted to exact binary fractions (defaults ¼, ½), so
+    every step is a fixed sequence of correctly-rounded IEEE doubles —
+    the fold replays bit-identically in any engine. Emits
+    ``(key_cols…, n_points, level, trend, forecast_1)`` with
+    forecast_1 = level + trend (the 1-step-ahead forecast a metrics
+    pipeline alerts against).
+
+    The fold state is a 2-element DOUBLE ARRAY, not a struct: DuckDB
+    1.0's ``list_reduce`` aliases the accumulator struct field-by-field
+    during ``struct_pack`` evaluation (the trend expression saw the
+    ALREADY-UPDATED level — measured, off by the aliased term), while a
+    ``list_value`` accumulator evaluates both elements against the old
+    state; the engine mirrors the array form so both sides pin the same
+    sequence.
+
+    Scale shape: identical to ``ewma_smooth`` — one hash aggregate,
+    series gathered + sorted in-row, folded by ``F.aggregate``; per-key
+    series length is the only memory bound.
+    """
+    for num, den, nm in (
+        (alpha_num, alpha_den, "alpha"),
+        (beta_num, beta_den, "beta"),
+    ):
+        if den & (den - 1) or not (0 < num < den):
+            raise ValueError(
+                f"holt_linear_smooth: {nm} must be a proper exact-binary "
+                f"fraction (got {num}/{den})"
+            )
+    a = alpha_num / alpha_den
+    bt = beta_num / beta_den
+    series = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col(val_col).isNotNull(),
+                    F.struct(F.col(order_col).alias("o"),
+                             F.col(val_col).alias("v")),
+                )
+            )
+        ),
+        lambda s: s["v"].cast("double"),
+    )
+
+    def step(acc, x):
+        snew = F.lit(a) * x + F.lit(1.0 - a) * (
+            F.get(acc, 0) + F.get(acc, 1)
+        )
+        bnew = F.lit(bt) * (snew - F.get(acc, 0)) + F.lit(1.0 - bt) * F.get(
+            acc, 1
+        )
+        return F.array(snew, bnew)
+
+    st = F.aggregate(
+        F.slice(series, 2, F.greatest(F.size(series) - 1, F.lit(0))),
+        F.array(F.get(series, 0), F.lit(0.0)),
+        step,
+    )
+    return df.groupBy(*key_cols).agg(
+        F.count(val_col).alias("n_points"),
+        F.get(st, 0).alias("level"),
+        F.get(st, 1).alias("trend"),
+        (F.get(st, 0) + F.get(st, 1)).alias("forecast_1"),
+    )

@@ -82,6 +82,7 @@ GATE_ORDER: tuple[str, ...] = (
     "sim_maxsim_topk",
     "pipe_k_anonymity",
     "pipe_dp_randomized_response",
+    "ts_holt_linear",
     # (b) r12 code-changed re-proofs
     "sim_incremental_ivf",
     "sim_ivf_drift",
@@ -131,7 +132,6 @@ GATE_ORDER: tuple[str, ...] = (
     "mm_image_ahash_dedup",
     "pipe_bpe_merges",
     "q2_correlated_min",
-    "text_keyword_search",
 )
 
 

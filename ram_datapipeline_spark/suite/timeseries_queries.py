@@ -783,3 +783,54 @@ def q_ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"], ["event_type"], "ts", "event_id",
         F.floor(F.col("value") * 100.0 + 0.5),
     )
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT user_id, count(*) AS n_points,
+             list_reduce(
+               list_transform(array_agg(n_events ORDER BY bucket),
+                              x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+               (acc, e) -> [
+                 0.25 * e[1] + 0.75 * (acc[1] + acc[2]),
+                 0.5 * ((0.25 * e[1] + 0.75 * (acc[1] + acc[2])) - acc[1])
+                   + 0.5 * acc[2]
+               ]) AS st
+      FROM b GROUP BY user_id
+    )
+    SELECT user_id, n_points, st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_1
+    FROM folded
+    """,
+    survey=(
+        "Holt linear-trend double exponential smoothing (α=¼, β=½, "
+        "exact-binary): level + trend + 1-step forecast per key as one "
+        "pinned-IEEE ordered fold — the drift-aware upgrade of the EWMA "
+        "alerting signal"
+    ),
+    tags=("timeseries",),
+)
+def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level/trend/forecast of each user's hourly event-count
+    series (operators/timeseries.py::holt_linear_smooth): one hash
+    aggregate, series sorted in-row, 2-state array-accumulator fold —
+    the same correctly-rounded double sequence DuckDB's list_reduce
+    replays (list accumulator, not struct: DuckDB aliases struct
+    accumulators mid-lambda)."""
+    from ram_datapipeline_spark.operators.timeseries import (
+        holt_linear_smooth,
+    )
+
+    t = load_tables(spark, sf_dir)
+    b = (
+        t["events"]
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return holt_linear_smooth(b, ["user_id"], "bucket", "n_events")

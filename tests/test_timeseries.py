@@ -545,3 +545,36 @@ def test_interval_merge_islands(spark):
     assert [(r.user_id, r.n_intervals) for r in got] == [(1, 3), (1, 1), (2, 1)]
     first = got[0]
     assert first.end_us - first.start_us == 120_000_000  # 0s..60s+60s
+
+
+def test_holt_linear_exact_hand_case(spark):
+    """The 2-state fold replayed by hand (α=¼, β=½ on 10,12,14,13):
+    every intermediate is an exact binary double, so equality is exact —
+    plus the n=1 (zero-trend init) and NULL-value exclusion edges."""
+    from ram_datapipeline_spark.operators.timeseries import (
+        holt_linear_smooth,
+    )
+
+    rows = [
+        ("k", 1, 10.0), ("k", 2, 12.0), ("k", 3, 14.0), ("k", 4, 13.0),
+        ("one", 1, 7.0),
+        ("n", 1, 5.0), ("n", 2, None), ("n", 3, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    got = {
+        r.key: r
+        for r in holt_linear_smooth(df, ["key"], "t", "v").collect()
+    }
+    k = got["k"]
+    assert (k.n_points, k.level, k.trend) == (4, 12.4140625, 0.75390625)
+    assert k.forecast_1 == 12.4140625 + 0.75390625
+    assert (got["one"].n_points, got["one"].level, got["one"].trend) == (
+        1, 7.0, 0.0,
+    )
+    n = got["n"]  # NULL dropped: series is (5, 9)
+    assert n.n_points == 2
+    assert n.level == 0.25 * 9.0 + 0.75 * 5.0 and n.trend == 0.5 * (n.level - 5.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exact-binary"):
+        holt_linear_smooth(df, ["key"], "t", "v", alpha_num=1, alpha_den=3)
