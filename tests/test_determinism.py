@@ -27,6 +27,12 @@ REPRESENTATIVES = [
     "vec_pq_codes",
     "eta_routed_osm",
     "dedup_minhash_lsh",
+    # r12-born fold paths: collect_list order varies with partitioning —
+    # sort_array + pinned left folds must neutralize it (two-level IVF
+    # routing, maxsim candidate grain, Holt's 2-state array fold)
+    "sim_incremental_ivf",
+    "sim_maxsim_topk",
+    "ts_holt_linear",
 ]
 
 
