@@ -190,6 +190,7 @@ HEADLINE = [
     "pipe_k_anonymity",         # QI equivalence-class privacy audit
     "pipe_dp_randomized_response",  # LDP randomized-response estimates
     "ts_holt_linear",           # drift-aware double exponential smoothing
+    "sim_ivf_retrain_plan",     # ANN maintenance planner on the cell grain
 ]
 
 

@@ -1222,3 +1222,89 @@ def maxsim_topk(
         .filter(F.col("rk") <= k)
         .select("q_doc", "d_doc", "maxsim", "rk")
     )
+
+
+def ivf_retrain_plan(
+    drift: DataFrame, overload_factor: int = 4
+) -> DataFrame:
+    """Retrain/split planner closing the incremental-ANN loop
+    (build → incremental assign → drift monitor → THIS): given the
+    per-cell drift report (:func:`ivf_drift_report` output), decide
+    what index maintenance the grown corpus needs — entirely from
+    cell-grain metadata, never touching the archive vectors or the
+    assignment table.
+
+    Per cell: ``n_total = n_standing + n_batch``; a cell is
+    ``overloaded`` when its occupancy exceeds ``overload_factor``× the
+    post-retrain mean (``n_total · new_n_cells > factor · N`` — exact
+    BIGINT cross-multiplication, the bucket-balance criterion the ANN
+    tests hold), and ``split_into = ⌈n_total · new_n_cells / N⌉`` is
+    its target shard count. Globals riding every row:
+    ``new_n_cells = ⌈√N⌉`` (the seed count a from-scratch retrain would
+    draw), ``n_overloaded``, ``est_moved_rows`` (rows a split-only
+    maintenance pass would rewrite — the cost comparison against a full
+    retrain's N), and ``retrain_full`` (the drift trigger, carried
+    through): fire a full re-seed when occupancy DRIFT says the seed
+    set no longer matches the distribution; otherwise split the
+    overloaded cells in place and leave the rest of the archive
+    untouched.
+
+    All integer except ⌈√N⌉ (one correctly-rounded sqrt, both engines
+    identical). Scale shape: input is already cell grain (≤ ⌈√n⌉
+    rows); one eager barrier, one 1-row broadcast — metadata-sized end
+    to end.
+    """
+    base = drift.select(
+        "cell",
+        (F.col("n_standing") + F.col("n_batch")).alias("n_total"),
+        "retrain",
+    ).localCheckpoint(eager=True)
+    tot = base.agg(
+        F.sum("n_total").cast("long").alias("_N"),
+        F.max(F.col("retrain")).alias("retrain_full"),
+    ).select(
+        "_N",
+        F.ceil(F.sqrt(F.col("_N").cast("double")))
+        .cast("long")
+        .alias("new_n_cells"),
+        "retrain_full",
+    )
+    per = base.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_total",
+        (
+            F.col("n_total") * F.col("new_n_cells")
+            > F.lit(int(overload_factor)) * F.col("_N")
+        ).alias("overloaded"),
+        F.expr(
+            "(n_total * new_n_cells + _N - 1) DIV _N"
+        ).alias("split_into"),
+        "new_n_cells",
+        "retrain_full",
+        "_N",
+    )
+    glob = per.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("overloaded"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_overloaded"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("overloaded"), F.col("n_total")).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("est_moved_rows"),
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        "cell",
+        "n_total",
+        "overloaded",
+        "split_into",
+        "new_n_cells",
+        "n_overloaded",
+        "est_moved_rows",
+        "retrain_full",
+    )

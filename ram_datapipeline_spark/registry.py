@@ -83,6 +83,7 @@ GATE_ORDER: tuple[str, ...] = (
     "pipe_k_anonymity",
     "pipe_dp_randomized_response",
     "ts_holt_linear",
+    "sim_ivf_retrain_plan",
     # (b) r12 code-changed re-proofs
     "sim_incremental_ivf",
     "sim_ivf_drift",
@@ -131,7 +132,6 @@ GATE_ORDER: tuple[str, ...] = (
     "j2_point_in_geojson",
     "mm_image_ahash_dedup",
     "pipe_bpe_merges",
-    "q2_correlated_min",
 )
 
 

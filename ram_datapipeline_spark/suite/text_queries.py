@@ -2585,3 +2585,94 @@ def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.maxsim_topk(
         e.where(F.col("doc") < 3), e, k=5, doc_col="doc"
     )
+
+
+@query(
+    "sim_ivf_retrain_plan",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    {_INCR_IVF_SEEDS_CTE},
+    batch AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 13 = 5),
+    c_assign AS ({_two_level_assign_sql("corp")}),
+    b_assign AS ({_two_level_assign_sql("batch")}),
+    stats AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_standing
+      FROM c_assign GROUP BY cell
+    ),
+    bstats AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_batch
+      FROM b_assign GROUP BY cell
+    ),
+    per AS (
+      SELECT cell,
+             CAST(coalesce(s.n_standing, 0) AS BIGINT) AS n_standing,
+             CAST(coalesce(b.n_batch, 0) AS BIGINT) AS n_batch
+      FROM stats s FULL OUTER JOIN bstats b USING (cell)
+    ),
+    tv AS (
+      SELECT CAST(sum(abs(
+               CASE WHEN ns = 0 THEN 0
+                    ELSE n_standing * 1000000 // ns END
+               - CASE WHEN nb = 0 THEN 0
+                      ELSE n_batch * 1000000 // nb END)) AS BIGINT) AS tv_ppm2
+      FROM per, (SELECT CAST(sum(n_standing) AS BIGINT) AS ns,
+                        CAST(sum(n_batch) AS BIGINT) AS nb FROM per) t
+    ),
+    base2 AS (
+      SELECT cell, n_standing + n_batch AS n_total,
+             tv.tv_ppm2 > 400000 AS retrain
+      FROM per, tv
+    ),
+    tot2 AS (
+      SELECT CAST(sum(n_total) AS BIGINT) AS nn,
+             CAST(ceil(sqrt(CAST(sum(n_total) AS DOUBLE))) AS BIGINT)
+               AS new_n_cells,
+             bool_or(retrain) AS retrain_full
+      FROM base2
+    ),
+    per2 AS (
+      SELECT cell, n_total,
+             n_total * new_n_cells > 4 * nn AS overloaded,
+             CAST((n_total * new_n_cells + nn - 1) // nn AS BIGINT)
+               AS split_into,
+             new_n_cells, retrain_full
+      FROM base2, tot2
+    ),
+    gl AS (
+      SELECT CAST(coalesce(sum(CASE WHEN overloaded THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_overloaded,
+             CAST(coalesce(sum(CASE WHEN overloaded THEN n_total ELSE 0 END),
+                           0) AS BIGINT) AS est_moved_rows
+      FROM per2
+    )
+    SELECT cell, n_total, overloaded, split_into, new_n_cells,
+           n_overloaded, est_moved_rows, retrain_full
+    FROM per2, gl
+    """,
+    survey=(
+        "ANN index retrain/split planner closing the incremental loop: "
+        "per-cell overload flags and shard counts vs the post-retrain "
+        "⌈√N⌉ mean, split-only row-movement cost vs a full re-seed, the "
+        "drift trigger carried through — all from cell-grain metadata, "
+        "archive never touched (north star)"
+    ),
+    tags=("similarity",),
+)
+def q_sim_ivf_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance plan for the standing IVF index after the new batch
+    (vec_id % 13 = 5) lands (operators/similarity.py::ivf_retrain_plan
+    over ivf_drift_report): which cells to split (occupancy > 4x the
+    post-retrain mean), into how many shards, what a split-only pass
+    rewrites vs a full ⌈√N⌉ re-seed, and whether occupancy drift
+    demands the full retrain."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    corpus = e.where(F.col("vec_id") % 13 != 5)
+    batch = e.where(F.col("vec_id") % 13 == 5)
+    SIM.write_ivf_index(corpus, "sim_ivf_plan_index")
+    seeds = spark.table("sim_ivf_plan_index_seeds")
+    assigned = SIM.incremental_ivf_assign(batch, seeds)
+    drift = SIM.ivf_drift_report(
+        assigned, spark.table("sim_ivf_plan_index_stats")
+    )
+    return SIM.ivf_retrain_plan(drift)

@@ -489,3 +489,38 @@ def test_maxsim_topk_recall_floor_and_plan(spark):
     for qd in q_docs:
         top1 = [d for rk, d in mine[qd] if rk == 1][0]
         assert top1 % 8 == qd % 8
+
+
+def test_ivf_retrain_plan_hand_case(spark):
+    """Overload/split arithmetic on a hand drift report: N=112 ->
+    new_n_cells=11; only the 100-row cell exceeds 4x the mean
+    (100*11 > 4*112) and splits into ceil(100*11/112)=10 shards; the
+    drift trigger carries through as retrain_full."""
+    from ram_datapipeline_spark.operators.similarity import ivf_retrain_plan
+
+    def drift(retrain3):
+        return spark.createDataFrame(
+            [
+                (1, 90, 10, False),
+                (2, 8, 2, False),
+                (3, 2, 0, retrain3),
+            ],
+            "cell long, n_standing long, n_batch long, retrain boolean",
+        )
+
+    rows = {r.cell: r for r in ivf_retrain_plan(drift(False)).collect()}
+    assert all(r.new_n_cells == 11 for r in rows.values())
+    assert (rows[1].n_total, rows[1].overloaded, rows[1].split_into) == (
+        100, True, 10,
+    )
+    assert (rows[2].n_total, rows[2].overloaded, rows[2].split_into) == (
+        10, False, 1,
+    )
+    assert (rows[3].n_total, rows[3].overloaded) == (2, False)
+    for r in rows.values():
+        assert (r.n_overloaded, r.est_moved_rows, r.retrain_full) == (
+            1, 100, False,
+        )
+    # one drifted cell -> the full-retrain flag rides every row
+    rows2 = ivf_retrain_plan(drift(True)).collect()
+    assert all(r.retrain_full for r in rows2)
