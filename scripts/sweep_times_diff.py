@@ -42,6 +42,21 @@ def load_times(path: str) -> dict[str, float]:
     return out
 
 
+def load_spark_only(path: str) -> dict[str, float] | None:
+    """spark_s per query when the record has it (JSON --times-out only).
+    The committed VERIFY txt logs time engine + DuckDB oracle + hashing
+    together, and the oracle side dominates several rows (measured:
+    eta_routed_osm_large = 9s Spark + 971s DuckDB at sf0.1) — so a
+    txt-vs-json diff screens COARSELY and the spark-only totals are the
+    trend that actually reflects the engine."""
+    if not path.endswith(".json"):
+        return None
+    rec = json.load(open(path))
+    if not all(isinstance(v, dict) and "spark_s" in v for v in rec["times"].values()):
+        return None
+    return {k: v["spark_s"] for k, v in rec["times"].items()}
+
+
 def main() -> int:
     new_p, old_p = sys.argv[1], sys.argv[2]
     new, old = load_times(new_p), load_times(old_p)
@@ -58,6 +73,20 @@ def main() -> int:
             improvements.append((o / n, name, o, n))
     tn, to = sum(new[c] for c in common), sum(old[c] for c in common)
     print(f"common-set total: {to:.1f}s -> {tn:.1f}s ({tn / to:.3f}x)")
+    ns, os_ = load_spark_only(new_p), load_spark_only(old_p)
+    if ns:
+        print(f"new spark-only total (engine, excl. oracle+hash): "
+              f"{sum(ns.values()):.1f}s over {len(ns)} queries")
+    if ns and os_:
+        c2 = sorted(set(ns) & set(os_))
+        t2n, t2o = sum(ns[c] for c in c2), sum(os_[c] for c in c2)
+        print(f"spark-only common-set: {t2o:.1f}s -> {t2n:.1f}s "
+              f"({t2n / t2o:.3f}x)")
+        for name in c2:
+            n_, o_ = ns[name], os_[name]
+            if o_ > 0 and n_ / o_ >= RATIO and n_ - o_ >= ABS_S:
+                print(f"SPARK-ONLY REGRESSION {name}: {o_:.2f}s -> {n_:.2f}s"
+                      f" ({n_ / o_:.2f}x)")
     for r, name, o, n in sorted(regressions, reverse=True):
         print(f"REGRESSION {name}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)")
     for r, name, o, n in sorted(improvements, reverse=True)[:10]:
