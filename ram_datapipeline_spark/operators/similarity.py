@@ -922,7 +922,12 @@ def write_ivf_index(
     # assignment reads the PERSISTED seeds back (metadata-sized scan)
     # instead of re-deriving the corpus-join subtree a second time
     seeds = with_norm(spark.table(f"{table}_seeds"), vec_col)
-    assigned = two_level_assign_cells(c, seeds, id_col).select(id_col, "cell")
+    # n_super derives from the ALREADY-KNOWN n_cells — passing it skips
+    # two_level_assign_cells' seeds.count() job (a fixed cost that is
+    # pure overhead at small SF)
+    assigned = two_level_assign_cells(
+        c, seeds, id_col, n_super=scaled_super_count(n_cells)
+    ).select(id_col, "cell")
     _drop_stale_table(spark, table)
     (
         assigned.write.mode("overwrite").format("parquet")
