@@ -524,3 +524,27 @@ def test_ivf_retrain_plan_hand_case(spark):
     # one drifted cell -> the full-retrain flag rides every row
     rows2 = ivf_retrain_plan(drift(True)).collect()
     assert all(r.retrain_full for r in rows2)
+
+
+def test_ivf_drift_report_standing_empty_cell(spark):
+    """ADVICE r11: batch mass landing in a cell the standing index never
+    populated must contribute rows, ppm_batch, and tv_ppm2 — the old
+    left join silently dropped it from both."""
+    from ram_datapipeline_spark.operators.similarity import ivf_drift_report
+
+    stats = spark.createDataFrame(
+        [(1, 90), (2, 10)], "cell long, n_standing long"
+    )
+    # batch: half its mass in cell 3, which has NO standing rows
+    assign = spark.createDataFrame(
+        [(100 + i, 3, 0.9) for i in range(5)]
+        + [(200 + i, 1, 0.9) for i in range(5)],
+        "vec_id long, cell long, cos double",
+    )
+    rows = {r.cell: r for r in ivf_drift_report(assign, stats).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[3].n_standing, rows[3].n_batch) == (0, 5)
+    assert rows[3].ppm_standing == 0 and rows[3].ppm_batch == 500000
+    # tv = |900000-500000| + |100000-0| + |0-500000| = 1000000
+    assert all(r.tv_ppm2 == 1000000 for r in rows.values())
+    assert all(r.retrain for r in rows.values())  # > 2*200000
