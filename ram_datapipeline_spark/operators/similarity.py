@@ -326,6 +326,8 @@ def sparse_tfidf_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    dense_max_docs: int = 50_000,
+    dense_max_terms: int = 4_096,
 ) -> DataFrame:
     """Document-pair cosine similarity over SPARSE integer tf-idf vectors
     — the inverted-index counterpart to the dense-embedding operators:
@@ -333,25 +335,111 @@ def sparse_tfidf_pairs(
     self-join), never all-pairs.
 
     Exactness: weights are integer (``tf · 1e6 div df``), so every dot
-    product is a BIGINT sum (order-safe under shuffle); each norm is one
-    sqrt of an integer; cosine is one division of exact doubles — fully
+    product is a BIGINT sum (order-safe under shuffle AND identical
+    under either physical strategy below); each norm is one sqrt of an
+    integer; cosine is one division of exact doubles — fully
     oracle-checkable.
 
-    Scale shape: one explode + two vocabulary-keyed aggregates (map-side
-    combined), document norms broadcast-joined back, and the pair space
-    bounded by posting-list co-occurrence — the classic sparse-similarity
-    join. Hot terms (stopwords) are the skew risk: AQE splits them; a
-    df-ceiling filter is the standard mitigation knob upstream."""
+    ADAPTIVE physical strategy (r12 — measure, don't guess): the
+    posting-list join is the right shape for realistic Zipf
+    vocabularies, but it DEGENERATES when the vocabulary is tiny —
+    every posting list is the whole corpus and the join shuffles
+    Σ_t df_t² rows (measured 182 s at sf0.1: 31 terms × 5,000 docs →
+    ~380M joined rows for 6,038 output pairs). Catalyst cannot see
+    this from static cardinalities, so the operator measures it: when
+    ``Σ df² > 4·n²`` (≥4 shuffled rows per candidate PAIR) and the
+    corpus fits the dense fences, it switches to an exact dense-block
+    path — each doc's weights pivoted onto the metadata-sized sorted
+    vocabulary array, one broadcast self-join, the dot an in-row
+    integer fold, ZERO pair shuffle (the threshold filter runs inside
+    the join stage). Same integers, same output, same oracle. Beyond
+    ``dense_max_docs``/``dense_max_terms`` the quadratic block is
+    refused and the posting join stands (with its documented
+    df-ceiling mitigation knob upstream).
+
+    Scale shape (posting path): one explode + two vocabulary-keyed
+    aggregates (map-side combined), document norms broadcast-joined
+    back, and the pair space bounded by posting-list co-occurrence —
+    the classic sparse-similarity join. Hot terms (stopwords) are the
+    skew risk: AQE splits them."""
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
-    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # one eager barrier: tf feeds dfreq, w, the strategy stats, and (on
+    # the posting path) both join sides + norms — without it the
+    # explode+aggregate chain re-executes under every consumer
+    tf = (
+        words.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = tf.join(F.broadcast(dfreq), "term").select(
         F.col(id_col),
         "term",
         F.expr("tf * 1000000 div df").alias("w"),
     )
+    stats = dfreq.agg(
+        F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
+        F.count(F.lit(1)).alias("n_terms"),
+    ).collect()[0]
+    n_docs = tf.select(id_col).distinct().count()
+    if (
+        stats["sum_df2"] is not None
+        and stats["sum_df2"] > 4 * n_docs * n_docs
+        and n_docs <= dense_max_docs
+        and stats["n_terms"] <= dense_max_terms
+    ):
+        vocab = dfreq.orderBy("term").agg(
+            F.collect_list("term").alias("_vocab")
+        )
+        dv = (
+            w.groupBy(id_col)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "w"))
+                ).alias("_m"),
+                F.sum(F.col("w") * F.col("w")).alias("_sq"),
+            )
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                F.col(id_col),
+                F.transform(
+                    F.col("_vocab"),
+                    lambda t: F.coalesce(
+                        F.element_at(F.col("_m"), t),
+                        F.lit(0).cast("long"),
+                    ),
+                ).alias("_v"),
+                F.sqrt(F.col("_sq").cast("double")).alias("_nrm"),
+            )
+        )
+        da = dv.select(
+            F.col(id_col).alias("doc_a"),
+            F.col("_v").alias("_va"),
+            F.col("_nrm").alias("_na"),
+        )
+        db = dv.select(
+            F.col(id_col).alias("doc_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_nrm").alias("_nb"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            da.crossJoin(F.broadcast(db))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("dot", dot)
+            .withColumn(
+                "cos",
+                F.col("dot").cast("double") / (F.col("_na") * F.col("_nb")),
+            )
+            .filter(F.col("cos") >= threshold)
+            .select("doc_a", "doc_b", "dot", "cos")
+        )
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
     )

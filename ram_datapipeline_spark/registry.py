@@ -88,6 +88,7 @@ GATE_ORDER: tuple[str, ...] = (
     "sim_incremental_ivf",
     "sim_ivf_drift",
     "vec_binary_hamming_topk",
+    "sim_sparse_tfidf_pairs",
     # (c) the published 35-slot rotation
     "graph_pagerank",
     "j2_point_in_admin",
@@ -131,7 +132,6 @@ GATE_ORDER: tuple[str, ...] = (
     "graph_label_propagation",
     "j2_point_in_geojson",
     "mm_image_ahash_dedup",
-    "pipe_bpe_merges",
 )
 
 

@@ -548,3 +548,33 @@ def test_ivf_drift_report_standing_empty_cell(spark):
     # tv = |900000-500000| + |100000-0| + |0-500000| = 1000000
     assert all(r.tv_ppm2 == 1000000 for r in rows.values())
     assert all(r.retrain for r in rows.values())  # > 2*200000
+
+
+def test_sparse_tfidf_pairs_strategies_identical(spark):
+    """The adaptive dense-block path must be a pure PHYSICAL choice:
+    forcing the posting join (dense_max_docs=0) on the same corpus
+    yields bit-identical (doc_a, doc_b, dot, cos) rows. The fixture's
+    tiny shared vocabulary triggers the dense path by default."""
+    from ram_datapipeline_spark.operators.similarity import (
+        sparse_tfidf_pairs,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        # every doc contains all 6 terms (plus i%3 extra repeats), so
+        # sum(df^2) = 6*n^2 > 4*n^2 -> the dense path is chosen
+        (i, " ".join(vocab + vocab[: i % 3 + 1]))
+        for i in range(1, 61)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dense = {
+        (r.doc_a, r.doc_b, r.dot, r.cos)
+        for r in sparse_tfidf_pairs(df, threshold=0.8).collect()
+    }
+    posting = {
+        (r.doc_a, r.doc_b, r.dot, r.cos)
+        for r in sparse_tfidf_pairs(
+            df, threshold=0.8, dense_max_docs=0
+        ).collect()
+    }
+    assert dense == posting and len(dense) > 0
