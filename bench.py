@@ -191,6 +191,7 @@ HEADLINE = [
     "pipe_dp_randomized_response",  # LDP randomized-response estimates
     "ts_holt_linear",           # drift-aware double exponential smoothing
     "sim_ivf_retrain_plan",     # ANN maintenance planner on the cell grain
+    "pipe_dataset_card",        # release summary sheet in one job
 ]
 
 

@@ -1271,3 +1271,112 @@ def dsir_importance(
             "logweight", F.col("logweight_fp").cast("double") / F.lit(1e9)
         )
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    short_doc_tokens: int = 20,
+) -> DataFrame:
+    """Release "dataset card" in one job — the summary statistics sheet
+    a corpus ships with (Datasheets for Datasets, Gebru et al., CACM
+    2021): corpus size, token volume, exact-duplicate rate, short-doc
+    rate, token-length percentiles, and the full language mix, as LONG
+    (metric, value) rows so the card is one relation any sink can
+    publish.
+
+    Metrics (all deterministic; counts and ppm shares are exact
+    integers carried in DOUBLE, percentiles are the engine-shared
+    linear-interpolation definition):
+
+    - ``n_docs``, ``n_sources``, ``total_chars``, ``total_tokens``
+    - ``exact_dup_docs`` = n_docs − distinct md5(text)
+    - ``short_doc_ppm`` (docs with < ``short_doc_tokens`` tokens)
+    - ``tokens_p50`` / ``tokens_p90``
+    - ``lang_<code>_ppm`` — one row per language (NULL → ``(null)``)
+
+    Scale shape: one doc-grain projection feeds (a) ONE global
+    aggregate (map-side combined; the count-distinct expand and the
+    exact-percentile sort are the documented costs — swap in the KMV /
+    sketch profile at extreme scale) and (b) one language-grain
+    aggregate; the union runs on metric-count rows.
+    """
+    toks = F.size(F.split(F.col(text_col), " "))
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        toks.cast("long").alias("_tokens"),
+        F.md5(F.col(text_col)).alias("_h"),
+        F.coalesce(F.col(lang_col).cast("string"), F.lit("(null)")).alias(
+            "_lang"
+        ),
+        F.col(source_col).alias("_src"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.col("_src")).cast("long").alias("n_sources"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+        F.sum("_tokens").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("_h")))
+        .cast("long")
+        .alias("exact_dup_docs"),
+        F.sum(
+            F.when(F.col("_tokens") < short_doc_tokens, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("_short"),
+        F.expr("percentile(_tokens, 0.5)").alias("tokens_p50"),
+        F.expr("percentile(_tokens, 0.9)").alias("tokens_p90"),
+    ).select(
+        "*",
+        F.expr("_short * 1000000 DIV n_docs").alias("short_doc_ppm"),
+    )
+    # 1-row barrier: two consumers (scalar unpivot, lang share join)
+    # would otherwise re-execute the corpus-wide aggregate each
+    g = g.localCheckpoint(eager=True)
+    scalars = g.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    *[
+                        F.lit(m)
+                        for m in (
+                            "n_docs",
+                            "n_sources",
+                            "total_chars",
+                            "total_tokens",
+                            "exact_dup_docs",
+                            "short_doc_ppm",
+                            "tokens_p50",
+                            "tokens_p90",
+                        )
+                    ]
+                ),
+                F.array(
+                    F.col("n_docs").cast("double"),
+                    F.col("n_sources").cast("double"),
+                    F.col("total_chars").cast("double"),
+                    F.col("total_tokens").cast("double"),
+                    F.col("exact_dup_docs").cast("double"),
+                    F.col("short_doc_ppm").cast("double"),
+                    F.col("tokens_p50").cast("double"),
+                    F.col("tokens_p90").cast("double"),
+                ),
+            )
+        ).alias("metric", "value")
+    )
+    langs = (
+        base.groupBy("_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .join(F.broadcast(g.select("n_docs")))
+        .select(
+            F.concat(F.lit("lang_"), F.col("_lang"), F.lit("_ppm")).alias(
+                "metric"
+            ),
+            F.expr("_n * 1000000 DIV n_docs").cast("double").alias("value"),
+        )
+    )
+    return scalars.unionByName(langs)

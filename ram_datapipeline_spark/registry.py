@@ -84,6 +84,7 @@ GATE_ORDER: tuple[str, ...] = (
     "pipe_dp_randomized_response",
     "ts_holt_linear",
     "sim_ivf_retrain_plan",
+    "pipe_dataset_card",
     # (b) r12 code-changed re-proofs
     "sim_incremental_ivf",
     "sim_ivf_drift",
@@ -131,7 +132,6 @@ GATE_ORDER: tuple[str, ...] = (
     "ev_cohort_retention",
     "graph_label_propagation",
     "j2_point_in_geojson",
-    "mm_image_ahash_dedup",
 )
 
 

@@ -2275,3 +2275,59 @@ def q_pipe_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("value") > F.lit(50.0),
         "event_id",
     )
+
+
+@query(
+    "pipe_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, length(text) AS chars,
+             len(string_split(text, ' ')) AS tokens,
+             md5(text) AS h,
+             coalesce(CAST(lang AS VARCHAR), '(null)') AS lang2, source
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(chars) AS BIGINT) AS total_chars,
+             CAST(sum(tokens) AS BIGINT) AS total_tokens,
+             CAST(count(*) - count(DISTINCT h) AS BIGINT) AS exact_dup_docs,
+             CAST(sum(CASE WHEN tokens < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS short,
+             quantile_cont(tokens, 0.5) AS p50,
+             quantile_cont(tokens, 0.9) AS p90
+      FROM base
+    )
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM g
+    UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM g
+    UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM g
+    UNION ALL SELECT 'exact_dup_docs', CAST(exact_dup_docs AS DOUBLE) FROM g
+    UNION ALL SELECT 'short_doc_ppm',
+                     CAST(short * 1000000 // n_docs AS DOUBLE) FROM g
+    UNION ALL SELECT 'tokens_p50', CAST(p50 AS DOUBLE) FROM g
+    UNION ALL SELECT 'tokens_p90', CAST(p90 AS DOUBLE) FROM g
+    UNION ALL
+    SELECT concat('lang_', lang2, '_ppm'),
+           CAST(cnt * 1000000 // n_docs AS DOUBLE)
+    FROM (SELECT lang2, count(*) AS cnt FROM base GROUP BY lang2), g
+    """,
+    survey=(
+        "release dataset card (Datasheets for Datasets, Gebru et al. "
+        "CACM'21): corpus size, token volume, exact-dup rate, short-doc "
+        "rate, token percentiles, full language mix — one global "
+        "aggregate + one language-grain aggregate, long-format output "
+        "(north star)"
+    ),
+    tags=("pipeline",),
+)
+def q_pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary sheet a corpus release ships with
+    (operators/corpus.py::dataset_card over documents): counts, token
+    volume and percentiles, exact-duplicate and short-doc rates, and
+    per-language ppm shares as (metric, value) rows."""
+    from ram_datapipeline_spark.operators.corpus import dataset_card
+
+    t = load_tables(spark, sf_dir)
+    return dataset_card(t["documents"])

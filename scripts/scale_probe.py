@@ -225,7 +225,9 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # holt: one hash aggregate, series bounded per user
           "ts_holt_linear",
           # retrain planner: cell-grain metadata end to end
-          "sim_ivf_retrain_plan"]
+          "sim_ivf_retrain_plan",
+          # dataset card: one global + one lang-grain aggregate
+          "pipe_dataset_card"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000

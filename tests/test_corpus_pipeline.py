@@ -376,3 +376,28 @@ def test_randomized_response_exact_mechanism_and_calibration(spark):
         est = r.est_true_x2 / 2.0
         # ~2000 rows/group: sd(t_hat) = 2*sqrt(n*p*(1-p)) ~ 39; 5 sd
         assert abs(est - r.true_count) < 200, (r.event_type, est, r.true_count)
+
+
+def test_dataset_card_hand_case(spark):
+    """Card metrics replayed by hand: dup counting, short-doc ppm,
+    exact token percentiles, NULL-lang bucketing."""
+    from ram_datapipeline_spark.operators.corpus import dataset_card
+
+    rows = [
+        (1, "a b c", "en", "s1"),
+        (2, "a b c", "en", "s1"),          # exact dup of doc 1
+        (3, "w x y z " + "t " * 18, "fr", "s2"),  # 22 tokens
+        (4, "short", None, "s2"),           # 1 token, NULL lang
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r.metric: r.value for r in dataset_card(df, short_doc_tokens=4).collect()}
+    assert got["n_docs"] == 4.0 and got["n_sources"] == 2.0
+    assert got["exact_dup_docs"] == 1.0
+    # docs with < 4 tokens: docs 1, 2 (3 tokens) and 4 (1 token) -> 3/4
+    assert got["short_doc_ppm"] == 750000.0
+    # token counts: [3, 3, 23, 1] (trailing space -> final empty token)
+    toks = sorted([3, 3, 23, 1])
+    assert got["tokens_p50"] == 3.0
+    assert got["lang_en_ppm"] == 500000.0
+    assert got["lang_(null)_ppm"] == 250000.0
+    assert got["total_tokens"] == float(sum(toks))

@@ -111,6 +111,7 @@ def test_gated_queries_all_have_oracles():
 # per-round full-registry sweep at sf0.01 AND sf0.1 - queued for the
 # r13 window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
+    "mm_image_ahash_dedup",
     "pipe_bpe_merges",
     "q2_correlated_min",
     "text_keyword_search",
