@@ -184,7 +184,9 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Mirrors operators/dedup.py: bit 2i = high bit of md5 hex digit i
-# ('89abcdef'), bit 2i+1 = second bit ('4567cdef') — 64 bits from one md5.
+# ('89abcdef'), bit 2i+1 = second bit ('4567cdef') — 64 bits from one md5,
+# packed MSB-first into one BIGINT word per 32 bits (r13: the
+# binary_sign_pack representation, VERDICT r12 #2).
 _SH_BIT_SETS = ("89abcdef", "4567cdef")
 _SH_BITS = 64
 
@@ -197,11 +199,24 @@ def _sh_votes() -> str:
     )
 
 
+def _sh_words() -> list[str]:
+    """One ``simhash_w{w}`` SQL expression per packed word: the sum of
+    ``2^(31 − j)`` over positive-vote bit positions — the identical
+    integer packing the engine builds (operators/dedup.py::simhash)."""
+    exprs = []
+    for w, name in enumerate(D.simhash_word_cols(_SH_BITS)):
+        terms = " + ".join(
+            f"(CASE WHEN v{w * 32 + j} > 0 THEN CAST({1 << (31 - j)} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for j in range(32)
+        )
+        exprs.append(f"{terms} AS {name}")
+    return exprs
+
+
 def _simhash_oracle() -> str:
     votes = _sh_votes()
-    bits = " || ".join(
-        f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(_SH_BITS)
-    )
+    words = ",\n      ".join(_sh_words())
     return f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
     h AS (SELECT doc_id, md5(tok) AS hh FROM tok),
@@ -210,7 +225,9 @@ def _simhash_oracle() -> str:
       {votes}
       FROM h GROUP BY doc_id
     )
-    SELECT doc_id, {bits} AS simhash FROM agg
+    SELECT doc_id,
+      {words}
+    FROM agg
     """
 
 
@@ -222,33 +239,47 @@ def _simhash_oracle() -> str:
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: md5-digit high bits vote ±1 per position,
-    weighted by token multiplicity; sign of the sum is the bit."""
+    weighted by token multiplicity; sign of the sum is the bit. Packed
+    as two BIGINT words (MSB-first, 32 bits each) — the oracle rebuilds
+    the same integers from the same votes."""
     t = load_tables(spark, sf_dir)
     return D.simhash(t["documents"])
 
 
 def _simhash_pairs_oracle() -> str:
     votes = _sh_votes()
-    bits = " || ".join(
-        f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(_SH_BITS)
+    words = ",\n      ".join(_sh_words())
+    wc = D.simhash_word_cols(_SH_BITS)
+    specs = D.simhash_segment_specs(_SH_BITS, 3)
+    width = _SH_BITS // 4
+
+    def seg_sql(chunks: list[tuple[int, int, int]]) -> str:
+        parts = None
+        for w, div, mod in chunks:
+            chunk = f"(({wc[w]} // {div}) % {mod})"
+            parts = chunk if parts is None else f"({parts} * {mod} + {chunk})"
+        return parts
+
+    block_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {wc[0]}, {wc[1]},"
+        f" CAST({q << width} AS BIGINT) + {seg_sql(specs[q])} AS block FROM sh"
+        for q in range(4)
     )
-    hamming = " + ".join(
-        f"(CASE WHEN substr(ha, {i + 1}, 1) <> substr(hb, {i + 1}, 1) THEN 1 ELSE 0 END)"
-        for i in range(_SH_BITS)
+    hamming = (
+        "bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))"
     )
     return f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
     h AS (SELECT doc_id, md5(tok) AS hh FROM tok),
     agg AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
-    sh AS (SELECT doc_id, {bits} AS simhash FROM agg),
-    blocks AS (
-      SELECT doc_id, simhash,
-             CAST(q AS VARCHAR) || ':' || substr(simhash, q * 16 + 1, 16) AS block
-      FROM sh, LATERAL (SELECT unnest(generate_series(0, 3)) AS q) u
-    ),
+    sh AS (SELECT doc_id,
+      {words}
+    FROM agg),
+    blocks AS ({block_rows}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS ha, b.simhash AS hb
+             a.{wc[0]} AS a0, a.{wc[1]} AS a1,
+             b.{wc[0]} AS b0, b.{wc[1]} AS b1
       FROM blocks a JOIN blocks b ON a.block = b.block AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM (
@@ -264,8 +295,9 @@ def _simhash_pairs_oracle() -> str:
     tags=("dedup",),
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming ≤ 3 pairs via pigeonhole 16-bit-word blocking (4 × 2¹⁶
-    buckets) — bucket-local join, never O(n²)."""
+    """Hamming ≤ 3 pairs via pigeonhole 16-bit integer-segment blocking
+    (4 × 2¹⁶ buckets) — bucket-local join, never O(n²); the distance is
+    two bit_count(xor) word ops (r13 repack, VERDICT r12 #2)."""
     t = load_tables(spark, sf_dir)
     out = D.simhash_pairs(t["documents"], max_hamming=3)
     return out.select(

@@ -94,7 +94,10 @@ def test_simhash_64bit_blocking_exact_and_wide(spark):
     from ram_datapipeline_spark.operators.dedup import simhash, simhash_pairs
 
     docs = load_tables(spark, SF_DIR)["documents"]
-    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    sh = {
+        r["doc_id"]: format(r["simhash_w0"], "032b") + format(r["simhash_w1"], "032b")
+        for r in simhash(docs).collect()
+    }
     assert all(len(v) == 64 for v in sh.values())
 
     ids = sorted(sh)
@@ -110,18 +113,69 @@ def test_simhash_64bit_blocking_exact_and_wide(spark):
     }
     assert got == brute
 
-    distinct_blocks = (
-        simhash(docs)
-        .select(
-            F.posexplode(
-                F.array(*[F.substring("simhash", q * 16 + 1, 16) for q in range(4)])
-            ).alias("band", "w")
-        )
-        .select(F.concat_ws(":", "band", "w").alias("block"))
-        .distinct()
-        .count()
+    distinct_blocks = len(
+        {(q, v[q * 16 : (q + 1) * 16]) for v in sh.values() for q in range(4)}
     )
     assert distinct_blocks > 1000, distinct_blocks
+
+
+def test_simhash_packed_words_match_bit_votes(spark):
+    """Cross-representation identity (VERDICT r12 #2): the packed BIGINT
+    words must expand to exactly the '0'/'1' fingerprint the r1–r12
+    string representation produced — recomputed here independently in
+    pure Python from the documented vote rule (md5 hex digit i votes ±1
+    on bits 2i/2i+1 by its two high bits, sign of the sum is the bit)."""
+    import hashlib
+
+    from ram_datapipeline_spark.operators.dedup import simhash
+
+    docs = load_tables(spark, SF_DIR)["documents"].limit(25)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    packed = {
+        r["doc_id"]: format(r["simhash_w0"], "032b") + format(r["simhash_w1"], "032b")
+        for r in simhash(docs).collect()
+    }
+    bit_sets = ("89abcdef", "4567cdef")
+    for doc_id, text in rows.items():
+        votes = [0] * 64
+        for tok in text.split(" "):
+            hh = hashlib.md5(tok.encode("utf-8")).hexdigest()
+            for i in range(64):
+                votes[i] += 1 if hh[i // 2] in bit_sets[i % 2] else -1
+        expect = "".join("1" if v > 0 else "0" for v in votes)
+        assert packed[doc_id] == expect, doc_id
+
+
+def test_simhash_nonstandard_widths(spark):
+    """The packing generalizes over n_bits/max_hamming: a 48-bit
+    fingerprint (one full + one short word) with max_hamming=2 must
+    still find exactly the brute-force pair set."""
+    from ram_datapipeline_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+        simhash_word_cols,
+    )
+
+    docs = load_tables(spark, SF_DIR)["documents"].limit(120)
+    cols = simhash_word_cols(48)
+    assert cols == ["simhash_w0", "simhash_w1"]
+    sh = {
+        r["doc_id"]: format(r["simhash_w0"], "032b") + format(r["simhash_w1"], "016b")
+        for r in simhash(docs, n_bits=48).collect()
+    }
+    assert all(len(v) == 48 for v in sh.values())
+    ids = sorted(sh)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sum(x != y for x, y in zip(sh[a], sh[b])) <= 2
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(docs, max_hamming=2, n_bits=48).collect()
+    }
+    assert got == brute
 
 
 def test_simhash_pairs_rejects_wide_hamming():
