@@ -614,14 +614,27 @@ def _ddot(a: str, b: str) -> str:
 
 
 # Two-level IVF rule replay (r12 — VERDICT r11 #2): seeds = ⌈√n⌉
-# smallest-md5 corpus ids; reps = ⌈√n_cells⌉ smallest-md5 seeds; every
+# smallest-md5 corpus ids; reps = the nsup smallest-md5 seeds; every
 # seed AND every routed vector goes to its max-cos rep (tie asc rep),
 # then the vector takes the max-cos seed within that supercell (tie asc
-# cell) — identical to the engine's two_level_assign_cells.
-def _two_level_rule_cte(corp_sql: str) -> str:
+# cell) — identical to the engine's two_level_assign_cells. Since r13
+# (VERDICT r12 #3) the PERSISTED-index rule is adaptive: nsup = n_cells
+# itself at or below FLAT_MAX_CELLS (the hierarchy degenerates exactly
+# to flat nearest-seed — every seed is its own rep) and ⌈√n_cells⌉
+# above; adaptive=False keeps the always-hierarchical rule for the
+# inline maxsim index, whose probing follows the hierarchy by design.
+def _two_level_rule_cte(corp_sql: str, adaptive: bool = True) -> str:
     """CTE chain (corp/params/seeds/reps/seed_super) replaying the
     deterministic two-level IVF rule over ``corp_sql`` (a relation
     exposing vec_id, e, nrm)."""
+    if adaptive:
+        sparams = f"""
+  SELECT CASE WHEN count(*) <= {SIM.FLAT_MAX_CELLS} THEN count(*)
+              ELSE CAST(ceil(sqrt(count(*))) AS BIGINT) END AS nsup
+  FROM seeds
+"""
+    else:
+        sparams = "\n  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nsup FROM seeds\n"
     return f"""
 corp AS ({corp_sql}),
 params AS (
@@ -637,9 +650,7 @@ seeds AS (
   FROM corp JOIN seed_rk USING (vec_id) CROSS JOIN params
   WHERE srk <= nc
 ),
-sparams AS (
-  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nsup FROM seeds
-),
+sparams AS ({sparams}),
 rep_rk AS (
   SELECT cell,
          row_number() OVER (ORDER BY md5(CAST(cell AS VARCHAR))) AS rrk
@@ -2539,7 +2550,7 @@ _MAXSIM_IDOT = (
     "sim_maxsim_topk",
     oracle=f"""
     WITH {_COSINE_CTE},
-    {_two_level_rule_cte("SELECT * FROM n")},
+    {_two_level_rule_cte("SELECT * FROM n", adaptive=False)},
     sprm AS (SELECT CAST(ceil(sqrt(nsup)) AS BIGINT) AS sprb FROM sparams),
     c_assign AS ({_two_level_assign_sql("corp")}),
     qvecs AS (SELECT vec_id, e, nrm FROM n WHERE vec_id // 10 < 3),

@@ -363,6 +363,102 @@ def test_incremental_ivf_assign_plan_never_touches_archive(spark):
     assert patched == rebuilt
 
 
+def test_adaptive_super_count_crossover():
+    """r13 (VERDICT r12 #3): at or below FLAT_MAX_CELLS the persisted
+    index uses the degenerate flat rule (n_super = n_cells); above it,
+    the two-level ⌈√n_cells⌉ hierarchy."""
+    from ram_datapipeline_spark.operators.similarity import (
+        FLAT_MAX_CELLS,
+        adaptive_super_count,
+        scaled_super_count,
+    )
+
+    assert adaptive_super_count(1) == 1
+    assert adaptive_super_count(FLAT_MAX_CELLS) == FLAT_MAX_CELLS
+    assert adaptive_super_count(FLAT_MAX_CELLS + 1) == scaled_super_count(
+        FLAT_MAX_CELLS + 1
+    )
+    assert adaptive_super_count(10_000) == 100
+
+
+def test_two_level_degenerate_equals_flat_fast_path(spark):
+    """The single-fold fast path (n_super >= n_seeds) must emit exactly
+    what the general rep/supercell machinery emits with every seed its
+    own rep — the degenerate-hierarchy identity the adaptive crossover
+    relies on (including cell_cos, used by the drift path)."""
+    import random
+
+    from ram_datapipeline_spark.operators.similarity import (
+        stratified_seed_ids,
+        two_level_assign_cells,
+        with_norm,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(1, 101)
+    ]
+    df = with_norm(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    seeds = df.join(
+        F.broadcast(stratified_seed_ids(df, 10)), "vec_id"
+    ).select(F.col("vec_id").alias("cell"), "_e", "_nrm")
+    fast = {
+        (r.vec_id, r.cell, r.cell_cos)
+        for r in two_level_assign_cells(
+            df, seeds, keep_cos=True, n_super=10, n_seeds=10
+        ).collect()
+    }
+    general = {
+        (r.vec_id, r.cell, r.cell_cos)
+        for r in two_level_assign_cells(
+            df, seeds, keep_cos=True, n_super=10
+        ).collect()
+    }
+    assert fast == general
+
+
+def test_ivf_overrequested_cells_incremental_identity(spark):
+    """ADVICE r12: when the caller requests more cells than the corpus
+    has vectors, the seed table is smaller than n_cells — build and
+    incremental paths must derive ONE n_super from the persisted seed
+    count (here 192 seeds > FLAT_MAX_CELLS, so this also exercises the
+    hierarchical branch end-to-end) or incremental == rebuild breaks."""
+    import random
+
+    from ram_datapipeline_spark.operators.similarity import (
+        incremental_ivf_assign,
+        two_level_assign_cells,
+        with_norm,
+        write_ivf_index,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(1, 241)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = df.where(F.col("vec_id") % 5 != 0)
+    batch = df.where(F.col("vec_id") % 5 == 0)
+    n_seeds = write_ivf_index(corpus, "t_ivf_over_idx", n_cells=500)
+    assert n_seeds == spark.table("t_ivf_over_idx_seeds").count() == 192
+    seeds = spark.table("t_ivf_over_idx_seeds")
+    inc = incremental_ivf_assign(batch, seeds)
+    standing = {
+        (r.vec_id, r.cell)
+        for r in spark.table("t_ivf_over_idx").collect()
+    }
+    patched = standing | {(r.vec_id, r.cell) for r in inc.collect()}
+    seeds_n = with_norm(spark.table("t_ivf_over_idx_seeds"))
+    rebuilt = {
+        (r.vec_id, r.cell)
+        for r in two_level_assign_cells(with_norm(df), seeds_n).collect()
+    }
+    assert patched == rebuilt
+
+
 def test_ivf_drift_report_exact_ppm_and_trigger(spark):
     """ivf_drift_report on a hand case: ppm shares are exact BIGINT
     DIV results, batch-absent cells carry n_batch=0, tv_ppm2 is the
