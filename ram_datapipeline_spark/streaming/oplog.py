@@ -11,7 +11,10 @@ Spark-first restatement: both tables are append-only parquet; *status is an
 event, not an UPDATE* — the current state of an operation is the newest
 status event per op_id (SURVEY W1), which is how an object-store-backed log
 must work anyway. All reads are DataFrame ops; the uniqueness guard is a
-filter+count over the tiny ops table.
+filter+count over the tiny ops table. Log events are BUFFERED and appended
+one batch per lifecycle stage (r13 — VERDICT r12: per-event tiny-file
+appends fragment the log at real op volume), with read-your-writes via an
+automatic flush on every read.
 """
 
 from __future__ import annotations
@@ -32,6 +35,15 @@ class OperationLog:
         self.spark = spark
         self.ops_path = os.path.join(base_path, "operations")
         self.logs_path = os.path.join(base_path, "operations_logs")
+        # buffered log events (VERDICT r12 'what's wrong' #2: one parquet
+        # append JOB per event fragments the log into tiny files at real
+        # op volume; events now accumulate here and land in ONE append
+        # per lifecycle stage). log_id assignment reads max(log_id) once
+        # per instance, then counts in memory — sound because start()'s
+        # uniqueness guard makes an operation single-writer, matching the
+        # reference's Postgres sequence semantics (operation.js:201-230).
+        self._buf: list[tuple[int, int, str, str]] = []
+        self._next_log_id: int | None = None
 
     # -- reads ------------------------------------------------------------
 
@@ -46,7 +58,13 @@ class OperationLog:
         scenario_id, status, updated_at)."""
         ops = self._ops()
         if ops is None:
-            return self.spark.createDataFrame(
+            from ram_datapipeline_spark.session import local_rows_df
+
+            # empty via the Arrow path too: a plain createDataFrame([])
+            # parallelizes to 32 EMPTY Python partitions and its first
+            # count measured 4.2 s of worker spawns (r13)
+            return local_rows_df(
+                self.spark,
                 [],
                 "op_id long, name string, project_id long, scenario_id long,"
                 " status string, updated_at timestamp",
@@ -67,7 +85,9 @@ class OperationLog:
 
     def logs(self, op_id: int) -> DataFrame:
         """All log rows for an op, newest first (reference W3,
-        operation.js:237-242)."""
+        operation.js:237-242). Flushes buffered events first —
+        read-your-writes."""
+        self.flush()
         return (
             self.spark.read.parquet(self.logs_path)
             .filter(F.col("op_id") == op_id)
@@ -83,11 +103,17 @@ class OperationLog:
 
     def _append_status(self, op_id: int, name: str, project_id: int,
                        scenario_id: int, status: str) -> None:
-        df = self.spark.createDataFrame(
+        from ram_datapipeline_spark.session import local_rows_df
+
+        df = local_rows_df(
+            self.spark,
             [(op_id, name, project_id, scenario_id, status)],
             "op_id long, name string, project_id long, scenario_id long, status string",
         ).withColumn("created_at", F.current_timestamp())
-        df.write.mode("append").parquet(self.ops_path)
+        # one row → one task → one file: without the coalesce the local
+        # relation parallelizes to defaultParallelism (32) tasks and
+        # writes 31 empty fragments per status event
+        df.coalesce(1).write.mode("append").parquet(self.ops_path)
 
     def start(self, name: str, project_id: int, scenario_id: int) -> int:
         """Register a new running operation; raise if one with the same
@@ -109,26 +135,45 @@ class OperationLog:
         return op_id
 
     def log(self, op_id: int, code: str, data: dict) -> None:
-        """Append one log event with a JSON payload (operation.js:201-230)."""
-        prev = None
-        try:
-            prev = (
-                self.spark.read.parquet(self.logs_path)
-                .agg(F.max("log_id"))
-                .collect()[0][0]
-            )
-        except Exception:
-            pass
-        log_id = (prev if prev is not None else -1) + 1
-        df = self.spark.createDataFrame(
-            [(log_id, op_id, code, json.dumps(data))],
+        """Buffer one log event with a JSON payload (operation.js:201-230).
+        Events land in parquet at the next :meth:`flush` — called by any
+        read and by :meth:`finish` — as ONE append job for the whole
+        batch, so a lifecycle with hundreds of progress events writes a
+        handful of files instead of one fragment per event. log_ids are
+        assigned here (max(log_id)+1 onward, read once per instance), so
+        ordering and ids match the per-event-append behavior exactly."""
+        if self._next_log_id is None:
+            prev = None
+            try:
+                prev = (
+                    self.spark.read.parquet(self.logs_path)
+                    .agg(F.max("log_id"))
+                    .collect()[0][0]
+                )
+            except Exception:
+                pass
+            self._next_log_id = (prev if prev is not None else -1) + 1
+        self._buf.append((self._next_log_id, op_id, code, json.dumps(data)))
+        self._next_log_id += 1
+
+    def flush(self) -> None:
+        """Write all buffered log events in one append job (no-op when
+        the buffer is empty)."""
+        if not self._buf:
+            return
+        from ram_datapipeline_spark.session import local_rows_df
+
+        df = local_rows_df(
+            self.spark,
+            self._buf,
             "log_id long, op_id long, code string, data string",
         ).withColumn("created_at", F.current_timestamp())
-        df.write.mode("append").parquet(self.logs_path)
+        df.coalesce(1).write.mode("append").parquet(self.logs_path)
+        self._buf = []
 
     def finish(self, op_id: int) -> None:
         """Mark complete (operation.js:141-154): one log event + one status
-        event."""
+        event; flushes the op's buffered progress events."""
         cur = self.current_status().filter(F.col("op_id") == op_id).collect()
         if not cur:
             raise RuntimeError(f"unknown op_id {op_id}")
@@ -136,6 +181,7 @@ class OperationLog:
         if row["status"] == "complete":
             raise RuntimeError("Operation already complete")
         self.log(op_id, "success", {"message": "Operation complete"})
+        self.flush()
         self._append_status(
             op_id, row["name"], row["project_id"], row["scenario_id"], "complete"
         )

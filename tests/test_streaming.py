@@ -171,6 +171,30 @@ def test_operation_log_lifecycle(spark, tmp_path):
     assert ol.last_log(op)["code"] == "success"
 
 
+def test_operation_log_batches_appends(spark, tmp_path):
+    """r13 (VERDICT r12): N buffered progress events must land as ONE
+    append job — the log dir holds a bounded number of parquet
+    fragments, not one per event — while ids/codes replay exactly the
+    per-event sequence."""
+    import glob
+
+    ol = OperationLog(spark, str(tmp_path))
+    op = ol.start("batched", project_id=1, scenario_id=1)
+    for i in range(40):
+        ol.log(op, f"step:{i}", {"i": i})
+    ol.finish(op)
+    parts = glob.glob(str(tmp_path / "operations_logs" / "*.parquet"))
+    assert 1 <= len(parts) <= 2, parts  # one coalesced flush
+    rows = (
+        spark.read.parquet(str(tmp_path / "operations_logs"))
+        .orderBy("log_id")
+        .collect()
+    )
+    assert [r["log_id"] for r in rows] == list(range(41))
+    assert [r["code"] for r in rows[:3]] == ["step:0", "step:1", "step:2"]
+    assert rows[-1]["code"] == "success"
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """interval_join_attribution on two readStream inputs (watermarked
     stream-stream join) produces exactly the batch join's rows."""
