@@ -1332,7 +1332,10 @@ def dataset_card(
         F.expr("percentile(_tokens, 0.9)").alias("tokens_p90"),
     ).select(
         "*",
-        F.expr("_short * 1000000 DIV n_docs").alias("short_doc_ppm"),
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE _short * 1000000 DIV n_docs END"
+        ).alias("short_doc_ppm"),  # ADVICE r12: defined (0) on an empty corpus
     )
     # 1-row barrier: two consumers (scalar unpivot, lang share join)
     # would otherwise re-execute the corpus-wide aggregate each
@@ -1376,7 +1379,10 @@ def dataset_card(
             F.concat(F.lit("lang_"), F.col("_lang"), F.lit("_ppm")).alias(
                 "metric"
             ),
-            F.expr("_n * 1000000 DIV n_docs").cast("double").alias("value"),
+            F.expr(
+                "CASE WHEN n_docs = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE _n * 1000000 DIV n_docs END"
+            ).cast("double").alias("value"),
         )
     )
     return scalars.unionByName(langs)

@@ -1738,6 +1738,15 @@ def randomized_response_counts(
     """
     from ram_datapipeline_spark.operators.corpus import hash_uniform
 
+    # ADVICE r12: p must sit strictly in (1/2, 1) — p = 1 reports
+    # truthfully (ε = ∞, no privacy), p = 1/2 zeroes the estimator scale
+    # (ε = 0, no signal), and p < 1/2 silently names a negative-scale
+    # column. Mirror holt_linear_smooth's loud parameter guard.
+    if not (keep_den > keep_num > keep_den / 2):
+        raise ValueError(
+            "randomized_response_counts: need keep_den > keep_num > "
+            f"keep_den/2 (1/2 < p < 1), got p = {keep_num}/{keep_den}"
+        )
     u = hash_uniform(F.col(id_col))
     truthful = (u % F.lit(keep_den)) < F.lit(keep_num)
     s = sensitive.cast("boolean")

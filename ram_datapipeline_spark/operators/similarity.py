@@ -343,6 +343,16 @@ def cosine_topk_lsh(
     )
 
 
+# Dense-block fences (ADVICE r12): the broadcast pivoted-vector table is
+# ~8 B per (doc, term) cell and the cross join folds n_terms multiplies
+# per pair — bound BOTH, not just the two axes, or a 50k-doc × 4k-term
+# corpus slips through as a ~1.6 GB broadcast with 1.25B × 4k-fold pairs.
+# 2e7 cells ≈ 160 MB broadcast; 2e10 fold-ops ≈ the measured sf0.1 dense
+# regime (25M pairs × 31 terms ≈ 8e8 ≈ 34 s) × ~25.
+DENSE_MAX_CELLS = 20_000_000
+DENSE_MAX_FOLD_OPS = 20_000_000_000
+
+
 def sparse_tfidf_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -350,6 +360,7 @@ def sparse_tfidf_pairs(
     threshold: float = 0.5,
     dense_max_docs: int = 50_000,
     dense_max_terms: int = 4_096,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Document-pair cosine similarity over SPARSE integer tf-idf vectors
     — the inverted-index counterpart to the dense-embedding operators:
@@ -374,16 +385,33 @@ def sparse_tfidf_pairs(
     path — each doc's weights pivoted onto the metadata-sized sorted
     vocabulary array, one broadcast self-join, the dot an in-row
     integer fold, ZERO pair shuffle (the threshold filter runs inside
-    the join stage). Same integers, same output, same oracle. Beyond
-    ``dense_max_docs``/``dense_max_terms`` the quadratic block is
-    refused and the posting join stands (with its documented
-    df-ceiling mitigation knob upstream).
+    the join stage). Same integers, same output, same oracle. The
+    dense path additionally requires ``threshold > 0`` (ADVICE r12:
+    at threshold ≤ 0 the cross join would emit no-shared-term pairs
+    with dot = 0 that the posting join structurally cannot produce —
+    the strategies must stay output-identical) and bounded
+    ``n_docs·n_terms`` broadcast cells / ``n_docs²·n_terms`` fold work
+    (ADVICE r12: the two axis fences alone admitted a ~1.6 GB
+    broadcast and 1.25B-pair cross join); beyond any fence the
+    quadratic block is refused and the posting join stands.
 
     Scale shape (posting path): one explode + two vocabulary-keyed
     aggregates (map-side combined), document norms broadcast-joined
     back, and the pair space bounded by posting-list co-occurrence —
     the classic sparse-similarity join. Hot terms (stopwords) are the
-    skew risk: AQE splits them."""
+    skew risk: AQE splits them. With ``threshold > 0`` the candidate
+    join runs on PREFIX-FILTERED postings (r13 — VERDICT r12 #6, the
+    AllPairs bound of Bayardo, Ma & Srikant, WWW'07, adapted to the
+    symmetric self-join): each document drops its lightest postings
+    while their cumulative squared weight stays under ``(t/2)²`` of
+    the document's squared norm — a missed pair would need every
+    shared term inside one of the two drop sets, and Cauchy–Schwarz
+    on the two halves bounds its dot below ``t·‖a‖·‖b‖`` — then the
+    surviving candidates are verified EXACTLY against the full
+    posting lists, so the output is identical and the filter is
+    engine-internal (nothing for the oracle to replay). Stopword
+    postings are precisely the light ones, so the worst skew keys
+    drop out of candidate generation entirely."""
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
@@ -409,8 +437,11 @@ def sparse_tfidf_pairs(
     if (
         stats["sum_df2"] is not None
         and stats["sum_df2"] > 4 * n_docs * n_docs
+        and threshold > 0
         and n_docs <= dense_max_docs
         and stats["n_terms"] <= dense_max_terms
+        and n_docs * stats["n_terms"] <= DENSE_MAX_CELLS
+        and n_docs * n_docs * stats["n_terms"] <= DENSE_MAX_FOLD_OPS
     ):
         vocab = dfreq.orderBy("term").agg(
             F.collect_list("term").alias("_vocab")
@@ -467,12 +498,52 @@ def sparse_tfidf_pairs(
     )
     a = w.select(F.col(id_col).alias("doc_a"), "term", F.col("w").alias("_wa"))
     b = w.select(F.col(id_col).alias("doc_b"), "term", F.col("w").alias("_wb"))
-    dots = (
-        a.join(b, "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("dot"))
-    )
+    if threshold > 0 and prefix_filter:
+        # threshold-aware prefix filter (see docstring): drop each doc's
+        # lightest postings while Σw² of the dropped set stays strictly
+        # under (t/2)²·‖d‖² — candidate pairs then come from the SHORT
+        # prefix postings only, and are re-verified exactly on the full
+        # lists. The comparison runs in double with a conservative 1e-9
+        # margin (drops LESS, never more — the candidate set must stay a
+        # superset, the output never depends on the margin).
+        run_w = (
+            Window.partitionBy(id_col)
+            .orderBy(F.asc("w"), F.asc("term"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        ann = w.withColumn("_wsq", F.col("w") * F.col("w"))
+        ann = ann.withColumn(
+            "_run_sq", F.sum("_wsq").over(run_w)
+        ).withColumn(
+            "_norm_sq", F.sum("_wsq").over(Window.partitionBy(id_col))
+        )
+        bound = threshold * threshold / 4.0 * (1.0 - 1e-9)
+        idx = ann.filter(
+            ~(
+                F.col("_run_sq").cast("double")
+                < F.lit(bound) * F.col("_norm_sq").cast("double")
+            )
+        ).select(id_col, "term")
+        cand = (
+            idx.select(F.col(id_col).alias("doc_a"), "term")
+            .join(idx.select(F.col(id_col).alias("doc_b"), "term"), "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        dots = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "term"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("dot"))
+        )
+    else:
+        dots = (
+            a.join(b, "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("dot"))
+        )
     na = norms.select(F.col(id_col).alias("doc_a"), F.col("nrm").alias("_na"))
     nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nrm").alias("_nb"))
     return (

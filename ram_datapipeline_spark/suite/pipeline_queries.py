@@ -2305,12 +2305,15 @@ def q_pipe_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame
     UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM g
     UNION ALL SELECT 'exact_dup_docs', CAST(exact_dup_docs AS DOUBLE) FROM g
     UNION ALL SELECT 'short_doc_ppm',
-                     CAST(short * 1000000 // n_docs AS DOUBLE) FROM g
+                     CAST(CASE WHEN n_docs = 0 THEN 0
+                               ELSE short * 1000000 // n_docs END
+                          AS DOUBLE) FROM g
     UNION ALL SELECT 'tokens_p50', CAST(p50 AS DOUBLE) FROM g
     UNION ALL SELECT 'tokens_p90', CAST(p90 AS DOUBLE) FROM g
     UNION ALL
     SELECT concat('lang_', lang2, '_ppm'),
-           CAST(cnt * 1000000 // n_docs AS DOUBLE)
+           CAST(CASE WHEN n_docs = 0 THEN 0
+                     ELSE cnt * 1000000 // n_docs END AS DOUBLE)
     FROM (SELECT lang2, count(*) AS cnt FROM base GROUP BY lang2), g
     """,
     survey=(

@@ -378,6 +378,40 @@ def test_randomized_response_exact_mechanism_and_calibration(spark):
         assert abs(est - r.true_count) < 200, (r.event_type, est, r.true_count)
 
 
+def test_randomized_response_rejects_degenerate_p(spark):
+    """ADVICE r12: p outside (1/2, 1) must raise — p=1 gives no privacy,
+    p=1/2 a zero-scale estimator, p<1/2 a negative-scale column name."""
+    import pytest as _pytest
+
+    from ram_datapipeline_spark.operators.quality import (
+        randomized_response_counts,
+    )
+
+    df = spark.createDataFrame([(1, "g", True)], "id long, grp string, s boolean")
+    for num, den in ((4, 4), (2, 4), (1, 4), (5, 4)):
+        with _pytest.raises(ValueError, match="keep_den"):
+            randomized_response_counts(
+                df, ["grp"], F.col("s"), "id", keep_num=num, keep_den=den
+            )
+    # the open interval's endpoints work fine one step in
+    randomized_response_counts(
+        df, ["grp"], F.col("s"), "id", keep_num=3, keep_den=4
+    ).collect()
+
+
+def test_dataset_card_empty_corpus_defined(spark):
+    """ADVICE r12: ppm metrics must be 0 (not NULL) on an empty corpus
+    — integer DIV by zero yields NULL in Spark without the CASE guard."""
+    from ram_datapipeline_spark.operators.corpus import dataset_card
+
+    df = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    got = {r.metric: r.value for r in dataset_card(df).collect()}
+    assert got["n_docs"] == 0.0
+    assert got["short_doc_ppm"] == 0.0
+
+
 def test_dataset_card_hand_case(spark):
     """Card metrics replayed by hand: dup counting, short-doc ppm,
     exact token percentiles, NULL-lang bucketing."""

