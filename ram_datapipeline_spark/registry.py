@@ -63,77 +63,74 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-12 WINDOW (VERDICT r11 next-round #1, rotation published in
-    # round 11's NEXT_ROUND_ROTATION, spent in full): (a) the queries
-    # born THIS round with no driver row ever (late-interaction maxsim
-    # retrieval — VERDICT r11 #4 — and the k-anonymity release audit —
-    # VERDICT r11 #5); (b) re-proofs for every query whose operator
-    # code changed in r12: the IVF index build + incremental assignment
-    # moved to the two-level coarse-quantizer rule and the drift report
-    # gained the full-outer join (ADVICE r11), and binary Hamming
-    # top-k's packing was generalized over dim (ADVICE r11); (c) the
-    # 35-slot r6-proven rotation exactly as published — with it drained,
-    # no registry entry's newest driver row is older than r7; (d) ten
-    # entries of the next-stalest tier (r7-proven, code-stable, green in
-    # every per-round full-registry sweep since).
+    # ROUND-13 WINDOW (VERDICT r12 next-round #1, rotation published in
+    # round 12's NEXT_ROUND_ROTATION, spent in full): (a) re-proofs for
+    # every query whose OBSERVABLE behavior changed in r13 — the SimHash
+    # fingerprint repack to packed BIGINT words (schema change,
+    # VERDICT r12 #2) and the adaptive flat-vs-two-level IVF build rule
+    # (assignment change at small corpora, VERDICT r12 #3 + ADVICE r12
+    # n_super derivation) across the persisted-index family; (b) the
+    # full 45-slot r7-proven rotation exactly as published — with it
+    # drained, no registry entry's newest driver row is older than r8.
+    # sim_sparse_tfidf_pairs (prefix filter + dense fences, r13) sits
+    # inside the rotation — double duty. a7_operation_log's r13 sink
+    # batching is OUTPUT-IDENTICAL (hash-proven at both SFs in the
+    # frozen-tree sweeps); it takes no window slot and leads the r14
+    # rotation (the r8-proven tier) instead.
     #
-    # (a) r12-born (late births displace stale-fill slots one-for-one —
-    # births outrank re-proofs of code-stable queries)
-    "sim_maxsim_topk",
-    "pipe_k_anonymity",
-    "pipe_dp_randomized_response",
-    "ts_holt_linear",
-    "sim_ivf_retrain_plan",
-    "pipe_dataset_card",
-    # (b) r12 code-changed re-proofs
+    # (a) r13 observable-behavior re-proofs
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     "sim_incremental_ivf",
     "sim_ivf_drift",
-    "vec_binary_hamming_topk",
+    "sim_ivf_retrain_plan",
+    # (b) the published 45-slot rotation
+    "mm_image_ahash_dedup",
+    "pipe_bpe_merges",
+    "q2_correlated_min",
+    "text_keyword_search",
+    "ts_cdc_apply",
+    "eta_routed_osm_planet",
+    "ev_cumulative_users",
+    "ev_rolling_active",
+    "graph_clustering_coeff",
+    "graph_common_neighbors",
+    "j_band_price",
+    "mm_wav_roundtrip",
+    "pipe_bpe_merges_batched",
+    "pipe_bpe_segment_tokens",
+    "pipe_chunk_overlap",
+    "pipe_domain_quota",
+    "pipe_incremental_dedup",
+    "pipe_quality_funnel",
+    "pipe_reservoir_topk",
+    "pipe_segment_dedup",
+    "pipe_snapshot_diff",
+    "pipe_split_assign",
+    "pipe_token_budget_select",
+    "pipe_winsorize_caps",
+    "q10_returned_items",
+    "q11_important_value",
+    "q12_priority_split",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q19_or_of_ands",
+    "q20_bulk_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
     "sim_sparse_tfidf_pairs",
-    # (c) the published 35-slot rotation
-    "graph_pagerank",
-    "j2_point_in_admin",
-    "j3_adaptive_buffer",
-    "j3_buffer_semi_join",
-    "j3_knn_candidates",
-    "j7_square_grid_clip",
-    "p6_nullsafe_round",
-    "pipe_decontaminate",
-    "pipe_dq_checks",
-    "pipe_sequence_packing",
-    "pipe_stratified_sample",
-    "pipe_tfidf_topk",
-    "q3_revenue_topk",
-    "q5_region_revenue",
-    "s1_config_scan_filter",
-    "sim_cosine_pairs",
-    "sim_cosine_topk",
-    "sim_cosine_topk_ivf",
-    "sim_cosine_topk_lsh",
-    "sim_mmr_rerank",
-    "st_click_attribution",
-    "st_dedup_replay",
-    "st_event_props_decode",
-    "st_sessionize",
-    "st_window_counts",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_rolling_hash",
-    "text_token_counts",
-    "ts_ewma_smooth",
-    "ts_gapfill_locf",
-    "vec_kmeans_q8",
-    "w3_topk_per_group",
-    # (d) stale-fill from the r7-proven tier (family-diverse draw)
-    "agg_count_min_sketch",
-    "dedup_fuzzy_name",
-    "ev_cohort_retention",
-    "graph_label_propagation",
-    "j2_point_in_geojson",
+    "st_enrich_static",
+    "text_bigram_familiarity",
+    "text_keyword_rank_any",
+    "text_repetition",
+    "ts_moving_avg",
+    "vec_label_centroids",
 )
-
 
 
 def _ordered_names() -> list[str]:

@@ -100,62 +100,61 @@ def test_gated_queries_all_have_oracles():
 
 
 # Rotation candidates for the NEXT round's window. Every registered query
-# is past-proven or in the current window (nothing invisible). Round 12
-# spent its window on the full 35-slot rotation round 11 published (the
-# r6-proven tier is now DRAINED - nothing older than r7), the two
-# r12-born gates (maxsim late-interaction retrieval, k-anonymity audit),
-# three r12 code-changed re-proofs (two-level IVF rule on the index
-# build + incremental assign + drift full-outer join; dim-generalized
-# binary Hamming), and a 10-name draw from the r7-proven tier. These are
-# the REMAINING r7-proven entries - all code-stable, all green in every
-# per-round full-registry sweep at sf0.01 AND sf0.1 - queued for the
-# r13 window.
+# is past-proven or in the current window (nothing invisible). Round 13
+# spent its window on the full 45-slot rotation round 12 published (the
+# r7-proven tier is now DRAINED — nothing older than r8) plus five
+# observable-behavior re-proofs (SimHash word repack; adaptive IVF rule
+# across incremental/drift/retrain). These are the r8-proven entries —
+# all code-stable except a7_operation_log (r13 sink batching,
+# output-identical, hash-proven in the dual-SF frozen-tree sweeps) —
+# queued for the r14 window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    "mm_image_ahash_dedup",
-    "pipe_bpe_merges",
-    "q2_correlated_min",
-    "text_keyword_search",
-    "ts_cdc_apply",
-    "eta_routed_osm_planet",
-    "ev_cumulative_users",
-    "ev_rolling_active",
-    "graph_clustering_coeff",
-    "graph_common_neighbors",
-    "j_band_price",
-    "mm_wav_roundtrip",
-    "pipe_bpe_merges_batched",
-    "pipe_bpe_segment_tokens",
-    "pipe_chunk_overlap",
-    "pipe_domain_quota",
-    "pipe_incremental_dedup",
-    "pipe_quality_funnel",
-    "pipe_reservoir_topk",
-    "pipe_segment_dedup",
-    "pipe_snapshot_diff",
-    "pipe_split_assign",
-    "pipe_token_budget_select",
-    "pipe_winsorize_caps",
-    "q10_returned_items",
-    "q11_important_value",
-    "q12_priority_split",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q19_or_of_ands",
-    "q20_bulk_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "sim_sparse_tfidf_pairs",
-    "st_enrich_static",
-    "text_bigram_familiarity",
-    "text_keyword_rank_any",
-    "text_repetition",
-    "ts_moving_avg",
-    "vec_label_centroids",
+    "a7_operation_log",
+    "agg_incremental_maintain",
+    "agg_kmv_distinct",
+    "agg_kmv_merge_rollup",
+    "agg_kmv_set_algebra",
+    "agg_quantile_sketch",
+    "dedup_canonical_pick",
+    "dedup_ngram_containment",
+    "dedup_prefix_filter_pairs",
+    "dedup_semantic",
+    "eta_accessibility_index",
+    "eta_routed_osm",
+    "eta_routed_osm_large",
+    "eta_routed_osm_planet_auto",
+    "eta_routed_osm_xlarge",
+    "j_bucketed_colocated",
+    "j_interval_overlap",
+    "j_salted_skew_join",
+    "k1_normalized_roundtrip",
+    "k2_csv_roundtrip",
+    "k3_json_roundtrip",
+    "k4_geojson_roundtrip",
+    "k_orc_roundtrip",
+    "k_zorder_prune_roundtrip",
+    "mm_jpeg_flat_roundtrip",
+    "mm_payload_embedding",
+    "mm_png_resize_roundtrip",
+    "mm_wav_downsample",
+    "pipe_compaction_plan",
+    "pipe_zorder_layout",
+    "q18_having_join_back",
+    "q1_pricing_summary",
+    "ram_full_job",
+    "s2_origins_scan",
+    "s5_geojson_source",
+    "s8_osm_to_geojson",
+    "sim_recall_at_k",
+    "st_late_data_drop",
+    "st_view_click_outer",
+    "text_ngram_novelty",
+    "ts_ohlc_bars",
+    "ts_scd2_intervals",
+    "ts_time_weighted_avg",
+    "vec_pq_codes",
+    "vec_random_projection",
+    "w7_time_range_frame",
 )
 
 
