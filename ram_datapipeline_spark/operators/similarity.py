@@ -353,6 +353,67 @@ DENSE_MAX_CELLS = 20_000_000
 DENSE_MAX_FOLD_OPS = 20_000_000_000
 
 
+def tfidf_prefix_index(
+    w: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Threshold-aware prefix postings for the AllPairs candidate join
+    (see :func:`sparse_tfidf_pairs`): from the integer posting relation
+    ``(id, term, w)``, drop each document's lightest postings while Σw²
+    of the dropped set stays strictly under ``(t/2)²·‖d‖²`` — a pair
+    with every shared term inside one of the two drop sets has
+    ``dot < t·‖a‖·‖b‖`` by Cauchy–Schwarz on the two halves, so
+    candidates generated from the surviving (id, term) rows are a
+    guaranteed superset of all qualifying pairs. The comparison runs in
+    double with a conservative 1e-9 margin (drops LESS, never more —
+    output never depends on the margin)."""
+    run_w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.asc("w"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ann = w.withColumn("_wsq", F.col("w") * F.col("w"))
+    ann = ann.withColumn(
+        "_run_sq", F.sum("_wsq").over(run_w)
+    ).withColumn(
+        "_norm_sq", F.sum("_wsq").over(Window.partitionBy(id_col))
+    )
+    bound = threshold * threshold / 4.0 * (1.0 - 1e-9)
+    return ann.filter(
+        ~(
+            F.col("_run_sq").cast("double")
+            < F.lit(bound) * F.col("_norm_sq").cast("double")
+        )
+    ).select(id_col, "term")
+
+
+def tfidf_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The integer tf-idf posting substrate shared by
+    :func:`sparse_tfidf_pairs` and the prefix-filter scale probe:
+    returns ``(tf, dfreq, w)`` — the checkpointed (id, term, tf) grain,
+    the (term, df) document frequencies, and the weighted postings
+    (id, term, w) with ``w = tf · 1e6 div df``."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    # one eager barrier: tf feeds dfreq, w, the strategy stats, and (on
+    # the posting path) both join sides + norms — without it the
+    # explode+aggregate chain re-executes under every consumer
+    tf = (
+        words.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col),
+        "term",
+        F.expr("tf * 1000000 div df").alias("w"),
+    )
+    return tf, dfreq, w
+
+
 def sparse_tfidf_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -412,23 +473,7 @@ def sparse_tfidf_pairs(
     engine-internal (nothing for the oracle to replay). Stopword
     postings are precisely the light ones, so the worst skew keys
     drop out of candidate generation entirely."""
-    words = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
-    )
-    # one eager barrier: tf feeds dfreq, w, the strategy stats, and (on
-    # the posting path) both join sides + norms — without it the
-    # explode+aggregate chain re-executes under every consumer
-    tf = (
-        words.groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    w = tf.join(F.broadcast(dfreq), "term").select(
-        F.col(id_col),
-        "term",
-        F.expr("tf * 1000000 div df").alias("w"),
-    )
+    tf, dfreq, w = tfidf_postings(df, id_col, text_col)
     stats = dfreq.agg(
         F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
         F.count(F.lit(1)).alias("n_terms"),
@@ -499,31 +544,7 @@ def sparse_tfidf_pairs(
     a = w.select(F.col(id_col).alias("doc_a"), "term", F.col("w").alias("_wa"))
     b = w.select(F.col(id_col).alias("doc_b"), "term", F.col("w").alias("_wb"))
     if threshold > 0 and prefix_filter:
-        # threshold-aware prefix filter (see docstring): drop each doc's
-        # lightest postings while Σw² of the dropped set stays strictly
-        # under (t/2)²·‖d‖² — candidate pairs then come from the SHORT
-        # prefix postings only, and are re-verified exactly on the full
-        # lists. The comparison runs in double with a conservative 1e-9
-        # margin (drops LESS, never more — the candidate set must stay a
-        # superset, the output never depends on the margin).
-        run_w = (
-            Window.partitionBy(id_col)
-            .orderBy(F.asc("w"), F.asc("term"))
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        ann = w.withColumn("_wsq", F.col("w") * F.col("w"))
-        ann = ann.withColumn(
-            "_run_sq", F.sum("_wsq").over(run_w)
-        ).withColumn(
-            "_norm_sq", F.sum("_wsq").over(Window.partitionBy(id_col))
-        )
-        bound = threshold * threshold / 4.0 * (1.0 - 1e-9)
-        idx = ann.filter(
-            ~(
-                F.col("_run_sq").cast("double")
-                < F.lit(bound) * F.col("_norm_sq").cast("double")
-            )
-        ).select(id_col, "term")
+        idx = tfidf_prefix_index(w, id_col, threshold)
         cand = (
             idx.select(F.col(id_col).alias("doc_a"), "term")
             .join(idx.select(F.col(id_col).alias("doc_b"), "term"), "term")

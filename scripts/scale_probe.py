@@ -227,7 +227,15 @@ PROBES = ["q1_pricing_summary", "q3_revenue_topk", "eta_nearest_poi",
           # retrain planner: cell-grain metadata end to end
           "sim_ivf_retrain_plan",
           # dataset card: one global + one lang-grain aggregate
-          "pipe_dataset_card"]
+          "pipe_dataset_card",
+          # round-13 additions (VERDICT r12 #7): the two unprobed ~10s
+          # graph entries — triangle/common-neighbor machinery whose
+          # explode grain is the triangle count, the family the
+          # resource-allocation probe covers only partially — plus the
+          # repacked SimHash pair kernel (bucket-local join, integer
+          # word Hamming)
+          "graph_common_neighbors", "graph_clustering_coeff",
+          "dedup_simhash_pairs"]
 
 # key spans comfortably above sf0.1 maxima
 C_SPAN, O_SPAN, L_SPAN = 10_000_000, 100_000_000, 100_000_000
