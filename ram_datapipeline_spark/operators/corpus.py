@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ram_datapipeline_spark.operators.text_ops import shingles, word_count
+from ram_datapipeline_spark.session import local_rows_df
 
 # --- test-set decontamination -----------------------------------------------
 #
@@ -460,7 +461,8 @@ def token_budget_select(
     if not budgets:
         raise ValueError("token_budget_select: empty budget map")
     spark = df.sparkSession
-    bdf = spark.createDataFrame(
+    bdf = local_rows_df(
+        spark,
         [(d, int(b)) for d, b in sorted(budgets.items())],
         f"{domain_col} string, _budget long",
     )
@@ -811,8 +813,10 @@ def bpe_learn(
 
     bpe_learn.last_n_rounds = rounds
     spark = df.sparkSession
-    return spark.createDataFrame(
-        merges, "step int, lhs string, rhs string, merged string, pair_count long"
+    return local_rows_df(
+        spark,
+        merges,
+        "step int, lhs string, rhs string, merged string, pair_count long",
     )
 
 
@@ -903,11 +907,26 @@ def bpe_segment(
       ArrowEvalPython/MapInPandas node — depth constant, no codegen
       blowup, 30k-merge vocabularies segment at corpus speed.
 
-    ``engine="auto"`` picks "fold" up to ``literal_max`` merges (the
-    JVM path wins while the literal stays cheap) and "arrow" beyond.
+    ``engine="auto"`` picks "arrow" whenever pandas/numpy are importable
+    and "fold" otherwise. r13 measurement (guide §1: measure first): the
+    r7 assumption that "the JVM path wins while the literal stays cheap"
+    was wrong — the fold's higher-order array expressions are evaluated
+    per element with interpreted lambda binding, measured 11.5–12.9 s vs
+    0.5–2.1 s for the arrow kernel on the sf0.1 corpus at SIX merges
+    (bit-identical output, pinned by
+    test_bpe_segment_engines_agree_on_adversarial_merges). ``literal_max``
+    is retained for callers forcing ``engine="fold"`` (beyond it the
+    literal's analysis cost is pathological — ~30 s at 4096 merges,
+    measured round 7 — so explicit fold callers should stay under it).
     """
     if engine == "auto":
-        engine = "fold" if len(merges) <= literal_max else "arrow"
+        try:
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+
+            engine = "arrow"
+        except ImportError:
+            engine = "fold"
     if engine not in ("fold", "arrow"):
         raise ValueError(f"bpe_segment: unknown engine {engine!r}")
     if engine == "fold":

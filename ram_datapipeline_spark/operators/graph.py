@@ -29,7 +29,7 @@ synchronization barrier — is what hurts at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -225,10 +225,10 @@ def _edge_triangle_lists(
 
     - ``canon``: distinct (cu < cv) canonical edges;
     - ``deg``: (node, deg) undirected degrees;
-    Caching contract: the oriented edge list stays persisted until
-    ``spark.catalog.clearCache()`` or session end; drivers running many
-    operators in one session should clear between queries (bench.py and
-    scripts/verify_driver_contract.py do).
+    Caching contract: canon, deg and the oriented edge list stay persisted
+    until ``spark.catalog.clearCache()`` or session end; drivers running
+    many operators in one session should clear between queries (bench.py
+    and scripts/verify_driver_contract.py do).
 
     - ``per_edge``: (a, b, cs) — one row per oriented edge whose
       endpoints share ≥1 out-neighbor; ``cs`` is the array of common
@@ -239,14 +239,26 @@ def _edge_triangle_lists(
     e = edges.select(F.col(u).alias("eu"), F.col(v).alias("ev")).where(
         F.col("eu") != F.col("ev")
     )
-    canon = e.select(
-        F.least("eu", "ev").alias("cu"), F.greatest("eu", "ev").alias("cv")
-    ).distinct()
+    # canon and deg are each referenced several times downstream (deg twice
+    # in the orientation join, canon/deg again by the link-prediction
+    # callers). Without the persists every reference re-executes the FULL
+    # upstream edge derivation — for the co-order graph queries that meant
+    # 54 lineitem scans / ~180 Exchanges in one physical plan (r13 plan
+    # audit, plans/r13/graph_clustering_coeff_before.txt); with them the
+    # edge derivation runs once (guide §2.4: remove shuffles outright).
+    canon = (
+        e.select(
+            F.least("eu", "ev").alias("cu"), F.greatest("eu", "ev").alias("cv")
+        )
+        .distinct()
+        .persist()
+    )
     deg = (
         canon.select(F.col("cu").alias("node"))
         .unionAll(canon.select(F.col("cv").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     du = deg.select(F.col("node").alias("cu"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("cv"), F.col("deg").alias("dv"))
@@ -322,7 +334,20 @@ def triangle_counts(
     ties broken by node id, so the orientation — and therefore every
     intermediate — is a pure function of the edge set.
     """
-    _, _, per_edge = _edge_triangle_lists(edges, u, v)
+    return triangle_counts_with_deg(edges, u, v)[1]
+
+
+def triangle_counts_with_deg(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+) -> tuple[DataFrame, DataFrame]:
+    """``triangle_counts`` plus the (node, deg) undirected degree table of
+    the SAME canonical edge set, both built from one shared (persisted)
+    edge derivation — for callers that need both (the clustering
+    coefficient pairs triangles with deg·(deg−1)/2 wedges), so the edge
+    list is not derived twice. Returns ``(deg, tri)``."""
+    _, deg, per_edge = _edge_triangle_lists(edges, u, v)
     corners = (
         per_edge.select(F.col("a").alias("node"), F.size("cs").cast("long").alias("cnt"))
         .unionAll(
@@ -336,7 +361,7 @@ def triangle_counts(
             )
         )
     )
-    return corners.groupBy("node").agg(F.sum("cnt").alias("n_triangles"))
+    return deg, corners.groupBy("node").agg(F.sum("cnt").alias("n_triangles"))
 
 
 def common_neighbor_counts(
@@ -444,7 +469,11 @@ def pagerank_int(
     scripts/verify_driver_contract.py do).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # deg feeds both the annotated edge list and the round-0 rank table;
+    # without the persist the second reference re-derives the full edge
+    # list (for the co-order graph queries that is the expensive corpus
+    # shuffle — guide §2.4)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     annotated = e.join(deg, "src").persist()
     base = (scale * (damp_den - damp_num)) // damp_den
     ranks = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))
@@ -534,10 +563,11 @@ def label_propagation(
     The fourth iterative pattern in this module (after min-label
     propagation, PageRank, and k-core filter-refinement): per round ONE
     equi-join of the symmetric edge list against the (node-sized) label
-    table + ONE count aggregate + ONE bounded per-node window (partition =
-    a node's distinct neighbor labels, bounded by degree — no global
-    sort). No driver-side data, no convergence action; nodes are
-    edge-defined (isolated nodes are out of scope).
+    table + ONE count aggregate + ONE min_by hash aggregate picking the
+    winner per node over the (−cnt, lbl) order (map-side partials, no
+    sort anywhere — r13 replaced the per-node rank window). No
+    driver-side data, no convergence action; nodes are edge-defined
+    (isolated nodes are out of scope).
 
     Emits ``(node, community)``.
     """
@@ -553,15 +583,21 @@ def label_propagation(
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
     for _ in range(rounds):
         votes = sym.join(
             labels.select(F.col("node").alias("dst"), "lbl"), "dst"
         )
         counts = votes.groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        # winner per node = most frequent label, ties to the SMALLEST label
+        # — as a min_by over the (−cnt, lbl) order, which is a plain hash
+        # aggregate with map-side partials instead of the r12 sort window
+        # (same winner: lbl is distinct within the group, so the order has
+        # a unique minimum; guide §2: aggregate before you shuffle, no sort)
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            counts.groupBy("src")
+            .agg(
+                F.expr("min_by(lbl, struct(-cnt, lbl))").alias("lbl")
+            )
             .select(F.col("src").alias("node"), "lbl")
         )
     return labels.select("node", F.col("lbl").alias("community"))
@@ -601,6 +637,9 @@ def khop_reach(
         e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
+        # referenced once per hop plus as the hop-0 seed — persist so the
+        # edge derivation runs once (caching contract as label_propagation)
+        .persist()
     )
     reach = sym
     for _ in range(hops - 1):

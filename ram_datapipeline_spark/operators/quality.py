@@ -32,6 +32,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ram_datapipeline_spark.session import local_rows_df
+
 
 @dataclass(frozen=True)
 class Check:
@@ -134,7 +136,8 @@ def dq_checks(
                     f"stack({len(row_checks)}, {stack}) AS (check_name, metric)"
                 )
             ).join(
-                df.sparkSession.createDataFrame(
+                local_rows_df(
+                    df.sparkSession,
                     [(c.name, c.threshold) for c in row_checks],
                     "check_name string, threshold double",
                 ),
@@ -601,7 +604,8 @@ def profile_table(
                 (kmv_k - 1) / max(us) if len(us) >= kmv_k else float(len(us))
             )
 
-    return df.sparkSession.createDataFrame(
+    return local_rows_df(
+        df.sparkSession,
         [
             (
                 c,
@@ -1412,7 +1416,8 @@ def benford_deviation(
     excluded (no first digit), matching Benford's domain.
     """
     spark = df.sparkSession
-    exp = spark.createDataFrame(
+    exp = local_rows_df(
+        spark,
         [(d + 1, fp) for d, fp in enumerate(BENFORD_FP)],
         "digit long, exp_fp long",
     )

@@ -55,6 +55,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ram_datapipeline_spark.session import local_rows_df
+
 # Unreachable sentinel for int64 min-plus: large enough to never be a real
 # distance, small enough that sentinel + sentinel cannot overflow int64.
 INF_I64 = 1 << 40
@@ -348,9 +350,12 @@ def build_crp_index(
     inter = inter_cell_edges(edges, cells)
     ovl = overlay_rows(incell, inter, max_overlay_rows)
     bset = sorted({s for s, _, _ in ovl} | {d for _, d, _ in ovl})
-    bdf = spark.createDataFrame(
-        [(v,) for v in bset], schema="node_id long"
-    )
+    # Arrow local-rows path: a plain createDataFrame(list) is a
+    # Python-RDD-backed relation; every checkpoint/write job executing one
+    # spins up Python workers (~0.1 s/task × 32 local partitions — the r13
+    # operation-log finding). All driver-local routing tables ship as
+    # Arrow batches materialized JVM-side instead (guide §4).
+    bdf = local_rows_df(spark, [(v,) for v in bset], "node_id long")
     return CRPIndex(edges, cells, incell, ovl, bset, bdf)
 
 
@@ -778,9 +783,7 @@ def two_level_many_to_many(
             "key or chunk the source set across calls"
         )
     od = multi_source_overlay_dist(ovl, seed_rows, n_overlay_rounds)
-    od_df = spark.createDataFrame(
-        od or [], schema="src_id long, b2 long, d long"
-    )
+    od_df = local_rows_df(spark, od or [], "src_id long, b2 long, d long")
 
     # distances to EVERY level-1 boundary node: descend b₂ → b through
     # the supercell closure, min-merged with the within-supercell climb
@@ -1051,9 +1054,7 @@ def multi_level_many_to_many(
             "key or chunk the source set across calls"
         )
     od = multi_source_overlay_dist(ovl, seed_rows, n_overlay_rounds)
-    dist = spark.createDataFrame(
-        od or [], schema="src_id long, b long, w long"
-    )
+    dist = local_rows_df(spark, od or [], "src_id long, b long, w long")
 
     # distances descend the hierarchy, min-merged with the climb rows
     # at every level (paths that never cross that level's border)
@@ -1284,8 +1285,8 @@ def derive_parent_map_topo(
     parent_rank = {r: p for p, r in enumerate(roots)}
     assignment = {i: parent_rank[find(i)] for i in id_list}
     spark = ids.sparkSession
-    return spark.createDataFrame(
-        sorted(assignment.items()), schema=f"{child_col} long, {parent_col} long"
+    return local_rows_df(
+        spark, sorted(assignment.items()), f"{child_col} long, {parent_col} long"
     )
 
 
@@ -1495,9 +1496,7 @@ def route_many_to_many(
         # weight type; integer-weighted closures are integral-valued, so
         # casting back to the input type is exact
         w_type = dict(edges.dtypes)["w"]
-        cl = spark.createDataFrame(
-            rows, schema="src long, dst long, w double"
-        )
+        cl = local_rows_df(spark, rows, "src long, dst long, w double")
         return (
             sources.join(cl, sources["node_id"] == cl["src"])
             .join(targets, cl["dst"] == targets["node_id"])

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ram_datapipeline_spark.session import ensure_parallelism
+from ram_datapipeline_spark.session import ensure_parallelism, local_rows_df
 
 
 def _to_double(col: Column) -> Column:
@@ -351,6 +351,74 @@ def cosine_topk_lsh(
 # regime (25M pairs × 31 terms ≈ 8e8 ≈ 34 s) × ~25.
 DENSE_MAX_CELLS = 20_000_000
 DENSE_MAX_FOLD_OPS = 20_000_000_000
+def _dense_pairs_numpy(
+    dv: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Dense-block pair kernel as one vectorized numpy pass (guide §4.2:
+    hand whole batches to native vectorized libraries): the pivoted
+    integer vectors — already bounded by the dense fences to ≤
+    ``DENSE_MAX_CELLS`` cells — are collected once and broadcast as an
+    int64 matrix; each ``mapInPandas`` task multiplies its slice of docs
+    against the matrix (exact int64 matmul — the same BIGINT products and
+    order-free sums as the SQL fold) and emits the surviving pairs.
+
+    Float semantics replay Spark's expression exactly: cos =
+    double(dot) / (nrm_a * nrm_b) — one IEEE multiply then one IEEE
+    divide per pair, with the norms computed ONCE in the JVM (the same
+    ``sqrt(cast(Σw² as double))`` values flow to both sides), so the
+    output is bit-identical to the join formulation. Why not pure SQL:
+    Catalyst pushes the cos>=threshold expression into the
+    BroadcastNestedLoopJoin condition where the per-pair dot is evaluated
+    outside whole-stage codegen (r13 measurement: 117 s unrolled /
+    31 s higher-order fold / ~3 s this kernel at sf0.1).
+
+    Driver exposure is the SAME block the JVM formulation broadcasts
+    (F.broadcast of the pivoted side), just carried as numpy arrays.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = dv.collect()  # fenced: n_docs*n_terms <= DENSE_MAX_CELLS
+    ids_all = [r[0] for r in rows]
+    id_is_str = any(isinstance(x, str) for x in ids_all)
+    ids_b = np.array(ids_all, dtype=object if id_is_str else np.int64)
+    mat = (
+        np.array([list(r[1]) for r in rows], dtype=np.int64)
+        if rows
+        else np.zeros((0, 0), dtype=np.int64)
+    )
+    nrm_b = np.array([r[2] for r in rows], dtype=np.float64)
+    spark = dv.sparkSession
+    bc = spark.sparkContext.broadcast((ids_b, mat, nrm_b))
+    id_type = dv.schema[id_col].dataType.simpleString()
+    out_schema = f"doc_a {id_type}, doc_b {id_type}, dot long, cos double"
+
+    def gen(batches):
+        b_ids, b_mat, b_nrm = bc.value
+        bt = b_mat.T
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            a_mat = np.array([list(v) for v in pdf["_v"]], dtype=np.int64)
+            a_nrm = pdf["_nrm"].to_numpy(dtype=np.float64)
+            dots = a_mat @ bt  # m×n, exact int64
+            denom = a_nrm[:, None] * b_nrm[None, :]
+            cos = dots.astype(np.float64) / denom
+            mask = (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold)
+            ai, bj = np.nonzero(mask)
+            if len(ai) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_a": a_ids[ai],
+                    "doc_b": b_ids[bj],
+                    "dot": dots[ai, bj],
+                    "cos": cos[ai, bj],
+                }
+            )
+
+    return dv.mapInPandas(gen, out_schema)
 
 
 def tfidf_prefix_index(
@@ -512,6 +580,20 @@ def sparse_tfidf_pairs(
                 F.sqrt(F.col("_sq").cast("double")).alias("_nrm"),
             )
         )
+        try:
+            import numpy as np  # noqa: F401
+            import pandas as pd  # noqa: F401
+
+            return _dense_pairs_numpy(dv, id_col, threshold)
+        except ImportError:
+            pass
+        # JVM fallback (numpy/pandas unavailable): broadcast self-join with
+        # the higher-order fold. NOTE r13 measurement: an unrolled
+        # per-index sum looks codegen-friendly but the optimizer pushes
+        # the whole cos>=threshold expression into the
+        # BroadcastNestedLoopJoin CONDITION, where it is evaluated per
+        # candidate pair OUTSIDE whole-stage codegen — measured 117 s vs
+        # 31 s for this fold at sf0.1 (plans/r13 audit), so the fold stays.
         da = dv.select(
             F.col(id_col).alias("doc_a"),
             F.col("_v").alias("_va"),
@@ -689,8 +771,8 @@ def cosine_topk_ivfpq(
         for cid, r in enumerate(seed_rows)
         for s in range(m)
     ]
-    cb_df = corpus.sparkSession.createDataFrame(
-        cb, "subspace int, code int, cent array<bigint>"
+    cb_df = local_rows_df(
+        corpus.sparkSession, cb, "subspace int, code int, cent array<bigint>"
     )
     d2 = F.aggregate(
         F.zip_with(

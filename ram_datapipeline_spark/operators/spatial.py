@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ram_datapipeline_spark.functions import geo
+from ram_datapipeline_spark.session import local_rows_df
 
 
 def points_in_rect_areas(points: DataFrame, areas: DataFrame) -> DataFrame:
@@ -332,7 +333,11 @@ def points_in_geojson_areas(points: DataFrame, areas: DataFrame) -> DataFrame:
         bboxes.append((aa_id, min(xs), min(ys), max(xs), max(ys)))
     bc = spark.sparkContext.broadcast([(a, g) for a, g in area_rows])
     bbox_df = F.broadcast(
-        spark.createDataFrame(bboxes, "aa_id long, xmin double, ymin double, xmax double, ymax double")
+        local_rows_df(
+            spark,
+            bboxes,
+            "aa_id long, xmin double, ymin double, xmax double, ymax double",
+        )
     )
     cand = points.join(
         bbox_df,

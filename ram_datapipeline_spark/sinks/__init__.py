@@ -254,10 +254,18 @@ def append_metadata_event(
     last-write-wins fold is deterministic and replayable. When omitted the
     wall-clock ``updated_at`` is the only ordering (the reference's own
     semantic — its `updated_at` column IS a wall clock)."""
-    row = [tuple(payload.values())]
-    cols = list(payload.keys())
+    # Arrow local-rows path (session.local_rows_df): a plain
+    # createDataFrame(list) is a Python-RDD-backed relation, and every
+    # parquet APPEND job executing one blocks on a fresh Python worker
+    # round-trip — ~4 s per tiny write on local[32], linear in core count
+    # (the r13 operation-log finding; guide §4: eliminate the Python
+    # boundary). The event row ships as an Arrow batch instead.
+    from ram_datapipeline_spark.session import local_rows_df
+
+    row = [tuple(str(v) for v in payload.values())]
+    schema = ", ".join(f"{c} string" for c in payload.keys())
     df = (
-        spark.createDataFrame(row, cols)
+        local_rows_df(spark, row, schema)
         .withColumn("updated_at", F.current_timestamp())
         .withColumn("seq", F.lit(seq).cast("long"))
     )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ram_datapipeline_spark.catalog import load_tables
+from ram_datapipeline_spark.session import local_rows_df
 from ram_datapipeline_spark.operators import relational as R
 from ram_datapipeline_spark.operators.temporal import asof_join
 from ram_datapipeline_spark.registry import query
@@ -2419,7 +2420,7 @@ def q_ev_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("ucents").cast("long").alias("_total"),
     )
-    pcts = ranked.sparkSession.createDataFrame([(1,), (10,), (50,)], "pct int")
+    pcts = local_rows_df(ranked.sparkSession, [(1,), (10,), (50,)], "pct int")
     dims = F.broadcast(pcts.crossJoin(tot)).withColumn(
         "k_users",
         F.greatest(F.lit(1).cast("long"), F.expr("_n * pct DIV 100")).cast(

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.operators import relational as R
 from ram_datapipeline_spark.registry import query
+from ram_datapipeline_spark.session import local_rows_df
 
 # ---------------------------------------------------------------------------
 # Outer joins (SURVEY §2.3 note: standard join types exposed natively)
@@ -852,7 +853,7 @@ def q_band_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite is a range-bucketed equi-join). Aggregates are count/min/max —
     selection-exact."""
     t = load_tables(spark, sf_dir)
-    bands = spark.createDataFrame(
+    bands = local_rows_df(spark, 
         [("budget", 0.0, 500.0), ("mid", 500.0, 2000.0),
          ("premium", 2000.0, 100000.0)],
         "band string, lo double, hi double",

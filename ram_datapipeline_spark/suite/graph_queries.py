@@ -20,6 +20,7 @@ from ram_datapipeline_spark.operators.graph import (
     kcore_peel,
     pagerank_int,
     triangle_counts,
+    triangle_counts_with_deg,
 )
 from ram_datapipeline_spark.registry import query
 
@@ -299,21 +300,14 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     and wedge count (deg·(deg−1)/2) as integers — the coefficient is the
     caller's division, so the gate stays bit-exact. Every node appears,
     zero-triangle nodes included (LEFT join against the triangle table)."""
-    edges = _co_order_edges(spark, sf_dir)
-    tri = triangle_counts(edges)
-    canon = edges.select(
-        F.least("u", "v").alias("cu"), F.greatest("u", "v").alias("cv")
-    ).distinct()
-    deg = (
-        canon.select(F.col("cu").alias("node"))
-        .unionAll(canon.select(F.col("cv").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # deg comes from the same shared (persisted) canonical edge set the
+    # triangle pass uses — re-deriving it here cost a second full edge
+    # derivation (r13: 54 lineitem scans in one plan before the reuse)
+    deg, tri = triangle_counts_with_deg(_co_order_edges(spark, sf_dir))
     return deg.join(tri, "node", "left").select(
         F.col("node").alias("part_key"),
         F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
-        F.expr("d * (d - 1) div 2").cast("long").alias("n_wedges"),
+        F.expr("deg * (deg - 1) div 2").cast("long").alias("n_wedges"),
     )
 
 

@@ -17,6 +17,7 @@ from ram_datapipeline_spark import ram_domain
 from ram_datapipeline_spark.catalog import load_tables
 from ram_datapipeline_spark.operators import spatial as S
 from ram_datapipeline_spark.registry import query
+from ram_datapipeline_spark.session import local_rows_df
 
 # buffer: the reference's initial search radius = maxTime/3600*maxSpeed km
 # (utils.js:47-49 with maxTime=1800 s, maxSpeed=120 km/h → 60 km).
@@ -69,7 +70,7 @@ def q_j2_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     o = ram_domain.origins(t["customer"])
     rects = ram_domain.admin_areas(t["nation"]).collect()
-    areas = spark.createDataFrame(
+    areas = local_rows_df(spark, 
         [
             (
                 r["aa_id"],

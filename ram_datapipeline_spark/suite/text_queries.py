@@ -2446,9 +2446,11 @@ def q_dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     d = t["documents"]
     pred = D.connected_components(D.minhash_lsh_pairs(d), d)
+    # four aggregates read labeled (cells, comp/gold sizes, n_docs) —
+    # persist so the label⋈gold join runs once (guide §2.4)
     labeled = pred.join(
         d.select("doc_id", F.md5("text").alias("gold")), "doc_id"
-    )
+    ).persist()
     cells = labeled.groupBy("component", "gold").agg(
         F.count(F.lit(1)).alias("cell_n")
     )
