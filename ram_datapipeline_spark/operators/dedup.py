@@ -397,16 +397,21 @@ def connected_components(
             F.coalesce("_jl", F.col("label")).alias("label"),
         )
 
-    # Each round EAGERLY localCheckpoints its two frames: the jump is a
+    # Each round localCheckpoints its two frames: the jump is a
     # self-join, so an un-truncated lineage would DOUBLE in size every
     # round (measured: 2^k plan growth put round 3's Catalyst analysis
     # at 89 s on a 2,038-edge graph), and the checkpoint blocks are
     # freed by the ContextCleaner as each round's handles go out of
     # scope — no persist/unpersist bookkeeping, same property the
-    # layout operators rely on (_range_layout).
+    # layout operators rely on (_range_layout). The checkpoints are
+    # LAZY (r13): the returned frame is LogicalRDD-backed (flat plan)
+    # either way, so lineage truncation is unchanged, but eager=False
+    # defers materialization to the convergence count — ONE scheduled
+    # job per round instead of three (guide §1/§2: the per-round cost
+    # of an iterative driver loop is job barriers, not bytes).
     for _ in range(max_iters):
-        stepped = propagate(labels).localCheckpoint(eager=True)
-        new_labels = jump(stepped).localCheckpoint(eager=True)
+        stepped = propagate(labels).localCheckpoint(eager=False)
+        new_labels = jump(stepped).localCheckpoint(eager=False)
         changed = new_labels.filter(
             F.col("label") != F.col("old_label")
         ).count()
@@ -977,16 +982,18 @@ def incremental_lsh_dedup(
     ``dup_of`` = the smallest qualifying partner id (deterministic).
 
     The batch's band rows are needed on BOTH sides (as probes, and as
-    intra-batch partners); they are computed ONCE and eagerly
-    local-checkpointed — without it Catalyst would re-shingle and
-    re-hash the batch per reference. Corpus and intra-batch partners
+    intra-batch partners); they are computed ONCE and
+    local-checkpointed (lazily — the first action materializes the
+    cache, no extra scheduled job) — without it Catalyst would
+    re-shingle and re-hash the batch per reference. Corpus and
+    intra-batch partners
     then resolve in a SINGLE bkey join against a tagged union
     (bucketed index scan ∪ checkpointed batch bands): the corpus rows
     qualify unconditionally, the batch rows only when earlier.
     """
     bb = minhash_band_index(
         batch, id_col, text_col, n_perms, band_rows
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     probe = bb.select(F.col(id_col).alias("new_id"), "bkey")
     if broadcast_batch:
         probe = F.broadcast(probe)
@@ -1034,7 +1041,7 @@ def incremental_lsh_candidates(
     every collision is an undirected edge."""
     bb = minhash_band_index(
         batch, id_col, text_col, n_perms, band_rows
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     probe = bb.select(F.col(id_col).alias("_nid"), "bkey")
     if broadcast_batch:
         probe = F.broadcast(probe)

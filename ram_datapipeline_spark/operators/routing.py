@@ -341,12 +341,16 @@ def build_crp_index(
     # (``_checkpointed``: route_many_to_many already materialized them
     # for its overlay estimate — skip the redundant copy.)
     if not _checkpointed:
-        edges = edges.localCheckpoint()
-        cells = cells.localCheckpoint()
+        edges = edges.localCheckpoint(eager=False)
+        cells = cells.localCheckpoint(eager=False)
     # incell is consumed by four branches (overlay, seeds, exits, direct);
     # checkpointing (not just persist) truncates its grouped-map lineage so
-    # the final union's analysis stays linear.
-    incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint()
+    # the final union's analysis stays linear. Lazy: the overlay pull's
+    # shuffle map side computes every incell partition, filling the cache
+    # without a dedicated materialization job (r13).
+    incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint(
+        eager=False
+    )
     inter = inter_cell_edges(edges, cells)
     ovl = overlay_rows(incell, inter, max_overlay_rows)
     bset = sorted({s for s, _, _ in ovl} | {d for _, d, _ in ovl})
@@ -642,10 +646,17 @@ def two_level_many_to_many(
     inter-edges represent (the CRP argument applied twice). All-integer
     weights, so the cross-engine replay is exact."""
     spark = edges.sparkSession
+    # all checkpoints in this builder are LAZY (r13): lineage truncation
+    # and single-copy caching are identical, but materialization folds
+    # into the next full job (closure kernels, the gated pulls, the final
+    # write) instead of one scheduled barrier per table — see
+    # route_many_to_many's dispatcher note.
     if not _checkpointed:
-        edges = edges.localCheckpoint()
-        cells = cells.localCheckpoint()
-    incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint()
+        edges = edges.localCheckpoint(eager=False)
+        cells = cells.localCheckpoint(eager=False)
+    incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint(
+        eager=False
+    )
     inter = inter_cell_edges(edges, cells)
 
     # level-1 overlay graph, DISTRIBUTED: (src, dst, w)
@@ -692,7 +703,7 @@ def two_level_many_to_many(
         within_sc,
         b1_sc.select("node_id", F.col("supercell").alias("cell")),
         n_super_squarings,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # collected level-2 overlay (the bounded core)
     b2 = (
@@ -739,7 +750,7 @@ def two_level_many_to_many(
         seeds_in.union(seeds_self)
         .groupBy("src_id", "b")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # seeds, level 2: climb b → b₂ through the supercell closure; union
@@ -801,7 +812,7 @@ def two_level_many_to_many(
         .union(seeds1.select("src_id", "b", "w"))
         .groupBy("src_id", "b")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # exits: boundary → target through the target cell's closure, plus
@@ -904,10 +915,13 @@ def multi_level_many_to_many(
             f"level map (got {len(level_squarings)} for "
             f"{len(level_maps)} maps)"
         )
+    # all checkpoints lazy (r13) — see two_level_many_to_many's note
     if not _checkpointed:
-        edges = edges.localCheckpoint()
-        cells = cells.localCheckpoint()
-    incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint()
+        edges = edges.localCheckpoint(eager=False)
+        cells = cells.localCheckpoint(eager=False)
+    incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint(
+        eager=False
+    )
     inter = inter_cell_edges(edges, cells)
 
     # node → partition id at every level (level 0 = cell)
@@ -971,7 +985,7 @@ def multi_level_many_to_many(
         )
         scl = in_cell_closures(
             within, bp, level_squarings[k]
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         scls.append(scl)
         b_next = _endpoints(cross)
         ovl_graph = cross.union(_bb(scl, b_next))
@@ -1012,7 +1026,7 @@ def multi_level_many_to_many(
         seeds_in.union(seeds_self)
         .groupBy("src_id", "b")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     ]
     for k, scl in enumerate(scls):
         prev = seeds_k[-1]
@@ -1031,7 +1045,7 @@ def multi_level_many_to_many(
             via.union(direct)
             .groupBy("src_id", "b")
             .agg(F.min("w").alias("w"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     seed_pull = seeds_k[-1].limit(MAX_SEED_ROWS + 1).collect()
     if len(seed_pull) > MAX_SEED_ROWS:
@@ -1077,7 +1091,7 @@ def multi_level_many_to_many(
             .union(seeds.select("src_id", "b", "w"))
             .groupBy("src_id", "b")
             .agg(F.min("w").alias("w"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     # exits: boundary → target through the target cell's closure, plus
@@ -1360,14 +1374,16 @@ def _auto_hierarchy_route(
             # ~5× the explicit maps'
             m = derive_parent_map_topo(
                 cur_ids, adj, "child", "parent", fan
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         else:
-            m = derive_parent_map(cur_ids, "child", "parent", fan).localCheckpoint()
+            m = derive_parent_map(cur_ids, "child", "parent", fan).localCheckpoint(
+                eager=False
+            )
         maps.append(m)
         node_part = (
             node_part.join(m.withColumnRenamed("child", "part"), "part")
             .select("node_id", F.col("parent").alias("part"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cross = (
             inter.select("src", "dst")
@@ -1511,13 +1527,18 @@ def route_many_to_many(
             .groupBy("src_id", "tgt_id")
             .agg(F.min("w").cast(w_type).alias("dist"))
         )
-    # CRP backends: materialize the extracted graph ONCE before the
+    # CRP backends: checkpoint the extracted graph ONCE before the
     # estimator touches it — lineage-heavy inputs (an XML scan + explode
     # + window, as from sources.osm) would otherwise re-run per probe
-    # (measured ~2× the whole query). The backends' own checkpoints then
-    # re-materialize an already-local table — negligible.
-    edges = edges.localCheckpoint()
-    cells = cells.localCheckpoint()
+    # (measured ~2× the whole query). LAZY (r13): the returned frame is
+    # LogicalRDD-backed either way (lineage truncated, single cached
+    # copy); eager=False folds the materialization into the estimator's
+    # aggregate job instead of scheduling a dedicated job per table —
+    # the CRP build is a chain of ~dozens of such barriers and the
+    # per-job overhead, not bytes, dominated the measured wall
+    # (guide §1.2/§2: fix the job count first).
+    edges = edges.localCheckpoint(eager=False)
+    cells = cells.localCheckpoint(eager=False)
     inter = inter_cell_edges(edges, cells)
     bc = (
         inter.select(F.col("src").alias("node_id"))

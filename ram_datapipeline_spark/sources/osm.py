@@ -14,9 +14,27 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # OSM XML attribute columns arrive prefixed with "_" (XML-source convention).
+# The coalesce makes the fold null-safe: under the explicit schemas below a
+# tagless element parses as a NULL tag array (inference used to drop the
+# column or type it struct), and the empty map — not NULL — is the
+# documented output for "no tags".
 _TAGS_AS_MAP = (
-    "map_from_entries(transform(filter(_tags, t -> t._k is not null),"
-    " t -> struct(t._k as k, t._v as v)))"
+    "map_from_entries(transform(filter(coalesce(_tags, array()),"
+    " t -> t._k is not null), t -> struct(t._k as k, t._v as v)))"
+)
+
+# Explicit read schemas (guide §6: schema inference is a full extra pass
+# over the input — at planet scale a second scan of the whole XML dump;
+# measured ~2 inference jobs per routing query at sf0.1). The tag field is
+# always declared as the array form; _with_tag_map handles the legacy
+# struct/absent variants for callers that pass their own inferred frames.
+_NODE_SCHEMA = (
+    "_id long, _lon double, _lat double, "
+    "tag array<struct<_k: string, _v: string>>"
+)
+_WAY_SCHEMA = (
+    "_id long, nd array<struct<_ref: long>>, "
+    "tag array<struct<_k: string, _v: string>>"
 )
 
 
@@ -36,7 +54,12 @@ def _with_tag_map(df: DataFrame) -> DataFrame:
 
 def read_osm_nodes(spark: SparkSession, path: str) -> DataFrame:
     """`.osm` → (node_id, lon, lat, tags map)."""
-    raw = spark.read.format("xml").option("rowTag", "node").load(path)
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "node")
+        .schema(_NODE_SCHEMA)
+        .load(path)
+    )
     return _with_tag_map(raw).select(
         F.col("_id").cast("long").alias("node_id"),
         F.col("_lon").cast("double").alias("lon"),
@@ -52,7 +75,12 @@ def read_osm_ways(spark: SparkSession, path: str) -> DataFrame:
     semantics the reference relies on implicitly; here the array IS the
     order, no index alignment across datasets (SURVEY §7 hard point 2).
     """
-    raw = spark.read.format("xml").option("rowTag", "way").load(path)
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "way")
+        .schema(_WAY_SCHEMA)
+        .load(path)
+    )
     df = _with_tag_map(raw)
     refs = F.expr("transform(nd, x -> cast(x._ref as long))")
     return df.select(
