@@ -289,6 +289,16 @@ def _edge_triangle_lists(
         .select("a", "b", F.array_intersect("nbrs_a", "nbrs_b").alias("cs"))
         .where(F.size("cs") > 0)
     )
+    # ONE materialization job before returning (r13 joblog finding): the
+    # consuming query fires its broadcast-exchange builds CONCURRENTLY
+    # (du/dv/adjacency futures), and with the persisted frames still cold
+    # each future recomputes the full canonicalize+degree+orient pipeline —
+    # measured job_spans ≈ 2× wall on graph_clustering_coeff, with four
+    # 3-6 s broadcast stages all carrying the same derivation. Counting
+    # ``oriented`` fills the canon → deg → oriented caches in one fully
+    # parallel pass; every future then reads InMemoryTableScans (guide
+    # §7.4: compute/cache the shared side first).
+    oriented.count()
     return canon, deg, per_edge
 
 
@@ -468,13 +478,17 @@ def pagerank_int(
     operators in one session should clear between queries (bench.py and
     scripts/verify_driver_contract.py do).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # deg feeds both the annotated edge list and the round-0 rank table;
-    # without the persist the second reference re-derives the full edge
-    # list (for the co-order graph queries that is the expensive corpus
-    # shuffle — guide §2.4)
+    # e feeds BOTH the degree aggregate and the annotated join's probe
+    # side; deg feeds both the annotated edge list and the round-0 rank
+    # table. Without the persists every reference re-derives the full
+    # edge list (for the co-order graph queries that is the expensive
+    # corpus shuffle — guide §2.4); without the count barrier the
+    # consuming job's concurrent stages race the cold caches and compute
+    # the derivation 2-3× anyway (r13 joblog: job_spans ≈ 2× wall).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     annotated = e.join(deg, "src").persist()
+    annotated.count()  # one parallel pass fills e, deg and annotated
     base = (scale * (damp_den - damp_num)) // damp_den
     ranks = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))
     for _ in range(iters):
@@ -529,6 +543,9 @@ def kcore_peel(
         .distinct()
         .persist()
     )
+    # (r13: an explicit sym.count() materialization barrier here measured
+    # ~0.5 s SLOWER at sf0.1 — the rounds consume sym serially enough that
+    # the cache race never doubles work, so the extra job is pure cost)
     e = sym
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -580,6 +597,9 @@ def label_propagation(
         .distinct()
         .persist()  # read once per round; caching contract as pagerank_int
     )
+    # (r13: a sym.count() barrier before round 1 measured flat here — the
+    # round-0 label build and the vote join overlap without doubling the
+    # derivation — so the extra job is not paid; contrast khop_reach)
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -641,6 +661,9 @@ def khop_reach(
         # edge derivation runs once (caching contract as label_propagation)
         .persist()
     )
+    # hop-1 joins sym against itself: two concurrent map stages racing
+    # the cold cache re-run the edge derivation (r13 joblog; guide §7.4)
+    sym.count()
     reach = sym
     for _ in range(hops - 1):
         ext = (

@@ -379,6 +379,21 @@ def _dense_pairs_numpy(
     import pandas as pd
 
     rows = dv.collect()  # fenced: n_docs*n_terms <= DENSE_MAX_CELLS
+    # The pivoted frame is tiny in BYTES (n_docs rows of packed arrays), so
+    # AQE coalesces it to ~1 partition — which would run the whole
+    # (n_docs × n_docs) matmul below as ONE task (r13 joblog: a single
+    # 4.6-15 s stage carrying the entire kernel). The per-row WORK is
+    # n_docs · n_terms multiply-adds — bytes are the wrong proxy — so
+    # spread the probe side explicitly: ~64 docs per slice, capped at the
+    # session's parallelism (guide §2: partition by work, not bytes).
+    n_slices = max(
+        1,
+        min(
+            dv.sparkSession.sparkContext.defaultParallelism,
+            (len(rows) + 63) // 64,
+        ),
+    )
+    dv = dv.repartition(n_slices)
     ids_all = [r[0] for r in rows]
     id_is_str = any(isinstance(x, str) for x in ids_all)
     ids_b = np.array(ids_all, dtype=object if id_is_str else np.int64)

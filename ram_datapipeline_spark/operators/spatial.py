@@ -198,7 +198,17 @@ def knn_candidates(
         F.col("lon").alias("_p_lon"),
         F.col("lat").alias("_p_lat"),
     )
-    pairs = origins.crossJoin(F.broadcast(p)).withColumn(
+    # The origin side is one small parquet split, so the |origins|·|pois|
+    # cross-join output — and the map-side WindowGroupLimit SORT over it —
+    # would execute as ONE task (r13 plan audit: a single-partition sort of
+    # 15M pair rows carried the whole query). Spread origins across the
+    # session's parallelism first: the exchange moves only |origins| rows,
+    # the generated pair set never shuffles at all (guide §2: partition by
+    # work produced, not input bytes).
+    spread = origins.repartition(
+        origins.sparkSession.sparkContext.defaultParallelism
+    )
+    pairs = spread.crossJoin(F.broadcast(p)).withColumn(
         "dist_deg",
         geo.dist_deg(F.col("lon"), F.col("lat"), F.col("_p_lon"), F.col("_p_lat")),
     )
