@@ -61,6 +61,34 @@ from ram_datapipeline_spark.session import local_rows_df
 # distance, small enough that sentinel + sentinel cannot overflow int64.
 INF_I64 = 1 << 40
 
+
+def _kernel_partitions(df: DataFrame) -> int:
+    """Explicit partition count for the per-cell numpy kernels (guide
+    §2.5: partition by WORK, not bytes). The in-cell edge rows feeding a
+    closure kernel are tiny in BYTES (a planet cell is ≤ MAX_CELL_NODES
+    nodes), so AQE coalesces the grouped-map exchange to ~1 partition —
+    measured as a single 2.4 s task carrying ALL 256 cells' closures at
+    sf0.1 (r14 joblog) — while the per-cell WORK is n³. An explicit
+    repartition pins the exchange width, which AQE honors because it is
+    a user repartition.
+
+    Width: defaultParallelism/4 — every grouped-map task pays a fixed
+    Python-worker + Arrow round-trip cost (~0.3-0.9 s measured), so
+    packing ≥4 cells per task amortizes it while keeping the kernel
+    parallel; the r14 sweep on the planet fixture measured widths
+    {1: 17.0-18.7 s, 4: 15.7-17.1, 8: 14.7-14.9, 32: 18.1-18.8}.
+    Scale-adaptive (derived from the session's parallelism, so a real
+    cluster gets cores/4 kernel tasks, each still bounded by
+    MAX_CELL_NODES² state per group) and overridable for deployments
+    whose per-cell work is heavy enough to want full width:
+    $SPARK_GRAFT_KERNEL_PARTS."""
+    import os
+
+    probe = os.environ.get("SPARK_GRAFT_KERNEL_PARTS")
+    if probe:
+        return max(1, int(probe))
+    return max(1, df.sparkSession.sparkContext.defaultParallelism // 4)
+
 # Per-cell closure runs a dense n³ numpy squaring; this caps the memory a
 # single cell may demand (n³ · 8 bytes — 256³ = 128 MiB of temp, bounded
 # even with a full executor's worth of concurrent cell tasks). Partition
@@ -160,8 +188,14 @@ def in_cell_closures(
             }
         )
 
-    return ice.groupBy("cell").applyInPandas(
-        close, schema="cell long, src long, dst long, w long"
+    # pin the grouped-map exchange width (see _kernel_partitions): the
+    # exchange moves the same in-cell edge rows either way, but the n³
+    # closure kernels then run groupBy-width-parallel instead of inside
+    # one AQE-coalesced task
+    return (
+        ice.repartition(_kernel_partitions(ice), "cell")
+        .groupBy("cell")
+        .applyInPandas(close, schema="cell long, src long, dst long, w long")
     )
 
 
@@ -550,9 +584,13 @@ def crp_many_to_many(
             }
         )
 
+    # pin both cogroup exchanges (see _kernel_partitions): the fold's
+    # per-cell (S × B_c × n_t) min-plus is work AQE cannot see in the
+    # tiny exchanged bytes
+    n_fold = _kernel_partitions(t_cell)
     via_b = (
-        t_cell.groupby("cell")
-        .cogroup(exit_legs.groupby("cell"))
+        t_cell.repartition(n_fold, "cell").groupby("cell")
+        .cogroup(exit_legs.repartition(n_fold, "cell").groupby("cell"))
         .applyInPandas(fold, schema="src_id long, tgt_id long, d long")
     )
     # same-cell direct term (paths that never leave the shared cell).
@@ -657,13 +695,20 @@ def two_level_many_to_many(
     incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint(
         eager=False
     )
-    inter = inter_cell_edges(edges, cells)
+    # inter and the boundary set are each referenced by several of the
+    # build's driver actions (overlay graph, seeds, estimator); without
+    # checkpoints every action re-executes their join/distinct subplans,
+    # re-firing the broadcast-build jobs each time (r14 joblog: ~119
+    # broadcast-exchange jobs/query, most re-executions of shared
+    # spines). Lazy: materialization folds into the first consuming job.
+    inter = inter_cell_edges(edges, cells).localCheckpoint(eager=False)
 
     # level-1 overlay graph, DISTRIBUTED: (src, dst, w)
     b1 = (
         inter.select(F.col("src").alias("node_id"))
         .union(inter.select(F.col("dst").alias("node_id")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bb1 = (
         incell.join(b1.withColumnRenamed("node_id", "src"), "src")
@@ -671,7 +716,7 @@ def two_level_many_to_many(
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst", "w")
     )
-    node_sc = cells.join(supercells, "cell").select("node_id", "supercell")
+    node_sc = cells.join(supercells, "cell").select("node_id", "supercell").localCheckpoint(eager=False)
     # split level-1 overlay edges at the supercell border; in-cell rows
     # are always within one supercell, so only ``inter`` needs the test
     inter_sc = (
@@ -693,7 +738,7 @@ def two_level_many_to_many(
     ).union(bb1)
     cross_sc = inter_sc.where(F.col("s_sc") != F.col("d_sc")).select(
         "src", "dst", "w"
-    )
+    ).localCheckpoint(eager=False)
 
     # per-supercell closure of the boundary graph = in_cell_closures with
     # (boundary node → supercell) as the cell map. Checkpointed: feeds
@@ -710,6 +755,7 @@ def two_level_many_to_many(
         cross_sc.select(F.col("src").alias("node_id"))
         .union(cross_sc.select(F.col("dst").alias("node_id")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bb2 = (
         scl.join(b2.withColumnRenamed("node_id", "src"), "src")
@@ -922,7 +968,11 @@ def multi_level_many_to_many(
     incell = in_cell_closures(edges, cells, n_cell_squarings).localCheckpoint(
         eager=False
     )
-    inter = inter_cell_edges(edges, cells)
+    # shared-spine checkpoints (see two_level_many_to_many's note): inter,
+    # each boundary set and each level's overlay graph are referenced by
+    # several driver actions/branches; lazy checkpoints stop every action
+    # from re-executing the joins (and re-firing their broadcast jobs).
+    inter = inter_cell_edges(edges, cells).localCheckpoint(eager=False)
 
     # node → partition id at every level (level 0 = cell)
     node_part = [cells.select("node_id", F.col("cell").alias("part"))]
@@ -935,6 +985,8 @@ def multi_level_many_to_many(
             node_part[-1]
             .join(m, "part")
             .select("node_id", F.col("_parent").alias("part"))
+            # each level's gp splitter references this twice (src/dst)
+            .localCheckpoint(eager=False)
         )
 
     def _endpoints(g: DataFrame) -> DataFrame:
@@ -953,7 +1005,7 @@ def multi_level_many_to_many(
         )
 
     # level-1 boundary + overlay graph (distributed)
-    b_levels = [_endpoints(inter)]
+    b_levels = [_endpoints(inter).localCheckpoint(eager=False)]
     ovl_graph = inter.select("src", "dst", "w").union(
         _bb(incell, b_levels[0])
     )
@@ -979,7 +1031,7 @@ def multi_level_many_to_many(
         )
         cross = gp.where(F.col("s_p") != F.col("d_p")).select(
             "src", "dst", "w"
-        )
+        ).localCheckpoint(eager=False)
         bp = b_levels[k].join(part, "node_id").select(
             "node_id", F.col("part").alias("cell")
         )
@@ -987,8 +1039,8 @@ def multi_level_many_to_many(
             within, bp, level_squarings[k]
         ).localCheckpoint(eager=False)
         scls.append(scl)
-        b_next = _endpoints(cross)
-        ovl_graph = cross.union(_bb(scl, b_next))
+        b_next = _endpoints(cross).localCheckpoint(eager=False)
+        ovl_graph = cross.union(_bb(scl, b_next)).localCheckpoint(eager=False)
         b_levels.append(b_next)
 
     # collected final overlay (the bounded core) — gate + collect in
@@ -1220,6 +1272,7 @@ def derive_parent_map_topo(
     child_col: str,
     parent_col: str,
     fan: int = 16,
+    id_list: list[int] | None = None,
 ) -> DataFrame:
     """Adjacency-aware zero-config parent map (r8 — the rank-only
     ``derive_parent_map`` groups row-major grid cells into full-width
@@ -1243,26 +1296,51 @@ def derive_parent_map_topo(
     cells — metadata-sized, exactly what the reference's own
     partitioning step holds centrally). Falls back to
     ``derive_parent_map`` for anything larger via the caller."""
-    import math
-
     if fan < 2:
         raise ValueError("derive_parent_map_topo: fan must be ≥ 2")
     # Arrow transfer (toPandas), not row collect — the cell graph is
-    # metadata-sized but can still be millions of rows at planet scale
-    id_list = sorted(
-        int(v) for v in ids.select(child_col).distinct().toPandas().iloc[:, 0]
-    )
-    known = set(id_list)
+    # metadata-sized but can still be millions of rows at planet scale.
+    # ``id_list`` lets the auto-hierarchy loop pass the ids it already
+    # pulled for the size gate (r14: one bounded pull decides AND feeds
+    # the derivation — previously a count() job per level preceded this
+    # function's own toPandas of the same distinct ids).
+    if id_list is None:
+        id_list = sorted(
+            int(v)
+            for v in ids.select(child_col).distinct().toPandas().iloc[:, 0]
+        )
     import pandas as pd
 
     adj_pdf = adj.toPandas()
     has_w = adj_pdf.shape[1] > 2
+    adj_rows = [
+        (
+            int(t[0]),
+            int(t[1]),
+            int(t[2]) if has_w and not pd.isna(t[2]) else 1,
+        )
+        for t in adj_pdf.itertuples(index=False)
+    ]
+    assignment = _hem_assignment(id_list, adj_rows, fan)
+    spark = ids.sparkSession
+    return local_rows_df(
+        spark, sorted(assignment.items()), f"{child_col} long, {parent_col} long"
+    )
+
+
+def _hem_assignment(
+    id_list: list[int], adj_rows: list[tuple[int, int, int]], fan: int
+) -> dict[int, int]:
+    """Driver-side heavy-edge-matching core of ``derive_parent_map_topo``
+    (shared with the auto-hierarchy loop, which already holds the id list
+    and weighted adjacency as plain rows): child id → dense parent id."""
+    import math
+
+    known = set(id_list)
     w: dict = {}
-    for t in adj_pdf.itertuples(index=False):
-        a, b = int(t[0]), int(t[1])
+    for a, b, cw in adj_rows:
         if a == b or a not in known or b not in known:
             continue
-        cw = int(t[2]) if has_w and not pd.isna(t[2]) else 1
         k = (a, b) if a < b else (b, a)
         w[k] = w.get(k, 0) + cw
 
@@ -1297,11 +1375,7 @@ def derive_parent_map_topo(
         w = nw
     roots = sorted({find(i) for i in id_list})
     parent_rank = {r: p for p, r in enumerate(roots)}
-    assignment = {i: parent_rank[find(i)] for i in id_list}
-    spark = ids.sparkSession
-    return local_rows_df(
-        spark, sorted(assignment.items()), f"{child_col} long, {parent_col} long"
-    )
+    return {i: parent_rank[find(i)] for i in id_list}
 
 
 # Above this many partition ids the driver-side BFS derivation hands
@@ -1339,46 +1413,189 @@ def _auto_hierarchy_route(
     per level — an under-specified count fails LOUDLY in the closure
     kernel's fixed-point probe, never silently under-converges."""
     spark = edges.sparkSession
+    # ONE fused metadata pull starts the loop (r14, guide §1 job count):
+    # the bounded distinct cell-id list and the level-0 cell adjacency
+    # arrive as one tagged union — previously a count() + two toPandas
+    # per level. ``inter`` already carries src_cell/dst_cell, so the
+    # level-0 adjacency needs no node-level join at all.
+    first = (
+        inter.groupBy(
+            F.col("src_cell").alias("a"), F.col("dst_cell").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(F.lit("adj").alias("tag"), "a", "b", "w")
+        .unionByName(
+            cells.select(F.col("cell").alias("a"))
+            .distinct()
+            .limit(MAX_TOPO_DERIVE_IDS + 1)
+            .select(
+                F.lit("id").alias("tag"),
+                "a",
+                F.lit(None).cast("long").alias("b"),
+                F.lit(None).cast("long").alias("w"),
+            )
+        )
+        .toPandas()
+    )
+    cur_ids = sorted(int(v) for v in first.loc[first["tag"] == "id", "a"])
+    if len(cur_ids) > MAX_TOPO_DERIVE_IDS:
+        # metadata gate tripped: hand the whole escalation to the
+        # distributed rank-grouping loop (collect stays bounded)
+        return _auto_hierarchy_route_distributed(
+            edges, cells, inter, sources, targets,
+            est1=est1, auto_fan=auto_fan,
+            n_cell_squarings=n_cell_squarings,
+            n_super_squarings=n_super_squarings,
+            n_region_squarings=n_region_squarings,
+            n_overlay_rounds=n_overlay_rounds,
+            max_overlay_rows=max_overlay_rows,
+        )
+    adj_rows = [
+        (int(a), int(b), int(w))
+        for a, b, w in first.loc[first["tag"] == "adj",
+                                 ["a", "b", "w"]].itertuples(
+            index=False, name=None
+        )
+    ]
+    # driver-composed escalation (r14): the parent maps are ALREADY
+    # driver-derived (heavy-edge matching on the metadata-sized cell
+    # graph), so the composed cell→part map is driver state too; each
+    # level then costs exactly ONE distributed action — the fused
+    # (estimate ∪ next-level adjacency) aggregate over ``inter``'s
+    # cell-annotated rows — instead of a node-level node_part join
+    # chain with per-level checkpoints, a count, and two toPandas.
+    maps_dicts: list[dict[int, int]] = []
+    cell2part = {c: c for c in cur_ids}
+    est_k = est1
+    fan = auto_fan
+    while est_k > max_overlay_rows:
+        # adjacency-aware compact clustering (r8): rank-only grouping
+        # turns row-major grids into full-width strips whose boundary
+        # cliques made derived-hierarchy closures ~5× the explicit maps'
+        assignment = _hem_assignment(cur_ids, adj_rows, fan)
+        maps_dicts.append(assignment)
+        cell2part = {c: assignment[p] for c, p in cell2part.items()}
+        pc = local_rows_df(
+            spark, sorted(cell2part.items()), "cell long, part long"
+        )
+        cross = (
+            inter.join(
+                F.broadcast(
+                    pc.withColumnsRenamed(
+                        {"cell": "src_cell", "part": "s_p"}
+                    )
+                ),
+                "src_cell",
+            )
+            .join(
+                F.broadcast(
+                    pc.withColumnsRenamed(
+                        {"cell": "dst_cell", "part": "d_p"}
+                    )
+                ),
+                "dst_cell",
+            )
+            .where(F.col("s_p") != F.col("d_p"))
+        )
+        bc = (
+            cross.select(F.col("src").alias("node_id"),
+                         F.col("s_p").alias("part"))
+            .union(cross.select(F.col("dst").alias("node_id"),
+                                F.col("d_p").alias("part")))
+            .distinct()
+            .groupBy("part")
+            .agg(F.count("*").alias("nb"))
+        )
+        pull = (
+            bc.agg(
+                F.coalesce(
+                    F.sum(F.col("nb") * (F.col("nb") - 1)), F.lit(0)
+                ).alias("a")
+            )
+            .crossJoin(cross.agg(F.count(F.lit(1)).alias("b")))
+            .select(F.lit("est").alias("tag"), "a", "b",
+                    F.lit(None).cast("long").alias("w"))
+            .unionByName(
+                cross.groupBy(
+                    F.col("s_p").alias("a"), F.col("d_p").alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("w"))
+                .select(F.lit("adj").alias("tag"), "a", "b", "w")
+            )
+            .toPandas()
+        )
+        est_row = pull.loc[pull["tag"] == "est"].iloc[0]
+        est_k = int(est_row["a"]) + int(est_row["b"])
+        adj_rows = [
+            (int(a), int(b), int(w))
+            for a, b, w in pull.loc[pull["tag"] == "adj",
+                                    ["a", "b", "w"]].itertuples(
+                index=False, name=None
+            )
+        ]
+        cur_ids = sorted(set(assignment.values()))
+        fan = 4
+    maps: list[DataFrame] = [
+        local_rows_df(spark, sorted(d.items()), "child long, parent long")
+        for d in maps_dicts
+    ]
+    if len(maps) == 1:
+        return two_level_many_to_many(
+            edges, cells,
+            maps[0].select(
+                F.col("child").alias("cell"),
+                F.col("parent").alias("supercell"),
+            ),
+            sources, targets,
+            n_cell_squarings=n_cell_squarings,
+            n_super_squarings=n_super_squarings,
+            n_overlay_rounds=n_overlay_rounds,
+            max_overlay_rows=max_overlay_rows,
+            _checkpointed=True,
+        )
+    level_squarings = [n_super_squarings, n_region_squarings] + [
+        n_region_squarings + 1 + i for i in range(len(maps) - 2)
+    ]
+    return multi_level_many_to_many(
+        edges, cells, maps, sources, targets,
+        n_cell_squarings=n_cell_squarings,
+        level_squarings=level_squarings[: len(maps)],
+        n_overlay_rounds=n_overlay_rounds,
+        max_overlay_rows=max_overlay_rows,
+        _checkpointed=True,
+    )
+
+
+def _auto_hierarchy_route_distributed(
+    edges: DataFrame,
+    cells: DataFrame,
+    inter: DataFrame,
+    sources: DataFrame,
+    targets: DataFrame,
+    *,
+    est1: int,
+    auto_fan: int,
+    n_cell_squarings: int,
+    n_super_squarings: int,
+    n_region_squarings: int,
+    n_overlay_rounds: int,
+    max_overlay_rows: int,
+) -> DataFrame:
+    """The pre-r14 fully distributed escalation loop, kept as the
+    fallback for extracts whose distinct cell-id count exceeds
+    ``MAX_TOPO_DERIVE_IDS`` (the driver must not hold the cell graph):
+    per level, a node-level node_part join chain derives the rank-only
+    parent map and re-estimates the overlay."""
+    spark = edges.sparkSession
     maps: list[DataFrame] = []
     node_part = cells.select("node_id", F.col("cell").alias("part"))
     cur_ids = cells.select(F.col("cell").alias("child")).distinct()
     est_k = est1
     fan = auto_fan
-    level = 0
     while est_k > max_overlay_rows:
-        # current-level partition adjacency — the same inter-edge
-        # endpoint joins the estimator runs, distinct'd to one row per
-        # touching pair: cell-count-sized metadata
-        adj = (
-            inter.select("src", "dst")
-            .join(
-                node_part.withColumnsRenamed(
-                    {"node_id": "src", "part": "c_a"}
-                ),
-                "src",
-            )
-            .join(
-                node_part.withColumnsRenamed(
-                    {"node_id": "dst", "part": "c_b"}
-                ),
-                "dst",
-            )
-            .where(F.col("c_a") != F.col("c_b"))
-            .groupBy("c_a", "c_b")
-            .agg(F.count(F.lit(1)).alias("w"))
+        m = derive_parent_map(cur_ids, "child", "parent", fan).localCheckpoint(
+            eager=False
         )
-        if cur_ids.count() <= MAX_TOPO_DERIVE_IDS:
-            # adjacency-aware compact clustering (r8): rank-only
-            # grouping turns row-major grids into full-width strips
-            # whose boundary cliques made derived-hierarchy closures
-            # ~5× the explicit maps'
-            m = derive_parent_map_topo(
-                cur_ids, adj, "child", "parent", fan
-            ).localCheckpoint(eager=False)
-        else:
-            m = derive_parent_map(cur_ids, "child", "parent", fan).localCheckpoint(
-                eager=False
-            )
         maps.append(m)
         node_part = (
             node_part.join(m.withColumnRenamed("child", "part"), "part")
@@ -1421,7 +1638,6 @@ def _auto_hierarchy_route(
         est_k = int(row["clique"]) + int(row["n_cross"])
         cur_ids = m.select(F.col("parent").alias("child")).distinct()
         fan = 4
-        level += 1
     if len(maps) == 1:
         return two_level_many_to_many(
             edges, cells,
@@ -1550,17 +1766,57 @@ def route_many_to_many(
     )
     # ONE action for the whole estimate: clique sum and inter-edge count
     # as a 1×1 cross join — a separate count() would schedule a second
-    # job over the same (checkpointed) inputs for no information gain
-    est_row = (
-        bc.agg(
-            F.coalesce(
-                F.sum(F.col("nb") * (F.col("nb") - 1)), F.lit(0)
-            ).alias("clique")
+    # job over the same (checkpointed) inputs for no information gain.
+    # With BOTH hierarchy maps given (the three-level caller), the
+    # level-2 estimate joins the same action (r14, guide §1: the two
+    # gated estimates ran as back-to-back driver collects; fusing them
+    # drops one scheduled action + its planning gap, and the extra
+    # aggregate is wasted only when est1 already fits — a metadata-sized
+    # aggregate in the same job either way).
+    est_df = bc.agg(
+        F.coalesce(
+            F.sum(F.col("nb") * (F.col("nb") - 1)), F.lit(0)
+        ).alias("clique")
+    ).crossJoin(inter.agg(F.count(F.lit(1)).alias("n_inter")))
+    est2 = None
+    if supercells is not None and regions is not None:
+        node_sc = cells.join(supercells, "cell").select(
+            "node_id", "supercell"
         )
-        .crossJoin(inter.agg(F.count(F.lit(1)).alias("n_inter")))
-        .collect()[0]
-    )
+        isc = (
+            inter.join(
+                node_sc.withColumnsRenamed(
+                    {"node_id": "src", "supercell": "s_sc"}
+                ),
+                "src",
+            )
+            .join(
+                node_sc.withColumnsRenamed(
+                    {"node_id": "dst", "supercell": "d_sc"}
+                ),
+                "dst",
+            )
+            .where(F.col("s_sc") != F.col("d_sc"))
+        )
+        b2c = (
+            isc.select(F.col("src").alias("node_id"))
+            .union(isc.select(F.col("dst").alias("node_id")))
+            .distinct()
+            .join(node_sc, "node_id")
+            .groupBy("supercell")
+            .agg(F.count("*").alias("nb"))
+        )
+        est_df = est_df.crossJoin(
+            b2c.agg(
+                F.coalesce(
+                    F.sum(F.col("nb") * (F.col("nb") - 1)), F.lit(0)
+                ).alias("clique2")
+            )
+        ).crossJoin(isc.agg(F.count(F.lit(1)).alias("n_cross2")))
+    est_row = est_df.collect()[0]
     est = int(est_row["clique"]) + int(est_row["n_inter"])
+    if est2 is None and supercells is not None and regions is not None:
+        est2 = int(est_row["clique2"]) + int(est_row["n_cross2"])
     if est <= max_overlay_rows:
         return partitioned_many_to_many(
             edges, cells, sources, targets,
@@ -1595,46 +1851,11 @@ def route_many_to_many(
             max_overlay_rows=max_overlay_rows,
         )
     if regions is not None:
-        # estimate the LEVEL-2 overlay the same way (inter-supercell
-        # edge endpoints only — no closure work spent deciding): if it
-        # too exceeds the budget, escalate to the three-level hierarchy
-        node_sc = cells.join(supercells, "cell").select(
-            "node_id", "supercell"
-        )
-        isc = (
-            inter.join(
-                node_sc.withColumnsRenamed(
-                    {"node_id": "src", "supercell": "s_sc"}
-                ),
-                "src",
-            )
-            .join(
-                node_sc.withColumnsRenamed(
-                    {"node_id": "dst", "supercell": "d_sc"}
-                ),
-                "dst",
-            )
-            .where(F.col("s_sc") != F.col("d_sc"))
-        )
-        b2c = (
-            isc.select(F.col("src").alias("node_id"))
-            .union(isc.select(F.col("dst").alias("node_id")))
-            .distinct()
-            .join(node_sc, "node_id")
-            .groupBy("supercell")
-            .agg(F.count("*").alias("nb"))
-        )
-        est2_row = (
-            b2c.agg(
-                F.coalesce(
-                    F.sum(F.col("nb") * (F.col("nb") - 1)), F.lit(0)
-                ).alias("clique")
-            )
-            .crossJoin(isc.agg(F.count(F.lit(1)).alias("n_cross")))
-            .collect()[0]
-        )
-        est2 = int(est2_row["clique"]) + int(est2_row["n_cross"])
-        if est2 > max_overlay_rows:
+        # the LEVEL-2 overlay estimate (inter-supercell edge endpoints
+        # only — no closure work spent deciding) was computed in the
+        # SAME collect as est1 above: if it too exceeds the budget,
+        # escalate to the three-level hierarchy
+        if est2 is not None and est2 > max_overlay_rows:
             sc_cols = supercells.columns
             rg_cols = regions.columns
             return multi_level_many_to_many(
