@@ -358,23 +358,31 @@ def connected_components(
     )
 
     def propagate(lbl: DataFrame) -> DataFrame:
-        # carry the previous label through the join so the convergence
-        # check below is a filter on THIS result — not a second
-        # corpus-sized join against the old labels
-        neighbor_min = (
-            lbl.join(sym, lbl["node"] == sym["src"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nb_label"))
-            .withColumnRenamed("dst", "node")
+        # ONE join + ONE aggregate per hop (r14; was join + agg + left
+        # join): the neighbor label stream and the node's own row meet
+        # in a single union-aggregate — min(label) over (neighbors ∪
+        # own) is exactly least(own, neighbor_min), and the previous
+        # label rides along as the aggregate of the unique own row, so
+        # the convergence check stays a filter on THIS result with no
+        # second corpus-sized join
+        neighbor = lbl.join(sym, lbl["node"] == sym["src"]).select(
+            F.col("dst").alias("node"), "label", F.lit(False).alias("_own")
         )
-        stepped = lbl.join(neighbor_min, "node", "left").select(
-            "node",
-            F.col("label").alias("old_label"),
-            F.least(
-                F.col("label"), F.coalesce("nb_label", F.col("label"))
-            ).alias("label"),
+        own = lbl.select("node", "label", F.lit(True).alias("_own"))
+        return (
+            neighbor.unionByName(own)
+            .groupBy("node")
+            .agg(
+                F.max(F.when(F.col("_own"), F.col("label"))).alias(
+                    "old_label"
+                ),
+                F.min("label").alias("label"),
+            )
+            # a dst node with no own label row is outside the node set —
+            # the pre-r14 left join dropped it; keep that contract
+            .where(F.col("old_label").isNotNull())
+            .select("node", "old_label", "label")
         )
-        return stepped
 
     # POINTER JUMPING (r10): after each hop, shortcut label ← label[label]
     # over the PERSISTED hop result (the self-join reads the cache twice;
@@ -409,15 +417,24 @@ def connected_components(
     # defers materialization to the convergence count — ONE scheduled
     # job per round instead of three (guide §1/§2: the per-round cost
     # of an iterative driver loop is job barriers, not bytes).
-    for _ in range(max_iters):
+    # Convergence is checked every SECOND round (r14, VERDICT r13 #3):
+    # the count action is the only scheduled job per round, and pointer
+    # jumping converges most dup graphs in 2-3 hops, so pairing rounds
+    # halves the count jobs at the cost of at most one wasted round of
+    # bounded (identity) work past the fixpoint. Rounds past the
+    # fixpoint are the identity, so the emitted labels are unchanged.
+    r = 0
+    while r < max_iters:
         stepped = propagate(labels).localCheckpoint(eager=False)
         new_labels = jump(stepped).localCheckpoint(eager=False)
-        changed = new_labels.filter(
-            F.col("label") != F.col("old_label")
-        ).count()
         labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
+        r += 1
+        if r % 2 == 0 or r >= max_iters:
+            changed = new_labels.filter(
+                F.col("label") != F.col("old_label")
+            ).count()
+            if changed == 0:
+                break
     sym.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 

@@ -277,7 +277,13 @@ def _edge_triangle_lists(
         # canonicalize+degree+orient pipeline
         .persist()
     )
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # adj is referenced twice below (the a-side and b-side probes);
+    # without a persist the collect_list aggregate — a full pass over
+    # the oriented edge list — executed once per reference as two
+    # ~1-1.4 s broadcast builds (r14 joblog)
+    adj = oriented.groupBy("src").agg(
+        F.collect_list("dst").alias("nbrs")
+    ).persist()
     adj_a = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("nbrs_a"))
     adj_b = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nbrs_b"))
     per_edge = (
@@ -295,10 +301,11 @@ def _edge_triangle_lists(
     # each future recomputes the full canonicalize+degree+orient pipeline —
     # measured job_spans ≈ 2× wall on graph_clustering_coeff, with four
     # 3-6 s broadcast stages all carrying the same derivation. Counting
-    # ``oriented`` fills the canon → deg → oriented caches in one fully
-    # parallel pass; every future then reads InMemoryTableScans (guide
-    # §7.4: compute/cache the shared side first).
-    oriented.count()
+    # ``adj`` (r14; was ``oriented``) fills the canon → deg → oriented →
+    # adj caches in one fully parallel pass; every future then reads
+    # InMemoryTableScans (guide §7.4: compute/cache the shared side
+    # first), and the two adjacency probes can no longer race adj cold.
+    adj.count()
     return canon, deg, per_edge
 
 
@@ -489,6 +496,10 @@ def pagerank_int(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     annotated = e.join(deg, "src").persist()
     annotated.count()  # one parallel pass fills e, deg and annotated
+    # e is never referenced after deg/annotated are materialized — its
+    # cached copy was dead weight held until session clearCache
+    # (ADVICE r13; guide §5: unpersist when done)
+    e.unpersist()
     base = (scale * (damp_den - damp_num)) // damp_den
     ranks = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))
     for _ in range(iters):

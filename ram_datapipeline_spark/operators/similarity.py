@@ -358,9 +358,11 @@ def _dense_pairs_numpy(
     hand whole batches to native vectorized libraries): the pivoted
     integer vectors — already bounded by the dense fences to ≤
     ``DENSE_MAX_CELLS`` cells — are collected once and broadcast as an
-    int64 matrix; each ``mapInPandas`` task multiplies its slice of docs
-    against the matrix (exact int64 matmul — the same BIGINT products and
-    order-free sums as the SQL fold) and emits the surviving pairs.
+    int64 matrix; a ``spark.range`` over slice indices drives one
+    ``mapInPandas`` task per row-slice of that same broadcast matrix
+    (exact int64 matmul — the same BIGINT products and order-free sums
+    as the SQL fold) and emits the surviving pairs. The pivot executes
+    exactly once (the collect); nothing else reads it.
 
     Float semantics replay Spark's expression exactly: cos =
     double(dot) / (nrm_a * nrm_b) — one IEEE multiply then one IEEE
@@ -379,13 +381,15 @@ def _dense_pairs_numpy(
     import pandas as pd
 
     rows = dv.collect()  # fenced: n_docs*n_terms <= DENSE_MAX_CELLS
-    # The pivoted frame is tiny in BYTES (n_docs rows of packed arrays), so
-    # AQE coalesces it to ~1 partition — which would run the whole
-    # (n_docs × n_docs) matmul below as ONE task (r13 joblog: a single
-    # 4.6-15 s stage carrying the entire kernel). The per-row WORK is
-    # n_docs · n_terms multiply-adds — bytes are the wrong proxy — so
-    # spread the probe side explicitly: ~64 docs per slice, capped at the
-    # session's parallelism (guide §2: partition by work, not bytes).
+    # The probe side is driven from the ALREADY-collected matrix (r14,
+    # VERDICT r13 #4): re-using dv as the mapInPandas input re-executed
+    # the full pivot lineage a second time per query. A spark.range over
+    # slice indices (one partition per slice — no shuffle at all, where
+    # the r13 version paid a repartition exchange) hands each task its
+    # row range of the broadcast matrix; the pivot is computed exactly
+    # once, by the collect. Slice count spreads the (n_docs × n_docs ×
+    # n_terms) matmul by WORK, not bytes (guide §2.5): ~64 docs per
+    # slice, capped at the session's parallelism.
     n_slices = max(
         1,
         min(
@@ -393,7 +397,7 @@ def _dense_pairs_numpy(
             (len(rows) + 63) // 64,
         ),
     )
-    dv = dv.repartition(n_slices)
+    step = (len(rows) + n_slices - 1) // n_slices if rows else 1
     ids_all = [r[0] for r in rows]
     id_is_str = any(isinstance(x, str) for x in ids_all)
     ids_b = np.array(ids_all, dtype=object if id_is_str else np.int64)
@@ -412,28 +416,30 @@ def _dense_pairs_numpy(
         b_ids, b_mat, b_nrm = bc.value
         bt = b_mat.T
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf[id_col].to_numpy()
-            a_mat = np.array([list(v) for v in pdf["_v"]], dtype=np.int64)
-            a_nrm = pdf["_nrm"].to_numpy(dtype=np.float64)
-            dots = a_mat @ bt  # m×n, exact int64
-            denom = a_nrm[:, None] * b_nrm[None, :]
-            cos = dots.astype(np.float64) / denom
-            mask = (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold)
-            ai, bj = np.nonzero(mask)
-            if len(ai) == 0:
-                continue
-            yield pd.DataFrame(
-                {
-                    "doc_a": a_ids[ai],
-                    "doc_b": b_ids[bj],
-                    "dot": dots[ai, bj],
-                    "cos": cos[ai, bj],
-                }
-            )
+            for s in pdf["id"].tolist():
+                lo, hi = s * step, min((s + 1) * step, len(b_ids))
+                if lo >= hi:
+                    continue
+                a_ids = b_ids[lo:hi]
+                a_mat = b_mat[lo:hi]
+                a_nrm = b_nrm[lo:hi]
+                dots = a_mat @ bt  # m×n, exact int64
+                denom = a_nrm[:, None] * b_nrm[None, :]
+                cos = dots.astype(np.float64) / denom
+                mask = (a_ids[:, None] < b_ids[None, :]) & (cos >= threshold)
+                ai, bj = np.nonzero(mask)
+                if len(ai) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "doc_a": a_ids[ai],
+                        "doc_b": b_ids[bj],
+                        "dot": dots[ai, bj],
+                        "cos": cos[ai, bj],
+                    }
+                )
 
-    return dv.mapInPandas(gen, out_schema)
+    return spark.range(0, n_slices, 1, n_slices).mapInPandas(gen, out_schema)
 
 
 def tfidf_prefix_index(

@@ -204,10 +204,19 @@ def knn_candidates(
     # 15M pair rows carried the whole query). Spread origins across the
     # session's parallelism first: the exchange moves only |origins| rows,
     # the generated pair set never shuffles at all (guide §2: partition by
-    # work produced, not input bytes).
-    spread = origins.repartition(
-        origins.sparkSession.sparkContext.defaultParallelism
+    # work produced, not input bytes). Slice count is WORK-scaled (ADVICE
+    # r13): ~64 origins per slice, capped at the session parallelism, so
+    # a small origin set (or a very large cluster) no longer fans out
+    # into mostly-empty fixed-width partitions; the sizing count is one
+    # metadata-cheap aggregate over the origin scan.
+    n_slices = max(
+        1,
+        min(
+            origins.sparkSession.sparkContext.defaultParallelism,
+            (origins.count() + 63) // 64,
+        ),
     )
+    spread = origins.repartition(n_slices)
     pairs = spread.crossJoin(F.broadcast(p)).withColumn(
         "dist_deg",
         geo.dist_deg(F.col("lon"), F.col("lat"), F.col("_p_lon"), F.col("_p_lat")),

@@ -119,26 +119,39 @@ def run_ram_pipeline(
     results = results.localCheckpoint()
 
     # -- sinks (K1-K5) -----------------------------------------------------
-    sinks.write_results_normalized(
-        results,
-        os.path.join(out_dir, "results"),
-        os.path.join(out_dir, "results_poi"),
-        partition_by=["aa_id"],
-    )
+    # The five sinks all read the SAME checkpointed results table and
+    # write disjoint paths, so they are independent jobs the driver was
+    # running back-to-back; submit them from a small thread pool so each
+    # sink's write tasks back-fill the executor slots the previous sink's
+    # tail leaves idle (guide §2.6 overlap independent jobs). Outputs are
+    # byte-identical — only the submission order changes.
+    from concurrent.futures import ThreadPoolExecutor
+
     flat = sinks.flatten_poi_map(results)
-    sinks.write_csv(flat, os.path.join(out_dir, "csv"))
-    sinks.write_json_grouped(
-        results,
-        os.path.join(out_dir, "json"),
-        ["aa_id"],
-        ["origin_id", "lon", "lat", "pop"],
-    )
-    sinks.write_geojson_seq(flat, os.path.join(out_dir, "geojson"))
-    sinks.append_metadata_event(
-        spark,
-        os.path.join(out_dir, "meta"),
-        {"key": "res_gen_at", "project": "1", "scenario": "1"},
-    )
+    sink_jobs = [
+        lambda: sinks.write_results_normalized(
+            results,
+            os.path.join(out_dir, "results"),
+            os.path.join(out_dir, "results_poi"),
+            partition_by=["aa_id"],
+        ),
+        lambda: sinks.write_csv(flat, os.path.join(out_dir, "csv")),
+        lambda: sinks.write_json_grouped(
+            results,
+            os.path.join(out_dir, "json"),
+            ["aa_id"],
+            ["origin_id", "lon", "lat", "pop"],
+        ),
+        lambda: sinks.write_geojson_seq(flat, os.path.join(out_dir, "geojson")),
+        lambda: sinks.append_metadata_event(
+            spark,
+            os.path.join(out_dir, "meta"),
+            {"key": "res_gen_at", "project": "1", "scenario": "1"},
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for done in [pool.submit(j) for j in sink_jobs]:
+            done.result()  # propagate the first failure, if any
 
     ol.finish(op)
     return {

@@ -63,73 +63,73 @@ def get(name: str) -> QuerySpec:
 # scripts/verify_driver_contract.py; the round-1 driver record
 # (CORRECTNESS_r01.json) already proved the ones rotated out this round.
 GATE_ORDER: tuple[str, ...] = (
-    # ROUND-13 WINDOW (VERDICT r12 next-round #1, rotation published in
-    # round 12's NEXT_ROUND_ROTATION, spent in full): (a) re-proofs for
-    # every query whose OBSERVABLE behavior changed in r13 — the SimHash
-    # fingerprint repack to packed BIGINT words (schema change,
-    # VERDICT r12 #2) and the adaptive flat-vs-two-level IVF build rule
-    # (assignment change at small corpora, VERDICT r12 #3 + ADVICE r12
-    # n_super derivation) across the persisted-index family; (b) the
-    # full 45-slot r7-proven rotation exactly as published — with it
-    # drained, no registry entry's newest driver row is older than r8.
-    # sim_sparse_tfidf_pairs (prefix filter + dense fences, r13) sits
-    # inside the rotation — double duty. a7_operation_log's r13 sink
-    # batching is OUTPUT-IDENTICAL (hash-proven at both SFs in the
-    # frozen-tree sweeps); it takes no window slot and leads the r14
-    # rotation (the r8-proven tier) instead.
+    # ROUND-14 WINDOW (VERDICT r13 next-round #8, rotation published in
+    # round 13's NEXT_ROUND_ROTATION, spent in full): (a) re-proof slots
+    # for the three paths round 14 restructured most deeply — the CRP
+    # planet build (shared-spine checkpoints, kernel re-partitioning,
+    # fused estimates; output hash-identical by construction, re-proven
+    # anyway), and the connected-components hop loop (union-aggregate
+    # propagate + paired convergence checks) on both its full-recompute
+    # and incremental-maintenance faces, and the dense tf-idf pair
+    # kernel (probe now driven from the collected matrix); (b) the full
+    # 46-slot r8-proven rotation exactly as published. With (b) drained,
+    # no registry entry's newest driver row is older than r9. (The one
+    # apparent r1-era straggler, agg_approx_distinct, is not a registry
+    # entry anymore — renamed away in the early rounds; the staleness
+    # audit that flagged it reads raw CORRECTNESS files.)
     #
-    # (a) r13 observable-behavior re-proofs
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "sim_incremental_ivf",
-    "sim_ivf_drift",
-    "sim_ivf_retrain_plan",
-    # (b) the published 45-slot rotation
-    "mm_image_ahash_dedup",
-    "pipe_bpe_merges",
-    "q2_correlated_min",
-    "text_keyword_search",
-    "ts_cdc_apply",
+    # (a) r14 re-proofs
     "eta_routed_osm_planet",
-    "ev_cumulative_users",
-    "ev_rolling_active",
-    "graph_clustering_coeff",
-    "graph_common_neighbors",
-    "j_band_price",
-    "mm_wav_roundtrip",
-    "pipe_bpe_merges_batched",
-    "pipe_bpe_segment_tokens",
-    "pipe_chunk_overlap",
-    "pipe_domain_quota",
-    "pipe_incremental_dedup",
-    "pipe_quality_funnel",
-    "pipe_reservoir_topk",
-    "pipe_segment_dedup",
-    "pipe_snapshot_diff",
-    "pipe_split_assign",
-    "pipe_token_budget_select",
-    "pipe_winsorize_caps",
-    "q10_returned_items",
-    "q11_important_value",
-    "q12_priority_split",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q19_or_of_ands",
-    "q20_bulk_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
+    "dedup_connected_components",
+    "dedup_incremental_components",
     "sim_sparse_tfidf_pairs",
-    "st_enrich_static",
-    "text_bigram_familiarity",
-    "text_keyword_rank_any",
-    "text_repetition",
-    "ts_moving_avg",
-    "vec_label_centroids",
+    # (b) the published 46-slot rotation
+    "a7_operation_log",
+    "agg_incremental_maintain",
+    "agg_kmv_distinct",
+    "agg_kmv_merge_rollup",
+    "agg_kmv_set_algebra",
+    "agg_quantile_sketch",
+    "dedup_canonical_pick",
+    "dedup_ngram_containment",
+    "dedup_prefix_filter_pairs",
+    "dedup_semantic",
+    "eta_accessibility_index",
+    "eta_routed_osm",
+    "eta_routed_osm_large",
+    "eta_routed_osm_planet_auto",
+    "eta_routed_osm_xlarge",
+    "j_bucketed_colocated",
+    "j_interval_overlap",
+    "j_salted_skew_join",
+    "k1_normalized_roundtrip",
+    "k2_csv_roundtrip",
+    "k3_json_roundtrip",
+    "k4_geojson_roundtrip",
+    "k_orc_roundtrip",
+    "k_zorder_prune_roundtrip",
+    "mm_jpeg_flat_roundtrip",
+    "mm_payload_embedding",
+    "mm_png_resize_roundtrip",
+    "mm_wav_downsample",
+    "pipe_compaction_plan",
+    "pipe_zorder_layout",
+    "q18_having_join_back",
+    "q1_pricing_summary",
+    "ram_full_job",
+    "s2_origins_scan",
+    "s5_geojson_source",
+    "s8_osm_to_geojson",
+    "sim_recall_at_k",
+    "st_late_data_drop",
+    "st_view_click_outer",
+    "text_ngram_novelty",
+    "ts_ohlc_bars",
+    "ts_scd2_intervals",
+    "ts_time_weighted_avg",
+    "vec_pq_codes",
+    "vec_random_projection",
+    "w7_time_range_frame",
 )
 
 

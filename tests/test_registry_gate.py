@@ -100,61 +100,57 @@ def test_gated_queries_all_have_oracles():
 
 
 # Rotation candidates for the NEXT round's window. Every registered query
-# is past-proven or in the current window (nothing invisible). Round 13
-# spent its window on the full 45-slot rotation round 12 published (the
-# r7-proven tier is now DRAINED — nothing older than r8) plus five
-# observable-behavior re-proofs (SimHash word repack; adaptive IVF rule
-# across incremental/drift/retrain). These are the r8-proven entries —
-# all code-stable except a7_operation_log (r13 sink batching,
-# output-identical, hash-proven in the dual-SF frozen-tree sweeps) —
-# queued for the r14 window.
+# is past-proven or in the current window (nothing invisible). Round 14
+# spent its window on the full 46-slot rotation round 13 published (the
+# r8-proven tier is now DRAINED — nothing older than r9) plus three
+# re-proofs for the r14-restructured CRP/components/tf-idf paths.
+# These are the r9-proven
+# entries — all code-stable (graph_khop_reach's r13 barrier and the r14
+# connected-components loop restructure are output-identical,
+# hash-proven in the frozen-tree sweeps) — queued for the r15 window.
 NEXT_ROUND_ROTATION: tuple[str, ...] = (
-    "a7_operation_log",
-    "agg_incremental_maintain",
-    "agg_kmv_distinct",
-    "agg_kmv_merge_rollup",
-    "agg_kmv_set_algebra",
-    "agg_quantile_sketch",
-    "dedup_canonical_pick",
-    "dedup_ngram_containment",
-    "dedup_prefix_filter_pairs",
-    "dedup_semantic",
-    "eta_accessibility_index",
-    "eta_routed_osm",
-    "eta_routed_osm_large",
-    "eta_routed_osm_planet_auto",
-    "eta_routed_osm_xlarge",
-    "j_bucketed_colocated",
-    "j_interval_overlap",
-    "j_salted_skew_join",
-    "k1_normalized_roundtrip",
-    "k2_csv_roundtrip",
-    "k3_json_roundtrip",
-    "k4_geojson_roundtrip",
-    "k_orc_roundtrip",
-    "k_zorder_prune_roundtrip",
-    "mm_jpeg_flat_roundtrip",
-    "mm_payload_embedding",
-    "mm_png_resize_roundtrip",
-    "mm_wav_downsample",
-    "pipe_compaction_plan",
-    "pipe_zorder_layout",
-    "q18_having_join_back",
-    "q1_pricing_summary",
-    "ram_full_job",
-    "s2_origins_scan",
-    "s5_geojson_source",
-    "s8_osm_to_geojson",
-    "sim_recall_at_k",
-    "st_late_data_drop",
-    "st_view_click_outer",
-    "text_ngram_novelty",
-    "ts_ohlc_bars",
-    "ts_scd2_intervals",
-    "ts_time_weighted_avg",
-    "vec_pq_codes",
-    "vec_random_projection",
-    "w7_time_range_frame",
+    "agg_corr_components",
+    "agg_distinct_count",
+    "agg_hhi_concentration",
+    "agg_histogram",
+    "agg_mode_exact",
+    "agg_robust_outliers",
+    "agg_rollup_revenue",
+    "agg_weighted_median",
+    "dedup_minhash_eval",
+    "ev_inter_event_stats",
+    "ev_rfm_scores",
+    "ev_sessionize_batch",
+    "ev_type_transitions",
+    "f_polygon_shoelace",
+    "graph_khop_reach",
+    "j1_inner_equijoin",
+    "j6_positional_explode",
+    "j_full_outer_reconcile",
+    "mm_resize_meta",
+    "p3_negated_predicate",
+    "p7_scalar_subquery",
+    "pipe_corpus_quality_gate",
+    "pipe_dup_rate_by_source",
+    "pipe_length_buckets",
+    "pipe_mixture_epochs",
+    "pipe_quantile_normalize",
+    "pipe_tokenizer_fertility",
+    "q13_outer_join_custdist",
+    "q4_exists_correlated",
+    "q6_pushdown_revenue",
+    "s3_settings_json_decode",
+    "semi_anti_join",
+    "set_intersect_except",
+    "sim_hard_negatives",
+    "text_bm25_rank",
+    "text_lexical_diversity",
+    "text_rake_keyphrases",
+    "ts_anomaly_zscore",
+    "ts_cusum_drift",
+    "ts_resample_interp",
+    "vec_normalize",
+    "w8_running_distinct",
 )
 
 
