@@ -90,6 +90,13 @@ def repeated_spans(
             ).alias("s"),
         )
         .select(id_col, F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+        # referenced twice (multi-doc hash aggregate + the flagged-window
+        # semi-join probe): unpersisted, BOTH references re-ran the window
+        # explode and its per-window md5 — the dominant cost of this
+        # operator (r14; guide §2.4). MEMORY_AND_DISK by default, so a
+        # corpus-sized window table spills rather than evicts; lifetime
+        # contract as the graph operators (driver clears between queries).
+        .persist()
     )
     dup_hashes = (
         windows.groupBy("h")

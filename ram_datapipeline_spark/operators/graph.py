@@ -610,7 +610,9 @@ def label_propagation(
     )
     # (r13: a sym.count() barrier before round 1 measured flat here — the
     # round-0 label build and the vote join overlap without doubling the
-    # derivation — so the extra job is not paid; contrast khop_reach)
+    # derivation — so the extra job is not paid; contrast khop_reach.
+    # r14 re-measured: still flat — 3-rep medians 7.1-7.3 s both ways —
+    # kept out.)
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
